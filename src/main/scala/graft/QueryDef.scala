@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** One engine operator exposed through the driver contract: a Spark
+  * query plus (when SQL-expressible) an equivalent DuckDB oracle.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+/** Cross-engine determinism helpers.
+  *
+  * Double sums are order-dependent, so a Spark 32-partition sum and a
+  * DuckDB sequential sum can differ in the last ulps and break the
+  * driver's hash compare. Rule used by every money/measure aggregate:
+  * compute the per-row expression in DOUBLE (bit-identical in both
+  * engines), cast to DECIMAL(38,6) (deterministic rounding), SUM
+  * exactly in decimal, then cast the final result back to DOUBLE.
+  * The DuckDB oracle mirrors the same cast chain.
+  */
+object Det {
+  val Dec: DecimalType = DecimalType(38, 6)
+  def dec(c: Column): Column = c.cast(Dec)
+  /** Exact decimal sum surfaced as a bit-deterministic double. */
+  def sumd(c: Column): Column = sum(dec(c)).cast(DoubleType)
+  /** Deterministic average: exact decimal sum / count in double. */
+  def avgd(c: Column): Column = sum(dec(c)).cast(DoubleType) / count(lit(1))
+  def longCol(c: Column): Column = c.cast(LongType)
+  /** DuckDB-side spelling of [[sumd]]. */
+  def dsum(expr: String): String = s"CAST(SUM(CAST(($expr) AS DECIMAL(38,6))) AS DOUBLE)"
+  def davg(expr: String): String = s"(CAST(SUM(CAST(($expr) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*))"
+}

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed access to the driver-generated parquet tables.
+  *
+  * All operators read through here so that column pruning / predicate
+  * pushdown always start from a plain parquet scan (Catalyst pushes
+  * the operator's own `select`/`filter` into the scan).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = read(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = read(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = read(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = read(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = read(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = read(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = read(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+}

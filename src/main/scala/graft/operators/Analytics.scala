@@ -1,0 +1,246 @@
+package graft.operators
+
+import graft.{Det, QueryDef, Tables}
+import graft.Det._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Core analytics surface: the general-purpose query capabilities a
+  * user of a stream/batch analytics engine expects (grouped
+  * aggregation, multi-way joins, top-N, window functions, rollup,
+  * semi-joins, distinct aggregation), expressed declaratively so
+  * Catalyst handles pushdown/pruning/join planning.
+  *
+  * Scale notes (100 TB intent):
+  *  - dimension tables (region/nation/customer/supplier/part) are
+  *    broadcast explicitly — no shuffle on the fact side for them;
+  *  - every aggregate is a map-side-combinable `sum/count` (partial
+  *    aggregation before the single shuffle on the group keys);
+  *  - top-N = orderBy+limit which Spark executes as TakeOrdered
+  *    (per-partition heaps, no global sort).
+  */
+object Analytics {
+
+  private def ts(s: String) = lit(s).cast("timestamp")
+
+  val q1 = QueryDef(
+    "q1_pricing_summary",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= ts("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sumd(col("l_quantity")).as("sum_qty"),
+          sumd(col("l_extendedprice")).as("sum_base_price"),
+          sumd(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          sumd(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          avgd(col("l_quantity")).as("avg_qty"),
+          avgd(col("l_extendedprice")).as("avg_price"),
+          avgd(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus,
+      ${dsum("l_quantity")} AS sum_qty,
+      ${dsum("l_extendedprice")} AS sum_base_price,
+      ${dsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+      ${dsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+      ${davg("l_quantity")} AS avg_qty,
+      ${davg("l_extendedprice")} AS avg_price,
+      ${davg("l_discount")} AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""))
+
+  val q3 = QueryDef(
+    "q3_shipping_priority",
+    (s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < ts("1998-01-01"))
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > ts("1998-01-01"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sumd(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    },
+    Some(s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+      ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
+  val q5 = QueryDef(
+    "q5_local_supplier",
+    (s, d) => {
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sumd(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    },
+    Some(s"""SELECT n_name,
+      ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+    GROUP BY n_name ORDER BY revenue DESC, n_name"""))
+
+  val q6 = QueryDef(
+    "q6_forecast_revenue",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1997-01-01") &&
+          col("l_discount").between(0.02, 0.06) &&
+          col("l_quantity") < 24)
+        .agg(sumd(col("l_extendedprice") * col("l_discount")).as("revenue"))
+    },
+    Some(s"""SELECT ${dsum("l_extendedprice * l_discount")} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24"""))
+
+  val qMarketShare = QueryDef(
+    "q_market_share",
+    (s, d) => {
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val base = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"), col("n_name"))
+        .agg(sum(dec(col("o_totalprice"))).as("rev_dec"))
+      val w = Window.partitionBy("o_year")
+      base
+        .withColumn("revenue", col("rev_dec").cast(DoubleType))
+        .withColumn("mkt_share",
+          col("rev_dec").cast(DoubleType) / sum(col("rev_dec")).over(w).cast(DoubleType))
+        .select("o_year", "n_name", "revenue", "mkt_share")
+        .orderBy("o_year", "n_name")
+    },
+    Some("""WITH base AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, n_name,
+             SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev_dec
+      FROM orders, customer, nation, region
+      WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+        AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+      GROUP BY 1, 2)
+    SELECT o_year, n_name, CAST(rev_dec AS DOUBLE) AS revenue,
+           CAST(rev_dec AS DOUBLE) / CAST(SUM(rev_dec) OVER (PARTITION BY o_year) AS DOUBLE) AS mkt_share
+    FROM base ORDER BY o_year, n_name"""))
+
+  val qTopCustomers = QueryDef(
+    "q_top_customers",
+    (s, d) => {
+      val base = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "c_custkey", "c_name")
+        .agg(sumd(col("o_totalprice")).as("total_spend"), count(lit(1)).as("n_orders"))
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(desc("total_spend"), asc("c_custkey"))
+      base.withColumn("rank_in_segment", row_number().over(w).cast(LongType))
+        .filter(col("rank_in_segment") <= 3)
+        .select("c_mktsegment", "rank_in_segment", "c_custkey", "c_name", "total_spend", "n_orders")
+        .orderBy("c_mktsegment", "rank_in_segment")
+    },
+    Some(s"""WITH base AS (
+      SELECT c_mktsegment, c_custkey, c_name,
+             ${dsum("o_totalprice")} AS total_spend, COUNT(*) AS n_orders
+      FROM orders, customer WHERE o_custkey = c_custkey
+      GROUP BY 1, 2, 3),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                 ORDER BY total_spend DESC, c_custkey) AS BIGINT) AS rank_in_segment
+      FROM base)
+    SELECT c_mktsegment, rank_in_segment, c_custkey, c_name, total_spend, n_orders
+    FROM ranked WHERE rank_in_segment <= 3
+    ORDER BY c_mktsegment, rank_in_segment"""))
+
+  val qRollup = QueryDef(
+    "q_rollup",
+    (s, d) => {
+      // Expressed via spark.sql: Dataset.rollup's string resolution
+      // false-positives Spark's ambiguous-self-join check when the
+      // grouping columns derive from a join (Expand-node shadowing);
+      // the SQL path builds the identical Expand+Aggregate plan.
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"),
+          year(col("o_orderdate")).cast(LongType).as("o_year"),
+          col("o_totalprice"))
+        .createOrReplaceTempView("graft_rollup_base")
+      s.sql("""SELECT n_name, o_year,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
+          COUNT(*) AS n_orders
+        FROM graft_rollup_base
+        GROUP BY ROLLUP (n_name, o_year)
+        ORDER BY n_name ASC NULLS FIRST, o_year ASC NULLS FIRST""")
+    },
+    Some(s"""SELECT n_name, o_year, ${dsum("o_totalprice")} AS total_price,
+           COUNT(*) AS n_orders
+    FROM (SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year, o_totalprice
+          FROM orders, customer, nation
+          WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey)
+    GROUP BY ROLLUP (n_name, o_year)
+    ORDER BY n_name NULLS FIRST, o_year NULLS FIRST"""))
+
+  val qExists = QueryDef(
+    "q_exists_semijoin",
+    (s, d) => {
+      val pending = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "P").select("o_custkey")
+      Tables.customer(s, d)
+        .join(pending, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    ORDER BY c_custkey"""))
+
+  val qDistinctAgg = QueryDef(
+    "q_distinct_agg",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_orderkey")).as("distinct_orders"),
+          countDistinct(col("l_partkey")).as("distinct_parts"),
+          countDistinct(col("l_suppkey")).as("distinct_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+      COUNT(DISTINCT l_orderkey) AS distinct_orders,
+      COUNT(DISTINCT l_partkey) AS distinct_parts,
+      COUNT(DISTINCT l_suppkey) AS distinct_supps,
+      COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  val defs: Seq[QueryDef] = Seq(
+    q1, q3, q5, q6, qMarketShare, qTopCustomers, qRollup, qExists, qDistinctAgg)
+}
