@@ -1,0 +1,266 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Batch re-expression of the reference's event pipeline.
+  *
+  * Reference semantics (flink-tank):
+  *  - EventProcessorJob.kt:79-97  `ParseAndRoute`   — JSON parse, valid
+  *    events forward, malformed to an error side-output.
+  *  - EventProcessorJob.kt:99-128 `EnrichValidEvent` — keyed ValueState
+  *    sequence counter + processingDelay + enrichment metadata.
+  *  - AggregationJob.kt:109-206   `SlidingWindowAggregator` — per-user
+  *    sliding window (10 min) event counts, total + per-type.
+  *  - EventProducer.kt:28-51      — synthetic generator, 50 users, 5
+  *    types, 5% malformed (4 shapes).
+  *
+  * Spark-first re-expression: the parse path is `from_json` routing on
+  * null-struct (Catalyst JsonToStructs, not a UDF); keyed state
+  * becomes a window-function over event time (the deterministic batch
+  * analog of a ValueState counter — same per-key ordering contract as
+  * EventProcessorJobTest "should assign a sequence ... per-key
+  * basis"); sliding windows use `window()` which Spark expands to the
+  * window-set without per-key timers; per-type maps are pivoted to
+  * columns so the shuffle carries fixed-width rows.
+  *
+  * Streaming equivalents live in [[graft.streaming]]; bodies are
+  * shared where the API allows.
+  */
+object EventPipeline {
+
+  /** Event types present in the synthetic `events` table. */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  // `ts` arrives as Long nanos (spark.sql.legacy.parquet.nanosAsLong):
+  // integer `div` keeps full precision (a double division would lose
+  // sub-ms bits at 1.7e18 ns magnitudes). The DuckDB oracle's
+  // CAST(ts AS TIMESTAMP) + epoch_ms truncates identically
+  // (floor(ns/1e6) == floor(floor(ns/1e3)/1e3) for positive ns).
+  private val tsCol = timestamp_micros(expr("ts div 1000"))
+  private val tsMs = expr("ts div 1000000")
+
+  private val parsedSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("type", StringType),
+    StructField("ts_ms", LongType),
+    StructField("k", LongType)))
+
+  /** Reconstructs the "raw Kafka payload" view of the events table:
+    * `event_type='error'` rows become malformed JSON (mirroring the
+    * producer's 5% malformed share), everything else a valid JSON
+    * event — only int/string fields so the string is bit-identical to
+    * the DuckDB oracle's reconstruction.
+    */
+  private def withRaw(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d).withColumn("raw",
+      when(col("event_type") === "error",
+        concat(lit("{invalid payload #"), col("event_id")))
+        .otherwise(concat(
+          lit("{\"id\": "), col("user_id"),
+          lit(", \"type\": \""), col("event_type"),
+          lit("\", \"ts_ms\": "), tsMs,
+          lit(", \"k\": "), get_json_object(col("props"), "$.k"),
+          lit("}"))))
+
+  val parseRouteValid = QueryDef(
+    "ep_parse_route_valid",
+    (s, d) => {
+      withRaw(s, d)
+        .select(col("event_id"), from_json(col("raw"), parsedSchema).as("p"))
+        .filter(col("p.id").isNotNull)
+        .select(col("event_id"), col("p.id").as("id"), col("p.type").as("type"),
+          col("p.ts_ms").as("ts_ms"), col("p.k").as("k"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id AS id, event_type AS type,
+      epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+      CAST(props->>'k' AS BIGINT) AS k
+    FROM events WHERE event_type <> 'error' ORDER BY event_id"""))
+
+  val parseRouteError = QueryDef(
+    "ep_parse_route_error",
+    (s, d) => {
+      withRaw(s, d)
+        .withColumn("p", from_json(col("raw"), parsedSchema))
+        .filter(col("p.id").isNull)
+        .select(col("event_id"), col("raw").as("raw_message"),
+          lit("PARSE_ERROR").as("error_type"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id,
+      '{invalid payload #' || event_id AS raw_message,
+      'PARSE_ERROR' AS error_type
+    FROM events WHERE event_type = 'error' ORDER BY event_id"""))
+
+  val enrichSequence = QueryDef(
+    "ep_enrich_sequence",
+    (s, d) => {
+      // Order on ms-truncated time both engines (DuckDB only sees us
+      // after its ns->TIMESTAMP cast; ms + event_id tie-break is
+      // identical on both sides).
+      val w = Window.partitionBy("user_id").orderBy(tsMs, col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          row_number().over(w).cast(LongType).as("sequence"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type,
+      CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id) AS BIGINT) AS sequence
+    FROM events ORDER BY event_id"""))
+
+  val processingDelay = QueryDef(
+    "ep_processing_delay",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      // Deterministic batch "now": the max event time. The reference
+      // uses wall-clock (EventProcessorJob.kt:112); a correctness-
+      // checkable analog needs a data-derived clock.
+      val now = ev.agg(max(tsMs).as("now_ms"))
+      ev.crossJoin(broadcast(now))
+        .select(col("event_id"), col("user_id"),
+          (col("now_ms") - tsMs).as("delay_ms"),
+          tsMs.as("original_timestamp"),
+          lit("graft-event-processor").as("processing_pipeline"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+      (SELECT max(epoch_ms(CAST(ts AS TIMESTAMP))) FROM events) - epoch_ms(CAST(ts AS TIMESTAMP)) AS delay_ms,
+      epoch_ms(CAST(ts AS TIMESTAMP)) AS original_timestamp,
+      'graft-event-processor' AS processing_pipeline,
+      CAST(props->>'k' AS BIGINT) AS k
+    FROM events ORDER BY event_id"""))
+
+  private def typeCountCols = EventTypes.map(t =>
+    sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"))
+
+  private def typeCountSql = EventTypes.map(t =>
+    s"COUNT(*) FILTER (WHERE event_type = '$t') AS n_$t").mkString(",\n      ")
+
+  val windowTumbling = QueryDef(
+    "agg_window_tumbling",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"), window(tsCol, "10 minutes").as("w"))
+        .agg(count(lit(1)).as("total_events"), typeCountCols: _*)
+        .select(col("user_id") +: unix_millis(col("w.start")).as("window_start_ms") +:
+          col("total_events") +: EventTypes.map(t => col(s"n_$t")): _*)
+        .orderBy("user_id", "window_start_ms")
+    },
+    Some(s"""SELECT user_id,
+      (epoch_ms(CAST(ts AS TIMESTAMP)) // 600000) * 600000 AS window_start_ms,
+      COUNT(*) AS total_events,
+      $typeCountSql
+    FROM events GROUP BY user_id, window_start_ms
+    ORDER BY user_id, window_start_ms"""))
+
+  val windowSliding = QueryDef(
+    "agg_window_sliding",
+    (s, d) => {
+      // Reference window geometry is 10 min size / 5 s emit interval
+      // (AggregationJob.kt:53-54); in Spark the emit cadence is the
+      // streaming trigger's job, so the batch analog uses a 5 min
+      // slide: each event lands in exactly size/slide = 2 windows and
+      // the shuffle stays bounded (the 120x expansion of a 5 s slide
+      // belongs to the trigger, not the data).
+      Tables.events(s, d)
+        .groupBy(col("user_id"), window(tsCol, "10 minutes", "5 minutes").as("w"))
+        .agg(count(lit(1)).as("total_events"), typeCountCols: _*)
+        .select(col("user_id") +: unix_millis(col("w.start")).as("window_start_ms") +:
+          col("total_events") +: EventTypes.map(t => col(s"n_$t")): _*)
+        .orderBy("user_id", "window_start_ms")
+    },
+    Some(s"""SELECT user_id,
+      (epoch_ms(CAST(ts AS TIMESTAMP)) // 300000) * 300000 - off AS window_start_ms,
+      COUNT(*) AS total_events,
+      $typeCountSql
+    FROM events CROSS JOIN (VALUES (0), (300000)) AS shifts(off)
+    GROUP BY user_id, window_start_ms
+    ORDER BY user_id, window_start_ms"""))
+
+  val typeCounts = QueryDef(
+    "agg_type_counts",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("total_events"), typeCountCols: _*)
+        .orderBy("user_id")
+    },
+    Some(s"""SELECT user_id, COUNT(*) AS total_events,
+      $typeCountSql
+    FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** Deterministic replica of EventProducer.kt:28-51: 50 users, 5
+    * event types, uniform value in [1,100), 5% malformed (4 shapes),
+    * 2 events/s from 2024-01-01. Randomness = md5 of (tag, seq) —
+    * portable across engines, seed-free, and fully parallel (generated
+    * from `spark.range`, no driver-side loop).
+    */
+  val producerDatagen = QueryDef(
+    "producer_datagen",
+    (s, d) => {
+      val n = 10000L
+      def h(tag: String) =
+        conv(substring(md5(concat(lit(tag), col("id").cast(StringType))), 1, 15), 16, 10)
+          .cast(LongType)
+      val types = array(Seq("login", "purchase", "view", "click", "logout").map(lit): _*)
+      val cats = array(Seq("electronics", "books", "clothing", "food").map(lit): _*)
+      s.range(n)
+        .select(
+          col("id").as("seq"),
+          (lit(1704067200000L) + col("id") * 500L).as("ts_ms"),
+          concat(lit("user-"), (h("user") % 50 + 1).cast(StringType)).as("user_id"),
+          element_at(types, (h("type") % 5 + 1).cast(IntegerType)).as("event_type"),
+          ((h("value") % 9900).cast(DoubleType) / 100.0 + 1.0).as("value"),
+          // integer cents (= value*100 exactly): Spark truncates
+          // double->long while DuckDB rounds, so stay in integer space
+          (h("value") % 9900 + 100).as("value_cents"),
+          element_at(cats, (h("cat") % 4 + 1).cast(IntegerType)).as("category"),
+          (h("err") % 100 < 5).as("is_malformed"),
+          (h("shape") % 4).as("shape"))
+        .withColumn("raw",
+          when(!col("is_malformed"), concat(
+            lit("{\"id\": \""), col("user_id"),
+            lit("\", \"type\": \""), col("event_type"),
+            lit("\", \"timestamp\": "), col("ts_ms"),
+            lit(", \"data\": {\"value_cents\": "),
+            col("value_cents"),
+            lit(", \"category\": \""), col("category"), lit("\"}}")))
+            .otherwise(element_at(array(
+              lit("{invalid json"),
+              lit("{}"),
+              lit("{\"id\": \"user-1\"}"),
+              lit("{\"id\": \"user-1\", \"type\": \"\", \"timestamp\": \"not-a-number\"}")),
+              (col("shape") + 1).cast(IntegerType))))
+        .select("seq", "ts_ms", "user_id", "event_type", "value", "category",
+          "is_malformed", "raw")
+        .orderBy("seq")
+    },
+    Some("""WITH g AS (
+      SELECT seq,
+        1704067200000 + seq * 500 AS ts_ms,
+        'user-' || CAST(('0x' || substr(md5('user' || CAST(seq AS VARCHAR)), 1, 15))::BIGINT % 50 + 1 AS VARCHAR) AS user_id,
+        (['login', 'purchase', 'view', 'click', 'logout'])[('0x' || substr(md5('type' || CAST(seq AS VARCHAR)), 1, 15))::BIGINT % 5 + 1] AS event_type,
+        CAST(('0x' || substr(md5('value' || CAST(seq AS VARCHAR)), 1, 15))::BIGINT % 9900 AS DOUBLE) / 100.0 + 1.0 AS value,
+        (['electronics', 'books', 'clothing', 'food'])[('0x' || substr(md5('cat' || CAST(seq AS VARCHAR)), 1, 15))::BIGINT % 4 + 1] AS category,
+        ('0x' || substr(md5('err' || CAST(seq AS VARCHAR)), 1, 15))::BIGINT % 100 < 5 AS is_malformed,
+        ('0x' || substr(md5('shape' || CAST(seq AS VARCHAR)), 1, 15))::BIGINT % 4 AS shape
+      FROM range(10000) t(seq))
+    SELECT seq, ts_ms, user_id, event_type, value, category, is_malformed,
+      CASE WHEN NOT is_malformed THEN
+        '{"id": "' || user_id || '", "type": "' || event_type ||
+        '", "timestamp": ' || CAST(ts_ms AS VARCHAR) ||
+        ', "data": {"value_cents": ' || CAST(('0x' || substr(md5('value' || CAST(seq AS VARCHAR)), 1, 15))::BIGINT % 9900 + 100 AS VARCHAR) ||
+        ', "category": "' || category || '"}}'
+      ELSE (['{invalid json', '{}', '{"id": "user-1"}',
+             '{"id": "user-1", "type": "", "timestamp": "not-a-number"}'])[shape + 1]
+      END AS raw
+    FROM g ORDER BY seq"""))
+
+  val defs: Seq[QueryDef] = Seq(
+    parseRouteValid, parseRouteError, enrichSequence, processingDelay,
+    windowTumbling, windowSliding, typeCounts, producerDatagen)
+}
