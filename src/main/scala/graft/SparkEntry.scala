@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
-    operators.Analytics.defs ++ operators.EventPipeline.defs
+    operators.Analytics.defs ++ operators.EventPipeline.defs ++
+      operators.TextAnalysis.defs ++ operators.Dedup.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for LLM training-data pipelines over the
+  * `documents` table: language ID, quality scoring, token counting,
+  * fingerprinting. All pure `functions._` compositions (codegen'd, no
+  * UDFs); every scalar is computed with integer/string ops or
+  * double arithmetic in a fixed order so the DuckDB oracle is
+  * bit-identical.
+  *
+  * Scale: every operator is a narrow per-row map over a parquet scan
+  * (no shuffle at all until the final presentation ORDER BY) — at
+  * 100 TB these run at scan speed and column-prune to `doc_id, text`.
+  */
+object TextAnalysis {
+
+  private val words = split(col("text"), " ")
+
+  /** Portable 60-bit hash: leading 15 hex chars of md5, identical in
+    * DuckDB as ('0x' || substr(md5(x),1,15))::BIGINT.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  val hash60Sql: String => String =
+    expr => s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+
+  /** Tiny stopword lexicons (public knowledge) for the heuristic
+    * language ID. Priority order breaks score ties deterministically.
+    */
+  val Lexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "et", "des", "une"))
+
+  private def score(lex: Seq[String]): Column =
+    lex.map(w => array_contains(words, w).cast(IntegerType)).reduce(_ + _)
+
+  private def scoreSql(lex: Seq[String]): String =
+    lex.map(w => s"list_contains(string_split(text, ' '), '$w')::INT").mkString(" + ")
+
+  val langId = QueryDef(
+    "text_langid",
+    (s, d) => {
+      val scored = Tables.documents(s, d).select(
+        col("doc_id") +: col("lang") +:
+          Lexicons.map { case (l, lex) => score(lex).as(s"score_$l") }: _*)
+      val Seq(en, es, de, fr) = Lexicons.map { case (l, _) => col(s"score_$l") }
+      scored.withColumn("predicted_lang",
+        when(en >= es && en >= de && en >= fr && en > 0, "en")
+          .when(es >= de && es >= fr && es > 0, "es")
+          .when(de >= fr && de > 0, "de")
+          .when(fr > 0, "fr")
+          .otherwise("und"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val scores = Lexicons.map { case (l, lex) => s"${scoreSql(lex)} AS score_$l" }
+        .mkString(",\n        ")
+      s"""WITH scored AS (
+      SELECT doc_id, lang,
+        $scores
+      FROM documents)
+    SELECT doc_id, lang, score_en, score_es, score_de, score_fr,
+      CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr AND score_en > 0 THEN 'en'
+           WHEN score_es >= score_de AND score_es >= score_fr AND score_es > 0 THEN 'es'
+           WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+           WHEN score_fr > 0 THEN 'fr'
+           ELSE 'und' END AS predicted_lang
+    FROM scored ORDER BY doc_id"""
+    })
+
+  val quality = QueryDef(
+    "text_quality",
+    (s, d) => {
+      val nWords = size(words)
+      val nChars = length(col("text"))
+      val uniq = size(array_distinct(words))
+      val stopHits = size(filter(words, w => w === "the" || w === "a" || w === "of"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        nChars.cast(LongType).as("n_chars_actual"),
+        nWords.cast(LongType).as("n_words"),
+        uniq.cast(LongType).as("n_uniq_words"),
+        (uniq.cast(DoubleType) / nWords).as("uniq_ratio"),
+        (stopHits.cast(DoubleType) / nWords).as("stopword_ratio"),
+        (length(regexp_replace(col("text"), "[ ]", "")).cast(DoubleType) / nWords)
+          .as("avg_word_len"))
+        .withColumn("quality_score",
+          col("uniq_ratio") * 0.5 +
+            (lit(1.0) - col("stopword_ratio")) * 0.3 +
+            least(col("avg_word_len") / 10.0, lit(1.0)) * 0.2)
+        .orderBy("doc_id")
+    },
+    Some("""WITH m AS (
+      SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars_actual,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_words,
+        CAST(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a' OR w = 'of')) AS BIGINT) AS stop_hits,
+        CAST(length(regexp_replace(text, '[ ]', '', 'g')) AS BIGINT) AS n_nonspace
+      FROM documents)
+    SELECT doc_id, n_chars_actual, n_words, n_uniq_words,
+      CAST(n_uniq_words AS DOUBLE) / n_words AS uniq_ratio,
+      CAST(stop_hits AS DOUBLE) / n_words AS stopword_ratio,
+      CAST(n_nonspace AS DOUBLE) / n_words AS avg_word_len,
+      (CAST(n_uniq_words AS DOUBLE) / n_words) * 0.5
+        + (1.0 - CAST(stop_hits AS DOUBLE) / n_words) * 0.3
+        + least((CAST(n_nonspace AS DOUBLE) / n_words) / 10.0, 1.0) * 0.2 AS quality_score
+    FROM m ORDER BY doc_id"""))
+
+  /** BPE-ish token pattern: letter runs, digit runs, single symbols.
+    * Plain ASCII classes only — identical in Java regex and RE2.
+    */
+  private val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  val tokens = QueryDef(
+    "text_tokens",
+    (s, d) => {
+      val nWs = size(words).cast(LongType)
+      val nTok = regexp_count(col("text"), lit(TokenPattern)).cast(LongType)
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        nWs.as("n_ws_tokens"),
+        nTok.as("n_bpe_tokens"),
+        (length(col("text")).cast(DoubleType) / nTok).as("chars_per_token"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      CAST(len(regexp_extract_all(text, '$TokenPattern')) AS BIGINT) AS n_bpe_tokens,
+      CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '$TokenPattern')) AS chars_per_token
+    FROM documents ORDER BY doc_id"""))
+
+  /** Word-3-shingles of a text column (1-based positions, guarded for
+    * short docs), shared by fingerprinting and the dedup family.
+    */
+  def shingles(text: Column): Column = {
+    val ws = split(text, " ")
+    when(size(ws) >= 3,
+      transform(sequence(lit(1), size(ws) - 2), i =>
+        concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
+      .otherwise(array(text))
+  }
+
+  val shinglesSql: String => String = t =>
+    s"""CASE WHEN len(string_split($t, ' ')) >= 3 THEN
+      list_transform(range(1, len(string_split($t, ' ')) - 1),
+        i -> string_split($t, ' ')[i] || ' ' || string_split($t, ' ')[i+1] || ' ' || string_split($t, ' ')[i+2])
+      ELSE [$t] END"""
+
+  val fingerprint = QueryDef(
+    "text_fingerprint",
+    (s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        md5(col("text")).as("content_md5"),
+        array_min(transform(shingles(col("text")), sh => hash60(sh)))
+          .as("shingle_min_hash"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id, md5(text) AS content_md5,
+      list_aggregate(list_transform(${shinglesSql("text")}, sh -> ${hash60Sql("sh")}), 'min') AS shingle_min_hash
+    FROM documents ORDER BY doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint)
+}
