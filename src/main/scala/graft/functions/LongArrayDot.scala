@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Exact integer dot product of two BIGINT arrays as a native Catalyst
+  * expression with whole-stage codegen.
+  *
+  * Why not `aggregate(zip_with(a, b, _*_), 0L, _+_)`: Spark's
+  * higher-order functions are interpreted (lambda per element, boxed
+  * longs, an intermediate zipped array per row) and sit outside
+  * whole-stage codegen. For the similarity operators the dot product
+  * runs once per candidate PAIR — at sf0.1's 2M pairs the interpreted
+  * form measured ~33 s vs <2 s for this compiled loop; at 100 TB the
+  * gap is the difference between scan-bound and CPU-bound.
+  *
+  * Norms reuse the same expression: `dot(a, a)`.
+  */
+case class LongArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API and SQL registration for graft's native expressions. */
+object GraftFunctions {
+  // Spark 4's Column is Connect-agnostic (no .expr); the bridge in
+  // org.apache.spark.sql.graft converts Column <-> Expression.
+  import org.apache.spark.sql.graft.Bridge
+  def dotLong(a: Column, b: Column): Column =
+    Bridge.column(LongArrayDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Idempotent per-session SQL registration (`graft_dot(a, b)`). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => LongArrayDot(exprs(0), exprs(1)), "built-in")
+}

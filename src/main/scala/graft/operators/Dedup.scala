@@ -52,7 +52,8 @@ object Dedup {
     * odds (~n_shingles^2 / 2^64) are negligible and any false merge
     * would surface in the oracle compare.
     */
-  private def shingleKeys(s: org.apache.spark.sql.SparkSession, d: String) = {
+  /** Distinct word-3-shingle STRINGS per doc: (doc_id, g0) rows. */
+  private[operators] def shingleStrings(s: org.apache.spark.sql.SparkSession, d: String) = {
     import org.apache.spark.sql.expressions.Window
     val wspec = Window.partitionBy("doc_id").orderBy("pos")
     Tables.documents(s, d)
@@ -61,8 +62,13 @@ object Dedup {
         concat_ws(" ", col("w"), lead("w", 1).over(wspec), lead("w", 2).over(wspec)).as("g0"),
         lead("w", 2).over(wspec).as("guard"))
       .filter(col("guard").isNotNull)
+      .groupBy("doc_id", "g0").agg(count(lit(1)).as("_c")).drop("_c")
+  }
+
+  private def shingleKeys(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import org.apache.spark.sql.expressions.Window
+    shingleStrings(s, d)
       .select(col("doc_id"), xxhash64(col("g0")).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("_c")).drop("_c")
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
   }
 
@@ -98,5 +104,173 @@ object Dedup {
     WHERE CAST(n_common AS DOUBLE) / (ni + nj - n_common) >= 0.5
     ORDER BY i, j"""))
 
-  val defs: Seq[QueryDef] = Seq(exact, ngramJaccard)
+  // ---------------------------------------------------------------
+  // MinHash + LSH
+  // ---------------------------------------------------------------
+
+  private val MinhashPerms = 16
+  private val MinhashBands = 4
+  private val MinhashRows = MinhashPerms / MinhashBands
+  /** Prime > 2^32 for the permutation family (a*h + b) mod P. */
+  private val P = 4294967311L
+
+  /** md5-derived permutation constants, same values inlined into the
+    * DuckDB oracle. a < 2^30 keeps a*h + b < 2^63 for 32-bit h.
+    */
+  lazy val minhashPerms: Array[(Long, Long)] = {
+    def h60(tag: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tag.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    Array.tabulate(MinhashPerms)(k =>
+      (h60(s"mh_a$k") % ((1L << 30) - 1) + 1, h60(s"mh_b$k") % P))
+  }
+
+  /** MinHash signatures (16 perms over 32-bit md5 shingle hashes) +
+    * banded LSH (4 bands x 4 rows): docs agreeing on all 4 minhashes
+    * of any band become candidate pairs; the signature overlap is the
+    * Jaccard estimate. One shuffle to build signatures (map-side-
+    * combinable MIN aggregates), one equi-join shuffle on the band
+    * key — the standard web-scale near-dup shape.
+    */
+  val minhashLsh = QueryDef(
+    "dedup_minhash_lsh",
+    (s, d) => {
+      val h32 = conv(substring(md5(col("g0")), 1, 8), 16, 10).cast(LongType)
+      val sig = shingleStrings(s, d)
+        .select(col("doc_id"), h32.as("h"))
+        .groupBy("doc_id")
+        .agg(
+          min((col("h") * minhashPerms(0)._1 + minhashPerms(0)._2) % P).as("m0"),
+          (1 until MinhashPerms).map(k =>
+            min((col("h") * minhashPerms(k)._1 + minhashPerms(k)._2) % P).as(s"m$k")): _*)
+        .select(col("doc_id"),
+          array((0 until MinhashPerms).map(k => col(s"m$k")): _*).as("m"))
+      val banded = sig.select(col("doc_id"), col("m"),
+        explode(array((0 until MinhashBands).map { b =>
+          struct(lit(b).as("band_id"),
+            concat_ws("_", (0 until MinhashRows).map(r =>
+              col("m").getItem(b * MinhashRows + r)): _*).as("band_key"))
+        }: _*)).as("bb"))
+        .select(col("doc_id"), col("m"),
+          col("bb.band_id").as("band_id"), col("bb.band_key").as("band_key"))
+      val a = banded.select(col("band_id"), col("band_key"),
+        col("doc_id").as("i"), col("m").as("mi"))
+      val b = banded.select(col("band_id"), col("band_key"),
+        col("doc_id").as("j"), col("m").as("mj"))
+      a.join(b, Seq("band_id", "band_key")).filter(col("i") < col("j"))
+        .select("i", "j", "mi", "mj").dropDuplicates("i", "j")
+        .withColumn("est_jaccard",
+          size(filter(zip_with(col("mi"), col("mj"), (x, y) => x === y), p => p))
+            .cast(DoubleType) / MinhashPerms)
+        .select("i", "j", "est_jaccard")
+        .orderBy("i", "j")
+    },
+    Some {
+      val permMins = minhashPerms.zipWithIndex.map { case ((a, b), k) =>
+        s"min((h * $a + $b) % $P)"
+      }.mkString("[", ", ", "]")
+      val bandStructs = (0 until MinhashBands).map { b =>
+        val key = (0 until MinhashRows)
+          .map(r => s"CAST(m[${b * MinhashRows + r + 1}] AS VARCHAR)")
+          .mkString(" || '_' || ")
+        s"{'band_id': $b, 'band_key': $key}"
+      }.mkString("[", ", ", "]")
+      s"""WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(${TextAnalysis.shinglesSql("text")})) AS g0
+      FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(g0), 1, 8))::BIGINT AS h FROM sh),
+    sig AS (SELECT doc_id, $permMins AS m FROM h GROUP BY doc_id),
+    banded AS (SELECT doc_id, m, unnest($bandStructs) AS bb FROM sig),
+    bb AS (SELECT doc_id, m, bb['band_id'] AS band_id, bb['band_key'] AS band_key FROM banded),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM bb a JOIN bb b ON a.band_id = b.band_id AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id)
+    SELECT c.i, c.j,
+      CAST(len(list_filter(range(1, ${MinhashPerms + 1}), k -> sa.m[k] = sb.m[k])) AS DOUBLE) / $MinhashPerms AS est_jaccard
+    FROM cand c JOIN sig sa ON sa.doc_id = c.i JOIN sig sb ON sb.doc_id = c.j
+    ORDER BY i, j"""
+    })
+
+  // ---------------------------------------------------------------
+  // SimHash
+  // ---------------------------------------------------------------
+
+  private val SimBits = 60
+  private val SimBlocks = 4
+  private val SimBlockBits = SimBits / SimBlocks // 15
+  private val SimHammingMax = 3
+
+  /** 60-bit SimHash fingerprints + pigeonhole blocking: a pair with
+    * hamming distance <= 3 must agree exactly on at least one of the
+    * 4 15-bit blocks, so candidates come from an equi-join on
+    * (block_id, block_val) and are verified with bit_count(xor).
+    * 60 bits (not 64) keeps the fingerprint in a signed BIGINT for
+    * both engines.
+    */
+  val simhash = QueryDef(
+    "dedup_simhash",
+    (s, d) => {
+      val h60 = conv(substring(md5(col("g0")), 1, 15), 16, 10).cast(LongType)
+      val bitSums = (0 until SimBits).map(bp =>
+        sum(when(shiftright(col("h"), bp).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+          .as(s"s$bp"))
+      val fp = shingleStrings(s, d)
+        .select(col("doc_id"), h60.as("h"))
+        .groupBy("doc_id")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until SimBits).map(bp =>
+            when(col(s"s$bp") > 0, lit(1L << bp)).otherwise(0L))
+            .reduce(_ + _).as("fp"))
+      val blocked = fp.select(col("doc_id"), col("fp"),
+        explode(array((0 until SimBlocks).map(b =>
+          struct(lit(b).as("block_id"),
+            shiftright(col("fp"), b * SimBlockBits)
+              .bitwiseAND((1L << SimBlockBits) - 1).as("block_val"))): _*)).as("bb"))
+        .select(col("doc_id"), col("fp"),
+          col("bb.block_id").as("block_id"), col("bb.block_val").as("block_val"))
+      val a = blocked.select(col("block_id"), col("block_val"),
+        col("doc_id").as("i"), col("fp").as("fpi"))
+      val b = blocked.select(col("block_id"), col("block_val"),
+        col("doc_id").as("j"), col("fp").as("fpj"))
+      a.join(b, Seq("block_id", "block_val")).filter(col("i") < col("j"))
+        .select("i", "j", "fpi", "fpj").dropDuplicates("i", "j")
+        .withColumn("hamming",
+          bit_count(col("fpi").bitwiseXOR(col("fpj"))).cast(LongType))
+        .filter(col("hamming") <= SimHammingMax)
+        .select("i", "j", "hamming")
+        .orderBy("i", "j")
+    },
+    Some {
+      val sums = (0 until SimBits).map(bp =>
+        s"SUM(CASE WHEN (h >> $bp) & 1 = 1 THEN 1 ELSE -1 END) AS s$bp")
+        .mkString(",\n        ")
+      val fpExpr = (0 until SimBits).map(bp =>
+        s"(CASE WHEN s$bp > 0 THEN ${1L << bp} ELSE 0 END)").mkString(" + ")
+      val blockStructs = (0 until SimBlocks).map(b =>
+        s"{'block_id': $b, 'block_val': (fp >> ${b * SimBlockBits}) & ${(1L << SimBlockBits) - 1}}")
+        .mkString("[", ", ", "]")
+      s"""WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(${TextAnalysis.shinglesSql("text")})) AS g0
+      FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(g0), 1, 15))::BIGINT AS h FROM sh),
+    sums AS (SELECT doc_id,
+        $sums
+      FROM h GROUP BY doc_id),
+    fp AS (SELECT doc_id, $fpExpr AS fp FROM sums),
+    blocked AS (SELECT doc_id, fp, unnest($blockStructs) AS bb FROM fp),
+    bb AS (SELECT doc_id, fp, bb['block_id'] AS block_id, bb['block_val'] AS block_val FROM blocked),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j, a.fp AS fpi, b.fp AS fpj
+      FROM bb a JOIN bb b ON a.block_id = b.block_id AND a.block_val = b.block_val
+      WHERE a.doc_id < b.doc_id)
+    SELECT i, j, CAST(bit_count(xor(fpi, fpj)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(fpi, fpj)) <= $SimHammingMax
+    ORDER BY i, j"""
+    })
+
+  val defs: Seq[QueryDef] = Seq(exact, ngramJaccard, minhashLsh, simhash)
 }

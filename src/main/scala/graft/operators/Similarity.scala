@@ -1,0 +1,214 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding similarity: exact cosine top-k (baseline), all-pairs
+  * near-dup detection, and random-hyperplane LSH (the scale path).
+  *
+  * Cross-engine determinism: embeddings are quantized to 1e-6 integer
+  * space (`floor(x * 1e6)` as BIGINT) so every dot product / norm is
+  * an EXACT integer sum — order-independent, hence bit-identical
+  * between a 32-partition Spark aggregation and DuckDB's sequential
+  * one. Only the final `dot / (sqrt(na) * sqrt(nb))` touches floating
+  * point, on identical inputs. Quantization error on unit-scale
+  * embeddings is ~1e-6 — far below any ranking threshold in use.
+  */
+object Similarity {
+
+  private val Scale = 1000000L
+  private val Dim = 64
+  private val TopK = 5
+  private val NQueries = 10
+  private val NearDupTau = 0.45
+  private val LshVerifyTau = 0.35
+  private val NPlanes = 16
+  private val NBands = 4
+  private val BitsPerBand = NPlanes / NBands
+
+  /** Quantized embedding + its exact integer squared-norm. */
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * Scale).cast(LongType)).as("qa"))
+      .withColumn("na", graft.functions.GraftFunctions.dotLong(col("qa"), col("qa")))
+
+  private val quantizedSql =
+    s"""SELECT vec_id,
+      list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS qa
+    FROM embeddings"""
+
+  /** Codegen'd native expression — see [[graft.functions.LongArrayDot]]. */
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.dotLong(a, b)
+
+  private def cosine(dotC: Column, na: Column, nb: Column): Column =
+    dotC.cast(DoubleType) / (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType)))
+
+  private val dotSql: (String, String) => String = (a, b) =>
+    s"CAST(list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i])) AS BIGINT)"
+
+  private val normSql: String => String = a =>
+    s"CAST(list_sum(list_transform($a, v -> v * v)) AS BIGINT)"
+
+  private val cosineSql: (String, String, String) => String = (d, na, nb) =>
+    s"CAST($d AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
+
+  /** Exact cosine top-k for a fixed query set (vec_id < NQueries).
+    *
+    * Scale shape: the query side is broadcast (tiny), the corpus side
+    * streams through — a 100 TB corpus scan with no shuffle until the
+    * final per-query top-k, which TakeOrdered/window handles with
+    * per-partition heaps.
+    */
+  val annBruteforce = QueryDef(
+    "ann_bruteforce",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = quantized(s, d)
+      val q = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("qa").as("qq"), col("na").as("qna"))
+      val pairs = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cosine", cosine(dot(col("qq"), col("qa")), col("qna"), col("na")))
+      val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("vec_id"))
+      pairs.withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= TopK)
+        .select("qid", "rank", "vec_id", "cosine")
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH q0 AS ($quantizedSql),
+    q AS (SELECT vec_id, qa, ${normSql("qa")} AS na FROM q0),
+    pairs AS (
+      SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+        ${cosineSql(dotSql("a.qa", "b.qa"), "a.na", "b.na")} AS cosine
+      FROM q a, q b WHERE a.vec_id < $NQueries AND b.vec_id <> a.vec_id),
+    ranked AS (
+      SELECT qid, vec_id, cosine,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+      FROM pairs)
+    SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= $TopK
+    ORDER BY qid, rank"""))
+
+  /** All-pairs cosine near-dup detection (tau = NearDupTau).
+    *
+    * This is the EXACTNESS BASELINE: broadcast-nested-loop over i<j.
+    * Fine to ~10^4 vectors; beyond that the documented scale path is
+    * [[annLsh]]-style band blocking with this exact verify on the
+    * candidates only.
+    */
+  val dedupEmbedding = QueryDef(
+    "dedup_embedding",
+    (s, d) => {
+      val emb = quantized(s, d)
+      val a = emb.select(col("vec_id").as("i"), col("qa").as("qi"), col("na").as("ni"))
+      val b = emb.select(col("vec_id").as("j"), col("qa").as("qj"), col("na").as("nj"))
+      a.join(broadcast(b), col("i") < col("j"))
+        .withColumn("cosine", cosine(dot(col("qi"), col("qj")), col("ni"), col("nj")))
+        .filter(col("cosine") >= NearDupTau)
+        .select("i", "j", "cosine")
+        .orderBy("i", "j")
+    },
+    Some(s"""WITH q0 AS ($quantizedSql),
+    q AS (SELECT vec_id, qa, ${normSql("qa")} AS na FROM q0)
+    SELECT a.vec_id AS i, b.vec_id AS j,
+      ${cosineSql(dotSql("a.qa", "b.qa"), "a.na", "b.na")} AS cosine
+    FROM q a, q b
+    WHERE a.vec_id < b.vec_id
+      AND ${cosineSql(dotSql("a.qa", "b.qa"), "a.na", "b.na")} >= $NearDupTau
+    ORDER BY i, j"""))
+
+  /** Deterministic pseudo-random hyperplanes, computed once at plan
+    * build from md5 (same constants are inlined into the DuckDB
+    * oracle, so no cross-engine hashing is needed at runtime).
+    */
+  lazy val hyperplanes: Array[Array[Long]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(NPlanes, Dim) { (j, i) =>
+      val hex = mdig.digest(s"hp${j}_$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % (Scale + 1) - Scale / 2
+    }
+  }
+
+  /** Random-hyperplane LSH ANN: 16 sign bits over the quantized
+    * embedding, split into 4 bands of 4 bits; vectors sharing any
+    * band bucket become candidates; exact quantized cosine verifies.
+    *
+    * Scale shape: band bucketing is an equi-join on (band_id,
+    * band_val) — one shuffle, no cross product; candidate volume is
+    * controlled by band width. Approximate by construction (recall <
+    * 1); compare against [[annBruteforce]] on the same query set.
+    */
+  val annLsh = QueryDef(
+    "ann_lsh",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = quantized(s, d)
+      def bit(j: Int): Column =
+        (dot(col("qa"), typedlit(hyperplanes(j).toSeq)) > 0).cast(LongType)
+      def bandVal(b: Int): Column =
+        (0 until BitsPerBand).map(k => bit(b * BitsPerBand + k) * (1L << k))
+          .reduce(_ + _)
+      val banded = emb.withColumn("bands",
+        array((0 until NBands).map(b =>
+          struct(lit(b).as("band_id"), bandVal(b).as("band_val"))): _*))
+        .select(col("vec_id"), col("qa"), col("na"), explode(col("bands")).as("bb"))
+        .select(col("vec_id"), col("qa"), col("na"),
+          col("bb.band_id").as("band_id"), col("bb.band_val").as("band_val"))
+      val qside = banded.filter(col("vec_id") < NQueries)
+        .select(col("band_id"), col("band_val"),
+          col("vec_id").as("qid"), col("qa").as("qq"), col("na").as("qna"))
+      val cand = banded
+        .join(qside, Seq("band_id", "band_val"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select("qid", "vec_id", "qq", "qa", "qna", "na")
+        .dropDuplicates("qid", "vec_id")
+      val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("vec_id"))
+      cand
+        .withColumn("cosine", cosine(dot(col("qq"), col("qa")), col("qna"), col("na")))
+        .filter(col("cosine") >= LshVerifyTau)
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= TopK)
+        .select("qid", "rank", "vec_id", "cosine")
+        .orderBy("qid", "rank")
+    },
+    Some {
+      def planeList(j: Int): String = hyperplanes(j).mkString("[", ", ", "]")
+      def bitSql(j: Int): String =
+        s"(CASE WHEN ${dotSql("qa", planeList(j))} > 0 THEN 1 ELSE 0 END)"
+      def bandValSql(b: Int): String =
+        (0 until BitsPerBand).map(k => s"${bitSql(b * BitsPerBand + k)} * ${1L << k}")
+          .mkString("(", " + ", ")")
+      val bandStructs = (0 until NBands)
+        .map(b => s"{'band_id': $b, 'band_val': ${bandValSql(b)}}")
+        .mkString("[", ", ", "]")
+      s"""WITH q0 AS ($quantizedSql),
+    q AS (SELECT vec_id, qa, ${normSql("qa")} AS na FROM q0),
+    banded AS (
+      SELECT vec_id, qa, na,
+        unnest($bandStructs) AS bb
+      FROM q),
+    bb AS (SELECT vec_id, qa, na, bb['band_id'] AS band_id, bb['band_val'] AS band_val FROM banded),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS qid, b.vec_id AS vec_id
+      FROM bb a JOIN bb b ON a.band_id = b.band_id AND a.band_val = b.band_val
+      WHERE a.vec_id < $NQueries AND b.vec_id <> a.vec_id),
+    scored AS (
+      SELECT c.qid, c.vec_id,
+        ${cosineSql(dotSql("qa.qa", "qb.qa"), "qa.na", "qb.na")} AS cosine
+      FROM cand c
+      JOIN q qa ON qa.vec_id = c.qid
+      JOIN q qb ON qb.vec_id = c.vec_id),
+    ranked AS (
+      SELECT qid, vec_id, cosine,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+      FROM scored WHERE cosine >= $LshVerifyTau)
+    SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= $TopK
+    ORDER BY qid, rank"""
+    })
+
+  val defs: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding, annLsh)
+}
