@@ -1,0 +1,197 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamReader, DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Parsed event (reference InputEvent, Events.kt:3-8). */
+final case class ParsedEvent(
+    id: String,
+    eventType: String,
+    timestamp: Long,
+    data: Map[String, String])
+
+/** Enriched event (reference ProcessedEvent, Events.kt:10-17). */
+final case class ProcessedEvent(
+    originalId: String,
+    eventType: String,
+    processedAt: Long,
+    processingDelay: Long,
+    sequence: Int)
+
+/** Structured Streaming re-expression of the reference jobs
+  * (EventProcessorJob.kt, AggregationJob.kt): `readStream` -> the same
+  * declarative transforms as the batch operators -> `writeStream`,
+  * with the one genuinely stateful step (per-key sequence numbering)
+  * as `flatMapGroupsWithState`.
+  *
+  * Every transform takes a DataFrame and works identically on batch
+  * and streaming inputs, so unit tests drive them with MemoryStream
+  * and the batch operators share semantics.
+  *
+  * Reference-compat note: the reference's Jackson parse accepts `{}`
+  * (data-class defaults, EventProducer.kt:42-51 shape 1); graft
+  * instead requires a non-null `id` — an explicit, engine-independent
+  * validity rule used consistently by the batch pipeline.
+  */
+object EventStream {
+
+  val inputSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("type", StringType),
+    StructField("timestamp", LongType),
+    StructField("data", MapType(StringType, StringType))))
+
+  /** ParseAndRoute (EventProcessorJob.kt:79-97): JSON parse with the
+    * failure branch as a second output instead of a Flink side-output.
+    * `raw` must have a string column `value`.
+    */
+  def parseRoute(raw: DataFrame): (DataFrame, DataFrame) = {
+    val parsed = raw.withColumn("p", from_json(col("value"), inputSchema))
+    val valid = parsed.filter(col("p.id").isNotNull)
+      .select(col("p.id").as("id"), col("p.type").as("eventType"),
+        coalesce(col("p.timestamp"), lit(0L)).as("timestamp"),
+        coalesce(col("p.data"), map()).as("data"))
+    val errors = parsed.filter(col("p.id").isNull)
+      .select(col("value").as("rawMessage"),
+        lit("PARSE_ERROR").as("errorType"),
+        lit("unparseable or missing id").as("errorMessage"),
+        current_timestamp().as("timestamp"))
+    (valid, errors)
+  }
+
+  /** EnrichValidEvent (EventProcessorJob.kt:99-128): per-key
+    * monotonically increasing sequence held in `GroupState` — the
+    * direct analog of Flink's keyed ValueState. Events within a
+    * micro-batch are ordered by (timestamp, then arrival) so replays
+    * are deterministic.
+    */
+  def enrich(valid: Dataset[ParsedEvent]): Dataset[ProcessedEvent] = {
+    import valid.sparkSession.implicits._
+    valid.groupByKey(_.id)
+      .flatMapGroupsWithState[Int, ProcessedEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: String, events: Iterator[ParsedEvent], state: GroupState[Int]) =>
+          var seq = state.getOption.getOrElse(0)
+          val now = System.currentTimeMillis()
+          val out = events.toSeq.sortBy(_.timestamp).map { e =>
+            seq += 1
+            ProcessedEvent(
+              originalId = id,
+              eventType = e.eventType,
+              processedAt = now,
+              processingDelay = if (e.timestamp > 0) now - e.timestamp else 0L,
+              sequence = seq)
+          }
+          state.update(seq)
+          out.iterator
+      }
+  }
+
+  /** SlidingWindowAggregator (AggregationJob.kt:109-206): watermarked
+    * sliding event-time window, total + per-type counts. The
+    * reference's 5 s emit cadence maps to the streaming TRIGGER; the
+    * window geometry here is 10 min / 5 min so each event lands in
+    * exactly 2 windows (state volume stays bounded).
+    */
+  def slidingMetrics(processed: DataFrame, eventTypes: Seq[String]): DataFrame = {
+    val withTime = processed
+      .withColumn("eventTime", timestamp_millis(col("processedAt")))
+      .withWatermark("eventTime", "10 minutes")
+    withTime
+      .groupBy(col("originalId").as("userId"),
+        window(col("eventTime"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("totalEventCount"),
+        eventTypes.map(t =>
+          sum(when(col("eventType") === t, 1L).otherwise(0L)).as(s"n_$t")): _*)
+      .select(col("userId") +: col("w.start").as("windowStart") +:
+        col("w.end").as("windowEnd") +: col("totalEventCount") +:
+        eventTypes.map(t => col(s"n_$t")): _*)
+  }
+
+  /** EventProducer (EventProducer.kt:28-51) as a rate-source stream:
+    * 2 rows/s default, 50 users, 5 types, 5% malformed, same
+    * md5-derived distributions as the batch `producer_datagen`.
+    * Emits raw JSON strings in column `value`.
+    */
+  def generator(spark: SparkSession, rowsPerSecond: Int = 2): DataFrame = {
+    val raw = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+    generatorBody(raw.select(col("value").as("seq"),
+      unix_millis(col("timestamp")).as("ts_ms")))
+  }
+
+  /** Pure generator transform over (seq, ts_ms) — shared by the rate
+    * stream and tests (which drive it with a batch range).
+    */
+  def generatorBody(seeded: DataFrame): DataFrame = {
+    def h(tag: String) =
+      conv(substring(md5(concat(lit(tag), col("seq").cast(StringType))), 1, 15), 16, 10)
+        .cast(LongType)
+    val types = array(Seq("login", "purchase", "view", "click", "logout").map(lit): _*)
+    val cats = array(Seq("electronics", "books", "clothing", "food").map(lit): _*)
+    seeded.select(
+      col("seq"), col("ts_ms"),
+      concat(lit("user-"), (h("user") % 50 + 1).cast(StringType)).as("user_id"),
+      element_at(types, (h("type") % 5 + 1).cast(IntegerType)).as("event_type"),
+      (h("value") % 9900 + 100).as("value_cents"),
+      element_at(cats, (h("cat") % 4 + 1).cast(IntegerType)).as("category"),
+      (h("err") % 100 < 5).as("is_malformed"),
+      (h("shape") % 4).as("shape"))
+      .withColumn("value",
+        when(!col("is_malformed"), concat(
+          lit("{\"id\": \""), col("user_id"),
+          lit("\", \"type\": \""), col("event_type"),
+          lit("\", \"timestamp\": "), col("ts_ms"),
+          lit(", \"data\": {\"value_cents\": \""), col("value_cents"),
+          lit("\", \"category\": \""), col("category"), lit("\"}}")))
+          .otherwise(element_at(array(
+            lit("{invalid json"),
+            lit("{}"),
+            lit("{\"id\": \"user-1\"}"),
+            lit("{\"id\": \"user-1\", \"type\": \"\", \"timestamp\": \"not-a-number\"}")),
+            (col("shape") + 1).cast(IntegerType))))
+      .select("seq", "value")
+  }
+
+  // -- Connector builders (cluster parity with k8s/topics/*.yaml) ----
+
+  /** Kafka source reader mirroring EventProcessorJob.getConnectors
+    * (EventProcessorJob.kt:47-77). Not `load()`ed here: the connector
+    * jar ships on the cluster, not in this container.
+    */
+  def kafkaSource(
+      spark: SparkSession,
+      bootstrap: String,
+      topic: String,
+      group: String = "graft-event-processor"): DataStreamReader =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("kafka.group.id", group)
+      .option("startingOffsets", "earliest")
+
+  /** Kafka sink for a stream with a string `value` column. */
+  def kafkaSink[T](
+      ds: Dataset[T],
+      bootstrap: String,
+      topic: String,
+      checkpoint: String): DataStreamWriter[T] =
+    ds.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** Parquet file sink (the local stand-in for the Kafka sink). */
+  def parquetSink[T](
+      ds: Dataset[T],
+      path: String,
+      checkpoint: String,
+      triggerMs: Long = 5000L): DataStreamWriter[T] =
+    ds.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+}

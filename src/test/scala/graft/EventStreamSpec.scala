@@ -1,0 +1,108 @@
+package graft
+
+import graft.streaming.{EventStream, ParsedEvent}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mirrors the reference's EventProcessorJobTest scenarios
+  * (jobs/flink-job/src/test/kotlin/.../EventProcessorJobTest.kt)
+  * against the Structured Streaming pipeline.
+  */
+class EventStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def route(msgs: String*) = {
+    val raw = msgs.toDF("value")
+    val (valid, errors) = EventStream.parseRoute(raw)
+    (valid.collect(), errors.collect())
+  }
+
+  test("should parse valid events") {
+    val (valid, errors) = route(
+      """{"id":"event-123","type":"user.signup","timestamp":1234567890,"data":{"userId":"user-456"}}""")
+    assert(errors.isEmpty)
+    assert(valid.length == 1)
+    val r = valid.head
+    assert(r.getAs[String]("id") == "event-123")
+    assert(r.getAs[String]("eventType") == "user.signup")
+    assert(r.getAs[Long]("timestamp") == 1234567890L)
+    assert(r.getAs[Map[String, String]]("data")("userId") == "user-456")
+  }
+
+  test("should route invalid JSON to error stream") {
+    val (valid, errors) = route("not valid json at all")
+    assert(valid.isEmpty)
+    assert(errors.length == 1)
+    assert(errors.head.getAs[String]("rawMessage") == "not valid json at all")
+    assert(errors.head.getAs[String]("errorType") == "PARSE_ERROR")
+  }
+
+  test("should handle mixed valid and invalid events") {
+    val (valid, errors) = route(
+      """{"id":"12","type":"order.created","timestamp":1000,"data":{}}""",
+      "garbage",
+      """{"id":"23","type":"order.shipped","timestamp":2000,"data":{"orderId":"ord-123"}}""")
+    assert(valid.length == 2)
+    assert(errors.length == 1)
+    assert(errors.head.getAs[String]("rawMessage") == "garbage")
+  }
+
+  test("should assign per-key sequences across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val (valid, _) = EventStream.parseRoute(input.toDF())
+    val processed = EventStream.enrich(valid.as[ParsedEvent])
+    val q = processed.writeStream.format("memory")
+      .queryName("enriched_test").outputMode("append").start()
+    try {
+      input.addData(
+        """{"id":"12","type":"order.created","timestamp":1000,"data":{}}""",
+        """{"id":"23","type":"order.shipped","timestamp":2000,"data":{}}""")
+      q.processAllAvailable()
+      input.addData(
+        """{"id":"23","type":"order.shipped","timestamp":3000,"data":{}}""",
+        """{"id":"12","type":"order.shipped","timestamp":4000,"data":{}}""")
+      q.processAllAvailable()
+      val rows = spark.table("enriched_test")
+        .select("originalId", "sequence").as[(String, Int)].collect().sorted
+      assert(rows.toSeq == Seq("12" -> 1, "12" -> 2, "23" -> 1, "23" -> 2))
+    } finally q.stop()
+  }
+
+  test("sliding metrics puts each event in two windows") {
+    val processed = Seq(
+      ("user-1", "login", 0L),
+      ("user-1", "view", 60000L)) // within same 10-min window set
+      .toDF("originalId", "eventType", "processedAt")
+    val out = EventStream
+      .slidingMetrics(processed, Seq("login", "view"))
+      .collect()
+    // each event in exactly 2 sliding windows; both events share them
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[Long]("totalEventCount") == 2L))
+    assert(out.forall(r => r.getAs[Long]("n_login") == 1L && r.getAs[Long]("n_view") == 1L))
+  }
+
+  test("generator body is deterministic with ~5% malformed") {
+    val seeded = spark.range(2000)
+      .select(col("id").as("seq"), (col("id") * 500).as("ts_ms"))
+    val out = EventStream.generatorBody(seeded)
+    val (valid, errors) = EventStream.parseRoute(out)
+    val nv = valid.count()
+    val ne = errors.count()
+    assert(nv + ne == 2000)
+    // malformed rate: h("err") % 100 < 5 — expect close to 5%.
+    // "{}"-shaped and missing-field shapes also land in errors.
+    assert(ne > 50 && ne < 200, s"unexpected malformed count $ne")
+    // determinism
+    assert(out.collect().map(_.getString(1)).toSeq ==
+      EventStream.generatorBody(seeded).collect().map(_.getString(1)).toSeq)
+  }
+
+  test("kafka connector builders configure without resolving") {
+    val reader = EventStream.kafkaSource(spark, "broker:9092", "input-events")
+    assert(reader != null) // options applied lazily; load() needs the connector jar
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sanity + known-value checks for every registered operator at
+  * sf0.001 (the DuckDB oracle compare at sf0.01 is the driver's
+  * stronger gate; these are the fast local regression net).
+  */
+class OperatorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.sfDir
+
+  test("every registered query runs and matches its oracle declaration") {
+    val qs = SparkEntry.queries
+    assert(qs.nonEmpty)
+    // every oracle key must have a query
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
+    qs.foreach { case (name, fn) =>
+      val df = fn(spark, d)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      assert(df.count() >= 0, s"$name failed to execute")
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q1 has the six returnflag/linestatus groups") {
+    assert(SparkEntry.queries("q1_pricing_summary")(spark, d).count() == 6)
+  }
+
+  test("ann_bruteforce returns top-5 for each of 10 queries") {
+    assert(SparkEntry.queries("ann_bruteforce")(spark, d).count() == 50)
+  }
+
+  test("ngram jaccard finds the constructed near-dup pairs") {
+    val n = SparkEntry.queries("dedup_ngram_jaccard")(spark, d).count()
+    assert(n > 0, "expected near-dup pairs in documents")
+  }
+
+  test("minhash LSH recall vs exact jaccard pairs") {
+    val exact = SparkEntry.queries("dedup_ngram_jaccard")(spark, d)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = SparkEntry.queries("dedup_minhash_lsh")(spark, d)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & mh).size.toDouble / exact.size
+    assert(recall >= 0.7, s"minhash recall $recall too low (found ${mh.size}, true ${exact.size})")
+  }
+
+  test("multimodal produces sampled frames with fixed-width features") {
+    val df = SparkEntry.queries("multimodal_meta")(spark, d)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Seq[Float]]("feat").length == 4))
+    // stride-2 frame sampling: frame ids are even
+    assert(rows.forall(_.getAs[Int]("frame_id") % 2 == 0))
+  }
+
+  test("producer datagen is deterministic") {
+    val a = SparkEntry.queries("producer_datagen")(spark, d).collect()
+    val b = SparkEntry.queries("producer_datagen")(spark, d).collect()
+    assert(a.toSeq == b.toSeq)
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the scale properties (pushdown, pruning,
+  * broadcast) must be visible in the physical plan, not assumed.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.sfDir
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  test("q1 pushes the shipdate filter into the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q3 broadcasts the customer dimension") {
+    assert(plan("q3_shipping_priority").contains("BroadcastHashJoin"))
+  }
+
+  test("q6 prunes lineitem to the four needed columns") {
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("l_shipdate") && p.contains("l_discount") &&
+      p.contains("l_quantity") && p.contains("l_extendedprice"))
+    assert(!p.contains("l_orderkey"), "q6 scan should not read l_orderkey")
+  }
+
+  test("text_tokens scans only doc_id and text") {
+    val p = plan("text_tokens")
+    assert(p.contains("ReadSchema") && !p.contains("n_chars"),
+      "text_tokens should prune documents to doc_id,text")
+  }
+
+  test("ann_bruteforce broadcasts the query side") {
+    assert(plan("ann_bruteforce").contains("Broadcast"))
+  }
+
+  test("q1 aggregates inside whole-stage codegen") {
+    // AQE finalizes codegen at execution: run the query, then read the
+    // final adaptive plan.
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      s"expected WholeStageCodegen stages in q1:\n$p")
+  }
+}
