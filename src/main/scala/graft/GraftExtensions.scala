@@ -15,5 +15,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[functions.LongArrayDot].getName, "graft_dot"),
       exprs => functions.LongArrayDot(exprs(0), exprs(1))))
+    e.injectPlannerStrategy(_ => plans.TopKStrategy)
   }
 }

@@ -241,6 +241,37 @@ object Analytics {
       COUNT(*) AS n_rows
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Same result set as [[qTopCustomers]] (minus the rank column) but
+    * computed by graft's custom bounded-heap operator
+    * ([[graft.plans.TopKPerKey]]) instead of a window sort — the
+    * DuckDB oracle (a window-function query) doubles as the
+    * correctness proof for the custom physical operator.
+    */
+  val qTopKCustom = QueryDef(
+    "q_topk_per_key",
+    (s, d) => {
+      val base = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "c_custkey", "c_name")
+        .agg(sumd(col("o_totalprice")).as("total_spend"), count(lit(1)).as("n_orders"))
+      graft.plans.GraftOps.topKPerKey(base,
+        Seq(col("c_mktsegment")), col("total_spend"), col("c_custkey"), 3)
+        .orderBy(asc("c_mktsegment"), desc("total_spend"), asc("c_custkey"))
+    },
+    Some(s"""WITH base AS (
+      SELECT c_mktsegment, c_custkey, c_name,
+             ${dsum("o_totalprice")} AS total_spend, COUNT(*) AS n_orders
+      FROM orders, customer WHERE o_custkey = c_custkey
+      GROUP BY 1, 2, 3),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                 ORDER BY total_spend DESC, c_custkey) AS rk
+      FROM base)
+    SELECT c_mktsegment, c_custkey, c_name, total_spend, n_orders
+    FROM ranked WHERE rk <= 3
+    ORDER BY c_mktsegment, total_spend DESC, c_custkey"""))
+
   val defs: Seq[QueryDef] = Seq(
-    q1, q3, q5, q6, qMarketShare, qTopCustomers, qRollup, qExists, qDistinctAgg)
+    q1, q3, q5, q6, qMarketShare, qTopCustomers, qRollup, qExists, qDistinctAgg,
+    qTopKCustom)
 }

@@ -2,7 +2,8 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionUtils}
 
 /** Classic-mode Column <-> catalyst Expression bridge.
   *
@@ -13,5 +14,36 @@ import org.apache.spark.sql.classic.ExpressionUtils
   */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Lazy wrapper (ColumnNodeExpression) — resolved by the analyzer
+    * inside standard operators; fine for expression trees consumed by
+    * built-in nodes.
+    */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** EAGER conversion for expressions embedded in CUSTOM logical
+    * nodes: the analyzer's generic resolution never rewrites the lazy
+    * ColumnNodeExpression placeholder there (it is Unevaluable and
+    * fails at runtime), so convert up front.
+    */
+  def eagerExpression(c: Column): Expression =
+    ColumnNodeToExpressionConverter(c.node)
+
+  /** Analyzed logical plan of a DataFrame (classic mode). */
+  def logicalPlan(df: org.apache.spark.sql.Dataset[_]): LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
+
+  /** Builds a DataFrame over a custom logical plan (classic mode). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession, plan: LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Runtime registration of an extra planner strategy (idempotent). */
+  def addStrategy(spark: org.apache.spark.sql.SparkSession,
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(strategy)) {
+      exp.extraStrategies = exp.extraStrategies :+ strategy
+    }
+  }
 }
