@@ -101,6 +101,27 @@ class EventStreamSpec extends AnyFunSuite {
       EventStream.generatorBody(seeded).collect().map(_.getString(1)).toSeq)
   }
 
+  test("end-to-end: stream -> parse -> stateful enrich -> parquet sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val (valid, _) = EventStream.parseRoute(input.toDF())
+    val processed = EventStream.enrich(valid.as[ParsedEvent])
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val q = EventStream.parquetSink(processed, out, ckpt, triggerMs = 100L).start()
+    try {
+      input.addData(
+        """{"id":"u1","type":"login","timestamp":1000,"data":{}}""",
+        """{"id":"u1","type":"view","timestamp":2000,"data":{}}""",
+        """{"id":"u2","type":"login","timestamp":3000,"data":{}}""")
+      q.processAllAvailable()
+      val sunk = spark.read.parquet(out)
+      assert(sunk.count() == 3)
+      assert(sunk.filter(col("originalId") === "u1")
+        .agg(max("sequence")).collect().head.getInt(0) == 2)
+    } finally q.stop()
+  }
+
   test("kafka connector builders configure without resolving") {
     val reader = EventStream.kafkaSource(spark, "broker:9092", "input-events")
     assert(reader != null) // options applied lazily; load() needs the connector jar
