@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Temporal operators a stream-analytics engine is expected to have
+  * beyond plain windows: as-of joins and gap-based sessionization.
+  * Batch formulations here (single shuffle on the key, then
+  * window-function passes — no range join, no cross product); the
+  * streaming counterparts live in [[graft.streaming.EventStream]].
+  */
+object Temporal {
+
+  private val tsMs = expr("ts div 1000000")
+
+  /** As-of join: for every purchase event, the most recent click by
+    * the same user at or before it.
+    *
+    * Spark lacks a native as-of join; the classic distributed shape is
+    * union-the-tagged-sides + `last(_, ignoreNulls)` over an ordered
+    * per-key window — one shuffle on user_id, no range join, no
+    * per-row probe. Clicks are first collapsed per (user, ms) so tie
+    * semantics are well-defined on both engines (max event_id wins).
+    * Inclusive "at or before": clicks sort before purchases within
+    * the same millisecond (tag 0 < 1).
+    */
+  val asofJoin = QueryDef(
+    "q_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), tsMs.as("ms"))
+        .agg(max(col("event_id")).as("click_event_id"))
+        .select(col("user_id"), col("ms"), lit(0).as("tag"),
+          col("click_event_id"), lit(null).cast(LongType).as("purchase_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), tsMs.as("ms"), lit(1).as("tag"),
+          lit(null).cast(LongType).as("click_event_id"),
+          col("event_id").as("purchase_id"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ms"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("prev_click_id",
+          last(col("click_event_id"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("purchase_id"), col("user_id"), col("ms"), col("prev_click_id"))
+        .orderBy("purchase_id")
+    },
+    Some("""WITH clicks AS (
+      SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+             max(event_id) AS click_event_id
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id,
+             epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.purchase_id, p.user_id, p.ms, c.click_event_id AS prev_click_id
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ms >= c.ms
+    ORDER BY purchase_id"""))
+
+  /** Gap-based sessionization (30-minute inactivity gap): the lag +
+    * running-sum-of-boundaries formulation — one shuffle on user_id,
+    * two window passes, then a plain aggregate. The streaming analog
+    * is `session_window` (EventStream.sessionMetrics).
+    */
+  val sessionize = QueryDef(
+    "q_sessionize",
+    (s, d) => {
+      val GapMs = 30L * 60 * 1000
+      val wOrder = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+      val wRun = wOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), tsMs.as("ms"))
+        .withColumn("prev_ms", lag(col("ms"), 1).over(wOrder))
+        .withColumn("boundary",
+          when(col("prev_ms").isNull || col("ms") - col("prev_ms") > GapMs, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum(col("boundary")).over(wRun))
+        .groupBy("user_id", "session_idx")
+        .agg(min(col("ms")).as("session_start_ms"),
+          max(col("ms")).as("session_end_ms"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session_idx")
+    },
+    Some("""WITH e AS (
+      SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+      FROM events),
+    lagged AS (
+      SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms
+      FROM e),
+    marked AS (
+      SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+                     THEN 1 ELSE 0 END AS boundary
+      FROM lagged),
+    sessions AS (
+      SELECT *, CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      FROM marked)
+    SELECT user_id, session_idx, min(ms) AS session_start_ms,
+           max(ms) AS session_end_ms, COUNT(*) AS n_events
+    FROM sessions GROUP BY 1, 2 ORDER BY user_id, session_idx"""))
+
+  val defs: Seq[QueryDef] = Seq(asofJoin, sessionize)
+}

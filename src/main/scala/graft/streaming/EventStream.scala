@@ -110,6 +110,21 @@ object EventStream {
         eventTypes.map(t => col(s"n_$t")): _*)
   }
 
+  /** Gap-based sessionization on a stream: Spark's native
+    * `session_window` (dynamic-gap windows merged by the state store).
+    * The batch formulation of the same semantics is
+    * [[graft.operators.Temporal.sessionize]].
+    */
+  def sessionMetrics(processed: DataFrame, gap: String = "30 minutes"): DataFrame =
+    processed
+      .withColumn("eventTime", timestamp_millis(col("processedAt")))
+      .withWatermark("eventTime", gap)
+      .groupBy(col("originalId").as("userId"),
+        session_window(col("eventTime"), gap).as("w"))
+      .agg(count(lit(1)).as("totalEventCount"))
+      .select(col("userId"), col("w.start").as("sessionStart"),
+        col("w.end").as("sessionEnd"), col("totalEventCount"))
+
   /** EventProducer (EventProducer.kt:28-51) as a rate-source stream:
     * 2 rows/s default, 50 users, 5 types, 5% malformed, same
     * md5-derived distributions as the batch `producer_datagen`.

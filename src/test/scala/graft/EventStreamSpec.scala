@@ -122,6 +122,19 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window groups events by inactivity gap") {
+    val processed = Seq(
+      ("u1", "login", 0L),
+      ("u1", "view", 60000L),          // same session (1 min later)
+      ("u1", "view", 3 * 3600 * 1000L) // new session (3h later)
+    ).toDF("originalId", "eventType", "processedAt")
+    val out = EventStream.sessionMetrics(processed, "30 minutes")
+      .orderBy("sessionStart").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("totalEventCount") == 2L)
+    assert(out(1).getAs[Long]("totalEventCount") == 1L)
+  }
+
   test("kafka connector builders configure without resolving") {
     val reader = EventStream.kafkaSource(spark, "broker:9092", "input-events")
     assert(reader != null) // options applied lazily; load() needs the connector jar
