@@ -214,17 +214,12 @@ object Dedup {
     "dedup_simhash",
     (s, d) => {
       val h60 = conv(substring(md5(col("g0")), 1, 15), 16, 10).cast(LongType)
-      val bitSums = (0 until SimBits).map(bp =>
-        sum(when(shiftright(col("h"), bp).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-          .as(s"s$bp"))
+      // One-pass sketch aggregate (see graft.functions.SimHashAgg) in
+      // place of 60 separate sum(CASE) aggregation buffers.
       val fp = shingleStrings(s, d)
         .select(col("doc_id"), h60.as("h"))
         .groupBy("doc_id")
-        .agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"),
-          (0 until SimBits).map(bp =>
-            when(col(s"s$bp") > 0, lit(1L << bp)).otherwise(0L))
-            .reduce(_ + _).as("fp"))
+        .agg(graft.functions.SimHashAgg.simhash60(col("h")).as("fp"))
       val blocked = fp.select(col("doc_id"), col("fp"),
         explode(array((0 until SimBlocks).map(b =>
           struct(lit(b).as("block_id"),
@@ -272,5 +267,69 @@ object Dedup {
     ORDER BY i, j"""
     })
 
-  val defs: Seq[QueryDef] = Seq(exact, ngramJaccard, minhashLsh, simhash)
+  // ---------------------------------------------------------------
+  // Duplicate-cluster canonicalization
+  // ---------------------------------------------------------------
+
+  /** Connected components over the near-dup pair graph -> canonical
+    * keep decision per clustered doc (keep = the component's min
+    * doc_id). Pairs say "these two are dups"; a pipeline needs "which
+    * one row survives" — min-label propagation to fixpoint supplies
+    * it deterministically even for transitive chains (A~B~C with A!~C).
+    *
+    * Iterative driver loop (bounded by component diameter) over the
+    * CANDIDATE graph only — after blocking, that graph is sparse at
+    * any scale; `localCheckpoint` truncates the growing lineage each
+    * round. The oracle is a DuckDB recursive CTE over the same pairs.
+    */
+  val clusterKeep = QueryDef(
+    "dedup_cluster_keep",
+    (s, d) => {
+      val pairs = ngramJaccard.fn(s, d).select("i", "j")
+      // Materialize once: every loop iteration joins against edges,
+      // and without the checkpoint each join would re-run the whole
+      // jaccard pipeline.
+      val edges = pairs.unionByName(
+        pairs.select(col("j").as("i"), col("i").as("j")))
+        .toDF("src", "dst")
+        .localCheckpoint(true)
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .localCheckpoint(true)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 50) {
+        val neigh = edges.join(labels, col("src") === col("node"))
+          .groupBy(col("dst")).agg(min(col("label")).as("nl"))
+        val next = labels.join(neigh, col("node") === col("dst"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          .localCheckpoint(true)
+        val changed = next.as("n").join(labels.as("o"), Seq("node"))
+          .filter(col("n.label") =!= col("o.label")).count()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      labels.select(col("node").as("doc_id"), col("label").as("canonical_id"))
+        .withColumn("keep", col("doc_id") === col("canonical_id"))
+        .orderBy("doc_id")
+    },
+    Some {
+      // the ngram-jaccard pair query, stripped of its ORDER BY/cols
+      val pairSql = ngramJaccard.oracle.get.replace("ORDER BY i, j", "")
+      s"""WITH RECURSIVE pairs AS ($pairSql),
+    edges AS (SELECT i AS src, j AS dst FROM pairs
+              UNION ALL SELECT j, i FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+      SELECT node, node AS root FROM nodes
+      UNION
+      SELECT e.dst AS node, r.root FROM reach r JOIN edges e ON e.src = r.node)
+    SELECT node AS doc_id, min(root) AS canonical_id,
+           (node = min(root)) AS keep
+    FROM reach GROUP BY node ORDER BY doc_id"""
+    })
+
+  val defs: Seq[QueryDef] = Seq(exact, ngramJaccard, minhashLsh, simhash, clusterKeep)
 }
