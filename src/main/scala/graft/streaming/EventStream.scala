@@ -198,6 +198,19 @@ object EventStream {
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
 
+  /** foreachBatch sink: hands each micro-batch to an arbitrary batch
+    * writer (e.g. [[graft.sources.Formats]]) — the escape hatch for
+    * sinks without a native streaming writer (JDBC, multi-table
+    * fan-out, merge-on-write).
+    */
+  def foreachBatchSink[T](
+      ds: Dataset[T],
+      checkpoint: String)(write: (Dataset[T], Long) => Unit): DataStreamWriter[T] =
+    ds.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch(write)
+
   /** Parquet file sink (the local stand-in for the Kafka sink). */
   def parquetSink[T](
       ds: Dataset[T],

@@ -135,6 +135,26 @@ class EventStreamSpec extends AnyFunSuite {
     assert(out(1).getAs[Long]("totalEventCount") == 1L)
   }
 
+  test("foreachBatch sink hands micro-batches to a batch writer") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val (valid, _) = EventStream.parseRoute(input.toDF())
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fb_ckpt").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = EventStream.foreachBatchSink(valid, ckpt) { (batch, _) =>
+      seen.synchronized { seen += batch.count() }
+    }.start()
+    try {
+      input.addData("""{"id":"u1","type":"login","timestamp":1,"data":{}}""")
+      q.processAllAvailable()
+      input.addData(
+        """{"id":"u2","type":"view","timestamp":2,"data":{}}""",
+        """{"id":"u3","type":"view","timestamp":3,"data":{}}""")
+      q.processAllAvailable()
+      assert(seen.synchronized(seen.toList) == List(1L, 2L))
+    } finally q.stop()
+  }
+
   test("kafka connector builders configure without resolving") {
     val reader = EventStream.kafkaSource(spark, "broker:9092", "input-events")
     assert(reader != null) // options applied lazily; load() needs the connector jar
