@@ -193,6 +193,30 @@ object EventPipeline {
       $typeCountSql
     FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** [[typeCounts]] with two-phase SALTED aggregation: pre-aggregate
+    * on (user_id, salt) first, then merge per user. On a skewed key
+    * distribution the first phase spreads one hot user over 16
+    * reducers; integer partial sums merge exactly, so the result (and
+    * the oracle) is identical to the direct form — only the plan
+    * differs. This is the documented mitigation for hot keys in any
+    * of the per-user operators.
+    */
+  val typeCountsSalted = QueryDef(
+    "agg_type_counts_salted",
+    (s, d) => {
+      Tables.events(s, d)
+        .withColumn("_salt", pmod(col("event_id"), lit(16)))
+        .groupBy(col("user_id"), col("_salt"))
+        .agg(count(lit(1)).as("cnt"), typeCountCols: _*)
+        .groupBy("user_id")
+        .agg(sum(col("cnt")).as("total_events"),
+          EventTypes.map(t => sum(col(s"n_$t")).as(s"n_$t")): _*)
+        .orderBy("user_id")
+    },
+    Some(s"""SELECT user_id, COUNT(*) AS total_events,
+      $typeCountSql
+    FROM events GROUP BY user_id ORDER BY user_id"""))
+
   /** Deterministic replica of EventProducer.kt:28-51: 50 users, 5
     * event types, uniform value in [1,100), 5% malformed (4 shapes),
     * 2 events/s from 2024-01-01. Randomness = md5 of (tag, seq) —
@@ -262,5 +286,6 @@ object EventPipeline {
 
   val defs: Seq[QueryDef] = Seq(
     parseRouteValid, parseRouteError, enrichSequence, processingDelay,
-    windowTumbling, windowSliding, typeCounts, producerDatagen)
+    windowTumbling, windowSliding, typeCounts, typeCountsSalted,
+    producerDatagen)
 }

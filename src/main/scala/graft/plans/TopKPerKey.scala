@@ -52,6 +52,12 @@ final case class TopKPerKeyExec(
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
 
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numGroups" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of keys"))
+
   private final class Entry(val ord: Double, val tieV: Long, val row: InternalRow)
 
   // Heap dequeues the WORST entry (lowest order, then highest tie).
@@ -68,6 +74,8 @@ final case class TopKPerKeyExec(
     val orderExpr = order
     val tieExpr = tie
     val childOutput = child.output
+    val outRowsMetric = longMetric("numOutputRows")
+    val groupsMetric = longMetric("numGroups")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordBound = BindReferences.bindReference(orderExpr, childOutput)
@@ -94,8 +102,10 @@ final case class TopKPerKeyExec(
         }
       }
       // Emit best-first per key for deterministic downstream order.
+      groupsMetric += heaps.size
       heaps.iterator.flatMap { case (_, heap) =>
         val worstFirst: Seq[Entry] = heap.dequeueAll
+        outRowsMetric += worstFirst.size
         worstFirst.reverseIterator.map(e => e.row)
       }
     }
