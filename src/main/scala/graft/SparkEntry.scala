@@ -15,7 +15,8 @@ object SparkEntry {
     operators.Analytics.defs ++ operators.EventPipeline.defs ++
       operators.TextAnalysis.defs ++ operators.Dedup.defs ++
       operators.Similarity.defs ++ operators.Multimodal.defs ++
-      operators.Temporal.defs ++ operators.Stats.defs
+      operators.Temporal.defs ++ operators.Stats.defs ++
+      operators.Sampling.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dataset-splitting / sampling operators for training pipelines.
+  * Both are hash-deterministic — re-running on the same corpus yields
+  * the same split (a hard requirement for reproducible training and
+  * for leak-free train/test separation), and both are narrow
+  * per-row/per-group operations that scale to any corpus size.
+  */
+object Sampling {
+
+  /** 90/5/5 train/val/test assignment from a content-derived hash:
+    * stable under re-partitioning, re-ordering and incremental
+    * appends (the split of an existing doc never changes when new
+    * docs arrive — unlike row_number-based splits).
+    */
+  val hashSplit = QueryDef(
+    "sample_split_hash",
+    (s, d) => {
+      val bucket = pmod(TextAnalysis.hash60(concat(lit("split:"), col("text"))), lit(100L))
+      Tables.documents(s, d)
+        .select(col("doc_id"), bucket.as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val")
+            .otherwise("test"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id,
+      ${TextAnalysis.hash60Sql("'split:' || text")} % 100 AS bucket,
+      CASE WHEN ${TextAnalysis.hash60Sql("'split:' || text")} % 100 < 90 THEN 'train'
+           WHEN ${TextAnalysis.hash60Sql("'split:' || text")} % 100 < 95 THEN 'val'
+           ELSE 'test' END AS split
+    FROM documents ORDER BY doc_id"""))
+
+  /** Stratified sample: up to 20 docs per language, chosen by hash
+    * order (deterministic, unbiased within stratum). One shuffle on
+    * the stratum key; at 100 TB the quota bounds the output per
+    * group regardless of stratum skew.
+    */
+  val stratified = QueryDef(
+    "sample_stratified",
+    (s, d) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(TextAnalysis.hash60(concat(lit("strat:"), col("text"))), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .withColumn("pick_rank", row_number().over(w).cast(LongType))
+        .filter(col("pick_rank") <= 20)
+        .select("doc_id", "lang", "pick_rank")
+        .orderBy("lang", "pick_rank")
+    },
+    Some(s"""WITH ranked AS (
+      SELECT doc_id, lang,
+        CAST(ROW_NUMBER() OVER (PARTITION BY lang
+          ORDER BY ${TextAnalysis.hash60Sql("'strat:' || text")}, doc_id) AS BIGINT) AS pick_rank
+      FROM documents)
+    SELECT doc_id, lang, pick_rank FROM ranked WHERE pick_rank <= 20
+    ORDER BY lang, pick_rank"""))
+
+  val defs: Seq[QueryDef] = Seq(hashSplit, stratified)
+}
