@@ -16,7 +16,7 @@ object SparkEntry {
       operators.TextAnalysis.defs ++ operators.Dedup.defs ++
       operators.Similarity.defs ++ operators.Multimodal.defs ++
       operators.Temporal.defs ++ operators.Stats.defs ++
-      operators.Sampling.defs
+      operators.Sampling.defs ++ operators.Curate.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
