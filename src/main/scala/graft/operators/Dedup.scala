@@ -39,20 +39,14 @@ object Dedup {
     */
   private val JaccardTau = 0.5
 
-  /** Distinct word-3-shingles per doc as 64-bit keys, with per-doc
-    * shingle-set size attached.
+  /** Distinct word-3-shingle STRINGS per doc: (doc_id, g0) rows.
     *
     * Shape chosen after profiling: split once + posexplode + window
     * `lead` builds each shingle exactly once per position. The naive
     * `transform(sequence, i -> element_at(split(text), i))` form
     * re-evaluates `split` for every element access (CollapseProject
-    * inlines it) and was ~6x slower end-to-end. Shingles are collapsed
-    * to xxhash64 keys immediately so every downstream shuffle carries
-    * 8-byte keys instead of ~30-char strings; the 64-bit collision
-    * odds (~n_shingles^2 / 2^64) are negligible and any false merge
-    * would surface in the oracle compare.
+    * inlines it) and was ~6x slower end-to-end.
     */
-  /** Distinct word-3-shingle STRINGS per doc: (doc_id, g0) rows. */
   private[operators] def shingleStrings(s: org.apache.spark.sql.SparkSession, d: String) = {
     import org.apache.spark.sql.expressions.Window
     val wspec = Window.partitionBy("doc_id").orderBy("pos")
@@ -65,6 +59,11 @@ object Dedup {
       .groupBy("doc_id", "g0").agg(count(lit(1)).as("_c")).drop("_c")
   }
 
+  /** Shingles collapsed to xxhash64 keys so downstream shuffles carry
+    * 8-byte keys instead of ~30-char strings; 64-bit collision odds
+    * (~n_shingles^2 / 2^64) are negligible and any false merge would
+    * surface in the oracle compare.
+    */
   private def shingleKeys(s: org.apache.spark.sql.SparkSession, d: String) = {
     import org.apache.spark.sql.expressions.Window
     shingleStrings(s, d)
@@ -301,14 +300,16 @@ object Dedup {
       while (!converged && iter < 50) {
         val neigh = edges.join(labels, col("src") === col("node"))
           .groupBy(col("dst")).agg(min(col("label")).as("nl"))
+        // The convergence flag rides inside the checkpointed pass so
+        // detecting a fixpoint costs a count on cached data, not a
+        // second join against the previous labels.
         val next = labels.join(neigh, col("node") === col("dst"), "left")
           .select(col("node"),
-            least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+            least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+            (col("nl").isNotNull && col("nl") < col("label")).as("chg"))
           .localCheckpoint(true)
-        val changed = next.as("n").join(labels.as("o"), Seq("node"))
-          .filter(col("n.label") =!= col("o.label")).count()
-        labels = next
-        converged = changed == 0
+        converged = next.filter(col("chg")).limit(1).count() == 0
+        labels = next.drop("chg")
         iter += 1
       }
       labels.select(col("node").as("doc_id"), col("label").as("canonical_id"))
