@@ -271,7 +271,40 @@ object Analytics {
     FROM ranked WHERE rk <= 3
     ORDER BY c_mktsegment, total_spend DESC, c_custkey"""))
 
+  val qAntiJoin = QueryDef(
+    "q_anti_join",
+    (s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey"""))
+
+  val qDecile = QueryDef(
+    "q_decile",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("decile", ntile(10).over(w).cast(LongType))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_orders"),
+          sumd(col("o_totalprice")).as("total_price"))
+        .orderBy("decile")
+    },
+    Some(s"""WITH ranked AS (
+      SELECT o_orderkey, o_totalprice,
+        CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
+      FROM orders)
+    SELECT decile, COUNT(*) AS n_orders, ${dsum("o_totalprice")} AS total_price
+    FROM ranked GROUP BY decile ORDER BY decile"""))
+
   val defs: Seq[QueryDef] = Seq(
     q1, q3, q5, q6, qMarketShare, qTopCustomers, qRollup, qExists, qDistinctAgg,
-    qTopKCustom)
+    qTopKCustom, qAntiJoin, qDecile)
 }
