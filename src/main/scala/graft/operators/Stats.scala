@@ -58,5 +58,67 @@ object Stats {
       max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN value END) AS p99
     FROM ranked GROUP BY event_type ORDER BY event_type"""))
 
-  val defs: Seq[QueryDef] = Seq(histogram, percentiles)
+  /** Correlated-subquery shape (TPC-H q17 family): lineitems whose
+    * quantity is below 20% of their part's average. Expressed as a
+    * join against the per-part aggregate — what a decorrelated plan
+    * looks like — with the decimal-exact average for oracle parity.
+    */
+  val avgQtyFilter = QueryDef(
+    "q_avg_qty_filter",
+    (s, d) => {
+      val perPart = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("p_key"))
+        .agg(graft.Det.avgd(col("l_quantity")).as("avg_qty"))
+      Tables.lineitem(s, d)
+        .join(broadcast(perPart), col("l_partkey") === col("p_key"))
+        .filter(col("l_quantity") < col("avg_qty") * 0.2)
+        .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
+          col("l_partkey"), col("l_quantity"), col("avg_qty"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some(s"""WITH per_part AS (
+      SELECT l_partkey AS p_key, ${graft.Det.davg("l_quantity")} AS avg_qty
+      FROM lineitem GROUP BY 1)
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           l_partkey, l_quantity, avg_qty
+    FROM lineitem JOIN per_part ON l_partkey = p_key
+    WHERE l_quantity < avg_qty * 0.2
+    ORDER BY l_orderkey, l_linenumber"""))
+
+  /** Sliding-frame aggregates per user (last-4-events moving sum/avg).
+    * The moving sum runs on DECIMAL so Spark's incremental frame
+    * arithmetic and DuckDB's recompute agree exactly; the average is
+    * derived from it in double space.
+    */
+  val movingAvg = QueryDef(
+    "q_moving_avg",
+    (s, d) => {
+      val frame = Window.partitionBy("user_id")
+        .orderBy(col("ms"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000000").as("ms"), col("value"))
+        .withColumn("mov_sum",
+          sum(graft.Det.dec(col("value"))).over(frame).cast(DoubleType))
+        .withColumn("mov_n", count(lit(1)).over(frame))
+        .withColumn("mov_avg", col("mov_sum") / col("mov_n"))
+        .select("event_id", "user_id", "ms", "value", "mov_sum", "mov_n", "mov_avg")
+        .orderBy("event_id")
+    },
+    Some("""WITH base AS (
+      SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, value
+      FROM events),
+    framed AS (
+      SELECT *,
+        CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS mov_sum,
+        COUNT(*) OVER w AS mov_n
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id, ms, value, mov_sum, mov_n,
+           mov_sum / mov_n AS mov_avg
+    FROM framed ORDER BY event_id"""))
+
+  val defs: Seq[QueryDef] = Seq(histogram, percentiles, avgQtyFilter, movingAvg)
 }

@@ -135,6 +135,30 @@ class EventStreamSpec extends AnyFunSuite {
     assert(out(1).getAs[Long]("totalEventCount") == 1L)
   }
 
+  test("watermarked sliding windows emit once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.ProcessedEvent
+    val input = MemoryStream[ProcessedEvent]
+    val agg = EventStream.slidingMetrics(input.toDF(), Seq("login", "view"))
+    val q = agg.writeStream.format("memory")
+      .queryName("sliding_test").outputMode("append").start()
+    try {
+      input.addData(
+        ProcessedEvent("u1", "login", 0L, 0L, 1),
+        ProcessedEvent("u1", "view", 60000L, 0L, 2))
+      q.processAllAvailable()
+      // nothing emitted yet: watermark hasn't passed the windows' end
+      assert(spark.table("sliding_test").count() == 0)
+      // an event 40 min later pushes the watermark (max - 10 min) past
+      // every window containing the first two events
+      input.addData(ProcessedEvent("u1", "login", 40L * 60 * 1000, 0L, 3))
+      q.processAllAvailable()
+      val rows = spark.table("sliding_test").collect()
+      assert(rows.length == 2) // the two sliding windows of events 1-2
+      assert(rows.forall(_.getAs[Long]("totalEventCount") == 2L))
+    } finally q.stop()
+  }
+
   test("foreachBatch sink hands micro-batches to a batch writer") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
