@@ -13,6 +13,7 @@ final case class FrameFeature(
     n_bytes: Long,
     frame_id: Int,
     frame_bytes: Long,
+    resized_bytes: Long,
     feat: Array[Float])
 
 /** Multimodal-column plumbing: opaque `binary` payloads + typed
@@ -74,8 +75,11 @@ object Multimodal {
             // video keyframe sampling.
             (0 until nFrames by 2).map { f =>
               val frame = bytes.slice(f * FrameSize, math.min((f + 1) * FrameSize, bytes.length))
+              // Resize STUB: stride-4 byte downsample stands in for a
+              // real image/audio resample before feature extraction.
+              val resized = frame.indices.collect { case i if i % 4 == 0 => frame(i) }.toArray
               FrameFeature(docId, mime, bytes.length.toLong, f, frame.length.toLong,
-                decodeStub(frame))
+                resized.length.toLong, decodeStub(resized))
             }
           }
         }

@@ -210,5 +210,67 @@ object Similarity {
     ORDER BY qid, rank"""
     })
 
-  val defs: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding, annLsh)
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer (MLlib,
+    * fixed seed) partitions the corpus into nlist cells; each query
+    * probes the nprobe nearest cells and exact-reranks only those
+    * candidates.
+    *
+    * Scale shape: the corpus is scanned once to train/assign (at real
+    * scale: train on a sample, assign with one broadcast of the
+    * centroid matrix), candidate generation is an equi-join on
+    * cell id, and rerank touches ~nprobe/nlist of the corpus.
+    * Rows-only check: the oracle cannot replicate MLlib's k-means||
+    * initialization; correctness evidence is the recall-vs-bruteforce
+    * spec instead.
+    */
+  val annIvf = QueryDef(
+    "ann_ivf",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val NList = 16
+      val NProbe = 4
+      val emb = quantized(s, d)
+      val featured = Tables.embeddings(s, d)
+        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+      val model = new KMeans().setK(NList).setSeed(42L).setMaxIter(10)
+        .setFeaturesCol("features").setPredictionCol("cell")
+        .fit(featured)
+      val assigned = model.transform(featured).select("vec_id", "cell")
+        .join(emb, "vec_id")
+      // nprobe nearest cells per query vector (centroid matrix is tiny
+      // and lives on the driver — the standard IVF probe step)
+      val centroids = model.clusterCenters.map(_.toArray)
+      def dist2(q: Array[Double], c: Array[Double]): Double =
+        q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+      val queryCells = Tables.embeddings(s, d)
+        .filter(col("vec_id") < NQueries)
+        .collect()
+        .flatMap { r =>
+          val qid = r.getLong(0)
+          val q = r.getSeq[Float](1).map(_.toDouble).toArray
+          centroids.zipWithIndex
+            .sortBy { case (c, i) => (dist2(q, c), i) }
+            .take(NProbe)
+            .map { case (_, cellId) => (qid, cellId) }
+        }.toSeq
+      import s.implicits._
+      val probes = queryCells.toDF("qid", "cell")
+      val qvecs = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("qa").as("qq"), col("na").as("qna"))
+      val cand = assigned.join(broadcast(probes), "cell")
+        .filter(col("vec_id") =!= col("qid"))
+        .join(broadcast(qvecs), "qid")
+      val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("vec_id"))
+      cand
+        .withColumn("cosine", cosine(dot(col("qq"), col("qa")), col("qna"), col("na")))
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= TopK)
+        .select("qid", "rank", "vec_id", "cosine")
+        .orderBy("qid", "rank")
+    },
+    None)
+
+  val defs: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding, annLsh, annIvf)
 }
