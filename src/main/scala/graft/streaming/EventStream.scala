@@ -110,6 +110,18 @@ object EventStream {
         eventTypes.map(t => col(s"n_$t")): _*)
   }
 
+  /** Streaming exact dedup: drops events whose `keyCols` were already
+    * seen, with state bounded by the watermark
+    * (`dropDuplicatesWithinWatermark`) — the streaming counterpart of
+    * [[graft.operators.Dedup.exact]]. `eventTimeCol` must be a
+    * timestamp column; duplicates arriving within the watermark
+    * horizon are suppressed, state for older keys is reclaimed.
+    */
+  def dedupStream(df: DataFrame, eventTimeCol: String, keyCols: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    df.withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Gap-based sessionization on a stream: Spark's native
     * `session_window` (dynamic-gap windows merged by the state store).
     * The batch formulation of the same semantics is

@@ -159,6 +159,25 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate keys across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val df = input.toDF().toDF("dedup_key", "ms")
+      .withColumn("eventTime", timestamp_millis(col("ms")))
+    val deduped = EventStream.dedupStream(df, "eventTime", Seq("dedup_key"))
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_test").outputMode("append").start()
+    try {
+      input.addData(("a", 1000L), ("a", 2000L), ("b", 3000L))
+      q.processAllAvailable()
+      input.addData(("a", 4000L), ("c", 5000L)) // "a" still in state
+      q.processAllAvailable()
+      val keys = spark.table("dedup_test")
+        .select("dedup_key").as[String].collect().sorted.toSeq
+      assert(keys == Seq("a", "b", "c"))
+    } finally q.stop()
+  }
+
   test("foreachBatch sink hands micro-batches to a batch writer") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
