@@ -9,14 +9,15 @@ import org.apache.spark.sql.SparkSession
   * paths) runs first so the first measured query doesn't absorb JVM
   * init; queries run in sorted-name order for stable attribution;
   * each query's time is the best of SPARK_GRAFT_BENCH_REPS (default
-  * 2) full executions — per-query codegen compiles on rep 1, so rep 2
-  * approximates steady-state cluster behavior.
+  * 3) full executions — per-query codegen compiles on rep 1, so later
+  * reps approximate steady-state cluster behavior and the min damps
+  * GC/JIT noise.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

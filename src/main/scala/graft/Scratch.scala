@@ -36,5 +36,12 @@ object Scratch {
       Tables.events(spark, d), Seq(col("event_type")), col("value"), col("event_id"), 2)
     println(s"[scratch] topKPerKey rows: ${top.count()} (5 types x 2)")
     spark.stop()
+
+    // Driver-parity smoke: entry() must work on a VANILLA session
+    // (the driver creates its own, without graft's configs).
+    val vanilla = SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    println(s"[scratch] entry rows on vanilla session: ${SparkEntry.entry(vanilla).count()}")
+    vanilla.stop()
   }
 }
