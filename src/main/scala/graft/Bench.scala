@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 
 /** Driver-run benchmark: every registered query on
   * SPARK_GRAFT_SF_DIR, one JSON contract line on stdout.
@@ -11,7 +12,10 @@ import org.apache.spark.sql.SparkSession
   * each query's time is the best of SPARK_GRAFT_BENCH_REPS (default
   * 3) full executions — per-query codegen compiles on rep 1, so later
   * reps approximate steady-state cluster behavior and the min damps
-  * GC/JIT noise.
+  * GC/JIT noise. Queries are materialized through the `noop` sink
+  * (not `count()`, under which Catalyst would eliminate top-level
+  * sorts and undertime sort-heavy queries). A query failing every rep
+  * reports -1 in the per-query map and is EXCLUDED from `total`.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -34,17 +38,24 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).flatMap { rep =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
-        if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
+        try {
+          // noop sink materializes every row (and keeps the plan's
+          // sorts) without writing anywhere.
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case NonFatal(e) =>
+            System.err.println(s"[bench] $name rep $rep failed: ${e.getMessage}")
+            None
+        }
       }
-      name -> (if (times.min == Double.MaxValue) -1.0 else times.min)
+      name -> times.minOption.getOrElse(-1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -41,7 +41,9 @@ object Scratch {
     // (the driver creates its own, without graft's configs).
     val vanilla = SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
-    println(s"[scratch] entry rows on vanilla session: ${SparkEntry.entry(vanilla).count()}")
+    val entryRows = SparkEntry.entry(vanilla).count()
+    println(s"[scratch] entry rows on vanilla session: $entryRows")
     vanilla.stop()
+    require(entryRows > 0, "driver smoke would fail: entry() returned 0 rows")
   }
 }
