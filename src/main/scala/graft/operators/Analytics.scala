@@ -185,19 +185,24 @@ object Analytics {
       // false-positives Spark's ambiguous-self-join check when the
       // grouping columns derive from a join (Expand-node shadowing);
       // the SQL path builds the identical Expand+Aggregate plan.
+      // unique per-invocation view name: a fixed name would race
+      // concurrent q_rollup builds on the shared session catalog
+      val vn = s"graft_rollup_base_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       Tables.orders(s, d)
         .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .select(col("n_name"),
           year(col("o_orderdate")).cast(LongType).as("o_year"),
           col("o_totalprice"))
-        .createOrReplaceTempView("graft_rollup_base")
-      s.sql("""SELECT n_name, o_year,
+        .createOrReplaceTempView(vn)
+      val out = s.sql(s"""SELECT n_name, o_year,
           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
           COUNT(*) AS n_orders
-        FROM graft_rollup_base
+        FROM $vn
         GROUP BY ROLLUP (n_name, o_year)
         ORDER BY n_name ASC NULLS FIRST, o_year ASC NULLS FIRST""")
+      s.catalog.dropTempView(vn) // analysis is eager; the plan keeps the relation
+      out
     },
     Some(s"""SELECT n_name, o_year, ${dsum("o_totalprice")} AS total_price,
            COUNT(*) AS n_orders

@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 /** End-to-end training-corpus curation — the flagship composition:
   * quality scoring -> language ID -> duplicate-cluster removal (keep
   * the canonical doc of each near-dup cluster) -> deterministic
-  * train split. One declarative plan: Catalyst fuses the per-doc
-  * scoring into a single pass over documents, and the dedup branch is
-  * the already-blocking pair pipeline — the whole thing is 100%
-  * shuffle-bounded by its dedup step.
+  * train split. The three per-doc scores are computed in one select
+  * over a single documents scan (shared Column builders with the
+  * standalone oracle-verified queries); the dedup branch is the
+  * already-blocking pair pipeline — the whole thing is shuffle-
+  * bounded by its dedup step.
   *
   * This is the query a user of the engine actually ships: "give me
   * the deduplicated, quality-filtered train shard of this corpus."
@@ -19,19 +20,18 @@ object Curate {
   val curate = QueryDef(
     "pipeline_curate",
     (s, d) => {
-      val quality = TextAnalysis.quality.fn(s, d)
-        .select("doc_id", "quality_score")
-      val lang = TextAnalysis.langId.fn(s, d)
-        .select("doc_id", "predicted_lang")
+      // All per-doc scores in ONE select over one documents scan
+      // (shared Column builders, same expressions the standalone
+      // queries verify); only the dedup branch joins in.
+      val scored = Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.predictedLangCol(col("text")).as("predicted_lang"),
+        TextAnalysis.qualityScoreCol(col("text")).as("quality_score"),
+        Sampling.splitCol(col("text")).as("split"))
       val dups = Dedup.clusterKeep.fn(s, d)
         .select(col("doc_id"), col("keep"))
-      val split = Sampling.hashSplit.fn(s, d)
-        .select("doc_id", "split")
-      Tables.documents(s, d).select("doc_id")
-        .join(quality, "doc_id")
-        .join(lang, "doc_id")
-        .join(split, "doc_id")
-        .join(broadcast(dups), Seq("doc_id"), "left")
+      scored
+        .join(dups, Seq("doc_id"), "left")
         .filter(col("keep").isNull || col("keep"))       // canonical docs only
         .filter(col("quality_score") >= 0.5)             // quality gate
         .filter(col("split") === "train")                // train shard

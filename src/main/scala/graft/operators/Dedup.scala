@@ -50,12 +50,19 @@ object Dedup {
   private[operators] def shingleStrings(s: org.apache.spark.sql.SparkSession, d: String) = {
     import org.apache.spark.sql.expressions.Window
     val wspec = Window.partitionBy("doc_id").orderBy("pos")
-    Tables.documents(s, d)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), size(split(col("text"), " ")).as("nw"))
+    val long = docs.filter(col("nw") >= 3)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
       .select(col("doc_id"),
         concat_ws(" ", col("w"), lead("w", 1).over(wspec), lead("w", 2).over(wspec)).as("g0"),
         lead("w", 2).over(wspec).as("guard"))
       .filter(col("guard").isNotNull)
+      .select("doc_id", "g0")
+    // Short-doc fallback: <3 words -> the whole text as one shingle,
+    // matching TextAnalysis.shingles and the oracles' ELSE branch.
+    val short = docs.filter(col("nw") < 3).select(col("doc_id"), col("text").as("g0"))
+    long.unionByName(short)
       .groupBy("doc_id", "g0").agg(count(lit(1)).as("_c")).drop("_c")
   }
 
@@ -312,6 +319,12 @@ object Dedup {
         labels = next.drop("chg")
         iter += 1
       }
+      // Fail loudly rather than return wrong canonical ids: a
+      // component of diameter > 50 would need more rounds (remedy:
+      // raise the cap, or switch to pointer-jumping for log-diameter
+      // convergence).
+      if (!converged) throw new IllegalStateException(
+        s"dedup_cluster_keep: label propagation did not converge in $iter rounds")
       labels.select(col("node").as("doc_id"), col("label").as("canonical_id"))
         .withColumn("keep", col("doc_id") === col("canonical_id"))
         .orderBy("doc_id")

@@ -62,7 +62,10 @@ object EventPipeline {
           lit("{\"id\": "), col("user_id"),
           lit(", \"type\": \""), col("event_type"),
           lit("\", \"ts_ms\": "), tsMs,
-          lit(", \"k\": "), get_json_object(col("props"), "$.k"),
+          // coalesce: a props payload without 'k' must not
+          // null-propagate through concat and misroute the event to
+          // the error stream - it becomes a JSON null instead
+          lit(", \"k\": "), coalesce(get_json_object(col("props"), "$.k"), lit("null")),
           lit("}"))))
 
   val parseRouteValid = QueryDef(
@@ -227,9 +230,9 @@ object EventPipeline {
     "producer_datagen",
     (s, d) => {
       val n = 10000L
+      // portable 60-bit hash; single definition in TextAnalysis.hash60
       def h(tag: String) =
-        conv(substring(md5(concat(lit(tag), col("id").cast(StringType))), 1, 15), 16, 10)
-          .cast(LongType)
+        TextAnalysis.hash60(concat(lit(tag), col("id").cast(StringType)))
       val types = array(Seq("login", "purchase", "view", "click", "logout").map(lit): _*)
       val cats = array(Seq("electronics", "books", "clothing", "food").map(lit): _*)
       s.range(n)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -18,6 +19,12 @@ object Sampling {
     * appends (the split of an existing doc never changes when new
     * docs arrive — unlike row_number-based splits).
     */
+  /** Reusable column form of the split decision. */
+  def splitCol(text: Column): Column = {
+    val bucket = pmod(TextAnalysis.hash60(concat(lit("split:"), text)), lit(100L))
+    when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+  }
+
   val hashSplit = QueryDef(
     "sample_split_hash",
     (s, d) => {

@@ -69,8 +69,11 @@ object Stats {
       val perPart = Tables.lineitem(s, d)
         .groupBy(col("l_partkey").as("p_key"))
         .agg(graft.Det.avgd(col("l_quantity")).as("avg_qty"))
+      // no broadcast hint: perPart is one row per distinct part key
+      // (unbounded at scale) - the shuffle join is the shape that
+      // holds at 100 TB, and AQE can still pick broadcast locally
       Tables.lineitem(s, d)
-        .join(broadcast(perPart), col("l_partkey") === col("p_key"))
+        .join(perPart, col("l_partkey") === col("p_key"))
         .filter(col("l_quantity") < col("avg_qty") * 0.2)
         .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
           col("l_partkey"), col("l_quantity"), col("avg_qty"))

@@ -41,6 +41,35 @@ object TextAnalysis {
   private def score(lex: Seq[String]): Column =
     lex.map(w => array_contains(words, w).cast(IntegerType)).reduce(_ + _)
 
+  /** Reusable column form of the language-ID decision (same CASE
+    * cascade as [[langId]]), for single-pass pipeline composition.
+    */
+  def predictedLangCol(text: Column): Column = {
+    val ws = split(text, " ")
+    def sc(lex: Seq[String]) =
+      lex.map(w => array_contains(ws, w).cast(IntegerType)).reduce(_ + _)
+    val Seq(en, es, de, fr) = Lexicons.map { case (_, lex) => sc(lex) }
+    when(en >= es && en >= de && en >= fr && en > 0, "en")
+      .when(es >= de && es >= fr && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
+  /** Reusable column form of the quality score (bit-identical to the
+    * [[quality]] query's formula).
+    */
+  def qualityScoreCol(text: Column): Column = {
+    val ws = split(text, " ")
+    val nWords = size(ws)
+    val uniqRatio = size(array_distinct(ws)).cast(DoubleType) / nWords
+    val stopRatio = size(filter(ws, w => w === "the" || w === "a" || w === "of"))
+      .cast(DoubleType) / nWords
+    val avgWordLen = length(regexp_replace(text, "[ ]", "")).cast(DoubleType) / nWords
+    uniqRatio * 0.5 + (lit(1.0) - stopRatio) * 0.3 +
+      least(avgWordLen / 10.0, lit(1.0)) * 0.2
+  }
+
   private def scoreSql(lex: Seq[String]): String =
     lex.map(w => s"list_contains(string_split(text, ' '), '$w')::INT").mkString(" + ")
 

@@ -154,8 +154,7 @@ object EventStream {
     */
   def generatorBody(seeded: DataFrame): DataFrame = {
     def h(tag: String) =
-      conv(substring(md5(concat(lit(tag), col("seq").cast(StringType))), 1, 15), 16, 10)
-        .cast(LongType)
+      graft.operators.TextAnalysis.hash60(concat(lit(tag), col("seq").cast(StringType)))
     val types = array(Seq("login", "purchase", "view", "click", "logout").map(lit): _*)
     val cats = array(Seq("electronics", "books", "clothing", "food").map(lit): _*)
     seeded.select(
