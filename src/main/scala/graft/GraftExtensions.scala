@@ -14,7 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[functions.LongArrayDot].getName, "graft_dot"),
-      exprs => functions.LongArrayDot(exprs(0), exprs(1))))
+      exprs => functions.GraftFunctions.dotBuilder(exprs)))
     e.injectPlannerStrategy(_ => plans.TopKStrategy)
   }
 }

@@ -28,13 +28,21 @@ case class LongArrayDot(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_dot"
 
+  // NULL result (not a wrong number) for length-mismatched arrays and
+  // for any NULL element - a truncated or sparse embedding must not
+  // produce a plausible-looking dot product.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0L
     var i = 0
-    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     s
   }
 
@@ -44,14 +52,21 @@ case class LongArrayDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $s = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getLong($i) * $b.getLong($i);
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
+
+  override def nullable: Boolean = true
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -66,8 +81,15 @@ object GraftFunctions {
   def dotLong(a: Column, b: Column): Column =
     Bridge.column(LongArrayDot(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Builder with a proper arity error instead of an index exception. */
+  def dotBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"graft_dot requires exactly 2 arguments, got ${exprs.length}")
+    LongArrayDot(exprs(0), exprs(1))
+  }
+
   /** Idempotent per-session SQL registration (`graft_dot(a, b)`). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => LongArrayDot(exprs(0), exprs(1)), "built-in")
+      "graft_dot", dotBuilder, "built-in")
 }

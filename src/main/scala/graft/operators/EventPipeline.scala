@@ -226,42 +226,53 @@ object EventPipeline {
     * portable across engines, seed-free, and fully parallel (generated
     * from `spark.range`, no driver-side loop).
     */
+  /** Shared producer transform over (seq, ts_ms) — the single
+    * definition used by BOTH the batch [[producerDatagen]] query and
+    * the streaming rate-source generator
+    * ([[graft.streaming.EventStream.generatorBody]]), so the payload
+    * bytes cannot drift between the two.
+    */
+  def producerColumns(seeded: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // portable 60-bit hash; single definition in TextAnalysis.hash60
+    def h(tag: String) =
+      TextAnalysis.hash60(concat(lit(tag), col("seq").cast(StringType)))
+    val types = array(Seq("login", "purchase", "view", "click", "logout").map(lit): _*)
+    val cats = array(Seq("electronics", "books", "clothing", "food").map(lit): _*)
+    seeded
+      .select(
+        col("seq"), col("ts_ms"),
+        concat(lit("user-"), (h("user") % 50 + 1).cast(StringType)).as("user_id"),
+        element_at(types, (h("type") % 5 + 1).cast(IntegerType)).as("event_type"),
+        ((h("value") % 9900).cast(DoubleType) / 100.0 + 1.0).as("value"),
+        // integer cents (= value*100 exactly): Spark truncates
+        // double->long while DuckDB rounds, so stay in integer space
+        (h("value") % 9900 + 100).as("value_cents"),
+        element_at(cats, (h("cat") % 4 + 1).cast(IntegerType)).as("category"),
+        (h("err") % 100 < 5).as("is_malformed"),
+        (h("shape") % 4).as("shape"))
+      .withColumn("raw",
+        when(!col("is_malformed"), concat(
+          lit("{\"id\": \""), col("user_id"),
+          lit("\", \"type\": \""), col("event_type"),
+          lit("\", \"timestamp\": "), col("ts_ms"),
+          lit(", \"data\": {\"value_cents\": \""),
+          col("value_cents"),
+          lit("\", \"category\": \""), col("category"), lit("\"}}")))
+          .otherwise(element_at(array(
+            lit("{invalid json"),
+            lit("{}"),
+            lit("{\"id\": \"user-1\"}"),
+            lit("{\"id\": \"user-1\", \"type\": \"\", \"timestamp\": \"not-a-number\"}")),
+            (col("shape") + 1).cast(IntegerType))))
+  }
+
   val producerDatagen = QueryDef(
     "producer_datagen",
     (s, d) => {
       val n = 10000L
-      // portable 60-bit hash; single definition in TextAnalysis.hash60
-      def h(tag: String) =
-        TextAnalysis.hash60(concat(lit(tag), col("id").cast(StringType)))
-      val types = array(Seq("login", "purchase", "view", "click", "logout").map(lit): _*)
-      val cats = array(Seq("electronics", "books", "clothing", "food").map(lit): _*)
-      s.range(n)
-        .select(
-          col("id").as("seq"),
-          (lit(1704067200000L) + col("id") * 500L).as("ts_ms"),
-          concat(lit("user-"), (h("user") % 50 + 1).cast(StringType)).as("user_id"),
-          element_at(types, (h("type") % 5 + 1).cast(IntegerType)).as("event_type"),
-          ((h("value") % 9900).cast(DoubleType) / 100.0 + 1.0).as("value"),
-          // integer cents (= value*100 exactly): Spark truncates
-          // double->long while DuckDB rounds, so stay in integer space
-          (h("value") % 9900 + 100).as("value_cents"),
-          element_at(cats, (h("cat") % 4 + 1).cast(IntegerType)).as("category"),
-          (h("err") % 100 < 5).as("is_malformed"),
-          (h("shape") % 4).as("shape"))
-        .withColumn("raw",
-          when(!col("is_malformed"), concat(
-            lit("{\"id\": \""), col("user_id"),
-            lit("\", \"type\": \""), col("event_type"),
-            lit("\", \"timestamp\": "), col("ts_ms"),
-            lit(", \"data\": {\"value_cents\": "),
-            col("value_cents"),
-            lit(", \"category\": \""), col("category"), lit("\"}}")))
-            .otherwise(element_at(array(
-              lit("{invalid json"),
-              lit("{}"),
-              lit("{\"id\": \"user-1\"}"),
-              lit("{\"id\": \"user-1\", \"type\": \"\", \"timestamp\": \"not-a-number\"}")),
-              (col("shape") + 1).cast(IntegerType))))
+      producerColumns(s.range(n).select(
+        col("id").as("seq"),
+        (lit(1704067200000L) + col("id") * 500L).as("ts_ms")))
         .select("seq", "ts_ms", "user_id", "event_type", "value", "category",
           "is_malformed", "raw")
         .orderBy("seq")
@@ -280,8 +291,8 @@ object EventPipeline {
       CASE WHEN NOT is_malformed THEN
         '{"id": "' || user_id || '", "type": "' || event_type ||
         '", "timestamp": ' || CAST(ts_ms AS VARCHAR) ||
-        ', "data": {"value_cents": ' || CAST(('0x' || substr(md5('value' || CAST(seq AS VARCHAR)), 1, 15))::BIGINT % 9900 + 100 AS VARCHAR) ||
-        ', "category": "' || category || '"}}'
+        ', "data": {"value_cents": "' || CAST(('0x' || substr(md5('value' || CAST(seq AS VARCHAR)), 1, 15))::BIGINT % 9900 + 100 AS VARCHAR) ||
+        '", "category": "' || category || '"}}'
       ELSE (['{invalid json', '{}', '{"id": "user-1"}',
              '{"id": "user-1", "type": "", "timestamp": "not-a-number"}'])[shape + 1]
       END AS raw

@@ -8,8 +8,9 @@ object GraftOps {
 
   /** Per-key top-k without a window sort: keep the `k` rows with the
     * highest `order` per `keys` group, ties broken by the lowest
-    * `tie`. Plans as partial (pre-shuffle) + final bounded-heap
-    * passes — see [[TopKPerKey]].
+    * `tie`. NULL-order rows are dropped; NaN orders rank greatest
+    * (Spark descending-sort semantics). Plans as partial
+    * (pre-shuffle) + final bounded-heap passes — see [[TopKPerKey]].
     *
     * Also registered by [[graft.GraftExtensions]]; this API
     * additionally self-registers the strategy so it works on any

@@ -11,7 +11,9 @@ import scala.collection.mutable
 
 /** Logical per-key top-k: keep the k best rows per key, "best" =
   * highest `order` (DoubleType), ties broken by lowest `tie`
-  * (LongType).
+  * (LongType). Rows whose `order` evaluates to NULL are DROPPED
+  * (unlike a window row_number, which would rank them last); NaN
+  * orders rank greatest, matching Spark's descending sort.
   *
   * Why a custom operator: Spark expresses per-group top-k as
   * `row_number().over(Window...)` + filter, which materializes and
@@ -88,13 +90,23 @@ final case class TopKPerKeyExec(
           val tieAny = tieBound.eval(row)
           val tieV = if (tieAny == null) Long.MaxValue else tieAny.asInstanceOf[Long]
           val key = keyProj(row)
-          val heap = heaps.getOrElseUpdate(key.copy(),
-            mutable.PriorityQueue.empty[Entry](WorstFirst))
+          // copy the key only on first insertion, not per row
+          val heap = heaps.get(key) match {
+            case Some(h) => h
+            case None =>
+              val h = mutable.PriorityQueue.empty[Entry](WorstFirst)
+              heaps.put(key.copy(), h)
+              h
+          }
           if (heap.size < kLocal) {
             heap.enqueue(new Entry(ordV, tieV, row.copy()))
           } else {
             val worst = heap.head
-            if (ordV > worst.ord || (ordV == worst.ord && tieV < worst.tieV)) {
+            // Double.compare (not primitive >) so NaN ranks greatest
+            // consistently with both the heap ordering and Spark's
+            // descending sort - results stay arrival-order-independent
+            val cmp = java.lang.Double.compare(ordV, worst.ord)
+            if (cmp > 0 || (cmp == 0 && tieV < worst.tieV)) {
               heap.dequeue()
               heap.enqueue(new Entry(ordV, tieV, row.copy()))
             }

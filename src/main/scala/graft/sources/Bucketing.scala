@@ -16,6 +16,8 @@ object Bucketing {
   /** Writes `df` as a bucketed managed table (overwrite). */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
       keys: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    require(keys.nonEmpty, "bucketing requires at least one key column")
+    require(buckets > 0, s"bucket count must be positive, got $buckets")
     val w = df.write.mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)
     val sorted = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w

@@ -41,10 +41,11 @@ object Formats {
     writer(df, partitionBy).option("compression", "snappy").parquet(path)
 
   def writeJson(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit =
-    writer(df, partitionBy).json(path)
+    writer(df, partitionBy).option("compression", "gzip").json(path)
 
   def writeCsv(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit =
-    writer(df, partitionBy).option("header", "true").csv(path)
+    writer(df, partitionBy).option("header", "true")
+      .option("compression", "gzip").csv(path)
 
   def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit =
     writer(df, partitionBy).option("compression", "zstd").orc(path)

@@ -43,20 +43,32 @@ object EventStream {
     StructField("timestamp", LongType),
     StructField("data", MapType(StringType, StringType))))
 
+  private val parseSchema = StructType(
+    inputSchema.fields :+ StructField("_corrupt", StringType))
+
   /** ParseAndRoute (EventProcessorJob.kt:79-97): JSON parse with the
     * failure branch as a second output instead of a Flink side-output.
     * `raw` must have a string column `value`.
+    *
+    * Validity = the record parsed without corruption (Spark's
+    * columnNameOfCorruptRecord catches both syntax errors and
+    * type-corrupt fields, e.g. `"timestamp": "not-a-number"` — which
+    * Spark's partial-results mode would otherwise smuggle into the
+    * valid stream with a null timestamp) AND a non-null id.
     */
   def parseRoute(raw: DataFrame): (DataFrame, DataFrame) = {
-    val parsed = raw.withColumn("p", from_json(col("value"), inputSchema))
-    val valid = parsed.filter(col("p.id").isNotNull)
+    val parsed = raw.withColumn("p",
+      from_json(col("value"), parseSchema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")))
+    val ok = col("p._corrupt").isNull && col("p.id").isNotNull
+    val valid = parsed.filter(ok)
       .select(col("p.id").as("id"), col("p.type").as("eventType"),
         coalesce(col("p.timestamp"), lit(0L)).as("timestamp"),
         coalesce(col("p.data"), map()).as("data"))
-    val errors = parsed.filter(col("p.id").isNull)
+    val errors = parsed.filter(!ok)
       .select(col("value").as("rawMessage"),
         lit("PARSE_ERROR").as("errorType"),
-        lit("unparseable or missing id").as("errorMessage"),
+        lit("unparseable, type-corrupt, or missing id").as("errorMessage"),
         current_timestamp().as("timestamp"))
     (valid, errors)
   }
@@ -149,37 +161,14 @@ object EventStream {
       unix_millis(col("timestamp")).as("ts_ms")))
   }
 
-  /** Pure generator transform over (seq, ts_ms) — shared by the rate
-    * stream and tests (which drive it with a batch range).
+  /** Pure generator transform over (seq, ts_ms) — delegates to the
+    * single shared producer definition
+    * ([[graft.operators.EventPipeline.producerColumns]]) so batch and
+    * streaming payloads are byte-identical.
     */
-  def generatorBody(seeded: DataFrame): DataFrame = {
-    def h(tag: String) =
-      graft.operators.TextAnalysis.hash60(concat(lit(tag), col("seq").cast(StringType)))
-    val types = array(Seq("login", "purchase", "view", "click", "logout").map(lit): _*)
-    val cats = array(Seq("electronics", "books", "clothing", "food").map(lit): _*)
-    seeded.select(
-      col("seq"), col("ts_ms"),
-      concat(lit("user-"), (h("user") % 50 + 1).cast(StringType)).as("user_id"),
-      element_at(types, (h("type") % 5 + 1).cast(IntegerType)).as("event_type"),
-      (h("value") % 9900 + 100).as("value_cents"),
-      element_at(cats, (h("cat") % 4 + 1).cast(IntegerType)).as("category"),
-      (h("err") % 100 < 5).as("is_malformed"),
-      (h("shape") % 4).as("shape"))
-      .withColumn("value",
-        when(!col("is_malformed"), concat(
-          lit("{\"id\": \""), col("user_id"),
-          lit("\", \"type\": \""), col("event_type"),
-          lit("\", \"timestamp\": "), col("ts_ms"),
-          lit(", \"data\": {\"value_cents\": \""), col("value_cents"),
-          lit("\", \"category\": \""), col("category"), lit("\"}}")))
-          .otherwise(element_at(array(
-            lit("{invalid json"),
-            lit("{}"),
-            lit("{\"id\": \"user-1\"}"),
-            lit("{\"id\": \"user-1\", \"type\": \"\", \"timestamp\": \"not-a-number\"}")),
-            (col("shape") + 1).cast(IntegerType))))
-      .select("seq", "value")
-  }
+  def generatorBody(seeded: DataFrame): DataFrame =
+    graft.operators.EventPipeline.producerColumns(seeded)
+      .select(col("seq"), col("raw").as("value"))
 
   // -- Connector builders (cluster parity with k8s/topics/*.yaml) ----
 

@@ -39,6 +39,16 @@ class EventStreamSpec extends AnyFunSuite {
     assert(errors.head.getAs[String]("errorType") == "PARSE_ERROR")
   }
 
+  test("should route type-corrupt fields to the error stream") {
+    // the producer's malformed shape 4: syntactically valid JSON with
+    // a non-numeric timestamp — Jackson (reference) rejects it, and so
+    // must we, instead of smuggling it in with a null timestamp
+    val (valid, errors) = route(
+      """{"id": "user-1", "type": "", "timestamp": "not-a-number"}""")
+    assert(valid.isEmpty)
+    assert(errors.length == 1)
+  }
+
   test("should handle mixed valid and invalid events") {
     val (valid, errors) = route(
       """{"id":"12","type":"order.created","timestamp":1000,"data":{}}""",
