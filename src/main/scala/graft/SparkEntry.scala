@@ -11,12 +11,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  private def allDefs: Seq[QueryDef] =
-    operators.Analytics.defs ++ operators.EventPipeline.defs ++
-      operators.TextAnalysis.defs ++ operators.Dedup.defs ++
-      operators.Similarity.defs ++ operators.Multimodal.defs ++
-      operators.Temporal.defs ++ operators.Stats.defs ++
-      operators.Sampling.defs ++ operators.Curate.defs
+  private def allDefs: Seq[QueryDef] = {
+    val defs =
+      operators.Analytics.defs ++ operators.EventPipeline.defs ++
+        operators.TextAnalysis.defs ++ operators.Dedup.defs ++
+        operators.Similarity.defs ++ operators.Multimodal.defs ++
+        operators.Temporal.defs ++ operators.Stats.defs ++
+        operators.Sampling.defs ++ operators.Curate.defs
+    val dupes = defs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dupes.isEmpty,
+      s"duplicate query names would silently shadow operators: ${dupes.mkString(", ")}")
+    defs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -9,10 +9,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the operator's own `select`/`filter` into the scan).
   */
 object Tables {
-  val names: Seq[String] = Seq(
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings")
-
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

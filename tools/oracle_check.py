@@ -77,7 +77,8 @@ def main():
             print(f"[FAIL] {name}: no spark output found")
             n_bad += 1
             continue
-        spark_df = pd.concat([pq.read_table(f).to_pandas() for f in files])
+        spark_df = pd.concat([pq.read_table(f).to_pandas() for f in files],
+                             ignore_index=True)
         try:
             duck_df = con.sql(sqls[name]).df()
         except Exception as e:
@@ -93,11 +94,20 @@ def main():
         else:
             print(f"[ OK ] {name} ({len(spark_df)} rows)")
             n_ok += 1
-    # queries with no oracle: report rows-only
+    # queries with no oracle: rows-only check against the manifest so
+    # a rows-only query that stopped producing output still fails
+    manifest_path = os.path.join(outdir, "manifest.json")
+    expected = set(json.load(open(manifest_path))) if os.path.exists(manifest_path) else None
     all_dumps = {os.path.basename(p) for p in glob.glob(os.path.join(outdir, "*"))
                  if os.path.isdir(p)}
-    for name in sorted(all_dumps - set(sqls)):
+    rows_only = sorted((expected - set(sqls)) if expected is not None
+                       else (all_dumps - set(sqls)))
+    for name in rows_only:
         files = sorted(glob.glob(os.path.join(outdir, name, "*.parquet")))
+        if not files:
+            print(f"[FAIL] {name}: no spark output found (rows-only query)")
+            n_bad += 1
+            continue
         rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
         print(f"[rows] {name}: {rows} rows (no oracle)")
     print(f"== {n_ok} ok, {n_bad} failed ==")
