@@ -197,5 +197,24 @@ object TextAnalysis {
       list_aggregate(list_transform(${shinglesSql("text")}, sh -> ${hash60Sql("sh")}), 'min') AS shingle_min_hash
     FROM documents ORDER BY doc_id"""))
 
-  val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint)
+  /** True rolling-hash fingerprint via the native O(n) Rabin-Karp
+    * expression ([[graft.functions.RollingMinHash]]); rows-only
+    * (byte-level polynomial hashing is not practical to mirror in
+    * SQL), exactness covered by RollingMinHashSpec's reference
+    * recompute.
+    */
+  val rollingFingerprint = QueryDef(
+    "text_rolling_hash",
+    (s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        graft.functions.RollingMinHash.rollingMinHash(col("text"), 16)
+          .as("rolling_min_hash_16"),
+        graft.functions.RollingMinHash.rollingMinHash(col("text"), 64)
+          .as("rolling_min_hash_64"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint, rollingFingerprint)
 }
