@@ -166,8 +166,11 @@ object TextAnalysis {
       CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '$TokenPattern')) AS chars_per_token
     FROM documents ORDER BY doc_id"""))
 
-  /** Word-3-shingles of a text column (1-based positions, guarded for
-    * short docs), shared by fingerprinting and the dedup family.
+  /** Word-3-shingles of a text column as an ARRAY (1-based positions,
+    * guarded for short docs). NOTE: only suitable for per-doc array
+    * consumers; hot paths use Dedup.shingleStrings (window-lead) —
+    * this form re-evaluates split() per element access. Kept as the
+    * executable specification the `shinglesSql` oracles mirror.
     */
   def shingles(text: Column): Column = {
     val ws = split(text, " ")
@@ -186,11 +189,18 @@ object TextAnalysis {
   val fingerprint = QueryDef(
     "text_fingerprint",
     (s, d) => {
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        md5(col("text")).as("content_md5"),
-        array_min(transform(shingles(col("text")), sh => hash60(sh)))
-          .as("shingle_min_hash"))
+      // min-hash over the window-lead shingle rows (split once per
+      // doc) instead of transform-over-array: the array form
+      // re-evaluates split() per element (CollapseProject inlining)
+      // and measured ~40x slower once the bench stopped letting
+      // Catalyst prune the column. Same min: the distinct shingle
+      // set has the same minimum as the full window sequence.
+      val minHash = Dedup.shingleStrings(s, d)
+        .groupBy("doc_id")
+        .agg(min(hash60(col("g0"))).as("shingle_min_hash"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("content_md5"))
+        .join(minHash, "doc_id")
         .orderBy("doc_id")
     },
     Some(s"""SELECT doc_id, md5(text) AS content_md5,
