@@ -11,6 +11,7 @@ class AnnIvfSpec extends AnyFunSuite {
     val byQ = ivf.groupBy(_.getLong(0))
     assert(byQ.size == 10)
     byQ.foreach { case (_, rows) =>
+      assert(rows.length <= 5, s"top-k bound violated: ${rows.length}")
       assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.length))
       // ranked by descending cosine
       val cos = rows.sortBy(_.getLong(1)).map(_.getDouble(3))

@@ -103,9 +103,12 @@ class EventStreamSpec extends AnyFunSuite {
     val nv = valid.count()
     val ne = errors.count()
     assert(nv + ne == 2000)
-    // malformed rate: h("err") % 100 < 5 — expect close to 5%.
-    // "{}"-shaped and missing-field shapes also land in errors.
-    assert(ne > 50 && ne < 200, s"unexpected malformed count $ne")
+    // malformed rate: h("err") % 100 < 5 => ~5% of 2000 = ~100 rows.
+    // Of the 4 malformed shapes, 1/2/4 land in errors (syntax error,
+    // id-less {}, type-corrupt timestamp) while shape 3
+    // ('{"id":"user-1"}') parses cleanly and routes VALID — so expect
+    // ~3/4 of the malformed rows, ~75.
+    assert(ne > 50 && ne < 120, s"unexpected malformed count $ne")
     // determinism
     assert(out.collect().map(_.getString(1)).toSeq ==
       EventStream.generatorBody(seeded).collect().map(_.getString(1)).toSeq)
@@ -209,7 +212,9 @@ class EventStreamSpec extends AnyFunSuite {
   }
 
   test("kafka connector builders configure without resolving") {
-    val reader = EventStream.kafkaSource(spark, "broker:9092", "input-events")
-    assert(reader != null) // options applied lazily; load() needs the connector jar
+    // Builder options aren't publicly inspectable and load() needs
+    // the connector jar (cluster-only), so this is a does-not-throw
+    // smoke of the option-application path only.
+    EventStream.kafkaSource(spark, "broker:9092", "input-events")
   }
 }

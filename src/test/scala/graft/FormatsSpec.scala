@@ -2,13 +2,23 @@ package graft
 
 import graft.sources.Formats
 import java.nio.file.Files
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-class FormatsSpec extends AnyFunSuite {
+class FormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = TestSpark.spark
+  private val created = scala.collection.mutable.ArrayBuffer.empty[String]
 
-  private def tmp(): String =
-    Files.createTempDirectory("graft_fmt").toString
+  private def tmp(): String = {
+    val p = Files.createTempDirectory("graft_fmt").toString
+    created += p
+    p
+  }
+
+  override def afterAll(): Unit = {
+    import scala.reflect.io.Directory
+    created.foreach(p => new Directory(new java.io.File(p)).deleteRecursively())
+  }
 
   test("parquet/json/csv/orc round-trip the events table losslessly") {
     val ev = Tables.events(spark, TestSpark.sfDir)

@@ -12,9 +12,10 @@ class OperatorSpec extends AnyFunSuite {
 
   test("every registered query runs and matches its oracle declaration") {
     val qs = SparkEntry.queries
-    assert(qs.nonEmpty)
-    // every oracle key must have a query
-    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
+    // coverage floor: mass-deregistration of operators must fail loudly
+    assert(qs.size >= 40, s"only ${qs.size} queries registered")
+    assert(SparkEntry.oracleSql.size >= 40,
+      s"only ${SparkEntry.oracleSql.size} oracles declared")
     qs.foreach { case (name, fn) =>
       val df = fn(spark, d)
       assert(df.columns.nonEmpty, s"$name has no columns")

@@ -30,17 +30,20 @@ class RollingMinHashSpec extends AnyFunSuite {
     }
   }
 
-  test("shared windows collide, disjoint content does not (typically)") {
+  test("a superstring's min-hash never exceeds the substring's") {
     import spark.implicits._
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789"
     val df = Seq(
-      (1L, "abcdefghijklmnopqrstuvwxyz0123456789"),
-      (2L, "XXXXabcdefghijklmnopqrstuvwxyz"), // shares a 16-byte run with 1
+      (1L, base),
+      (2L, "XXXX" + base), // every window of doc 1 is a window of doc 2
       (3L, "completely different payload here!")).toDF("id", "t")
     val h = df.select(col("id"), RollingMinHash.rollingMinHash(col("t"), 16).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // doc 2 contains doc 1's minimal window iff that window is inside
-    // the shared run; at minimum the hashes are deterministic
-    assert(h(1) == reference("abcdefghijklmnopqrstuvwxyz0123456789", 16))
+    assert(h(1) == reference(base, 16))
+    // containment property: doc 2's window set is a superset of doc
+    // 1's, so its min cannot be larger — a position-dependent hash
+    // regression breaks this
+    assert(h(2) <= h(1), s"superstring min ${h(2)} > substring min ${h(1)}")
     assert(h(3) != h(1))
   }
 

@@ -6,16 +6,22 @@ import org.scalatest.funsuite.AnyFunSuite
   * (whole-text fallback shingle) — exercised on a synthetic corpus
   * because the driver testdata has none.
   */
-class ShortDocSpec extends AnyFunSuite {
+class ShortDocSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   private lazy val spark = TestSpark.spark
+  private var dir: String = _
+
+  override def afterAll(): Unit = if (dir != null) {
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(dir)).deleteRecursively()
+  }
 
   test("identical short docs are found by the shingle dedup family") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_short").toString
+    dir = java.nio.file.Files.createTempDirectory("graft_short").toString
     Seq(
       (0L, "tiny doc", "en", "srcA", 8L),
       (1L, "tiny doc", "en", "srcB", 8L), // exact 2-word duplicate of 0
-      (2L, "the quick brown fox jumps over the lazy dog again today", "en", "srcA", 54L),
+      (2L, "the quick brown fox jumps over the lazy dog again today", "en", "srcA", 55L),
       (3L, "the quick brown fox jumps over the lazy dog again tomorrow", "en", "srcB", 58L),
       (4L, "solo", "en", "srcC", 4L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

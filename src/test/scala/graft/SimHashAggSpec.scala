@@ -24,8 +24,11 @@ class SimHashAggSpec extends AnyFunSuite {
 
   test("matches the 60-column sum(CASE) formulation on real hashes") {
     val h = graft.operators.TextAnalysis.hash60(col("text"))
+    // not-null guard: the sum(CASE) reference would count a null hash
+    // as -1 per bit while the aggregate skips nulls
     val base = Tables.documents(spark, TestSpark.sfDir)
       .select(col("doc_id"), (col("doc_id") % 7).as("grp"), h.as("h"))
+      .filter(col("h").isNotNull)
     val viaAgg = base.groupBy("grp")
       .agg(SimHashAgg.simhash60(col("h")).as("fp"))
     val bitSums = (0 until 60).map(b =>

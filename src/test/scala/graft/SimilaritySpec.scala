@@ -10,12 +10,20 @@ class SimilaritySpec extends AnyFunSuite {
     val exact = SparkEntry.queries("ann_bruteforce")(spark, d)
       .select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactCos = SparkEntry.queries("ann_bruteforce")(spark, d)
+      .select("qid", "vec_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val lsh = SparkEntry.queries("ann_lsh")(spark, d)
       .select("qid", "vec_id", "cosine").collect()
-    // every LSH hit above the verify threshold must be a true
-    // neighbor pair score (cosine recomputed exactly), and the
-    // top-ranked LSH hit per query should appear in the exact top-5
-    // whenever LSH returned anything for that query
+    assert(lsh.nonEmpty, "LSH produced no candidates at all")
+    // any LSH hit that is also an exact top-5 pair must carry the
+    // identical cosine (same quantized arithmetic)
+    lsh.foreach { r =>
+      exactCos.get((r.getLong(0), r.getLong(1))).foreach { c =>
+        assert(c == r.getDouble(2), s"cosine mismatch for $r")
+      }
+    }
+    // the top-ranked LSH hit per query must appear in the exact top-5
     val byQ = lsh.groupBy(_.getLong(0))
     byQ.foreach { case (qid, rows) =>
       val best = rows.minBy(r => (-r.getDouble(2), r.getLong(1)))

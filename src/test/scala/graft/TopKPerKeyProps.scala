@@ -3,7 +3,7 @@ package graft
 import graft.plans.GraftOps
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Properties, Test}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.forAllNoShrink
 
 /** Property test: the custom bounded-heap operator must agree with a
   * plain Scala reference on arbitrary inputs — keys, scores with
@@ -28,7 +28,9 @@ object TopKPerKeyProps extends Properties("TopKPerKey") {
     (key, id.toLong, score.toDouble)
   }, k)
 
-  property("equals sort-based reference") = forAll(caseGen) { case (rows, k) =>
+  // no shrinking: the default shrinker walks k to 0, which trips
+  // topKPerKey's require(k > 0) and masks the real counterexample
+  property("equals sort-based reference") = forAllNoShrink(caseGen) { case (rows, k) =>
     import spark.implicits._
     val df = rows.toDF("key", "id", "score")
     val got = GraftOps.topKPerKey(df, Seq(col("key")), col("score"), col("id"), k)
