@@ -40,7 +40,6 @@ object Analytics {
           avgd(col("l_extendedprice")).as("avg_price"),
           avgd(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
     },
     Some(s"""SELECT l_returnflag, l_linestatus,
       ${dsum("l_quantity")} AS sum_qty,
@@ -96,7 +95,6 @@ object Analytics {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
         .agg(sumd(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
-        .orderBy(desc("revenue"), asc("n_name"))
     },
     Some(s"""SELECT n_name,
       ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
@@ -138,7 +136,6 @@ object Analytics {
         .withColumn("mkt_share",
           col("rev_dec").cast(DoubleType) / sum(col("rev_dec")).over(w).cast(DoubleType))
         .select("o_year", "n_name", "revenue", "mkt_share")
-        .orderBy("o_year", "n_name")
     },
     Some("""WITH base AS (
       SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, n_name,
@@ -163,7 +160,6 @@ object Analytics {
       base.withColumn("rank_in_segment", row_number().over(w).cast(LongType))
         .filter(col("rank_in_segment") <= 3)
         .select("c_mktsegment", "rank_in_segment", "c_custkey", "c_name", "total_spend", "n_orders")
-        .orderBy("c_mktsegment", "rank_in_segment")
     },
     Some(s"""WITH base AS (
       SELECT c_mktsegment, c_custkey, c_name,
@@ -199,8 +195,7 @@ object Analytics {
           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
           COUNT(*) AS n_orders
         FROM $vn
-        GROUP BY ROLLUP (n_name, o_year)
-        ORDER BY n_name ASC NULLS FIRST, o_year ASC NULLS FIRST""")
+        GROUP BY ROLLUP (n_name, o_year)""")
       s.catalog.dropTempView(vn) // analysis is eager; the plan keeps the relation
       out
     },
@@ -220,7 +215,6 @@ object Analytics {
       Tables.customer(s, d)
         .join(pending, col("c_custkey") === col("o_custkey"), "left_semi")
         .select("c_custkey", "c_name", "c_mktsegment")
-        .orderBy("c_custkey")
     },
     Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
     WHERE EXISTS (SELECT 1 FROM orders
@@ -237,7 +231,6 @@ object Analytics {
           countDistinct(col("l_partkey")).as("distinct_parts"),
           countDistinct(col("l_suppkey")).as("distinct_supps"),
           count(lit(1)).as("n_rows"))
-        .orderBy("l_returnflag")
     },
     Some("""SELECT l_returnflag,
       COUNT(DISTINCT l_orderkey) AS distinct_orders,
@@ -261,7 +254,6 @@ object Analytics {
         .agg(sumd(col("o_totalprice")).as("total_spend"), count(lit(1)).as("n_orders"))
       graft.plans.GraftOps.topKPerKey(base,
         Seq(col("c_mktsegment")), col("total_spend"), col("c_custkey"), 3)
-        .orderBy(asc("c_mktsegment"), desc("total_spend"), asc("c_custkey"))
     },
     Some(s"""WITH base AS (
       SELECT c_mktsegment, c_custkey, c_name,
@@ -283,31 +275,69 @@ object Analytics {
         .join(Tables.orders(s, d).select("o_custkey"),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
-        .orderBy("c_custkey")
     },
     Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     ORDER BY c_custkey"""))
 
+  /** Exact NTILE(10) decile buckets WITHOUT a single-partition global
+    * sort — the textbook scale-killer of a bare `Window.orderBy`.
+    *
+    * Distributed two-phase ranking (the TeraSort shape):
+    *  1. `repartitionByRange` on the sort key — each range partition
+    *     holds a contiguous slice of the global order;
+    *  2. per-partition `row_number` (window partitioned by the range
+    *     partition id — every partition sorts independently);
+    *  3. global rank = local rank + offset, where the offsets are the
+    *     running sum of per-partition counts — a P-row aggregate (P =
+    *     shuffle partitions), broadcast back;
+    *  4. NTILE's bucket arithmetic applied to (rank, n) exactly: with
+    *     q = n div 10 and r = n mod 10, buckets 1..r hold q+1 rows.
+    * The only single-partition work is the running sum over P rows.
+    * Result is bit-identical to NTILE(10) — the oracle keeps the
+    * window-function formulation as the cross-engine proof.
+    */
   val qDecile = QueryDef(
     "q_decile",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(s, d)
+      val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val parts = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"))
-        .withColumn("decile", ntile(10).over(w).cast(LongType))
+        .repartitionByRange(nParts, col("o_totalprice"), col("o_orderkey"))
+        .withColumn("_pid", spark_partition_id())
+      val wLocal = Window.partitionBy("_pid").orderBy("o_totalprice", "o_orderkey")
+      val local = parts.withColumn("_lrn", row_number().over(wLocal).cast(LongType))
+      // One row per shuffle partition: the running-sum window below is
+      // single-partition but over P rows, not the data.
+      val wCum = Window.orderBy("_pid")
+      val offsets = local.groupBy("_pid").agg(count(lit(1)).as("_c"))
+        .withColumn("_offset",
+          coalesce(sum("_c").over(wCum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("_n", sum("_c").over(
+          wCum.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select("_pid", "_offset", "_n")
+      local.join(broadcast(offsets), "_pid")
+        .withColumn("rank", col("_lrn") + col("_offset"))
+        .withColumn("_q", expr("_n div 10"))
+        .withColumn("_r", col("_n") % 10)
+        // NTILE(10): first _r buckets hold _q+1 rows, the rest _q.
+        // (The otherwise branch never evaluates when _q = 0: every
+        // rank is <= _r * (_q + 1) = _n there.)
+        .withColumn("decile",
+          when(col("rank") <= col("_r") * (col("_q") + 1),
+            expr("(rank - 1) div (_q + 1) + 1"))
+            .otherwise(expr("_r + (rank - _r * (_q + 1) - 1) div _q + 1"))
+            .cast(LongType))
         .groupBy("decile")
         .agg(count(lit(1)).as("n_orders"),
           sumd(col("o_totalprice")).as("total_price"))
-        .orderBy("decile")
     },
     Some(s"""WITH ranked AS (
       SELECT o_orderkey, o_totalprice,
         CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
       FROM orders)
     SELECT decile, COUNT(*) AS n_orders, ${dsum("o_totalprice")} AS total_price
-    FROM ranked GROUP BY decile ORDER BY decile"""))
+    FROM ranked GROUP BY decile"""))
 
   val defs: Seq[QueryDef] = Seq(
     q1, q3, q5, q6, qMarketShare, qTopCustomers, qRollup, qExists, qDistinctAgg,

@@ -36,7 +36,6 @@ object Curate {
         .filter(col("quality_score") >= 0.5)             // quality gate
         .filter(col("split") === "train")                // train shard
         .select("doc_id", "predicted_lang", "quality_score")
-        .orderBy("doc_id")
     },
     Some {
       // Compose the component oracles as subqueries — each is the

@@ -23,7 +23,6 @@ object Dedup {
       Tables.documents(s, d)
         .groupBy(md5(col("text")).as("content_md5"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        .orderBy("content_md5")
     },
     Some("""SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
       COUNT(*) AS n_copies
@@ -93,7 +92,6 @@ object Dedup {
           col("n_common").cast(DoubleType) / (col("ni") + col("nj") - col("n_common")))
         .filter(col("jaccard") >= JaccardTau)
         .select("i", "j", "n_common", "jaccard")
-        .orderBy("i", "j")
     },
     Some(s"""WITH sh AS (
       SELECT doc_id, list_distinct(${TextAnalysis.shinglesSql("text")}) AS s
@@ -171,7 +169,6 @@ object Dedup {
           size(filter(zip_with(col("mi"), col("mj"), (x, y) => x === y), p => p))
             .cast(DoubleType) / MinhashPerms)
         .select("i", "j", "est_jaccard")
-        .orderBy("i", "j")
     },
     Some {
       val permMins = minhashPerms.zipWithIndex.map { case ((a, b), k) =>
@@ -243,7 +240,6 @@ object Dedup {
           bit_count(col("fpi").bitwiseXOR(col("fpj"))).cast(LongType))
         .filter(col("hamming") <= SimHammingMax)
         .select("i", "j", "hamming")
-        .orderBy("i", "j")
     },
     Some {
       val sums = (0 until SimBits).map(bp =>
@@ -327,7 +323,6 @@ object Dedup {
         s"dedup_cluster_keep: label propagation did not converge in $iter rounds")
       labels.select(col("node").as("doc_id"), col("label").as("canonical_id"))
         .withColumn("keep", col("doc_id") === col("canonical_id"))
-        .orderBy("doc_id")
     },
     Some {
       // the ngram-jaccard pair query, stripped of its ORDER BY/cols

@@ -76,13 +76,18 @@ object EventPipeline {
         .filter(col("p.id").isNotNull)
         .select(col("event_id"), col("p.id").as("id"), col("p.type").as("type"),
           col("p.ts_ms").as("ts_ms"), col("p.k").as("k"))
-        .orderBy("event_id")
     },
     Some("""SELECT event_id, user_id AS id, event_type AS type,
       epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
       CAST(props->>'k' AS BIGINT) AS k
-    FROM events WHERE event_type <> 'error' ORDER BY event_id"""))
+    FROM events WHERE event_type <> 'error'"""))
 
+  /** Full ErrorEvent parity with the reference (EventProcessorJob.kt:88-93
+    * `ErrorEvent(rawMessage, errorType, errorMessage, timestamp)`): the
+    * reference stamps wall-clock time at error creation; the
+    * deterministic batch analog is the event's own timestamp (the same
+    * data-derived-clock convention as [[processingDelay]]).
+    */
   val parseRouteError = QueryDef(
     "ep_parse_route_error",
     (s, d) => {
@@ -90,13 +95,16 @@ object EventPipeline {
         .withColumn("p", from_json(col("raw"), parsedSchema))
         .filter(col("p.id").isNull)
         .select(col("event_id"), col("raw").as("raw_message"),
-          lit("PARSE_ERROR").as("error_type"))
-        .orderBy("event_id")
+          lit("PARSE_ERROR").as("error_type"),
+          lit("unparseable, type-corrupt, or missing id").as("error_message"),
+          tsMs.as("error_ts_ms"))
     },
     Some("""SELECT event_id,
       '{invalid payload #' || event_id AS raw_message,
-      'PARSE_ERROR' AS error_type
-    FROM events WHERE event_type = 'error' ORDER BY event_id"""))
+      'PARSE_ERROR' AS error_type,
+      'unparseable, type-corrupt, or missing id' AS error_message,
+      epoch_ms(CAST(ts AS TIMESTAMP)) AS error_ts_ms
+    FROM events WHERE event_type = 'error'"""))
 
   val enrichSequence = QueryDef(
     "ep_enrich_sequence",
@@ -108,11 +116,10 @@ object EventPipeline {
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"),
           row_number().over(w).cast(LongType).as("sequence"))
-        .orderBy("event_id")
     },
     Some("""SELECT event_id, user_id, event_type,
       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id) AS BIGINT) AS sequence
-    FROM events ORDER BY event_id"""))
+    FROM events"""))
 
   val processingDelay = QueryDef(
     "ep_processing_delay",
@@ -128,14 +135,13 @@ object EventPipeline {
           tsMs.as("original_timestamp"),
           lit("graft-event-processor").as("processing_pipeline"),
           get_json_object(col("props"), "$.k").cast(LongType).as("k"))
-        .orderBy("event_id")
     },
     Some("""SELECT event_id, user_id,
       (SELECT max(epoch_ms(CAST(ts AS TIMESTAMP))) FROM events) - epoch_ms(CAST(ts AS TIMESTAMP)) AS delay_ms,
       epoch_ms(CAST(ts AS TIMESTAMP)) AS original_timestamp,
       'graft-event-processor' AS processing_pipeline,
       CAST(props->>'k' AS BIGINT) AS k
-    FROM events ORDER BY event_id"""))
+    FROM events"""))
 
   private def typeCountCols = EventTypes.map(t =>
     sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"))
@@ -151,14 +157,12 @@ object EventPipeline {
         .agg(count(lit(1)).as("total_events"), typeCountCols: _*)
         .select(col("user_id") +: unix_millis(col("w.start")).as("window_start_ms") +:
           col("total_events") +: EventTypes.map(t => col(s"n_$t")): _*)
-        .orderBy("user_id", "window_start_ms")
     },
     Some(s"""SELECT user_id,
       (epoch_ms(CAST(ts AS TIMESTAMP)) // 600000) * 600000 AS window_start_ms,
       COUNT(*) AS total_events,
       $typeCountSql
-    FROM events GROUP BY user_id, window_start_ms
-    ORDER BY user_id, window_start_ms"""))
+    FROM events GROUP BY user_id, window_start_ms"""))
 
   val windowSliding = QueryDef(
     "agg_window_sliding",
@@ -174,15 +178,13 @@ object EventPipeline {
         .agg(count(lit(1)).as("total_events"), typeCountCols: _*)
         .select(col("user_id") +: unix_millis(col("w.start")).as("window_start_ms") +:
           col("total_events") +: EventTypes.map(t => col(s"n_$t")): _*)
-        .orderBy("user_id", "window_start_ms")
     },
     Some(s"""SELECT user_id,
       (epoch_ms(CAST(ts AS TIMESTAMP)) // 300000) * 300000 - off AS window_start_ms,
       COUNT(*) AS total_events,
       $typeCountSql
     FROM events CROSS JOIN (VALUES (0), (300000)) AS shifts(off)
-    GROUP BY user_id, window_start_ms
-    ORDER BY user_id, window_start_ms"""))
+    GROUP BY user_id, window_start_ms"""))
 
   val typeCounts = QueryDef(
     "agg_type_counts",
@@ -190,11 +192,10 @@ object EventPipeline {
       Tables.events(s, d)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("total_events"), typeCountCols: _*)
-        .orderBy("user_id")
     },
     Some(s"""SELECT user_id, COUNT(*) AS total_events,
       $typeCountSql
-    FROM events GROUP BY user_id ORDER BY user_id"""))
+    FROM events GROUP BY user_id"""))
 
   /** [[typeCounts]] with two-phase SALTED aggregation: pre-aggregate
     * on (user_id, salt) first, then merge per user. On a skewed key
@@ -214,11 +215,10 @@ object EventPipeline {
         .groupBy("user_id")
         .agg(sum(col("cnt")).as("total_events"),
           EventTypes.map(t => sum(col(s"n_$t")).as(s"n_$t")): _*)
-        .orderBy("user_id")
     },
     Some(s"""SELECT user_id, COUNT(*) AS total_events,
       $typeCountSql
-    FROM events GROUP BY user_id ORDER BY user_id"""))
+    FROM events GROUP BY user_id"""))
 
   /** Deterministic replica of EventProducer.kt:28-51: 50 users, 5
     * event types, uniform value in [1,100), 5% malformed (4 shapes),
@@ -275,7 +275,6 @@ object EventPipeline {
         (lit(1704067200000L) + col("id") * 500L).as("ts_ms")))
         .select("seq", "ts_ms", "user_id", "event_type", "value", "category",
           "is_malformed", "raw")
-        .orderBy("seq")
     },
     Some("""WITH g AS (
       SELECT seq,
@@ -296,7 +295,7 @@ object EventPipeline {
       ELSE (['{invalid json', '{}', '{"id": "user-1"}',
              '{"id": "user-1", "type": "", "timestamp": "not-a-number"}'])[shape + 1]
       END AS raw
-    FROM g ORDER BY seq"""))
+    FROM g"""))
 
   val defs: Seq[QueryDef] = Seq(
     parseRouteValid, parseRouteError, enrichSequence, processingDelay,

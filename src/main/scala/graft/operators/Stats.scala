@@ -22,7 +22,6 @@ object Stats {
         .groupBy(floor(col("value") / 10.0).cast(LongType).as("bucket"))
         .agg(count(lit(1)).as("n"),
           graft.Det.sumd(col("value")).as("sum_value"))
-        .orderBy("bucket")
     },
     Some(s"""SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
       COUNT(*) AS n, ${graft.Det.dsum("value")} AS sum_value
@@ -45,7 +44,6 @@ object Stats {
         .withColumn("n", count(lit(1)).over(wAll))
         .groupBy("event_type")
         .agg(max(col("n")).as("n_events"), pick(0.5), pick(0.9), pick(0.99))
-        .orderBy("event_type")
     },
     Some("""WITH ranked AS (
       SELECT event_type, value,
@@ -77,7 +75,6 @@ object Stats {
         .filter(col("l_quantity") < col("avg_qty") * 0.2)
         .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
           col("l_partkey"), col("l_quantity"), col("avg_qty"))
-        .orderBy("l_orderkey", "l_linenumber")
     },
     Some(s"""WITH per_part AS (
       SELECT l_partkey AS p_key, ${graft.Det.davg("l_quantity")} AS avg_qty
@@ -107,7 +104,6 @@ object Stats {
         .withColumn("mov_n", count(lit(1)).over(frame))
         .withColumn("mov_avg", col("mov_sum") / col("mov_n"))
         .select("event_id", "user_id", "ms", "value", "mov_sum", "mov_n", "mov_avg")
-        .orderBy("event_id")
     },
     Some("""WITH base AS (
       SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, value

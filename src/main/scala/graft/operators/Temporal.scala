@@ -47,7 +47,6 @@ object Temporal {
           last(col("click_event_id"), ignoreNulls = true).over(w))
         .filter(col("tag") === 1)
         .select(col("purchase_id"), col("user_id"), col("ms"), col("prev_click_id"))
-        .orderBy("purchase_id")
     },
     Some("""WITH clicks AS (
       SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
@@ -84,7 +83,6 @@ object Temporal {
         .agg(min(col("ms")).as("session_start_ms"),
           max(col("ms")).as("session_end_ms"),
           count(lit(1)).as("n_events"))
-        .orderBy("user_id", "session_idx")
     },
     Some("""WITH e AS (
       SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms

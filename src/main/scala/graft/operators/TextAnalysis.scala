@@ -86,7 +86,6 @@ object TextAnalysis {
           .when(de >= fr && de > 0, "de")
           .when(fr > 0, "fr")
           .otherwise("und"))
-        .orderBy("doc_id")
     },
     Some {
       val scores = Lexicons.map { case (l, lex) => s"${scoreSql(lex)} AS score_$l" }
@@ -124,7 +123,6 @@ object TextAnalysis {
           col("uniq_ratio") * 0.5 +
             (lit(1.0) - col("stopword_ratio")) * 0.3 +
             least(col("avg_word_len") / 10.0, lit(1.0)) * 0.2)
-        .orderBy("doc_id")
     },
     Some("""WITH m AS (
       SELECT doc_id,
@@ -158,7 +156,6 @@ object TextAnalysis {
         nWs.as("n_ws_tokens"),
         nTok.as("n_bpe_tokens"),
         (length(col("text")).cast(DoubleType) / nTok).as("chars_per_token"))
-        .orderBy("doc_id")
     },
     Some(s"""SELECT doc_id,
       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
@@ -201,7 +198,6 @@ object TextAnalysis {
       Tables.documents(s, d)
         .select(col("doc_id"), md5(col("text")).as("content_md5"))
         .join(minHash, "doc_id")
-        .orderBy("doc_id")
     },
     Some(s"""SELECT doc_id, md5(text) AS content_md5,
       list_aggregate(list_transform(${shinglesSql("text")}, sh -> ${hash60Sql("sh")}), 'min') AS shingle_min_hash
@@ -222,7 +218,6 @@ object TextAnalysis {
           .as("rolling_min_hash_16"),
         graft.functions.RollingMinHash.rollingMinHash(col("text"), 64)
           .as("rolling_min_hash_64"))
-        .orderBy("doc_id")
     },
     None)
 

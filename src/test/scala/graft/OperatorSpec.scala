@@ -53,7 +53,16 @@ class OperatorSpec extends AnyFunSuite {
     val df = SparkEntry.queries("multimodal_meta")(spark, d)
     val rows = df.collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(_.getAs[Seq[Float]]("feat").length == 4))
+    // features are flattened to scalar columns (driver-sortable schema)
+    val featCols = Seq("f0", "f1", "f2", "f3")
+    featCols.foreach(c => assert(df.columns.contains(c), s"missing feature col $c"))
+    // every column must be a sortable scalar for the driver's pandas
+    // rows-only compare (arrays crashed it in round 1)
+    assert(df.schema.fields.forall(f =>
+      !f.dataType.typeName.startsWith("array") && !f.dataType.typeName.startsWith("map")),
+      "multimodal_meta output must contain only scalar columns")
+    // non-vacuous: mean byte value of a non-empty frame is positive
+    assert(rows.exists(r => r.getAs[Float]("f0") > 0f))
     // stride-2 frame sampling: frame ids are even
     assert(rows.forall(_.getAs[Int]("frame_id") % 2 == 0))
   }

@@ -37,4 +37,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.forall(_.getDouble(2) >= 0.45))
   }
+
+  test("dedup_embedding banded candidates have recall 1.0 vs all-pairs at sf0.001") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("i", "j", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairSet(graft.operators.Similarity.dedupEmbeddingAllPairs(spark, d))
+    val banded = pairSet(SparkEntry.queries("dedup_embedding")(spark, d))
+    assert(exact.nonEmpty, "all-pairs baseline found no near-dup pairs")
+    // recall: every true pair survives the band blocking (measured
+    // property of the fixed plane constants on this corpus)
+    val missed = exact.keySet -- banded.keySet
+    assert(missed.isEmpty, s"banded LSH missed true pairs: $missed")
+    // precision is structural: the verify step computes the exact
+    // quantized cosine, so no false pair can appear
+    assert(banded.keySet.subsetOf(exact.keySet),
+      "banded result contains pairs the exact baseline rejects")
+    // identical cosines on the shared pairs (same quantized arithmetic)
+    banded.foreach { case (k, c) => assert(exact(k) == c, s"cosine mismatch for $k") }
+  }
+
+  test("dedup_embedding plans as equi-join candidates, not a nested-loop cross") {
+    val p = SparkEntry.queries("dedup_embedding")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"dedup_embedding must not plan an all-pairs nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"dedup_embedding must not plan a cartesian product:\n$p")
+  }
 }
