@@ -12,12 +12,19 @@ final case class ParsedEvent(
     timestamp: Long,
     data: Map[String, String])
 
-/** Enriched event (reference ProcessedEvent, Events.kt:10-17). */
+/** Enriched event (reference ProcessedEvent, Events.kt:10-17).
+  * `enrichedData` carries the input event's payload plus the
+  * enrichment keys the reference adds (EventProcessorJob.kt:114-116:
+  * `original_timestamp`, `processing_pipeline`) — map values are
+  * strings here (the reference's Map<String,Any> values are rendered),
+  * so downstream consumers of the output stream keep the payload.
+  */
 final case class ProcessedEvent(
     originalId: String,
     eventType: String,
     processedAt: Long,
     processingDelay: Long,
+    enrichedData: Map[String, String],
     sequence: Int)
 
 /** Structured Streaming re-expression of the reference jobs
@@ -94,6 +101,9 @@ object EventStream {
               eventType = e.eventType,
               processedAt = now,
               processingDelay = if (e.timestamp > 0) now - e.timestamp else 0L,
+              enrichedData = e.data +
+                ("original_timestamp" -> e.timestamp.toString,
+                  "processing_pipeline" -> "graft-event-processor"),
               sequence = seq)
           }
           state.update(seq)

@@ -81,6 +81,37 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("enrich carries the event payload plus enrichment metadata") {
+    // Mirrors the reference's enrichment assertions
+    // (EventProcessorJobTest.kt `should parse and enrich valid events`:
+    // originalId/eventType/delay>=0/original_timestamp/
+    // processing_pipeline/sequence), plus payload passthrough.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val (valid, _) = EventStream.parseRoute(input.toDF())
+    val processed = EventStream.enrich(valid.as[ParsedEvent])
+    val q = processed.writeStream.format("memory")
+      .queryName("enrich_meta_test").outputMode("append").start()
+    try {
+      input.addData(
+        """{"id":"event-123","type":"user.signup","timestamp":1234567890,"data":{"userId":"user-456"}}""")
+      q.processAllAvailable()
+      val rows = spark.table("enrich_meta_test")
+        .as[graft.streaming.ProcessedEvent].collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r.originalId == "event-123")
+      assert(r.eventType == "user.signup")
+      assert(r.processingDelay >= 0)
+      assert(r.sequence == 1)
+      // payload forwarded, not dropped
+      assert(r.enrichedData("userId") == "user-456")
+      // enrichment keys the reference adds (EventProcessorJob.kt:114-116)
+      assert(r.enrichedData("original_timestamp") == "1234567890")
+      assert(r.enrichedData("processing_pipeline") == "graft-event-processor")
+    } finally q.stop()
+  }
+
   test("sliding metrics puts each event in two windows") {
     val processed = Seq(
       ("user-1", "login", 0L),
@@ -157,14 +188,14 @@ class EventStreamSpec extends AnyFunSuite {
       .queryName("sliding_test").outputMode("append").start()
     try {
       input.addData(
-        ProcessedEvent("u1", "login", 0L, 0L, 1),
-        ProcessedEvent("u1", "view", 60000L, 0L, 2))
+        ProcessedEvent("u1", "login", 0L, 0L, Map.empty, 1),
+        ProcessedEvent("u1", "view", 60000L, 0L, Map.empty, 2))
       q.processAllAvailable()
       // nothing emitted yet: watermark hasn't passed the windows' end
       assert(spark.table("sliding_test").count() == 0)
       // an event 40 min later pushes the watermark (max - 10 min) past
       // every window containing the first two events
-      input.addData(ProcessedEvent("u1", "login", 40L * 60 * 1000, 0L, 3))
+      input.addData(ProcessedEvent("u1", "login", 40L * 60 * 1000, 0L, Map.empty, 3))
       q.processAllAvailable()
       val rows = spark.table("sliding_test").collect()
       assert(rows.length == 2) // the two sliding windows of events 1-2
