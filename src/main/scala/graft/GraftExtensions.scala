@@ -16,5 +16,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.LongArrayDot].getName, "graft_dot"),
       exprs => functions.GraftFunctions.dotBuilder(exprs)))
     e.injectPlannerStrategy(_ => plans.TopKStrategy)
+    e.injectPlannerStrategy(_ => plans.AsofJoinStrategy)
   }
 }

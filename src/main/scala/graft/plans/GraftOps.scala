@@ -28,4 +28,30 @@ object GraftOps {
       k,
       Bridge.logicalPlan(df)))
   }
+
+  /** As-of join (left outer): for each `left` row, the `right` row
+    * with equal keys and the greatest `rightTime` <= `leftTime`;
+    * right columns NULL when none exists. Executes as a co-partitioned
+    * single-pass sort-merge — see [[AsofJoin]] for semantics and the
+    * comparison with the union-window formulation.
+    *
+    * `left` and `right` must not share attribute lineage (build the
+    * sides from separate reads or alias the columns apart), and time
+    * columns are cast to LongType.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[Column], rightKeys: Seq[Column],
+      leftTime: Column, rightTime: Column): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      "asofJoin needs matching non-empty key lists")
+    val spark = left.sparkSession
+    Bridge.addStrategy(spark, AsofJoinStrategy)
+    Bridge.ofRows(spark, AsofJoin(
+      leftKeys.map(Bridge.eagerExpression),
+      rightKeys.map(Bridge.eagerExpression),
+      Bridge.eagerExpression(leftTime.cast("long")),
+      Bridge.eagerExpression(rightTime.cast("long")),
+      Bridge.logicalPlan(left),
+      Bridge.logicalPlan(right)))
+  }
 }

@@ -248,4 +248,23 @@ class EventStreamSpec extends AnyFunSuite {
     // smoke of the option-application path only.
     EventStream.kafkaSource(spark, "broker:9092", "input-events")
   }
+
+  test("kafka source builder reaches Spark's data-source resolution") {
+    // The spark-sql-kafka connector jar is not shippable into this
+    // zero-egress container (not in /opt/spark/jars, not in the
+    // offline dependency cache), so load() cannot produce a plan here.
+    // What IS verifiable offline: the builder's format/options flow
+    // into DataSource resolution — load() must fail with Spark's
+    // missing-data-source error (naming the kafka format and its maven
+    // coordinate), NOT an option/validation error. On a cluster with
+    // the standard connector jar the same builder resolves to the
+    // key/value/topic/partition/offset/timestamp schema.
+    val e = intercept[Exception] {
+      EventStream.kafkaSource(spark, "broker:9092", "input-events").load()
+    }
+    val msg = e.getMessage
+    assert(msg.toLowerCase.contains("kafka"), s"unexpected failure: $msg")
+    assert(msg.contains("DATA_SOURCE_NOT_FOUND") || msg.contains("Failed to find"),
+      s"expected missing-data-source resolution error, got: $msg")
+  }
 }
