@@ -85,6 +85,15 @@ object EventStream {
     * direct analog of Flink's keyed ValueState. Events within a
     * micro-batch are ordered by (timestamp, then arrival) so replays
     * are deterministic.
+    *
+    * Memory note: `events.toSeq.sortBy` buffers ONE key's rows within
+    * ONE micro-batch (the same per-key granularity the reference's
+    * per-event state loop holds implicitly). A pathologically hot key
+    * in a very large trigger interval concentrates that buffer on one
+    * task — the mitigation at scale is a shorter trigger (bounds rows
+    * per batch) or chunked ordering (sort key-hash prefixes separately
+    * and stitch sequences via the state value) if a single key can
+    * exceed task memory.
     */
   def enrich(valid: Dataset[ParsedEvent]): Dataset[ProcessedEvent] = {
     import valid.sparkSession.implicits._
@@ -116,6 +125,15 @@ object EventStream {
     * reference's 5 s emit cadence maps to the streaming TRIGGER; the
     * window geometry here is 10 min / 5 min so each event lands in
     * exactly 2 windows (state volume stays bounded).
+    *
+    * Known semantic gap vs the reference: its processing-time timer
+    * emits metrics even for windows whose count dropped to zero
+    * (AggregationJob.kt:171-177 — an explicit went-to-zero signal);
+    * Spark's watermark windows only ever emit windows that contain
+    * events. A consumer needing the zero signal should wrap this in
+    * [[foreachBatchSink]] and diff each batch's window set against the
+    * previous one, emitting synthetic zero rows for windows that
+    * disappeared — the batch boundary is the analog of the timer tick.
     */
   def slidingMetrics(processed: DataFrame, eventTypes: Seq[String]): DataFrame = {
     val withTime = processed

@@ -38,6 +38,29 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("ann_bruteforce").contains("Broadcast"))
   }
 
+  test("q_decile never funnels the orders scan through one partition") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val plan = SparkEntry.queries("q_decile")(spark, d)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.sparkPlan
+    // single-partition funnels are only legal over the tiny per-
+    // partition-count aggregate (P rows), never over the raw scan
+    val narrowFunnels = plan.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(narrowFunnels.nonEmpty, "expected the P-row offsets funnel to exist")
+    narrowFunnels.foreach { n =>
+      assert(n.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+        s"single-partition node sits directly on unaggregated data:\n$n")
+    }
+    assert(!plan.toString.contains("ntile"),
+      "q_decile must not use the single-partition NTILE window")
+  }
+
   test("q1 aggregates inside whole-stage codegen") {
     // AQE finalizes codegen at execution: run the query, then read the
     // final adaptive plan.
