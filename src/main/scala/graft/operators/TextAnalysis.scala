@@ -221,5 +221,90 @@ object TextAnalysis {
     },
     None)
 
-  val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint, rollingFingerprint)
+  /** Structural PII patterns (ASCII-only so Java regex and DuckDB's
+    * RE2 agree byte-for-byte) and a denylist for dictionary scrubbing.
+    */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  private val Ipv4Re = "\\b[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}\\b"
+  private val DenyTerms = Seq("customer", "vector")
+  private val DenyRe = DenyTerms.mkString("\\b(", "|", ")\\b")
+
+  /** PII / denylist scrubbing — the redaction pass every training
+    * pipeline runs before anything else sees the text. Two layers:
+    * structural patterns (emails, IPv4s — regex, count + replace) and
+    * a dictionary denylist (word-boundary alternation). Counts are
+    * measured on the ORIGINAL text; the emitted `scrubbed` column has
+    * structural matches replaced first, then denylist terms, so the
+    * output is reproducible regardless of pattern overlap.
+    *
+    * Narrow per-row map over the pruned scan — scan-speed at 100 TB;
+    * regexes are RE2-compatible (no backtracking blowups) and run
+    * inside codegen.
+    */
+  val scrub = QueryDef(
+    "text_scrub",
+    (s, d) => {
+      val redacted =
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), EmailRe, "[EMAIL]"),
+            Ipv4Re, "[IP]"),
+          DenyRe, "[TERM]")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).cast(LongType).as("n_emails"),
+        regexp_count(col("text"), lit(Ipv4Re)).cast(LongType).as("n_ips"),
+        regexp_count(col("text"), lit(DenyRe)).cast(LongType).as("n_denylist"),
+        redacted.as("scrubbed"))
+    },
+    // NOTE: the Scala regex strings contain single backslashes (e.g.
+    // \b) which DuckDB's single-quoted strings pass through verbatim,
+    // so the same literal works in both engines' RE2-compatible space.
+    Some(s"""SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ips,
+      CAST(len(regexp_extract_all(text, '$DenyRe')) AS BIGINT) AS n_denylist,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, '$EmailRe', '[EMAIL]', 'g'),
+          '$Ipv4Re', '[IP]', 'g'),
+        '$DenyRe', '[TERM]', 'g') AS scrubbed
+    FROM documents"""))
+
+  /** Within-document repetition score (the Gopher/MassiveText
+    * repetition filter family): fraction of duplicated word-3-shingles
+    * inside each doc. High values flag boilerplate/looping text that
+    * an LLM pipeline drops or down-weights. Shingle totals come
+    * straight from the word count (nw - 2); distincts reuse the
+    * window-lead shingle rows — one narrow scan plus one doc_id
+    * shuffle.
+    */
+  val repetition = QueryDef(
+    "text_repetition",
+    (s, d) => {
+      val distinctSh = Dedup.shingleStrings(s, d)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_distinct_shingles"))
+      val totals = Tables.documents(s, d).select(
+        col("doc_id"),
+        when(size(words) >= 3, (size(words) - 2).cast(LongType))
+          .otherwise(1L).as("n_shingles"))
+      totals.join(distinctSh, "doc_id")
+        .withColumn("dup_shingle_frac",
+          lit(1.0) - col("n_distinct_shingles").cast(DoubleType) / col("n_shingles"))
+        .select("doc_id", "n_shingles", "n_distinct_shingles", "dup_shingle_frac")
+    },
+    Some(s"""WITH sh AS (
+      SELECT doc_id,
+        CASE WHEN len(string_split(text, ' ')) >= 3
+             THEN CAST(len(string_split(text, ' ')) - 2 AS BIGINT)
+             ELSE CAST(1 AS BIGINT) END AS n_shingles,
+        CAST(len(list_distinct(${shinglesSql("text")})) AS BIGINT) AS n_distinct_shingles
+      FROM documents)
+    SELECT doc_id, n_shingles, n_distinct_shingles,
+      1.0 - CAST(n_distinct_shingles AS DOUBLE) / n_shingles AS dup_shingle_frac
+    FROM sh"""))
+
+  val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint,
+    rollingFingerprint, scrub, repetition)
 }

@@ -67,6 +67,46 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Int]("frame_id") % 2 == 0))
   }
 
+  test("text_scrub redacts denylist terms and counts honestly") {
+    val rows = SparkEntry.queries("text_scrub")(spark, d).collect()
+    assert(rows.length == 500)
+    // non-vacuous: the denylist terms occur in this corpus
+    assert(rows.exists(_.getAs[Long]("n_denylist") > 0))
+    // every flagged doc's output no longer contains the bare term,
+    // and the replacement marker appears exactly when flagged
+    rows.foreach { r =>
+      val scrubbed = r.getAs[String]("scrubbed")
+      val flagged = r.getAs[Long]("n_denylist") > 0
+      assert(!scrubbed.matches(".*\\b(customer|vector)\\b.*"),
+        s"doc ${r.getLong(0)} still contains a denylist term")
+      assert(scrubbed.contains("[TERM]") == flagged,
+        s"doc ${r.getLong(0)}: marker/count disagree")
+    }
+  }
+
+  test("text_repetition scores duplicated shingles in [0,1)") {
+    val rows = SparkEntry.queries("text_repetition")(spark, d).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val frac = r.getAs[Double]("dup_shingle_frac")
+      assert(frac >= 0.0 && frac < 1.0, s"doc ${r.getLong(0)}: frac $frac")
+      assert(r.getAs[Long]("n_distinct_shingles") <= r.getAs[Long]("n_shingles"))
+    }
+    // the word-salad corpus repeats shingles somewhere
+    assert(rows.exists(_.getAs[Double]("dup_shingle_frac") > 0.0))
+  }
+
+  test("decontaminate_ngram flags overlap at both n-gram levels") {
+    val rows = SparkEntry.queries("decontaminate_ngram")(spark, d).collect()
+    assert(rows.nonEmpty, "expected 3-gram contamination hits")
+    // benchmark docs never appear as flagged training docs
+    assert(rows.forall(_.getLong(0) % 53 != 0))
+    // 5-gram hits are a subset of 3-gram hits (every row HAS n3 > 0)
+    assert(rows.forall(_.getAs[Long]("n3_shingles_shared") > 0))
+    // the realistic 5-gram level fires somewhere in this corpus
+    assert(rows.exists(_.getAs[Long]("n5_shingles_shared") > 0))
+  }
+
   test("producer datagen is deterministic") {
     val a = SparkEntry.queries("producer_datagen")(spark, d).collect()
     val b = SparkEntry.queries("producer_datagen")(spark, d).collect()
