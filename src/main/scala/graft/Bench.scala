@@ -16,8 +16,28 @@ import scala.util.control.NonFatal
   * (not `count()`, under which Catalyst would eliminate top-level
   * sorts and undertime sort-heavy queries). A query failing every rep
   * reports -1 in the per-query map and is EXCLUDED from `total`.
+  *
+  * Beyond wall time, a SparkListener captures per-query SHUFFLE WRITE
+  * and SPILL bytes (from the fastest rep) — wall time at local[32]
+  * hides exactly the costs that dominate on a cluster, so the
+  * `shuffle_bytes`/`spill_bytes` maps are the scale-facing half of the
+  * report. The listener bus is drained before each delta is read.
   */
 object Bench {
+
+  private final class ShuffleMetricsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -31,6 +51,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val metrics = new ShuffleMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
+    def drained[A](body: => A): A = {
+      val r = body
+      org.apache.spark.graft.SparkInternals.drainListeners(spark.sparkContext)
+      r
+    }
 
     // Warmup: touch the parquet reader, a shuffle, a broadcast and the
     // codegen compiler once before any measurement.
@@ -38,29 +65,36 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).flatMap { rep =>
+      val runs = (1 to reps).flatMap { rep =>
+        val sh0 = drained(metrics.shuffleBytes.get())
+        val sp0 = metrics.spillBytes.get()
         val t0 = System.nanoTime()
         try {
           // noop sink materializes every row (and keeps the plan's
           // sorts) without writing anywhere.
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          drained(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+          val secs = (System.nanoTime() - t0) / 1e9
+          Some((secs, metrics.shuffleBytes.get() - sh0, metrics.spillBytes.get() - sp0))
         } catch {
           case NonFatal(e) =>
             System.err.println(s"[bench] $name rep $rep failed: ${e.getMessage}")
             None
         }
       }
-      name -> times.minOption.getOrElse(-1.0)
+      name -> runs.minByOption(_._1).getOrElse((-1.0, -1L, -1L))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (t, _, _)) => "\"" + k + "\":" + t }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val shuffles = results.map { case (k, (_, sh, _)) => "\"" + k + "\":" + sh }
+      .mkString("{", ",", "}")
+    val spills = results.map { case (k, (_, _, sp)) => "\"" + k + "\":" + sp }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, (v, _, _)) if v >= 0 => v }.sum
     // failures surfaced explicitly: a broken query must not read as a
     // smaller (better) total
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val failed = results.collect { case (k, (v, _, _)) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"shuffle_bytes":$shuffles,"spill_bytes":$spills,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -39,6 +39,28 @@ object GraftOps {
     * sides from separate reads or alias the columns apart), and time
     * columns are cast to LongType.
     */
+  /** Partition-skew diagnostic: per-partition row counts of `df` AS
+    * CURRENTLY PARTITIONED, one output row per non-empty partition.
+    * The skew ratio (max/mean) is the number that predicts straggler
+    * tasks at scale; [[skewRatio]] computes it directly. Cost: one
+    * narrow pass + a tiny aggregate — safe to run on any intermediate.
+    */
+  def partitionStats(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** max/mean rows per partition (1.0 = perfectly balanced; empty
+    * input returns 0). Values far above ~2 mean a hot key or bad
+    * partitioning is concentrating work on straggler tasks.
+    */
+  def skewRatio(df: DataFrame): Double = {
+    val stats = partitionStats(df).collect().map(_.getLong(1))
+    if (stats.isEmpty) 0.0
+    else stats.max.toDouble / (stats.sum.toDouble / stats.length)
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKeys: Seq[Column], rightKeys: Seq[Column],
       leftTime: Column, rightTime: Column): DataFrame = {
