@@ -53,10 +53,12 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     val metrics = new ShuffleMetricsListener
     spark.sparkContext.addSparkListener(metrics)
-    def drained[A](body: => A): A = {
-      val r = body
+    // Drain FIRST, then read: pending task-end events from whatever
+    // ran before (warmup, a failed rep with no end-drain) must be
+    // applied to the counters before they serve as a baseline.
+    def settledCounters(): (Long, Long) = {
       org.apache.spark.graft.SparkInternals.drainListeners(spark.sparkContext)
-      r
+      (metrics.shuffleBytes.get(), metrics.spillBytes.get())
     }
 
     // Warmup: touch the parquet reader, a shuffle, a broadcast and the
@@ -66,15 +68,15 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to reps).flatMap { rep =>
-        val sh0 = drained(metrics.shuffleBytes.get())
-        val sp0 = metrics.spillBytes.get()
+        val (sh0, sp0) = settledCounters()
         val t0 = System.nanoTime()
         try {
           // noop sink materializes every row (and keeps the plan's
           // sorts) without writing anywhere.
-          drained(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val secs = (System.nanoTime() - t0) / 1e9
-          Some((secs, metrics.shuffleBytes.get() - sh0, metrics.spillBytes.get() - sp0))
+          val (sh1, sp1) = settledCounters()
+          Some((secs, sh1 - sh0, sp1 - sp0))
         } catch {
           case NonFatal(e) =>
             System.err.println(s"[bench] $name rep $rep failed: ${e.getMessage}")

@@ -285,12 +285,16 @@ object Analytics {
     *
     * Distributed two-phase ranking (the TeraSort shape):
     *  1. `repartitionByRange` on the sort key — each range partition
-    *     holds a contiguous slice of the global order;
-    *  2. per-partition `row_number` (window partitioned by the range
-    *     partition id — every partition sorts independently);
+    *     holds a contiguous slice of the global order — then
+    *     `sortWithinPartitions`: ONE shuffle, local sorts;
+    *  2. per-partition local rank for free from
+    *     `monotonically_increasing_id` (upper bits = partition id,
+    *     lower 33 = row offset in partition order, i.e. sorted order)
+    *     — no window over the data, no second exchange;
     *  3. global rank = local rank + offset, where the offsets are the
     *     running sum of per-partition counts — a P-row aggregate (P =
-    *     shuffle partitions), broadcast back;
+    *     shuffle partitions), broadcast back (the offsets branch
+    *     shares the range exchange, reused at runtime);
     *  4. NTILE's bucket arithmetic applied to (rank, n) exactly: with
     *     q = n div 10 and r = n mod 10, buckets 1..r hold q+1 rows.
     * The only single-partition work is the running sum over P rows.
@@ -301,12 +305,13 @@ object Analytics {
     "q_decile",
     (s, d) => {
       val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val parts = Tables.orders(s, d)
+      val local = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"))
         .repartitionByRange(nParts, col("o_totalprice"), col("o_orderkey"))
-        .withColumn("_pid", spark_partition_id())
-      val wLocal = Window.partitionBy("_pid").orderBy("o_totalprice", "o_orderkey")
-      val local = parts.withColumn("_lrn", row_number().over(wLocal).cast(LongType))
+        .sortWithinPartitions("o_totalprice", "o_orderkey")
+        .withColumn("_mid", monotonically_increasing_id())
+        .withColumn("_pid", shiftright(col("_mid"), 33))
+        .withColumn("_lrn", col("_mid").bitwiseAND((1L << 33) - 1) + 1L)
       // One row per shuffle partition: the running-sum window below is
       // single-partition but over P rows, not the data.
       val wCum = Window.orderBy("_pid")

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination: flag training documents sharing word
@@ -30,23 +29,14 @@ object Contamination {
 
   private val BenchMod = 53
 
-  /** Distinct word n-grams per doc as (doc_id, g) hash rows, built
-    * with the split-once + posexplode + window-lead shape (see
-    * [[Dedup.shingleStrings]] for why this beats transform-over-array
-    * ~6x). Docs shorter than n words have no n-gram (no short-doc
-    * fallback here: a 2-word doc cannot leak a 5-gram).
+  /** Distinct word n-grams per doc as (doc_id, g) hash rows — the
+    * shared [[Dedup.ngramStrings]] builder without the short-doc
+    * fallback (a 2-word doc cannot leak a 5-gram), hashed so the join
+    * shuffles 8-byte keys.
     */
-  private def ngramKeys(s: SparkSession, d: String, n: Int): DataFrame = {
-    val wspec = Window.partitionBy("doc_id").orderBy("pos")
-    Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .select(col("doc_id"),
-        concat_ws(" ", col("w") +: (1 until n).map(k => lead("w", k).over(wspec)): _*).as("g0"),
-        lead("w", n - 1).over(wspec).as("guard"))
-      .filter(col("guard").isNotNull)
-      .groupBy(col("doc_id"), xxhash64(col("g0")).as("g")).agg(count(lit(1)).as("_c"))
-      .drop("_c")
-  }
+  private def ngramKeys(s: SparkSession, d: String, n: Int): DataFrame =
+    Dedup.ngramStrings(s, d, n, shortDocFallback = false)
+      .select(col("doc_id"), xxhash64(col("g0")).as("g"))
 
   private def hitsAt(s: SparkSession, d: String, n: Int): DataFrame = {
     val sh = ngramKeys(s, d, n)

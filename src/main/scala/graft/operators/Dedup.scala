@@ -38,32 +38,47 @@ object Dedup {
     */
   private val JaccardTau = 0.5
 
-  /** Distinct word-3-shingle STRINGS per doc: (doc_id, g0) rows.
+  /** Distinct word-n-gram STRINGS per doc: (doc_id, g0) rows — the
+    * single n-gram builder every shingling consumer shares
+    * (jaccard/minhash/simhash at n=3, decontamination at n=3/5).
     *
     * Shape chosen after profiling: split once + posexplode + window
-    * `lead` builds each shingle exactly once per position. The naive
+    * `lead` builds each n-gram exactly once per position. The naive
     * `transform(sequence, i -> element_at(split(text), i))` form
     * re-evaluates `split` for every element access (CollapseProject
     * inlines it) and was ~6x slower end-to-end.
+    *
+    * `shortDocFallback`: docs under n words contribute their whole
+    * text as one pseudo-gram (the dedup-family convention, mirrored by
+    * the oracles' ELSE branch); without it they contribute nothing
+    * (the decontamination convention — a 2-word doc can't leak a
+    * 5-gram).
     */
-  private[operators] def shingleStrings(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private[operators] def ngramStrings(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      n: Int, shortDocFallback: Boolean): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wspec = Window.partitionBy("doc_id").orderBy("pos")
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), size(split(col("text"), " ")).as("nw"))
-    val long = docs.filter(col("nw") >= 3)
+    val long = docs.filter(col("nw") >= n)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
       .select(col("doc_id"),
-        concat_ws(" ", col("w"), lead("w", 1).over(wspec), lead("w", 2).over(wspec)).as("g0"),
-        lead("w", 2).over(wspec).as("guard"))
+        concat_ws(" ", col("w") +: (1 until n).map(k => lead("w", k).over(wspec)): _*).as("g0"),
+        lead("w", n - 1).over(wspec).as("guard"))
       .filter(col("guard").isNotNull)
       .select("doc_id", "g0")
-    // Short-doc fallback: <3 words -> the whole text as one shingle,
-    // matching TextAnalysis.shingles and the oracles' ELSE branch.
-    val short = docs.filter(col("nw") < 3).select(col("doc_id"), col("text").as("g0"))
-    long.unionByName(short)
-      .groupBy("doc_id", "g0").agg(count(lit(1)).as("_c")).drop("_c")
+    val base =
+      if (shortDocFallback)
+        long.unionByName(
+          docs.filter(col("nw") < n).select(col("doc_id"), col("text").as("g0")))
+      else long
+    base.groupBy("doc_id", "g0").agg(count(lit(1)).as("_c")).drop("_c")
   }
+
+  /** The dedup family's word-3-shingles (with short-doc fallback). */
+  private[operators] def shingleStrings(s: org.apache.spark.sql.SparkSession, d: String) =
+    ngramStrings(s, d, 3, shortDocFallback = true)
 
   /** Document-frequency cap on join shingles: a shingle present in
     * more than this many documents is a boilerplate/stop-shingle — it

@@ -30,7 +30,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * matters (the reference query collapses clicks per (user, ms)
   * first). Null keys compare like values (sort-order semantics), so
   * null-keyed left rows match null-keyed right rows — filter them
-  * beforehand for SQL-equality semantics.
+  * beforehand for SQL-equality semantics. NULL TIMES never match
+  * (SQL comparison semantics): a NULL-time left row emits the
+  * null-extended result, and NULL-time right rows are skipped.
   */
 final case class AsofJoin(
     leftKeys: Seq[Expression],
@@ -110,29 +112,44 @@ final case class AsofJoinExec(
 
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
-        val lT = lTimeBound.eval(lRow).asInstanceOf[Long]
-        // advance the right side through (key < lKey) and
-        // (key == lKey && time <= lT)
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val rRow = rBuf.head
-          val rKey = rKeyProj(rRow)
-          val c = keyOrd.compare(rKey, lKey)
-          if (c < 0) {
-            rBuf.next() // behind the probe key: discard
-          } else if (c == 0 && rTimeBound.eval(rRow).asInstanceOf[Long] <= lT) {
-            lastKey = rKey.copy()
-            lastRow = rBuf.next().copy()
-          } else {
-            advancing = false
-          }
-        }
-        outRows += 1
-        if (lastRow != null && lastKey != null && keyOrd.compare(lastKey, lKey) == 0) {
-          matched += 1
-          resultProj(joined(lRow, lastRow))
-        } else {
+        val lTAny = lTimeBound.eval(lRow)
+        if (lTAny == null) {
+          // NULL left time: "at or before NULL" matches nothing
+          // (SQL comparison semantics, not a coerced 0)
+          outRows += 1
           resultProj(joined(lRow, nullRight))
+        } else {
+          val lT = lTAny.asInstanceOf[Long]
+          // advance the right side through (key < lKey) and
+          // (key == lKey && time <= lT)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rRow = rBuf.head
+            val rKey = rKeyProj(rRow)
+            val c = keyOrd.compare(rKey, lKey)
+            if (c < 0) {
+              rBuf.next() // behind the probe key: discard
+            } else if (c == 0) {
+              val rTAny = rTimeBound.eval(rRow)
+              if (rTAny == null) {
+                rBuf.next() // NULL right time can never be a match
+              } else if (rTAny.asInstanceOf[Long] <= lT) {
+                lastKey = rKey.copy()
+                lastRow = rBuf.next().copy()
+              } else {
+                advancing = false
+              }
+            } else {
+              advancing = false
+            }
+          }
+          outRows += 1
+          if (lastRow != null && lastKey != null && keyOrd.compare(lastKey, lKey) == 0) {
+            matched += 1
+            resultProj(joined(lRow, lastRow))
+          } else {
+            resultProj(joined(lRow, nullRight))
+          }
         }
       }
     }

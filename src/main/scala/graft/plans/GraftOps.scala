@@ -29,16 +29,6 @@ object GraftOps {
       Bridge.logicalPlan(df)))
   }
 
-  /** As-of join (left outer): for each `left` row, the `right` row
-    * with equal keys and the greatest `rightTime` <= `leftTime`;
-    * right columns NULL when none exists. Executes as a co-partitioned
-    * single-pass sort-merge — see [[AsofJoin]] for semantics and the
-    * comparison with the union-window formulation.
-    *
-    * `left` and `right` must not share attribute lineage (build the
-    * sides from separate reads or alias the columns apart), and time
-    * columns are cast to LongType.
-    */
   /** Partition-skew diagnostic: per-partition row counts of `df` AS
     * CURRENTLY PARTITIONED, one output row per non-empty partition.
     * The skew ratio (max/mean) is the number that predicts straggler
@@ -61,6 +51,16 @@ object GraftOps {
     else stats.max.toDouble / (stats.sum.toDouble / stats.length)
   }
 
+  /** As-of join (left outer): for each `left` row, the `right` row
+    * with equal keys and the greatest `rightTime` <= `leftTime`;
+    * right columns NULL when none exists. Executes as a co-partitioned
+    * single-pass sort-merge — see [[AsofJoin]] for semantics and the
+    * comparison with the union-window formulation.
+    *
+    * `left` and `right` must not share attribute lineage (build the
+    * sides from separate reads or alias the columns apart), and time
+    * columns are cast to LongType.
+    */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKeys: Seq[Column], rightKeys: Seq[Column],
       leftTime: Column, rightTime: Column): DataFrame = {

@@ -47,6 +47,28 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out == Set(("a", 100L, 1L, Some(100L)), ("b", 100L, 2L, Some(200L))))
   }
 
+  test("NULL times never match (no silent coercion to 0)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("t", LongType),
+      StructField("lv", LongType)))
+    val rschema = StructType(Seq(
+      StructField("rk", StringType), StructField("rt", LongType),
+      StructField("rv", LongType)))
+    val l = spark.createDataFrame(
+      java.util.Arrays.asList(Row("a", null, 1L), Row("a", 10L, 2L)), schema)
+    val r = spark.createDataFrame(
+      java.util.Arrays.asList(Row("a", null, 100L), Row("a", 5L, 200L)), rschema)
+    val out = GraftOps.asofJoin(l, r, Seq(col("k")), Seq(col("rk")), col("t"), col("rt"))
+      .select("lv", "rv").collect()
+      .map(row => (row.getLong(0),
+        if (row.isNullAt(1)) None else Some(row.getLong(1)))).toSet
+    // null-time left row matches nothing; the real row matches only
+    // the non-null-time right row (NOT the null-time one coerced to 0)
+    assert(out == Set((1L, None), (2L, Some(200L))))
+  }
+
   test("matches the union-window formulation on the events table") {
     val d = TestSpark.sfDir
     val expected = SparkEntry.queries("q_asof_join")(spark, d)
