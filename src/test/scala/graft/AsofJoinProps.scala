@@ -1,0 +1,57 @@
+package graft
+
+import graft.plans.GraftOps
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAllNoShrink
+
+/** Property test: the custom sort-merge as-of join must agree with a
+  * plain Scala reference on arbitrary inputs — few keys, clustered
+  * times (to force equal-timestamp and cross-key edges), arbitrary
+  * side sizes including empty right sides.
+  *
+  * The right side is pre-collapsed per (key, time) — the operator's
+  * documented uniqueness contract — by keeping the max value, mirroring
+  * how q_asof_join_custom collapses clicks.
+  */
+object AsofJoinProps extends Properties("AsofJoin") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
+  private lazy val spark = TestSpark.spark
+
+  private val rowGen = for {
+    key <- Gen.choose(0, 3)
+    t <- Gen.choose(0L, 12L) // tight range -> many exact-time collisions
+  } yield (key, t)
+
+  private val caseGen = for {
+    nl <- Gen.choose(0, 40)
+    nr <- Gen.choose(0, 40)
+    lrows <- Gen.listOfN(nl, rowGen)
+    rrows <- Gen.listOfN(nr, rowGen)
+  } yield (
+    lrows.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) },
+    // collapse to unique (key, time), keep max value
+    rrows.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong + 1000) }
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toList)
+
+  property("equals per-row scan reference") = forAllNoShrink(caseGen) { case (lrows, rrows) =>
+    import spark.implicits._
+    val l = lrows.toDF("k", "t", "lv")
+    val r = rrows.toDF("rk", "rt", "rv")
+    val got = GraftOps.asofJoin(l, r, Seq(col("k")), Seq(col("rk")), col("t"), col("rt"))
+      .select("lv", "rv").collect()
+      .map(row => row.getLong(0) ->
+        (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+    val want = lrows.map { case (k, t, lv) =>
+      val candidates = rrows.filter(r => r._1 == k && r._2 <= t)
+      lv -> (if (candidates.isEmpty) None
+             else Some(candidates.maxBy(r => (r._2, r._3))._3))
+    }.toMap
+    val ok = got == want && got.size == lrows.size
+    if (!ok) println(s"MISMATCH\n left=$lrows\n right=$rrows\n got=$got\n want=$want")
+    ok
+  }
+}
