@@ -285,13 +285,17 @@ object Similarity {
     * probes the nprobe nearest cells and exact-reranks only those
     * candidates.
     *
-    * Scale shape: the corpus is scanned once to train/assign (at real
-    * scale: train on a sample, assign with one broadcast of the
-    * centroid matrix), candidate generation is an equi-join on
-    * cell id, and rerank touches ~nprobe/nlist of the corpus.
-    * Rows-only check: the oracle cannot replicate MLlib's k-means||
-    * initialization; correctness evidence is the recall-vs-bruteforce
-    * spec instead.
+    * Scale shape: the quantizer trains on a BOUNDED sample of the
+    * corpus (`limit(QuantizerTrainCap)` — a coarse quantizer needs
+    * only a representative sample, and an unbounded `fit` would pull
+    * the whole corpus through the driver-coordinated k-means at
+    * 100 TB; below the cap, as at the test SFs, the full corpus
+    * trains so results are unchanged). Assignment is one pass with
+    * the broadcast centroid matrix, candidate generation is an
+    * equi-join on cell id, and rerank touches ~nprobe/nlist of the
+    * corpus. Rows-only check: the oracle cannot replicate MLlib's
+    * k-means|| initialization; correctness evidence is the
+    * recall-vs-bruteforce spec instead.
     */
   val annIvf = QueryDef(
     "ann_ivf",
@@ -301,12 +305,13 @@ object Similarity {
       import org.apache.spark.ml.functions.array_to_vector
       val NList = 16
       val NProbe = 4
+      val QuantizerTrainCap = 100000
       val emb = quantized(s, d)
       val featured = Tables.embeddings(s, d)
         .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
       val model = new KMeans().setK(NList).setSeed(42L).setMaxIter(10)
         .setFeaturesCol("features").setPredictionCol("cell")
-        .fit(featured)
+        .fit(featured.limit(QuantizerTrainCap))
       val assigned = model.transform(featured).select("vec_id", "cell")
         .join(emb, "vec_id")
       // nprobe nearest cells per query vector (centroid matrix is tiny
