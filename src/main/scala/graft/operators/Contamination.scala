@@ -38,7 +38,12 @@ object Contamination {
     Dedup.ngramStrings(s, d, n, shortDocFallback = false)
       .select(col("doc_id"), xxhash64(col("g0")).as("g"))
 
-  private def hitsAt(s: SparkSession, d: String, n: Int): DataFrame = {
+  /** Contamination hits at one n-gram level: (doc_id,
+    * n{n}_shingles_shared, n{n}_benchmark_docs) for flagged training
+    * docs. Exposed so compositions needing a single level (e.g. the
+    * curate pipeline's 5-gram screen) don't pay for the other.
+    */
+  private[operators] def hitsAt(s: SparkSession, d: String, n: Int): DataFrame = {
     val sh = ngramKeys(s, d, n)
     val bench = sh.filter(col("doc_id") % BenchMod === 0)
       .select(col("g"), col("doc_id").as("bench_id"))

@@ -5,24 +5,28 @@ import org.apache.spark.sql.functions._
 
 /** End-to-end training-corpus curation — the flagship composition:
   * quality scoring -> language ID -> duplicate-cluster removal (keep
-  * the canonical doc of each near-dup cluster) -> deterministic
-  * train split. The three per-doc scores are computed in one select
-  * over a single documents scan (shared Column builders with the
-  * standalone oracle-verified queries); the dedup branch is the
-  * already-blocking pair pipeline — the whole thing is shuffle-
+  * the canonical doc of each near-dup cluster) -> within-doc
+  * repetition gate -> benchmark-decontamination (5-gram level) ->
+  * deterministic train split. The per-doc scores are computed in one
+  * select over a single documents scan (shared Column builders with
+  * the standalone oracle-verified queries); the dedup, repetition and
+  * contamination branches join in — the whole thing is shuffle-
   * bounded by its dedup step.
   *
   * This is the query a user of the engine actually ships: "give me
-  * the deduplicated, quality-filtered train shard of this corpus."
+  * the deduplicated, quality-filtered, decontaminated train shard of
+  * this corpus."
   */
 object Curate {
+
+  private val MaxDupShingleFrac = 0.5
 
   val curate = QueryDef(
     "pipeline_curate",
     (s, d) => {
       // All per-doc scores in ONE select over one documents scan
       // (shared Column builders, same expressions the standalone
-      // queries verify); only the dedup branch joins in.
+      // queries verify); the branch pipelines join in.
       val scored = Tables.documents(s, d).select(
         col("doc_id"),
         TextAnalysis.predictedLangCol(col("text")).as("predicted_lang"),
@@ -30,10 +34,22 @@ object Curate {
         Sampling.splitCol(col("text")).as("split"))
       val dups = Dedup.clusterKeep.fn(s, d)
         .select(col("doc_id"), col("keep"))
+      val rep = TextAnalysis.repetition.fn(s, d)
+        .select(col("doc_id"), col("dup_shingle_frac"))
+      // exclude only the realistic 5-gram leakage hits: the 3-gram
+      // level over-flags common phrasing (see Contamination scaladoc).
+      // hitsAt(5) directly — the full decontaminate query would also
+      // compute the (expensive, unused-here) 3-gram join.
+      val contaminated = Contamination.hitsAt(s, d, 5)
+        .select(col("doc_id"), lit(true).as("_contaminated"))
       scored
         .join(dups, Seq("doc_id"), "left")
+        .join(rep, Seq("doc_id"), "left")
+        .join(contaminated, Seq("doc_id"), "left")
         .filter(col("keep").isNull || col("keep"))       // canonical docs only
         .filter(col("quality_score") >= 0.5)             // quality gate
+        .filter(coalesce(col("dup_shingle_frac"), lit(0.0)) < MaxDupShingleFrac)
+        .filter(col("_contaminated").isNull)             // eval-leakage screen
         .filter(col("split") === "train")                // train shard
         .select("doc_id", "predicted_lang", "quality_score")
     },
@@ -44,14 +60,20 @@ object Curate {
       val langSql = TextAnalysis.langId.oracle.get
       val dupsSql = Dedup.clusterKeep.oracle.get
       val splitSql = Sampling.hashSplit.oracle.get
+      val repSql = TextAnalysis.repetition.oracle.get
+      val decontSql = Contamination.decontaminate.oracle.get
       s"""SELECT d.doc_id, l.predicted_lang, q.quality_score
     FROM documents d
     JOIN ($qualitySql) q ON q.doc_id = d.doc_id
     JOIN ($langSql) l ON l.doc_id = d.doc_id
     JOIN ($splitSql) sp ON sp.doc_id = d.doc_id
     LEFT JOIN ($dupsSql) dup ON dup.doc_id = d.doc_id
+    LEFT JOIN ($repSql) r ON r.doc_id = d.doc_id
+    LEFT JOIN ($decontSql) c ON c.doc_id = d.doc_id AND c.n5_shingles_shared > 0
     WHERE (dup.keep IS NULL OR dup.keep)
       AND q.quality_score >= 0.5
+      AND COALESCE(r.dup_shingle_frac, 0.0) < $MaxDupShingleFrac
+      AND c.doc_id IS NULL
       AND sp.split = 'train'
     ORDER BY d.doc_id"""
     })
