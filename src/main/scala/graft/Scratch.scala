@@ -35,6 +35,24 @@ object Scratch {
     val top = plans.GraftOps.topKPerKey(
       Tables.events(spark, d), Seq(col("event_type")), col("value"), col("event_id"), 2)
     println(s"[scratch] topKPerKey rows: ${top.count()} (5 types x 2)")
+
+    val purchases = Tables.events(spark, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 1000000").as("ms"), col("event_id"))
+    val clicks = Tables.events(spark, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), expr("ts div 1000000").as("c_ms"),
+        col("event_id").as("click_id"))
+    val asof = plans.GraftOps.asofJoin(purchases, clicks,
+      Seq(col("user_id")), Seq(col("c_user")), col("ms"), col("c_ms"))
+    println(s"[scratch] asofJoin rows: ${asof.count()}")
+
+    val hll = Tables.events(spark, d)
+      .agg(functions.HllSketchAgg.approxDistinct(col("user_id")).as("u"))
+      .collect().head.getLong(0)
+    println(s"[scratch] hll approx distinct users: $hll")
+
+    println(s"[scratch] events skew ratio: ${plans.GraftOps.skewRatio(Tables.events(spark, d))}")
     spark.stop()
 
     // Driver-parity smoke: entry() must work on a VANILLA session
