@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   */
 object Contamination {
 
-  private val BenchMod = 53
+  private[operators] val BenchMod = 53
 
   /** Distinct word n-grams per doc as (doc_id, g) hash rows — the
     * shared [[Dedup.ngramStrings]] builder without the short-doc
@@ -38,12 +38,24 @@ object Contamination {
     Dedup.ngramStrings(s, d, n, shortDocFallback = false)
       .select(col("doc_id"), xxhash64(col("g0")).as("g"))
 
+  /** Just the flagged training doc_ids at one n-gram level — the
+    * yes/no screen a composition wants. Skips [[hitsAt]]'s two
+    * countDistinct aggregates (whose multi-distinct Expand doubles the
+    * joined-row fan-out) when only membership matters.
+    */
+  private[operators] def contaminatedDocIds(s: SparkSession, d: String, n: Int): DataFrame = {
+    val sh = ngramKeys(s, d, n)
+    val bench = sh.filter(col("doc_id") % BenchMod === 0).select("g")
+    sh.filter(col("doc_id") % BenchMod =!= 0)
+      .join(bench, "g")
+      .select("doc_id").distinct()
+  }
+
   /** Contamination hits at one n-gram level: (doc_id,
     * n{n}_shingles_shared, n{n}_benchmark_docs) for flagged training
-    * docs. Exposed so compositions needing a single level (e.g. the
-    * curate pipeline's 5-gram screen) don't pay for the other.
+    * docs.
     */
-  private[operators] def hitsAt(s: SparkSession, d: String, n: Int): DataFrame = {
+  private def hitsAt(s: SparkSession, d: String, n: Int): DataFrame = {
     val sh = ngramKeys(s, d, n)
     val bench = sh.filter(col("doc_id") % BenchMod === 0)
       .select(col("g"), col("doc_id").as("bench_id"))

@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 /** End-to-end training-corpus curation — the flagship composition:
   * quality scoring -> language ID -> duplicate-cluster removal (keep
   * the canonical doc of each near-dup cluster) -> within-doc
-  * repetition gate -> benchmark-decontamination (5-gram level) ->
-  * deterministic train split. The per-doc scores are computed in one
+  * repetition gate -> benchmark-decontamination (the eval slice
+  * itself AND every doc sharing a 5-gram with it are both excluded —
+  * eval documents must never train) -> deterministic train split. The per-doc scores are computed in one
   * select over a single documents scan (shared Column builders with
   * the standalone oracle-verified queries); the dedup, repetition and
   * contamination branches join in — the whole thing is shuffle-
@@ -38,18 +39,19 @@ object Curate {
         .select(col("doc_id"), col("dup_shingle_frac"))
       // exclude only the realistic 5-gram leakage hits: the 3-gram
       // level over-flags common phrasing (see Contamination scaladoc).
-      // hitsAt(5) directly — the full decontaminate query would also
-      // compute the (expensive, unused-here) 3-gram join.
-      val contaminated = Contamination.hitsAt(s, d, 5)
-        .select(col("doc_id"), lit(true).as("_contaminated"))
+      // contaminatedDocIds(5) is the membership-only screen — the full
+      // decontaminate query would also pay the 3-gram join and the
+      // overlap-count aggregates this pipeline discards.
+      val contaminated = Contamination.contaminatedDocIds(s, d, 5)
       scored
         .join(dups, Seq("doc_id"), "left")
         .join(rep, Seq("doc_id"), "left")
-        .join(contaminated, Seq("doc_id"), "left")
+        .join(contaminated, Seq("doc_id"), "left_anti")  // eval-leakage screen
+        // the benchmark slice itself never trains — it IS the eval set
+        .filter(col("doc_id") % Contamination.BenchMod =!= 0)
         .filter(col("keep").isNull || col("keep"))       // canonical docs only
         .filter(col("quality_score") >= 0.5)             // quality gate
         .filter(coalesce(col("dup_shingle_frac"), lit(0.0)) < MaxDupShingleFrac)
-        .filter(col("_contaminated").isNull)             // eval-leakage screen
         .filter(col("split") === "train")                // train shard
         .select("doc_id", "predicted_lang", "quality_score")
     },
@@ -74,6 +76,7 @@ object Curate {
       AND q.quality_score >= 0.5
       AND COALESCE(r.dup_shingle_frac, 0.0) < $MaxDupShingleFrac
       AND c.doc_id IS NULL
+      AND d.doc_id % ${Contamination.BenchMod} <> 0
       AND sp.split = 'train'
     ORDER BY d.doc_id"""
     })

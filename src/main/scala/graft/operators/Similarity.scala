@@ -285,12 +285,12 @@ object Similarity {
     * probes the nprobe nearest cells and exact-reranks only those
     * candidates.
     *
-    * Scale shape: the quantizer trains on a BOUNDED sample of the
-    * corpus (`limit(QuantizerTrainCap)` — a coarse quantizer needs
-    * only a representative sample, and an unbounded `fit` would pull
-    * the whole corpus through the driver-coordinated k-means at
-    * 100 TB; below the cap, as at the test SFs, the full corpus
-    * trains so results are unchanged). Assignment is one pass with
+    * Scale shape: the quantizer trains on a BOUNDED UNBIASED sample
+    * of the corpus (seeded Bernoulli `sample` at fraction
+    * cap/count — a `limit` prefix would fit the centroids to whatever
+    * region of embedding space the first files cover; below the cap,
+    * as at the test SFs, the full corpus trains so results are
+    * unchanged). Assignment is one pass with
     * the broadcast centroid matrix, candidate generation is an
     * equi-join on cell id, and rerank touches ~nprobe/nlist of the
     * corpus. Rows-only check: the oracle cannot replicate MLlib's
@@ -305,13 +305,18 @@ object Similarity {
       import org.apache.spark.ml.functions.array_to_vector
       val NList = 16
       val NProbe = 4
-      val QuantizerTrainCap = 100000
+      val QuantizerTrainCap = 100000L
       val emb = quantized(s, d)
       val featured = Tables.embeddings(s, d)
         .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+      val corpusSize = featured.count()
+      val trainSet =
+        if (corpusSize <= QuantizerTrainCap) featured
+        else featured.sample(withReplacement = false,
+          QuantizerTrainCap.toDouble / corpusSize, seed = 42L)
       val model = new KMeans().setK(NList).setSeed(42L).setMaxIter(10)
         .setFeaturesCol("features").setPredictionCol("cell")
-        .fit(featured.limit(QuantizerTrainCap))
+        .fit(trainSet)
       val assigned = model.transform(featured).select("vec_id", "cell")
         .join(emb, "vec_id")
       // nprobe nearest cells per query vector (centroid matrix is tiny

@@ -41,8 +41,9 @@ object AsofJoinProps extends Properties("AsofJoin") {
     import spark.implicits._
     val l = lrows.toDF("k", "t", "lv")
     val r = rrows.toDF("rk", "rt", "rv")
-    val got = GraftOps.asofJoin(l, r, Seq(col("k")), Seq(col("rk")), col("t"), col("rt"))
+    val gotRows = GraftOps.asofJoin(l, r, Seq(col("k")), Seq(col("rk")), col("t"), col("rt"))
       .select("lv", "rv").collect()
+    val got = gotRows
       .map(row => row.getLong(0) ->
         (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
     val want = lrows.map { case (k, t, lv) =>
@@ -50,7 +51,9 @@ object AsofJoinProps extends Properties("AsofJoin") {
       lv -> (if (candidates.isEmpty) None
              else Some(candidates.maxBy(r => (r._2, r._3))._3))
     }.toMap
-    val ok = got == want && got.size == lrows.size
+    // raw row count too: the Map collapse would hide duplicate
+    // emissions of the same left row
+    val ok = got == want && gotRows.length == lrows.size
     if (!ok) println(s"MISMATCH\n left=$lrows\n right=$rrows\n got=$got\n want=$want")
     ok
   }
