@@ -207,6 +207,49 @@ object Analytics {
     GROUP BY ROLLUP (n_name, o_year)
     ORDER BY n_name NULLS FIRST, o_year NULLS FIRST"""))
 
+  /** Full CUBE over (priority, year): all four grouping-set levels in
+    * one Expand+Aggregate pass — with [[qRollup]] this covers Spark's
+    * multi-dimensional aggregation surface (ROLLUP / CUBE / GROUPING
+    * SETS share the same Expand machinery). Plain Dataset.cube works
+    * here because the grouping columns come straight off one table
+    * (no join-derived ambiguity as in q_rollup).
+    */
+  val qCube = QueryDef(
+    "q_cube",
+    (s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"),
+          year(col("o_orderdate")).cast(LongType).as("o_year"),
+          col("o_totalprice"))
+        .cube("o_orderpriority", "o_year")
+        .agg(sumd(col("o_totalprice")).as("total_price"),
+          count(lit(1)).as("n_orders"))
+    },
+    Some(s"""SELECT o_orderpriority, o_year, ${dsum("o_totalprice")} AS total_price,
+           COUNT(*) AS n_orders
+    FROM (SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 o_totalprice FROM orders)
+    GROUP BY CUBE (o_orderpriority, o_year)"""))
+
+  /** Set-operation surface: churn-style EXCEPT — customers who
+    * ordered in 1997 but not in 1998 (genuinely overlapping input
+    * sets). Spark plans EXCEPT as aggregate + left-anti join — the
+    * same shuffle skeleton INTERSECT compiles to, so one query covers
+    * the set-op family.
+    */
+  val qExcept = QueryDef(
+    "q_except",
+    (s, d) => {
+      def custsIn(y: Int) =
+        Tables.orders(s, d)
+          .filter(year(col("o_orderdate")) === y)
+          .select(col("o_custkey"))
+      custsIn(1997).except(custsIn(1998))
+    },
+    Some("""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998"""))
+
   val qExists = QueryDef(
     "q_exists_semijoin",
     (s, d) => {
@@ -345,6 +388,6 @@ object Analytics {
     FROM ranked GROUP BY decile"""))
 
   val defs: Seq[QueryDef] = Seq(
-    q1, q3, q5, q6, qMarketShare, qTopCustomers, qRollup, qExists, qDistinctAgg,
-    qTopKCustom, qAntiJoin, qDecile)
+    q1, q3, q5, q6, qMarketShare, qTopCustomers, qRollup, qCube, qExcept,
+    qExists, qDistinctAgg, qTopKCustom, qAntiJoin, qDecile)
 }
