@@ -67,5 +67,45 @@ object Sampling {
     SELECT doc_id, lang, pick_rank FROM ranked WHERE pick_rank <= 20
     ORDER BY lang, pick_rank"""))
 
-  val defs: Seq[QueryDef] = Seq(hashSplit, stratified)
+  /** Sequence packing (the concat-and-chunk dataloader shape): within
+    * each language stream, documents are laid out in a deterministic
+    * hash order and chunked into fixed token-budget bins; each doc
+    * reports the bin its first token lands in plus its offset there.
+    * Downstream, one bin = one training sequence (docs straddle bin
+    * boundaries exactly as a real packed dataloader lets them).
+    *
+    * Scale shape: one shuffle on the stream key (lang) + a running-sum
+    * window per stream — no global sort; at 100 TB the stream key
+    * would be (lang, shard) to bound partition size, same plan.
+    * Token counts reuse text_tokens' whitespace tokenizer.
+    */
+  val packSequences = QueryDef(
+    "pack_sequences",
+    (s, d) => {
+      val BinTokens = 512L
+      val wOrder = Window.partitionBy("lang")
+        .orderBy(TextAnalysis.hash60(concat(lit("pack:"), col("text"))), col("doc_id"))
+      val wRun = wOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(wRun))
+        .withColumn("start_offset", (col("cum_tokens") - col("n_tokens")) % BinTokens)
+        .withColumn("bin_id", expr(s"(cum_tokens - n_tokens) div $BinTokens"))
+        .select("doc_id", "lang", "n_tokens", "bin_id", "start_offset")
+    },
+    Some(s"""WITH t AS (
+      SELECT doc_id, lang,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+          PARTITION BY lang
+          ORDER BY ${TextAnalysis.hash60Sql("'pack:' || text")}, doc_id
+          ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM documents)
+    SELECT doc_id, lang, n_tokens,
+      CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS bin_id,
+      CAST((cum_tokens - n_tokens) % 512 AS BIGINT) AS start_offset
+    FROM t"""))
+
+  val defs: Seq[QueryDef] = Seq(hashSplit, stratified, packSequences)
 }

@@ -108,6 +108,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("n5_shingles_shared") > 0))
   }
 
+  test("pack_sequences tiles each language stream without gaps") {
+    val rows = SparkEntry.queries("pack_sequences")(spark, d).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val off = r.getAs[Long]("start_offset")
+      assert(off >= 0 && off < 512, s"offset $off out of bin range")
+      assert(r.getAs[Long]("bin_id") >= 0)
+    }
+    // per language: total packed tokens == sum of doc tokens, and the
+    // last doc's bin is exactly total div 512 (no token gaps)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, docs) =>
+      val total = docs.map(_.getAs[Long]("n_tokens")).sum
+      val maxBin = docs.map(_.getAs[Long]("bin_id")).max
+      assert(maxBin <= total / 512, s"$lang: bin ids skip past the token total")
+    }
+  }
+
   test("producer datagen is deterministic") {
     val a = SparkEntry.queries("producer_datagen")(spark, d).collect()
     val b = SparkEntry.queries("producer_datagen")(spark, d).collect()
