@@ -51,6 +51,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    plans.GraftOps.install(spark)
     val metrics = new ShuffleMetricsListener
     spark.sparkContext.addSparkListener(metrics)
     // Drain FIRST, then read: pending task-end events from whatever

@@ -17,5 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => functions.GraftFunctions.dotBuilder(exprs)))
     e.injectPlannerStrategy(_ => plans.TopKStrategy)
     e.injectPlannerStrategy(_ => plans.AsofJoinStrategy)
+    // operator-optimization batch: fires on the clean Filter-over-
+    // Window shape, before Spark's own InferWindowGroupLimit
+    e.injectOptimizerRule(_ => plans.InferTopKPerKey)
   }
 }

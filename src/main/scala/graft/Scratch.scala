@@ -16,6 +16,7 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    plans.GraftOps.install(spark)
     val d = "/root/testdata/sf0.001"
 
     // Formats surface: json + csv round trip of events

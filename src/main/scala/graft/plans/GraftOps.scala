@@ -6,6 +6,19 @@ import org.apache.spark.sql.graft.Bridge
 /** DataFrame-level API for graft's custom operators. */
 object GraftOps {
 
+  /** Opt a session into graft's planner extensions at runtime: the
+    * custom-operator strategies plus the [[InferTopKPerKey]] rewrite
+    * (row_number-filter top-k idiom → bounded-heap TopKPerKey). The
+    * same set is installed declaratively by
+    * `spark.sql.extensions=graft.GraftExtensions`; this entry point
+    * covers sessions built without the config. Idempotent.
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    Bridge.addStrategy(spark, TopKStrategy)
+    Bridge.addStrategy(spark, AsofJoinStrategy)
+    Bridge.addOptimization(spark, InferTopKPerKey)
+  }
+
   /** Per-key top-k without a window sort: keep the `k` rows with the
     * highest `order` per `keys` group, ties broken by the lowest
     * `tie`. NULL-order rows are dropped; NaN orders rank greatest

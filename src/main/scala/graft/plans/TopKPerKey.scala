@@ -4,16 +4,39 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 import scala.collection.mutable
 
-/** Logical per-key top-k: keep the k best rows per key, "best" =
-  * highest `order` (DoubleType), ties broken by lowest `tie`
-  * (LongType). Rows whose `order` evaluates to NULL are DROPPED
-  * (unlike a window row_number, which would rank them last); NaN
-  * orders rank greatest, matching Spark's descending sort.
+/** How a NULL `order` value ranks. [[TopKNullRank.Drop]] is the DSL
+  * default (a top-k by a missing score has no business keeping the
+  * row); Best/Worst reproduce SQL NULLS FIRST / NULLS LAST so the
+  * optimizer rewrite ([[InferTopKPerKey]]) can match window-sort
+  * semantics exactly.
+  */
+sealed trait TopKNullRank
+object TopKNullRank {
+  case object Drop extends TopKNullRank
+  case object Best extends TopKNullRank
+  case object Worst extends TopKNullRank
+}
+
+/** Logical per-key top-k: keep the k best rows per key. By default
+  * (the [[GraftOps.topKPerKey]] DSL) "best" = highest `order`
+  * (DoubleType), ties broken by lowest `tie` (LongType), NULL orders
+  * DROPPED, NaN orders ranking greatest (matching Spark's descending
+  * sort).
+  *
+  * The extra flags generalize the ranking so the window idiom
+  * `row_number().over(partitionBy.orderBy) <= k` can be rewritten to
+  * this node with identical semantics ([[InferTopKPerKey]]):
+  * `ordAsc` flips direction (smallest wins), `ordLong` compares the
+  * order as an exact Long (a 60-bit hash loses low bits in double
+  * space — two hashes closer than 1 ulp would otherwise fall through
+  * to the tie-break, diverging from the window sort at corpus scale),
+  * `nullRank` maps the window's NULLS FIRST/LAST, and `tieNullsFirst`
+  * does the same for the tie column.
   *
   * Why a custom operator: Spark expresses per-group top-k as
   * `row_number().over(Window...)` + filter, which materializes and
@@ -29,7 +52,11 @@ final case class TopKPerKey(
     order: Expression,
     tie: Expression,
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    ordAsc: Boolean = false,
+    ordLong: Boolean = false,
+    nullRank: TopKNullRank = TopKNullRank.Drop,
+    tieNullsFirst: Boolean = false) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
     copy(child = newChild)
@@ -46,7 +73,11 @@ final case class TopKPerKeyExec(
     tie: Expression,
     k: Int,
     partial: Boolean,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    ordAsc: Boolean = false,
+    ordLong: Boolean = false,
+    nullRank: TopKNullRank = TopKNullRank.Drop,
+    tieNullsFirst: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -54,20 +85,49 @@ final case class TopKPerKeyExec(
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
 
+  // row-selection only — the child's partitioning survives, so a
+  // downstream operator clustered on the same keys (e.g. the Window
+  // the InferTopKPerKey rewrite leaves on top) needs no new exchange
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
   override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "number of output rows"),
     "numGroups" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "number of keys"))
 
-  private final class Entry(val ord: Double, val tieV: Long, val row: InternalRow)
+  // ordD is used when !ordLong, ordL when ordLong; nullOrd marks a
+  // NULL order value kept under Best/Worst ranking.
+  private final class Entry(
+      val nullOrd: Boolean, val ordD: Double, val ordL: Long,
+      val tieV: Long, val row: InternalRow)
 
-  // Heap dequeues the WORST entry (lowest order, then highest tie).
+  private val nullIsBest = nullRank == TopKNullRank.Best
+  private val tieForNull = if (tieNullsFirst) Long.MinValue else Long.MaxValue
+
+  /** +1 if x ranks worse than y, -1 better, 0 tied on (order, tie). */
+  private def cmpWorse(
+      xNull: Boolean, xD: Double, xL: Long, xTie: Long, y: Entry): Int = {
+    val base =
+      if (xNull && y.nullOrd) 0
+      else if (xNull) { if (nullIsBest) -1 else 1 }
+      else if (y.nullOrd) { if (nullIsBest) 1 else -1 }
+      else {
+        val c =
+          if (ordLong) java.lang.Long.compare(xL, y.ordL)
+          // Double.compare (not primitive >) so NaN ranks greatest
+          // consistently with both the heap ordering and Spark's
+          // sort - results stay arrival-order-independent
+          else java.lang.Double.compare(xD, y.ordD)
+        if (ordAsc) c else -c
+      }
+    if (base != 0) base else java.lang.Long.compare(xTie, y.tieV)
+  }
+
+  // Heap dequeues the WORST entry.
   private object WorstFirst extends Ordering[Entry] {
-    override def compare(x: Entry, y: Entry): Int = {
-      val c = java.lang.Double.compare(y.ord, x.ord)
-      if (c != 0) c else java.lang.Long.compare(x.tieV, y.tieV)
-    }
+    override def compare(x: Entry, y: Entry): Int =
+      cmpWorse(x.nullOrd, x.ordD, x.ordL, x.tieV, y)
   }
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -76,6 +136,9 @@ final case class TopKPerKeyExec(
     val orderExpr = order
     val tieExpr = tie
     val childOutput = child.output
+    val dropNulls = nullRank == TopKNullRank.Drop
+    val isLong = ordLong
+    val nullTie = tieForNull
     val outRowsMetric = longMetric("numOutputRows")
     val groupsMetric = longMetric("numGroups")
     child.execute().mapPartitions { iter =>
@@ -85,10 +148,12 @@ final case class TopKPerKeyExec(
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[Entry]]
       iter.foreach { row =>
         val ordAny = ordBound.eval(row)
-        if (ordAny != null) {
-          val ordV = ordAny.asInstanceOf[Double]
+        if (ordAny != null || !dropNulls) {
+          val isNull = ordAny == null
+          val ordD = if (isNull || isLong) 0.0 else ordAny.asInstanceOf[Double]
+          val ordL = if (isNull || !isLong) 0L else ordAny.asInstanceOf[Long]
           val tieAny = tieBound.eval(row)
-          val tieV = if (tieAny == null) Long.MaxValue else tieAny.asInstanceOf[Long]
+          val tieV = if (tieAny == null) nullTie else tieAny.asInstanceOf[Long]
           val key = keyProj(row)
           // copy the key only on first insertion, not per row
           val heap = heaps.get(key) match {
@@ -99,17 +164,10 @@ final case class TopKPerKeyExec(
               h
           }
           if (heap.size < kLocal) {
-            heap.enqueue(new Entry(ordV, tieV, row.copy()))
-          } else {
-            val worst = heap.head
-            // Double.compare (not primitive >) so NaN ranks greatest
-            // consistently with both the heap ordering and Spark's
-            // descending sort - results stay arrival-order-independent
-            val cmp = java.lang.Double.compare(ordV, worst.ord)
-            if (cmp > 0 || (cmp == 0 && tieV < worst.tieV)) {
-              heap.dequeue()
-              heap.enqueue(new Entry(ordV, tieV, row.copy()))
-            }
+            heap.enqueue(new Entry(isNull, ordD, ordL, tieV, row.copy()))
+          } else if (cmpWorse(isNull, ordD, ordL, tieV, heap.head) < 0) {
+            heap.dequeue()
+            heap.enqueue(new Entry(isNull, ordD, ordL, tieV, row.copy()))
           }
         }
       }
@@ -133,10 +191,12 @@ final case class TopKPerKeyExec(
   */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, order, tie, k, child) =>
-      val planned = planLater(child)
-      TopKPerKeyExec(keys, order, tie, k, partial = false,
-        TopKPerKeyExec(keys, order, tie, k, partial = true, planned)) :: Nil
+    case t: TopKPerKey =>
+      val planned = planLater(t.child)
+      TopKPerKeyExec(t.keys, t.order, t.tie, t.k, partial = false,
+        TopKPerKeyExec(t.keys, t.order, t.tie, t.k, partial = true, planned,
+          t.ordAsc, t.ordLong, t.nullRank, t.tieNullsFirst),
+        t.ordAsc, t.ordLong, t.nullRank, t.tieNullsFirst) :: Nil
     case _ => Nil
   }
 }

@@ -46,4 +46,17 @@ object Bridge {
       exp.extraStrategies = exp.extraStrategies :+ strategy
     }
   }
+
+  /** Runtime registration of an extra optimizer rule (idempotent).
+    * Runs in the "User Provided Optimizers" batch — after Spark's own
+    * window-group-limit inference, which registered rules may need to
+    * account for.
+    */
+  def addOptimization(spark: org.apache.spark.sql.SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraOptimizations.contains(rule)) {
+      exp.extraOptimizations = exp.extraOptimizations :+ rule
+    }
+  }
 }

@@ -61,6 +61,22 @@ class PlanSpec extends AnyFunSuite {
       "q_decile must not use the single-partition NTILE window")
   }
 
+  test("sample_stratified plans via TopKPerKey with a single exchange") {
+    // executedPlan (post-EnsureRequirements): sparkPlan has no
+    // exchanges yet, so the count would be vacuous there
+    val df = SparkEntry.queries("sample_stratified")(spark, d)
+    df.collect()
+    // AQE's toString repeats the tree under "== Initial Plan ==" —
+    // count only the finalized section
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("TopKPerKey"),
+      s"InferTopKPerKey rewrite no longer fires on sample_stratified:\n$p")
+    // partial TopK shrinks the map side; final TopK's partitioning is
+    // reused by the rank window — one exchange total, on the stratum
+    val exchanges = "(?m)^\\s*(?:[+:]-\\s*)?Exchange ".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly one exchange:\n$p")
+  }
+
   test("q1 aggregates inside whole-stage codegen") {
     // AQE finalizes codegen at execution: run the query, then read the
     // final adaptive plan.

@@ -14,6 +14,7 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    plans.GraftOps.install(s)
     s
   }
   val sfDir = "/root/testdata/sf0.001"
