@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, Tables}
+import graft.{Det, QueryDef, Tables}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -107,5 +107,72 @@ object Sampling {
       CAST((cum_tokens - n_tokens) % 512 AS BIGINT) AS start_offset
     FROM t"""))
 
-  val defs: Seq[QueryDef] = Seq(hashSplit, stratified, packSequences)
+  /** Quality-weighted Bernoulli (Poisson) sampling: each doc is kept
+    * with probability proportional to its weight — here length-capped
+    * `n_chars`, the stand-in for any per-doc quality score — via an
+    * EXACT integer threshold test on a content hash, so the sample is
+    * deterministic, append-stable, and bit-identical cross-engine (no
+    * float exp/log in the decision). `ht_weight` is the
+    * Horvitz-Thompson inverse-inclusion-probability weight downstream
+    * estimators need to stay unbiased over the sample.
+    *
+    * Scale shape: a narrow per-row filter on the scan — no shuffle,
+    * no state; the standard importance-sampling first stage for
+    * trillion-doc corpora.
+    */
+  val weighted = QueryDef(
+    "sample_weighted",
+    (s, d) => {
+      val w = least(col("n_chars"), lit(4096L))
+      val u = pmod(TextAnalysis.hash60(concat(lit("wsamp:"), col("text"))), lit(8192L))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+        .filter(u < w)
+        .select(col("doc_id"), col("lang"), w.as("weight"),
+          (lit(8192.0) / w).as("ht_weight"))
+    },
+    Some(s"""SELECT doc_id, lang,
+      LEAST(n_chars, 4096) AS weight,
+      8192.0 / LEAST(n_chars, 4096) AS ht_weight
+    FROM documents
+    WHERE ${TextAnalysis.hash60Sql("'wsamp:' || text")} % 8192 < LEAST(n_chars, 4096)"""))
+
+  /** Multilingual mixture weights by temperature resampling
+    * (alpha = 0.5): a language's sampling share is n^alpha
+    * renormalized, flattening the head languages and boosting the
+    * tail — the standard knob for balancing a multilingual training
+    * mix. alpha = 0.5 is computed as IEEE sqrt (bit-identical in
+    * both engines); the tiny cross-language normalizer uses the
+    * Det decimal-sum rule so the double sum is order-independent.
+    *
+    * Scale shape: one partial+final count aggregate over the corpus,
+    * then arithmetic on L rows (L = #languages) broadcast back —
+    * nothing here grows with corpus size except the initial count.
+    */
+  val mixWeights = QueryDef(
+    "mix_weights",
+    (s, d) => {
+      val targetTotal = 100000L
+      val byLang = Tables.documents(s, d)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("w_raw", sqrt(col("n_docs").cast(DoubleType)))
+      val denom = byLang.agg(Det.sumd(col("w_raw")).as("denom"))
+      byLang.crossJoin(broadcast(denom))
+        .select(col("lang"), col("n_docs"),
+          (col("w_raw") / col("denom")).as("mix_share"),
+          round(lit(targetTotal) * (col("w_raw") / col("denom")))
+            .cast(LongType).as("target_docs"))
+    },
+    Some(s"""WITH counts AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    scored AS (
+      SELECT lang, n_docs, SQRT(CAST(n_docs AS DOUBLE)) AS w_raw FROM counts),
+    norm AS (
+      SELECT ${Det.dsum("w_raw")} AS denom FROM scored)
+    SELECT lang, n_docs,
+      w_raw / denom AS mix_share,
+      CAST(ROUND(100000 * (w_raw / denom)) AS BIGINT) AS target_docs
+    FROM scored, norm"""))
+
+  val defs: Seq[QueryDef] = Seq(hashSplit, stratified, packSequences, weighted, mixWeights)
 }

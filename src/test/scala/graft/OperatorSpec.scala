@@ -125,6 +125,47 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("sample_weighted keeps docs at the length-proportional rate") {
+    val all = TestSpark.spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+    val expected = all.map(r => math.min(r.getAs[Long]("n_chars"), 4096L) / 8192.0).sum
+    val rows = SparkEntry.queries("sample_weighted")(spark, d).collect()
+    // Chernoff-loose band around the expected Poisson-sample size
+    assert(rows.length > expected * 0.5 && rows.length < expected * 1.7,
+      s"sample size ${rows.length} vs expected ~$expected")
+    rows.foreach { r =>
+      val w = r.getAs[Long]("weight")
+      assert(w >= 1 && w <= 4096)
+      assert(math.abs(r.getAs[Double]("ht_weight") * w - 8192.0) < 1e-9,
+        "ht_weight must be the exact inverse inclusion probability")
+    }
+    // determinism: re-run picks the identical sample
+    val again = SparkEntry.queries("sample_weighted")(spark, d).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).sorted.sameElements(
+      again.map(_.getAs[Long]("doc_id")).sorted))
+  }
+
+  test("mix_weights flattens the language distribution at alpha=0.5") {
+    val rows = SparkEntry.queries("mix_weights")(spark, d).collect()
+    assert(rows.length >= 2, "expected several languages")
+    val shares = rows.map(_.getAs[Double]("mix_share"))
+    // denominator is decimal(38,6)-rounded (the Det rule), so the
+    // renormalized sum can be off by ~1e-6 relative
+    assert(math.abs(shares.sum - 1.0) < 1e-5, s"shares sum to ${shares.sum}")
+    val byCount = rows.sortBy(_.getAs[Long]("n_docs"))
+    // monotone: more docs never means a smaller share
+    byCount.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Double]("mix_share") <= hi.getAs[Double]("mix_share") + 1e-12)
+    }
+    // temperature flattening: share ratio is the SQRT of the count
+    // ratio, strictly less extreme than proportional sampling
+    val (min, max) = (byCount.head, byCount.last)
+    val countRatio = max.getAs[Long]("n_docs").toDouble / min.getAs[Long]("n_docs")
+    val shareRatio = max.getAs[Double]("mix_share") / min.getAs[Double]("mix_share")
+    assert(math.abs(shareRatio - math.sqrt(countRatio)) < 1e-6)
+    if (countRatio > 1.01) assert(shareRatio < countRatio)
+  }
+
   test("producer datagen is deterministic") {
     val a = SparkEntry.queries("producer_datagen")(spark, d).collect()
     val b = SparkEntry.queries("producer_datagen")(spark, d).collect()
