@@ -145,5 +145,69 @@ object Stats {
     },
     None)
 
-  val defs: Seq[QueryDef] = Seq(histogram, percentiles, avgQtyFilter, movingAvg, approxDistinct)
+  /** Per-group correlation / covariance / least-squares regression of
+    * price on quantity. Built from the five decimal-exact moment sums
+    * (Sx, Sy, Sxx, Syy, Sxy) + count rather than corr()/covar_samp():
+    * the builtin streaming-merge aggregates are order-dependent in
+    * their float arithmetic, while moment sums under the Det rule are
+    * bit-deterministic in both engines, and the closed-form
+    * combinations in double space then agree exactly.
+    *
+    * The price column is pre-scaled by 1/1000 (one identical IEEE
+    * division in both engines). Unscaled, Syy reaches ~20 significant
+    * digits and the final decimal-to-double cast itself rounds
+    * differently across engines (a decimal(38,6) is only cast-exact
+    * while sum x 10^6 fits in double's 53 bits, ~9e9); scaled, every
+    * moment stays cast-exact through sf1. The scale must be DECIMAL,
+    * not binary: a 2^-k scale puts the clean cent grid on exact
+    * 6th-decimal .5 ties where the engines' cast tie-breaking
+    * differs, while /1000 lands on a 5-dp grid (never rounded) whose
+    * squares cannot tie (5000 is not a quadratic residue mod 10^4).
+    * Corr is scale-free; the other outputs multiply back by 1000.
+    * One partial+final aggregate over the scan — the same cost as
+    * the builtins.
+    */
+  val corrStats = QueryDef(
+    "q_corr_stats",
+    (s, d) => {
+      val x = col("l_quantity")
+      val y = col("l_extendedprice") / 1000.0
+      val base = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          graft.Det.sumd(x).as("sx"),
+          graft.Det.sumd(y).as("sy"),
+          graft.Det.sumd(x * x).as("sxx"),
+          graft.Det.sumd(y * y).as("syy"),
+          graft.Det.sumd(x * y).as("sxy"))
+      val n = col("n_rows").cast(DoubleType)
+      val covN = col("sxy") - col("sx") * col("sy") / n
+      val varX = col("sxx") - col("sx") * col("sx") / n
+      val varY = col("syy") - col("sy") * col("sy") / n
+      base.select(
+        col("l_returnflag"), col("n_rows"),
+        (covN / (n - 1.0) * 1000.0).as("covar_samp"),
+        (covN / sqrt(varX * varY)).as("corr"),
+        (covN / varX * 1000.0).as("slope"),
+        ((col("sy") - (covN / varX) * col("sx")) / n * 1000.0).as("intercept"))
+    },
+    Some(s"""WITH m AS (
+      SELECT l_returnflag, COUNT(*) AS n_rows,
+        ${graft.Det.dsum("l_quantity")} AS sx,
+        ${graft.Det.dsum("l_extendedprice / 1000.0")} AS sy,
+        ${graft.Det.dsum("l_quantity * l_quantity")} AS sxx,
+        ${graft.Det.dsum("(l_extendedprice / 1000.0) * (l_extendedprice / 1000.0)")} AS syy,
+        ${graft.Det.dsum("l_quantity * (l_extendedprice / 1000.0)")} AS sxy
+      FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, n_rows,
+      (sxy - sx * sy / CAST(n_rows AS DOUBLE)) / (CAST(n_rows AS DOUBLE) - 1.0) * 1000.0 AS covar_samp,
+      (sxy - sx * sy / CAST(n_rows AS DOUBLE))
+        / SQRT((sxx - sx * sx / CAST(n_rows AS DOUBLE)) * (syy - sy * sy / CAST(n_rows AS DOUBLE))) AS corr,
+      (sxy - sx * sy / CAST(n_rows AS DOUBLE)) / (sxx - sx * sx / CAST(n_rows AS DOUBLE)) * 1000.0 AS slope,
+      (sy - ((sxy - sx * sy / CAST(n_rows AS DOUBLE)) / (sxx - sx * sx / CAST(n_rows AS DOUBLE))) * sx)
+        / CAST(n_rows AS DOUBLE) * 1000.0 AS intercept
+    FROM m"""))
+
+  val defs: Seq[QueryDef] = Seq(histogram, percentiles, avgQtyFilter, movingAvg, approxDistinct, corrStats)
 }

@@ -305,6 +305,40 @@ object TextAnalysis {
       1.0 - CAST(n_distinct_shingles AS DOUBLE) / n_shingles AS dup_shingle_frac
     FROM sh"""))
 
+  /** Corpus-wide token-bigram counts, top 50 — the pair-statistics
+    * pass that seeds BPE/WordPiece vocabulary training (merge step 1
+    * counts exactly these adjacent-pair frequencies).
+    *
+    * Shape: bigrams come from `arrays_zip(slice(toks,1,n-1),
+    * slice(toks,2,n-1))` — split() evaluates twice per ROW (two slice
+    * arguments), not per element like the transform-over-sequence
+    * form that cost text_fingerprint 40x — so the whole query is a
+    * narrow projection + partial/final count aggregate + a
+    * TakeOrdered top-50: no window, no doc_id shuffle, map-side
+    * combinable. At 100 TB the only full-width exchange carries one
+    * row per distinct bigram.
+    */
+  val bigrams = QueryDef(
+    "text_bigrams",
+    (s, d) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(explode(arrays_zip(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1))).as("p"))
+        .select(concat_ws(" ", col("p")("0"), col("p")("1")).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        // semantic top-k sort (deterministic tie-break), not presentation
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(50)
+    },
+    Some("""WITH pairs AS (
+      SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bigram
+      FROM documents)
+    SELECT bigram, COUNT(*) AS n FROM pairs
+    GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50"""))
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint,
-    rollingFingerprint, scrub, repetition)
+    rollingFingerprint, scrub, repetition, bigrams)
 }

