@@ -274,22 +274,39 @@ object TextAnalysis {
   /** Within-document repetition score (the Gopher/MassiveText
     * repetition filter family): fraction of duplicated word-3-shingles
     * inside each doc. High values flag boilerplate/looping text that
-    * an LLM pipeline drops or down-weights. Shingle totals come
-    * straight from the word count (nw - 2); distincts reuse the
-    * window-lead shingle rows — one narrow scan plus one doc_id
-    * shuffle.
+    * an LLM pipeline drops or down-weights.
+    *
+    * Shape: ONE scan and ONE exchange. The word count rides along
+    * through the shingle explosion, and the per-doc distinct count
+    * aggregates directly on the window's doc_id partitioning (hash
+    * partitioning on doc_id already satisfies the distinct-aggregate's
+    * clustering, so no second shuffle); short docs merge in after
+    * aggregation so the union cannot destroy the partitioning the way
+    * joining a separate totals scan did (which cost 2 scans + 3
+    * exchanges for the same answer).
     */
   val repetition = QueryDef(
     "text_repetition",
     (s, d) => {
-      val distinctSh = Dedup.shingleStrings(s, d)
+      import org.apache.spark.sql.expressions.Window
+      val wspec = Window.partitionBy("doc_id").orderBy("pos")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), size(split(col("text"), " ")).as("nw"))
+      val long = docs.filter(col("nw") >= 3)
+        .select(col("doc_id"), col("nw"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .select(col("doc_id"), col("nw"),
+          concat_ws(" ", col("w"), lead("w", 1).over(wspec), lead("w", 2).over(wspec)).as("g0"),
+          lead("w", 2).over(wspec).as("guard"))
+        .filter(col("guard").isNotNull)
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_distinct_shingles"))
-      val totals = Tables.documents(s, d).select(
-        col("doc_id"),
-        when(size(words) >= 3, (size(words) - 2).cast(LongType))
-          .otherwise(1L).as("n_shingles"))
-      totals.join(distinctSh, "doc_id")
+        .agg(max(col("nw")).as("nw2"),
+          countDistinct(col("g0")).as("n_distinct_shingles"))
+        .select(col("doc_id"), (col("nw2") - 2).cast(LongType).as("n_shingles"),
+          col("n_distinct_shingles"))
+      val short = docs.filter(col("nw") < 3)
+        .select(col("doc_id"), lit(1L).as("n_shingles"), lit(1L).as("n_distinct_shingles"))
+      long.unionByName(short)
         .withColumn("dup_shingle_frac",
           lit(1.0) - col("n_distinct_shingles").cast(DoubleType) / col("n_shingles"))
         .select("doc_id", "n_shingles", "n_distinct_shingles", "dup_shingle_frac")
