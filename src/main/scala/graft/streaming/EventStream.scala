@@ -177,6 +177,32 @@ object EventStream {
       .select(col("userId"), col("w.start").as("sessionStart"),
         col("w.end").as("sessionEnd"), col("totalEventCount"))
 
+  /** Stream-stream interval join: pair each left event with the right
+    * events of the same key whose time falls in
+    * [leftTime - lookback, leftTime] — the "purchase joined to the
+    * clicks that preceded it" correlation shape. Both sides carry
+    * watermarks and the join condition carries the time bound, so the
+    * state store retains each side only for watermark + lookback and
+    * is garbage-collected past it — the property that keeps a
+    * stream-stream join runnable forever at production rates (an
+    * unbounded-state stream join dies by memory on day one).
+    *
+    * Inner join: left rows with no right match in the interval are
+    * dropped. Column names of the two inputs must be disjoint apart
+    * from being referenced via the l/r aliases in the output.
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      lookback: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTime, watermark).alias("l")
+    val r = right.withWatermark(rightTime, watermark).alias("r")
+    l.join(r,
+      expr(s"l.$key = r.$key AND " +
+        s"r.$rightTime BETWEEN l.$leftTime - INTERVAL $lookback AND l.$leftTime"))
+  }
+
   /** EventProducer (EventProducer.kt:28-51) as a rate-source stream:
     * 2 rows/s default, 50 users, 5 types, 5% malformed, same
     * md5-derived distributions as the batch `producer_datagen`.

@@ -249,6 +249,51 @@ class EventStreamSpec extends AnyFunSuite {
     EventStream.kafkaSource(spark, "broker:9092", "input-events")
   }
 
+  test("stream-stream interval join pairs purchases with preceding clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(String, java.sql.Timestamp, String)]
+    val buys = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val clicksDf = clicks.toDF.toDF("userId", "eventTime", "page")
+    val buysDf = buys.toDF.toDF("userId", "eventTime", "amount")
+    val joined = EventStream.intervalJoin(
+        buysDf, clicksDf, "userId", "eventTime", "eventTime",
+        lookback = "10 minutes", watermark = "10 minutes")
+      .select(col("l.userId").as("u"), col("l.amount").as("amount"),
+        col("r.page").as("page"))
+    val q = joined.writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    try {
+      // base offset keeps every event time well above the initial
+      // watermark (epoch 0), where rows are treated as late
+      def ts(min: Int) = new java.sql.Timestamp((1000L + min) * 60000L)
+      // (the t=20 click arrives in batch 2: emitting it now would
+      // advance the clicks watermark to t=10 and evict the t=0 click
+      // before the purchase batch joins against it — exactly the
+      // retention the operator is supposed to enforce)
+      clicks.addData(("u1", ts(0), "home"), ("u1", ts(5), "item"),
+        ("u2", ts(3), "other-user"))
+      buys.addData(("u1", ts(8), 9.99))
+      q.processAllAvailable()
+      val rows = spark.table("ivj").collect()
+      // the u1 purchase at t=8 matches u1 clicks at t=0 and t=5 (inside
+      // the 10-minute lookback); u2's click differs in key
+      assert(rows.map(_.getAs[String]("page")).toSet == Set("home", "item"),
+        rows.mkString(", "))
+      assert(rows.forall(_.getAs[String]("u") == "u1"))
+      // a second micro-batch joins against retained state; the t=20
+      // click is in the future of the t=12 purchase and must not match
+      clicks.addData(("u1", ts(20), "after-purchase"))
+      buys.addData(("u1", ts(12), 5.0))
+      q.processAllAvailable()
+      val again = spark.table("ivj").collect()
+      // t=12 purchase sees the t=5 click (7 min before) but not t=0
+      // (12 min before, outside the lookback) and not t=20
+      val secondBuy = again.filter(_.getAs[Double]("amount") == 5.0)
+      assert(secondBuy.map(_.getAs[String]("page")).toSet == Set("item"),
+        again.mkString(", "))
+    } finally q.stop()
+  }
+
   test("kafka source builder reaches Spark's data-source resolution") {
     // The spark-sql-kafka connector jar is not shippable into this
     // zero-egress container (not in /opt/spark/jars, not in the
