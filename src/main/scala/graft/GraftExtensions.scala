@@ -15,6 +15,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[functions.LongArrayDot].getName, "graft_dot"),
       exprs => functions.GraftFunctions.dotBuilder(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_rolling_minhash"),
+      new ExpressionInfo(classOf[functions.RollingMinHash].getName, "graft_rolling_minhash"),
+      exprs => functions.GraftFunctions.rollingMinHashBuilder(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_approx_distinct"),
+      new ExpressionInfo(classOf[functions.HllSketchAgg].getName, "graft_approx_distinct"),
+      exprs => functions.GraftFunctions.approxDistinctBuilder(exprs)))
     e.injectPlannerStrategy(_ => plans.TopKStrategy)
     e.injectPlannerStrategy(_ => plans.AsofJoinStrategy)
     // operator-optimization batch: fires on the clean Filter-over-

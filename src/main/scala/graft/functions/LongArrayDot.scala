@@ -88,8 +88,36 @@ object GraftFunctions {
     LongArrayDot(exprs(0), exprs(1))
   }
 
-  /** Idempotent per-session SQL registration (`graft_dot(a, b)`). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", dotBuilder, "built-in")
+  /** `graft_rolling_minhash(text, window)` — the Rabin-Karp rolling
+    * min-hash codegen expression.
+    */
+  def rollingMinHashBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"graft_rolling_minhash requires exactly 2 arguments, got ${exprs.length}")
+    RollingMinHash(exprs(0), exprs(1))
+  }
+
+  /** `graft_approx_distinct(x)` — the mergeable HLL sketch aggregate.
+    * Applies the same null-guarded xxhash64 pre-hash as the Column API
+    * ([[HllSketchAgg.approxDistinct]]), so SQL callers pass raw
+    * columns.
+    */
+  def approxDistinctBuilder(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{If, IsNotNull, Literal, XxHash64}
+    import org.apache.spark.sql.types.LongType
+    require(exprs.length == 1,
+      s"graft_approx_distinct requires exactly 1 argument, got ${exprs.length}")
+    HllSketchAgg(If(IsNotNull(exprs.head),
+      new XxHash64(Seq(exprs.head)), Literal.create(null, LongType)))
+  }
+
+  /** Idempotent per-session SQL registration of all graft functions. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot", dotBuilder, "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_rolling_minhash", rollingMinHashBuilder, "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_approx_distinct", approxDistinctBuilder, "built-in")
+  }
 }

@@ -34,4 +34,28 @@ class LongArrayDotSpec extends AnyFunSuite {
     assert(spark.sql("SELECT graft_dot(array(3L, 4L), array(3L, 4L)) AS d")
       .collect().head.getLong(0) == 25L)
   }
+
+  test("rolling minhash and HLL aggregate are SQL-registered too") {
+    GraftFunctions.register(spark)
+    // SQL path agrees with the Column API path
+    val viaSql = spark.sql(
+      "SELECT graft_rolling_minhash('the quick brown fox', 8) AS h")
+      .collect().head.getLong(0)
+    val viaCol = spark.range(1)
+      .select(graft.functions.RollingMinHash
+        .rollingMinHash(lit("the quick brown fox"), 8).as("h"))
+      .collect().head.getLong(0)
+    assert(viaSql == viaCol)
+    // aggregate: ~1000 distinct ids, p=12 sketch -> within 5%
+    spark.range(1000).createOrReplaceTempView("hll_ids")
+    val est = spark.sql(
+      "SELECT graft_approx_distinct(id) AS d FROM hll_ids")
+      .collect().head.getLong(0)
+    assert(math.abs(est - 1000L) < 50, s"estimate $est")
+    // null handling: nulls contribute nothing
+    val estNull = spark.sql(
+      "SELECT graft_approx_distinct(CASE WHEN id < 0 THEN id END) AS d FROM hll_ids")
+      .collect().head.getLong(0)
+    assert(estNull == 0L)
+  }
 }
