@@ -142,5 +142,51 @@ object Temporal {
            max(ms) AS session_end_ms, COUNT(*) AS n_events
     FROM sessions GROUP BY 1, 2 ORDER BY user_id, session_idx"""))
 
-  val defs: Seq[QueryDef] = Seq(asofJoin, asofJoinCustom, sessionize)
+  /** Time-series regularization: per user, an hourly grid spanning
+    * their first-to-last event, with each hour carrying the latest
+    * observed max-value and gaps forward-filled (last observation
+    * carried forward) — the resample/interpolate step every
+    * time-series feature pipeline runs before modeling.
+    *
+    * Scale shape: the grid explodes from ONE row per user (span
+    * sequence), so grid size is (users x span-hours) independent of
+    * event count; the fill is a running window on the user's own
+    * partition. One shuffle on user_id end-to-end — the per-hour
+    * aggregate, the grid join, and the fill window all share it.
+    * At 100 TB the span would be bounded per shard (e.g. monthly
+    * partitions) — same plan per shard.
+    */
+  val fillForward = QueryDef(
+    "ts_fill_forward",
+    (s, d) => {
+      val HourNs = 3600L * 1000 * 1000 * 1000
+      val hourly = Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts div $HourNs").as("hour"), col("value"))
+        .groupBy("user_id", "hour").agg(max(col("value")).as("v"))
+      val grid = hourly.groupBy("user_id")
+        .agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
+        .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("hour"))
+      val wFill = Window.partitionBy("user_id").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hour"), "left")
+        .select(col("user_id"), col("hour"),
+          last(col("v"), ignoreNulls = true).over(wFill).as("filled_value"),
+          col("v").isNotNull.as("is_observed"))
+    },
+    Some("""WITH hourly AS (
+      SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000 AS hour,
+             MAX(value) AS v
+      FROM events GROUP BY 1, 2),
+    grid AS (
+      SELECT user_id, unnest(range(MIN(hour), MAX(hour) + 1)) AS hour
+      FROM hourly GROUP BY user_id)
+    SELECT g.user_id, g.hour,
+      last_value(h.v IGNORE NULLS) OVER (
+        PARTITION BY g.user_id ORDER BY g.hour
+        ROWS UNBOUNDED PRECEDING) AS filled_value,
+      h.v IS NOT NULL AS is_observed
+    FROM grid g LEFT JOIN hourly h
+      ON g.user_id = h.user_id AND g.hour = h.hour"""))
+
+  val defs: Seq[QueryDef] = Seq(asofJoin, asofJoinCustom, sessionize, fillForward)
 }

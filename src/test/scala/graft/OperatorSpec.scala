@@ -214,6 +214,29 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("ts_fill_forward fills every gap hour with the last observation") {
+    val rows = SparkEntry.queries("ts_fill_forward")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("hour"))
+      // contiguous hour grid
+      val hours = sorted.map(_.getAs[Long]("hour"))
+      assert(hours.last - hours.head + 1 == hours.length, s"user $u grid has holes")
+      // first row observed; filled_value never null; unobserved rows
+      // repeat the previous filled value
+      assert(sorted.head.getAs[Boolean]("is_observed"), s"user $u starts unobserved")
+      sorted.sliding(2).foreach { case Array(prev, cur) =>
+        assert(!cur.isNullAt(cur.fieldIndex("filled_value")))
+        if (!cur.getAs[Boolean]("is_observed"))
+          assert(cur.getAs[Double]("filled_value") == prev.getAs[Double]("filled_value"),
+            s"user $u hour ${cur.getAs[Long]("hour")} not carried forward")
+      }
+    }
+    // gaps exist in this corpus, so the fill path is actually exercised
+    assert(rows.exists(!_.getAs[Boolean]("is_observed")))
+  }
+
   test("producer datagen is deterministic") {
     val a = SparkEntry.queries("producer_datagen")(spark, d).collect()
     val b = SparkEntry.queries("producer_datagen")(spark, d).collect()
