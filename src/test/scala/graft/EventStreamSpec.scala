@@ -166,6 +166,36 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful enrich recovers sequence state from a checkpoint restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    def pipeline() = {
+      val (valid, _) = EventStream.parseRoute(input.toDF())
+      EventStream.enrich(valid.as[ParsedEvent])
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft_rec_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rec_ckpt").toString
+    // run 1: two events for u9 -> sequences 1, 2
+    val q1 = EventStream.parquetSink(pipeline(), out, ckpt, triggerMs = 100L).start()
+    try {
+      input.addData(
+        """{"id":"u9","type":"login","timestamp":1000,"data":{}}""",
+        """{"id":"u9","type":"view","timestamp":2000,"data":{}}""")
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // run 2: a NEW query over the same checkpoint — the per-key
+    // sequence state and source offsets must both come back, so the
+    // next u9 event continues at 3 (not 1) and nothing re-emits
+    input.addData("""{"id":"u9","type":"purchase","timestamp":3000,"data":{}}""")
+    val q2 = EventStream.parquetSink(pipeline(), out, ckpt, triggerMs = 100L).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(out).filter(col("originalId") === "u9")
+      .select("eventType", "sequence").collect()
+      .map(r => (r.getString(0), r.getInt(1))).sortBy(_._2)
+    assert(rows.toSeq == Seq("login" -> 1, "view" -> 2, "purchase" -> 3),
+      rows.mkString(", "))
+  }
+
   test("session_window groups events by inactivity gap") {
     val processed = Seq(
       ("u1", "login", 0L),

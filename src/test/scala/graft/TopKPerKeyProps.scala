@@ -40,4 +40,52 @@ object TopKPerKeyProps extends Properties("TopKPerKey") {
     }.map(r => (r._1, r._2)).toSet
     got == want
   }
+
+  // The generalized ranking modes the InferTopKPerKey rewrite relies
+  // on: either direction, Long or Double orders, and NULL orders
+  // ranked Best/Worst — each must agree with the corresponding
+  // window-sort reference on arbitrary ties and null placements.
+  private val nullableRowGen = for {
+    key <- Gen.choose(0, 3)
+    score <- Gen.option(Gen.choose(0, 3))
+  } yield (key, score)
+
+  private val flaggedCaseGen = for {
+    rows <- Gen.listOfN(50, nullableRowGen)
+    k <- Gen.choose(1, 4)
+    asc <- Gen.oneOf(true, false)
+    asLong <- Gen.oneOf(true, false)
+    nullsBest <- Gen.oneOf(true, false)
+  } yield (rows.zipWithIndex.map { case ((key, score), id) =>
+    (key, id.toLong, score.map(_.toLong))
+  }, k, asc, asLong, nullsBest)
+
+  property("flagged modes equal the window-sort reference") =
+    forAllNoShrink(flaggedCaseGen) { case (rows, k, asc, asLong, nullsBest) =>
+      import graft.plans.{TopKNullRank, TopKPerKey}
+      import org.apache.spark.sql.graft.Bridge
+      import spark.implicits._
+      val df = rows.map { case (key, id, s) => (key, id, s.map(_.toString).orNull) }
+        .toDF("key", "id", "s")
+        .select(col("key"), col("id"),
+          (if (asLong) col("s").cast("long") else col("s").cast("double")).as("score"))
+      val node = TopKPerKey(
+        Seq(Bridge.eagerExpression(col("key"))),
+        Bridge.eagerExpression(col("score")),
+        Bridge.eagerExpression(col("id")),
+        k, Bridge.logicalPlan(df),
+        ordAsc = asc, ordLong = asLong,
+        nullRank = if (nullsBest) TopKNullRank.Best else TopKNullRank.Worst)
+      val got = Bridge.ofRows(spark, node)
+        .select("key", "id").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      // reference: total order (nulls Best/Worst, then score asc/desc, then id)
+      val want = rows.groupBy(_._1).flatMap { case (_, g) =>
+        g.sortBy { case (_, id, s) =>
+          val nullKey = if (s.isEmpty) (if (nullsBest) 0 else 2) else 1
+          val scoreKey = s.map(v => if (asc) v else -v).getOrElse(0L)
+          (nullKey, scoreKey, id)
+        }.take(k)
+      }.map(r => (r._1, r._2)).toSet
+      got == want
+    }
 }
