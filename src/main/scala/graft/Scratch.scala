@@ -54,6 +54,31 @@ object Scratch {
     println(s"[scratch] hll approx distinct users: $hll")
 
     println(s"[scratch] events skew ratio: ${plans.GraftOps.skewRatio(Tables.events(spark, d))}")
+
+    // SQL function surface (graft_dot / graft_rolling_minhash /
+    // graft_approx_distinct)
+    functions.GraftFunctions.register(spark)
+    Tables.events(spark, d).createOrReplaceTempView("scratch_events")
+    val sqlHll = spark.sql(
+      "SELECT graft_approx_distinct(user_id) AS u FROM scratch_events")
+      .collect().head.getLong(0)
+    println(s"[scratch] SQL hll distinct users: $sqlHll")
+
+    // The top-k window idiom plans through the rewrite on this session
+    val idiom = spark.sql(
+      """SELECT * FROM (SELECT user_id, event_id,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) rn
+        |FROM scratch_events) WHERE rn <= 3""".stripMargin)
+    idiom.collect()
+    val rewritten = idiom.queryExecution.executedPlan.toString.contains("TopKPerKey")
+    println(s"[scratch] top-k idiom rewritten to TopKPerKey: $rewritten")
+    require(rewritten, "InferTopKPerKey did not fire on the SQL idiom")
+
+    // Round-2-continuation batch surface
+    Seq("pack_sequences", "sample_weighted", "mix_weights",
+      "text_bigrams", "q_corr_stats", "ts_fill_forward").foreach { q =>
+      println(s"[scratch] $q rows: ${SparkEntry.queries(q)(spark, d).count()}")
+    }
     spark.stop()
 
     // Driver-parity smoke: entry() must work on a VANILLA session
