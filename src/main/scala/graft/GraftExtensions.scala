@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_approx_distinct"),
       new ExpressionInfo(classOf[functions.HllSketchAgg].getName, "graft_approx_distinct"),
       exprs => functions.GraftFunctions.approxDistinctBuilder(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_approx_quantiles"),
+      new ExpressionInfo(classOf[functions.DdSketchAgg].getName, "graft_approx_quantiles"),
+      exprs => functions.GraftFunctions.approxQuantilesBuilder(exprs)))
     e.injectPlannerStrategy(_ => plans.TopKStrategy)
     e.injectPlannerStrategy(_ => plans.AsofJoinStrategy)
     // operator-optimization batch: fires on the clean Filter-over-

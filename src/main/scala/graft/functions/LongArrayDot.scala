@@ -111,6 +111,21 @@ object GraftFunctions {
       new XxHash64(Seq(exprs.head)), Literal.create(null, LongType)))
   }
 
+  /** `graft_approx_quantiles(x)` — the mergeable DDSketch quantile
+    * aggregate at its default points (p50/p90/p99, alpha=0.01);
+    * returns ARRAY<DOUBLE>. The Column API
+    * ([[DdSketchAgg.approxQuantiles]]) takes arbitrary points.
+    */
+  def approxQuantilesBuilder(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, If, IsNotNull, Literal}
+    import org.apache.spark.sql.types.DoubleType
+    require(exprs.length == 1,
+      s"graft_approx_quantiles requires exactly 1 argument, got ${exprs.length}")
+    val d = Cast(exprs.head, DoubleType)
+    DdSketchAgg(If(IsNotNull(d), d, Literal.create(null, DoubleType)),
+      Seq(0.5, 0.9, 0.99))
+  }
+
   /** Idempotent per-session SQL registration of all graft functions. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -119,5 +134,7 @@ object GraftFunctions {
       "graft_rolling_minhash", rollingMinHashBuilder, "built-in")
     reg.createOrReplaceTempFunction(
       "graft_approx_distinct", approxDistinctBuilder, "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_approx_quantiles", approxQuantilesBuilder, "built-in")
   }
 }

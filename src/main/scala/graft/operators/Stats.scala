@@ -145,6 +145,37 @@ object Stats {
     },
     None)
 
+  /** Approximate per-type quantiles via graft's mergeable DDSketch
+    * aggregate ([[graft.functions.DdSketchAgg]], alpha=1% relative
+    * error). The 100 TB complement to `q_percentiles`: the exact form
+    * shuffles and sorts every row per group; the sketch aggregates
+    * map-side into an ~18 KB bucket-count array per group and merges
+    * by elementwise sum, so the exchange carries one sketch per group
+    * per map partition regardless of row count.
+    *
+    * Rows-only by design (no SQL engine replicates the bucket
+    * layout); correctness evidence is DdSketchSpec (relative-error
+    * bound vs exact order statistics, merge determinism across
+    * partitionings, boundary clamping) plus the exact p50 emitted
+    * alongside from the same scan for scale-side comparison. Array
+    * output is flattened to scalar columns so external row-compares
+    * can sort every column (the multimodal_meta lesson).
+    */
+  val approxQuantiles = QueryDef(
+    "q_approx_quantiles",
+    (s, d) => {
+      val qs = graft.functions.DdSketchAgg.approxQuantiles(
+        col("value"), Seq(0.5, 0.9, 0.99))
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(qs.as("qarr"), count(lit(1)).as("n_events"))
+        .select(col("event_type"), col("n_events"),
+          element_at(col("qarr"), 1).as("p50_approx"),
+          element_at(col("qarr"), 2).as("p90_approx"),
+          element_at(col("qarr"), 3).as("p99_approx"))
+    },
+    None)
+
   /** Per-group correlation / covariance / least-squares regression of
     * price on quantity. Built from the five decimal-exact moment sums
     * (Sx, Sy, Sxx, Syy, Sxy) + count rather than corr()/covar_samp():
@@ -209,5 +240,6 @@ object Stats {
         / CAST(n_rows AS DOUBLE) * 1000.0 AS intercept
     FROM m"""))
 
-  val defs: Seq[QueryDef] = Seq(histogram, percentiles, avgQtyFilter, movingAvg, approxDistinct, corrStats)
+  val defs: Seq[QueryDef] = Seq(histogram, percentiles, avgQtyFilter, movingAvg,
+    approxDistinct, approxQuantiles, corrStats)
 }
