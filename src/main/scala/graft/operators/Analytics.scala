@@ -387,7 +387,120 @@ object Analytics {
     SELECT decile, COUNT(*) AS n_orders, ${dsum("o_totalprice")} AS total_price
     FROM ranked GROUP BY decile"""))
 
+  private val EventTypes = Seq("click", "login", "logout", "purchase", "view")
+
+  /** Native `RelationalGroupedDataset.pivot` with the pivot values
+    * supplied explicitly. Supplying the values matters twice over at
+    * scale: it skips the eager distinct-collect job Spark otherwise
+    * runs to discover them, and it keeps the output schema static so
+    * the plan is a single partial+final aggregate (each pivot cell is
+    * a map-side-combinable conditional sum — same exchange profile as
+    * a plain groupBy). Decimal-exact sums per the [[Det]] rule.
+    */
+  val qPivot = QueryDef(
+    "q_pivot",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", EventTypes)
+        .agg(sumd(col("value")))
+        .select(col("user_id") +:
+          EventTypes.map(t => col(t).as(s"sum_$t")): _*)
+    },
+    Some(s"""SELECT user_id,
+      ${EventTypes.map(t =>
+        s"CAST(SUM(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS sum_$t")
+        .mkString(",\n      ")}
+    FROM events GROUP BY user_id"""))
+
+  /** The inverse reshape: `DataFrame.unpivot` (melt) from the wide
+    * pivoted form back to (user_id, event_type, sum_value) rows.
+    * Unpivot is a pure per-row Expand projection — zero additional
+    * shuffles on top of the pivot aggregate feeding it. NULL cells
+    * (user never produced that event type) are dropped symmetrically
+    * on both sides, so the round trip is exactly the non-empty cells.
+    */
+  val qUnpivot = QueryDef(
+    "q_unpivot",
+    (s, d) => {
+      qPivot.fn(s, d).unpivot(
+        Array(col("user_id")),
+        EventTypes.map(t => col(s"sum_$t")).toArray,
+        "event_type", "sum_value")
+        .filter(col("sum_value").isNotNull)
+        // unpivot names rows by source column; strip the sum_ prefix
+        .withColumn("event_type", expr("substring(event_type, 5)"))
+    },
+    Some(s"""WITH wide AS (
+      SELECT user_id,
+        ${EventTypes.map(t =>
+          s"CAST(SUM(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS sum_$t")
+          .mkString(",\n        ")}
+      FROM events GROUP BY user_id)
+    ${EventTypes.map(t =>
+      s"SELECT user_id, '$t' AS event_type, sum_$t AS sum_value FROM wide WHERE sum_$t IS NOT NULL")
+      .mkString("\n    UNION ALL\n    ")}"""))
+
+  /** Argmin join-back (the "row holding the group's minimum" shape,
+    * TPC-H q2's correlated-min family without its partsupp table):
+    * each order's cheapest lineitem(s). A bare `min(...) OVER
+    * (PARTITION BY key)` window — hash shuffle on the group key, NO
+    * sort (unbounded frame needs none), then a filter; vs the
+    * aggregate-then-self-join form this saves the join and the second
+    * scan, and unlike rank-based top-k it keeps ties by design.
+    */
+  val qArgminJoin = QueryDef(
+    "q_argmin_join",
+    (s, d) => {
+      val w = Window.partitionBy("l_orderkey")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
+          col("l_partkey"), col("l_extendedprice"))
+        .withColumn("min_price", min(col("l_extendedprice")).over(w))
+        .filter(col("l_extendedprice") === col("min_price"))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "min_price")
+    },
+    Some("""WITH m AS (
+      SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_partkey,
+        l_extendedprice, MIN(l_extendedprice) OVER (PARTITION BY l_orderkey) AS min_price
+      FROM lineitem)
+    SELECT l_orderkey, l_linenumber, l_partkey, min_price
+    FROM m WHERE l_extendedprice = min_price
+    ORDER BY l_orderkey, l_linenumber"""))
+
+  /** Window-function breadth in one pass: lag/lead neighbors,
+    * running first_value, and the two normalized rank statistics
+    * (percent_rank, cume_dist) per user in event order. ONE window
+    * spec = ONE shuffle on user_id + one local sort serves all five
+    * functions; (ms, event_id) ordering is unique so every output is
+    * deterministic, and the rank ratios are single IEEE divisions of
+    * integers (bit-identical cross-engine).
+    */
+  val qWindowFuncs = QueryDef(
+    "q_window_funcs",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000000").as("ms"), col("value"))
+        .withColumn("prev_value", lag("value", 1).over(w))
+        .withColumn("next_value", lead("value", 1).over(w))
+        .withColumn("first_value", first("value").over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume_dist", cume_dist().over(w))
+    },
+    Some("""SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, value,
+      LAG(value, 1) OVER w AS prev_value,
+      LEAD(value, 1) OVER w AS next_value,
+      FIRST_VALUE(value) OVER w AS first_value,
+      PERCENT_RANK() OVER w AS pct_rank,
+      CUME_DIST() OVER w AS cume_dist
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id)
+    ORDER BY event_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     q1, q3, q5, q6, qMarketShare, qTopCustomers, qRollup, qCube, qExcept,
-    qExists, qDistinctAgg, qTopKCustom, qAntiJoin, qDecile)
+    qExists, qDistinctAgg, qTopKCustom, qAntiJoin, qDecile,
+    qPivot, qUnpivot, qArgminJoin, qWindowFuncs)
 }
