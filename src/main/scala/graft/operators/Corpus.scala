@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-global text operators: transforms whose decision for one
+  * document depends on statistics of the WHOLE corpus (unlike the
+  * per-row TextAnalysis family). Both are standard LLM training-data
+  * passes: cross-document segment dedup (the C4/RefinedWeb "remove
+  * repeated spans" step) and vocabulary OOV-rate scoring (tokenizer
+  * coverage QA).
+  *
+  * Scale posture: each operator is explode -> one map-combinable
+  * global aggregate -> join back -> one per-doc aggregate. The wide
+  * exchanges carry one row per distinct segment/token — corpus
+  * vocabulary, not corpus size — and the per-doc reassembly shuffles
+  * each token/segment exactly once on doc_id.
+  */
+object Corpus {
+
+  private val SegWords = 8
+
+  /** Cross-document segment dedup, the C4-family pass at the
+    * granularity this corpus supports (texts are single-line word
+    * streams, so "lines"/"sentences" are re-expressed as
+    * NON-OVERLAPPING [[SegWords]]-word segments; the final short
+    * remainder of each doc is its own segment).
+    *
+    * Policy: a segment whose exact text appears in more than one
+    * document is boilerplate — removed from EVERY document (the
+    * RefinedWeb drop-all variant; keep-one requires a per-segment
+    * argmin pass that doubles the joins for little curation value).
+    * Docs are reassembled from their surviving segments in order;
+    * fully-boilerplate docs survive as empty text so downstream
+    * length filters see them.
+    *
+    * Plan shape: segment explode (posexplode over an index sequence,
+    * split() evaluated once per row) -> global df count on the
+    * segment TEXT (partial/final, the exchange carries distinct
+    * segments) -> broadcast-eligible join back -> groupBy doc_id with
+    * an order-restoring array_sort (collect_list order is
+    * partition-dependent; the sort key makes reassembly
+    * deterministic).
+    */
+  val segmentDedup = QueryDef(
+    "dedup_segments",
+    (s, d) => {
+      val ws = split(col("text"), " ")
+      val nSegs = ceil(size(ws).cast(DoubleType) / SegWords).cast(IntegerType)
+      val segs = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), nSegs - 1),
+          i => concat_ws(" ", slice(ws, i * SegWords + 1, lit(SegWords)))))
+          .as(Seq("seg_idx", "seg")))
+      val dfCounts = segs.groupBy("seg")
+        .agg(countDistinct(col("doc_id")).as("seg_df"))
+      val kept = segs.join(dfCounts, "seg").filter(col("seg_df") === 1)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept_segs"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+            x => x("seg"))).as("clean_text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), (ceil(size(split(col("text"), " "))
+          .cast(DoubleType) / SegWords)).cast(LongType).as("n_segs"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_segs"),
+          coalesce(col("n_kept_segs"), lit(0L)).as("n_kept_segs"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+    },
+    Some(s"""WITH segs AS (
+      SELECT doc_id, i AS seg_idx,
+        array_to_string(string_split(text, ' ')[(i * $SegWords + 1):(i * $SegWords + $SegWords)], ' ') AS seg
+      FROM documents,
+        LATERAL (SELECT unnest(range(0, CAST(ceil(len(string_split(text, ' ')) / $SegWords.0) AS INT)))) t(i)),
+    df AS (
+      SELECT seg, COUNT(DISTINCT doc_id) AS seg_df FROM segs GROUP BY seg),
+    kept AS (
+      SELECT doc_id, COUNT(*) AS n_kept_segs,
+        string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+      FROM segs JOIN df USING (seg)
+      WHERE seg_df = 1
+      GROUP BY doc_id)
+    SELECT d.doc_id,
+      CAST(ceil(len(string_split(d.text, ' ')) / $SegWords.0) AS BIGINT) AS n_segs,
+      COALESCE(k.n_kept_segs, 0) AS n_kept_segs,
+      COALESCE(k.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+    ORDER BY d.doc_id"""))
+
+  private val VocabK = 20
+
+  /** Tokenizer-coverage QA: build the corpus top-[[VocabK]] token
+    * vocabulary (count desc, token asc — deterministic at the rank
+    * boundary), then score every document's out-of-vocabulary token
+    * rate against it. High OOV flags encoding damage, wrong-language
+    * slices, or domain drift before tokenizer training.
+    *
+    * The vocabulary aggregate's exchange carries one row per DISTINCT
+    * token and the top-K is a TakeOrdered (per-partition heaps); the
+    * K-row vocab then broadcasts into the token stream, so the only
+    * data-sized shuffle is the per-doc count on doc_id.
+    */
+  val vocabOov = QueryDef(
+    "vocab_oov",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(VocabK)
+        .select(col("tok").as("v_tok"))
+      toks.join(broadcast(vocab), col("tok") === col("v_tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("v_tok").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          col("n_oov").cast(DoubleType) / col("n_tokens"))
+    },
+    Some(s"""WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    vocab AS (
+      SELECT tok AS v_tok FROM (
+        SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+        ORDER BY n DESC, tok LIMIT $VocabK))
+    SELECT doc_id, COUNT(*) AS n_tokens,
+      CAST(SUM(CASE WHEN v_tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      CAST(SUM(CASE WHEN v_tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS oov_rate
+    FROM toks LEFT JOIN vocab ON tok = v_tok
+    GROUP BY doc_id ORDER BY doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(segmentDedup, vocabOov)
+}
