@@ -351,5 +351,70 @@ object Similarity {
     },
     None)
 
-  val defs: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding, annLsh, annIvf)
+  /** Per-label centroid + per-vector centroid-cosine — the embedding
+    * QA pass that finds mislabeled / outlier vectors (low cosine to
+    * their own cluster's center) before they poison a training mix.
+    *
+    * Determinism at scale: the centroid DIRECTION is all that cosine
+    * needs, so the "centroid" is the per-dim integer floor-mean of the
+    * quantized vectors. Summing raw integer sums would overflow the
+    * norm at ~10k vectors/label (sum ~ n·1e6, norm ~ n²·1e12); the
+    * floor-mean stays at quantization scale forever, and floor
+    * semantics are spelled out explicitly (trunc-div minus the
+    * negative-remainder correction) because Spark's `div` truncates
+    * toward zero while engines differ on `//`.
+    *
+    * Plan shape: posexplode to (label, dim) — map-side-combinable sums,
+    * exchange carries labels×64 rows — rebuild the 10 centroid arrays,
+    * broadcast them back into the corpus scan, and compute the exact
+    * integer dot/norms via the codegen'd [[graft.functions.LongArrayDot]].
+    * One narrow corpus pass + one tiny broadcast: no per-pair work at
+    * all, so it scales to any corpus size.
+    */
+  val embCentroid = QueryDef(
+    "emb_centroid",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).select(
+        col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * Scale).cast(LongType)).as("qa"))
+        .withColumn("na", dot(col("qa"), col("qa")))
+      val sums = emb
+        .select(col("label"), posexplode(col("qa")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      // floor division: trunc quotient, minus 1 when the remainder is
+      // negative (n is always positive)
+      val floorDiv = (expr("sv div n") -
+        when(col("sv") % col("n") < 0, 1L).otherwise(0L)).cast(LongType)
+      val centroids = sums
+        .select(col("label").as("c_label"), col("pos"), floorDiv.as("cm"))
+        .groupBy("c_label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cm")))),
+          x => x("cm")).as("cvec"))
+        .withColumn("cn", dot(col("cvec"), col("cvec")))
+      emb.join(broadcast(centroids), col("label") === col("c_label"))
+        .withColumn("cos_centroid",
+          cosine(dot(col("qa"), col("cvec")), col("na"), col("cn")))
+        .select("vec_id", "label", "cos_centroid")
+    },
+    Some(s"""WITH q AS (
+      SELECT vec_id, label,
+        list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS qa
+      FROM embeddings),
+    sums AS (
+      SELECT label, i AS pos, CAST(SUM(qa[i]) AS BIGINT) AS sv, COUNT(*) AS n
+      FROM q, LATERAL (SELECT unnest(range(1, ${Dim + 1}))) t(i)
+      GROUP BY label, i),
+    cent AS (
+      SELECT label AS c_label,
+        list(CAST((sv - (sv % n)) / n AS BIGINT)
+             - CASE WHEN (sv % n) < 0 THEN 1 ELSE 0 END ORDER BY pos) AS cvec
+      FROM sums GROUP BY label)
+    SELECT vec_id, q.label,
+      ${cosineSql(dotSql("qa", "cvec"), normSql("qa"), normSql("cvec"))} AS cos_centroid
+    FROM q JOIN cent ON q.label = c_label
+    ORDER BY vec_id"""))
+
+  val defs: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding, annLsh, annIvf, embCentroid)
 }
