@@ -390,12 +390,14 @@ object Analytics {
   private val EventTypes = Seq("click", "login", "logout", "purchase", "view")
 
   /** Native `RelationalGroupedDataset.pivot` with the pivot values
-    * supplied explicitly. Supplying the values matters twice over at
-    * scale: it skips the eager distinct-collect job Spark otherwise
-    * runs to discover them, and it keeps the output schema static so
-    * the plan is a single partial+final aggregate (each pivot cell is
-    * a map-side-combinable conditional sum — same exchange profile as
-    * a plain groupBy). Decimal-exact sums per the [[Det]] rule.
+    * supplied explicitly. Supplying the values matters at scale: it
+    * skips the eager distinct-collect job Spark otherwise runs to
+    * discover them and keeps the output schema static. The plan is
+    * Spark's two-phase pivot — partial+final sum on (key, pivot col),
+    * then partial+final `pivotfirst` on the key — two map-side-
+    * combinable exchanges; the one-exchange CASE-column variant of the
+    * same reshape is `agg_type_counts` (A7). Decimal-exact sums per
+    * the [[Det]] rule.
     */
   val qPivot = QueryDef(
     "q_pivot",

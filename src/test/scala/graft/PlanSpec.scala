@@ -77,6 +77,49 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly one exchange:\n$p")
   }
 
+  test("emb_centroid broadcasts the centroids and never plans a nested-loop join") {
+    val p = plan("emb_centroid")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"emb_centroid must stay all-pairs-free:\n$p")
+  }
+
+  test("vocab_oov broadcasts the vocabulary into the token stream") {
+    val p = plan("vocab_oov")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrdered"),
+      s"vocab top-K should plan as TakeOrdered per-partition heaps:\n$p")
+  }
+
+  test("dedup_segments joins on the segment key, never all-pairs") {
+    val p = plan("dedup_segments")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"dedup_segments must candidate-generate by equi-join:\n$p")
+  }
+
+  test("q_pivot plans Spark's two-phase pivot with no value-discovery job") {
+    val df = SparkEntry.queries("q_pivot")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // native pivot = pre-aggregate on (key, pivot column) + pivotfirst
+    // on the key: two exchanges, both fed by partial aggregates (the
+    // CASE-based one-exchange variant is demonstrated by A7). What
+    // must NOT appear is a third job collecting distinct pivot values.
+    val exchanges = "(?m)^\\s*(?:[+:]-\\s*)?Exchange ".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected the two pivot exchanges:\n$p")
+    assert(p.contains("partial_pivotfirst"), s"pivot agg should be partial+final:\n$p")
+  }
+
+  test("q_window_funcs serves all five window functions from one exchange+sort") {
+    val df = SparkEntry.queries("q_window_funcs")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = "(?m)^\\s*(?:[+:]-\\s*)?Exchange ".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly one exchange in q_window_funcs:\n$p")
+    val sorts = "(?m)^\\s*(?:[+:]-\\s*)?Sort ".r.findAllIn(p).size
+    assert(sorts <= 1, s"expected at most one sort in q_window_funcs:\n$p")
+  }
+
   test("q1 aggregates inside whole-stage codegen") {
     // AQE finalizes codegen at execution: run the query, then read the
     // final adaptive plan.
