@@ -416,5 +416,42 @@ object Similarity {
     FROM q JOIN cent ON q.label = c_label
     ORDER BY vec_id"""))
 
-  val defs: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding, annLsh, annIvf, embCentroid)
+  /** Embedding-side duplicate-cluster canonicalization (the SemDeDup
+    * operating shape): connected components over the
+    * [[dedupEmbedding]] near-dup pair graph -> one surviving vec_id
+    * per semantic cluster (keep = component min). Same pointer-jumping
+    * CC driver as the text-side `dedup_cluster_keep`
+    * ([[Dedup.connectedComponents]], log-diameter rounds over the
+    * sparse candidate graph); the oracle is a DuckDB recursive CTE
+    * over the identical pair SQL, so the keep decision — not just the
+    * pair list — is hash-proven cross-engine.
+    */
+  val dedupEmbeddingKeep = QueryDef(
+    "dedup_embedding_keep",
+    (s, d) => {
+      val pairs = dedupEmbedding.fn(s, d).select("i", "j")
+      val edges = pairs.unionByName(
+        pairs.select(col("j").as("i"), col("i").as("j")))
+        .toDF("src", "dst")
+      Dedup.connectedComponents(edges)
+        .select(col("node").as("vec_id"), col("label").as("canonical_id"))
+        .withColumn("keep", col("vec_id") === col("canonical_id"))
+    },
+    Some {
+      val pairSql = dedupEmbedding.oracle.get
+      s"""WITH RECURSIVE pairs AS ($pairSql),
+    edges AS (SELECT i AS src, j AS dst FROM pairs
+              UNION ALL SELECT j, i FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+      SELECT node, node AS root FROM nodes
+      UNION
+      SELECT e.dst AS node, r.root FROM reach r JOIN edges e ON e.src = r.node)
+    SELECT node AS vec_id, min(root) AS canonical_id,
+           (node = min(root)) AS keep
+    FROM reach GROUP BY node ORDER BY vec_id"""
+    })
+
+  val defs: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding, annLsh, annIvf,
+    embCentroid, dedupEmbeddingKeep)
 }
