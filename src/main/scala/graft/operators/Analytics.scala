@@ -501,8 +501,46 @@ object Analytics {
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id)
     ORDER BY event_id"""))
 
+  /** Explicit GROUPING SETS — the general form that ROLLUP ([[qRollup]])
+    * and CUBE ([[qCube]]) are sugar for; an arbitrary (non-prefix,
+    * non-powerset) set combination can only be written this way. Also
+    * the one query exercising the `spark.sql` entry path over a temp
+    * view: grouping-set sugar has no DataFrame API in Spark, and a
+    * library claiming the reference's SQL surface should prove the SQL
+    * door works. Plans as a single Expand + partial/final aggregate —
+    * one exchange, rows multiplied only by the number of sets (3).
+    * `GROUPING()` flags disambiguate a real NULL group from a
+    * rolled-up one, identically in both engines.
+    */
+  val qGroupingSets = QueryDef(
+    "q_grouping_sets",
+    (s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderstatus"),
+          year(col("o_orderdate")).cast(LongType).as("o_year"),
+          col("o_totalprice"))
+        .createOrReplaceTempView("orders_gs")
+      s.sql(s"""SELECT o_orderpriority, o_orderstatus, o_year,
+          CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+          CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+          CAST(GROUPING(o_year) AS BIGINT) AS g_year,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
+          COUNT(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority, o_year), (o_orderstatus), (o_year))""")
+    },
+    Some(s"""SELECT o_orderpriority, o_orderstatus, o_year,
+      CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+      CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      CAST(GROUPING(o_year) AS BIGINT) AS g_year,
+      ${dsum("o_totalprice")} AS total_price, COUNT(*) AS n_orders
+    FROM (SELECT o_orderpriority, o_orderstatus,
+                 CAST(year(o_orderdate) AS BIGINT) AS o_year, o_totalprice
+          FROM orders)
+    GROUP BY GROUPING SETS ((o_orderpriority, o_year), (o_orderstatus), (o_year))"""))
+
   val defs: Seq[QueryDef] = Seq(
     q1, q3, q5, q6, qMarketShare, qTopCustomers, qRollup, qCube, qExcept,
     qExists, qDistinctAgg, qTopKCustom, qAntiJoin, qDecile,
-    qPivot, qUnpivot, qArgminJoin, qWindowFuncs)
+    qPivot, qUnpivot, qArgminJoin, qWindowFuncs, qGroupingSets)
 }

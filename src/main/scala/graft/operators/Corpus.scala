@@ -130,5 +130,54 @@ object Corpus {
     FROM toks LEFT JOIN vocab ON tok = v_tok
     GROUP BY doc_id ORDER BY doc_id"""))
 
-  val defs: Seq[QueryDef] = Seq(segmentDedup, vocabOov)
+  /** Per-source corpus health report — the dashboard query a training
+    * -data team runs per crawl/source before mixing: volume (docs,
+    * chars), language spread, mean quality (Det-deterministic), and
+    * how much of the source is exact-duplicate content.
+    *
+    * Shape: one scan feeds both the content-hash duplicate count
+    * (exchange carries distinct md5s) and the per-source rollup; the
+    * per-doc quality score reuses the single-pass column form of
+    * [[TextAnalysis.quality]], so the report is consistent with the
+    * standalone query by construction.
+    */
+  val corpusStats = QueryDef(
+    "corpus_stats",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"),
+          md5(col("text")).as("h"))
+      val dupCounts = docs.groupBy("h").agg(count(lit(1)).as("h_cnt"))
+      docs.join(dupCounts, "h")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(length(col("text"))).cast(LongType).as("total_chars"),
+          // floor-quantized mean: floor(q*1e6) of bit-identical doubles
+          // is bit-identical, and the integer sum is order-independent
+          // — sidesteps the double->decimal cast whose last-ulp
+          // rounding differs across engines on arbitrary score values
+          (sum(floor(TextAnalysis.qualityScoreCol(col("text")) * 1e6))
+            .cast(DoubleType) / 1e6 / count(lit(1))).as("avg_quality"),
+          sum(when(col("h_cnt") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+    },
+    Some {
+      val nw = "len(string_split(text, ' '))"
+      val qualityExpr =
+        s"""(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / $nw) * 0.5
+        + (1.0 - CAST(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a' OR w = 'of')) AS DOUBLE) / $nw) * 0.3
+        + least((CAST(length(regexp_replace(text, '[ ]', '', 'g')) AS DOUBLE) / $nw) / 10.0, 1.0) * 0.2"""
+      s"""WITH dup AS (
+      SELECT md5(text) AS h, COUNT(*) AS h_cnt FROM documents GROUP BY 1)
+    SELECT source, COUNT(*) AS n_docs,
+      COUNT(DISTINCT lang) AS n_langs,
+      CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+      CAST(SUM(FLOOR(($qualityExpr) * 1e6)) AS DOUBLE) / 1e6 / COUNT(*) AS avg_quality,
+      CAST(SUM(CASE WHEN h_cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+    FROM documents JOIN dup ON md5(text) = h
+    GROUP BY source ORDER BY source"""
+    })
+
+  val defs: Seq[QueryDef] = Seq(segmentDedup, vocabOov, corpusStats)
 }
