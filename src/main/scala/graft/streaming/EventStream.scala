@@ -150,6 +150,33 @@ object EventStream {
         eventTypes.map(t => col(s"n_$t")): _*)
   }
 
+  /** Windowed approximate-distinct metrics via graft's mergeable HLL
+    * sketch aggregate ([[graft.functions.HllSketchAgg]]) running under
+    * INCREMENTAL execution: per event-type tumbling window, the
+    * approximate distinct-user count plus the exact event count.
+    *
+    * This is the 100 TB streaming-cardinality shape: exact streaming
+    * `count(distinct)` would keep every distinct key in the state
+    * store; the sketch's state is a fixed 4 KB register array per
+    * (type, window) group regardless of user cardinality, merged
+    * across micro-batches by the same elementwise max that merges it
+    * across partitions — the mergeability property is exactly what
+    * incremental aggregation needs. Watermark bounds how long a
+    * window's registers stay in the store.
+    */
+  def approxDistinctMetrics(processed: DataFrame,
+      windowLen: String = "10 minutes"): DataFrame =
+    processed
+      .withColumn("eventTime", timestamp_millis(col("processedAt")))
+      .withWatermark("eventTime", windowLen)
+      .groupBy(col("eventType"), window(col("eventTime"), windowLen).as("w"))
+      .agg(
+        graft.functions.HllSketchAgg.approxDistinct(col("originalId"))
+          .as("approxUsers"),
+        count(lit(1)).as("totalEventCount"))
+      .select(col("eventType"), col("w.start").as("windowStart"),
+        col("w.end").as("windowEnd"), col("approxUsers"), col("totalEventCount"))
+
   /** Streaming exact dedup: drops events whose `keyCols` were already
     * seen, with state bounded by the watermark
     * (`dropDuplicatesWithinWatermark`) — the streaming counterpart of

@@ -233,6 +233,38 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("HLL approx-distinct aggregates incrementally across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.ProcessedEvent
+    val input = MemoryStream[ProcessedEvent]
+    val agg = EventStream.approxDistinctMetrics(input.toDF(), "10 minutes")
+    val q = agg.writeStream.format("memory")
+      .queryName("hll_stream_test").outputMode("append").start()
+    try {
+      // 40 distinct users in batch 1, 20 of them repeated + 10 new in
+      // batch 2 -> 50 distinct in the same tumbling window; at this
+      // cardinality the sketch's linear-counting range is exact
+      input.addData((1 to 40).map(i =>
+        ProcessedEvent(s"user-$i", "login", 1000L * i, 0L, Map.empty, 1)): _*)
+      q.processAllAvailable()
+      input.addData((21 to 60).map(i =>
+        ProcessedEvent(s"user-$i", "login", 1000L * i, 0L, Map.empty, 1)): _*)
+      q.processAllAvailable()
+      assert(spark.table("hll_stream_test").count() == 0,
+        "append mode must hold results until the watermark closes the window")
+      // push the watermark past the window end
+      input.addData(ProcessedEvent("user-x", "login", 40L * 60 * 1000, 0L, Map.empty, 1))
+      q.processAllAvailable()
+      val rows = spark.table("hll_stream_test")
+        .filter(col("eventType") === "login" && col("windowStart") === timestamp_millis(lit(0L)))
+        .collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("approxUsers") == 60L,
+        s"cross-micro-batch register merge should count 60 exact via linear counting: ${rows.head}")
+      assert(rows.head.getAs[Long]("totalEventCount") == 80L)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate keys across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
