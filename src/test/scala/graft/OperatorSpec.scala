@@ -13,9 +13,9 @@ class OperatorSpec extends AnyFunSuite {
   test("every registered query runs and matches its oracle declaration") {
     val qs = SparkEntry.queries
     // coverage floor: mass-deregistration of operators must fail loudly
-    // (58 queries / 54 oracles as of the round-2 continuation)
-    assert(qs.size >= 58, s"only ${qs.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 54,
+    // (64 queries / 59 oracles as of round 2, session 3)
+    assert(qs.size >= 64, s"only ${qs.size} queries registered")
+    assert(SparkEntry.oracleSql.size >= 59,
       s"only ${SparkEntry.oracleSql.size} oracles declared")
     qs.foreach { case (name, fn) =>
       val df = fn(spark, d)
