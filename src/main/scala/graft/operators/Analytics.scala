@@ -539,8 +539,68 @@ object Analytics {
           FROM orders)
     GROUP BY GROUPING SETS ((o_orderpriority, o_year), (o_orderstatus), (o_year))"""))
 
+  /** Count-distribution (the TPC-H q13 family): how many customers
+    * placed 0, 1, 2, ... orders. The LEFT join keeps zero-order
+    * customers — the distribution's most business-relevant bucket and
+    * the one an inner join silently drops; `count(o_orderkey)` counts
+    * only matched rows. Two map-side-combinable aggregates: the first
+    * shuffles on c_custkey (the join's own partitioning, reused), the
+    * second on the tiny n_orders domain.
+    */
+  val qCountDistribution = QueryDef(
+    "q_count_distribution",
+    (s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy("n_orders")
+        .agg(count(lit(1)).as("n_customers"))
+    },
+    Some("""WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM per_cust GROUP BY n_orders ORDER BY n_orders"""))
+
+  /** SALTED shuffle join — the hot-key mitigation pattern for joins
+    * (the agg-side analog is A9 `agg_type_counts_salted`): the fact
+    * side gets a salt derived from its own row (pmod of o_orderkey),
+    * the dimension side is replicated once per salt value, and the
+    * join key becomes (key, salt) — one hot customer's orders spread
+    * over [[JoinSalt]] reducers instead of melting one. The
+    * SHUFFLE_HASH hint forces the shuffled plan this pattern exists
+    * for (broadcast would hide it); integer replication changes no
+    * multiplicity, so the result — and the oracle — is identical to
+    * the plain join, which is the point: same answer, skew-proof plan.
+    */
+  val qJoinSalted = QueryDef(
+    "q_join_salted",
+    (s, d) => {
+      val salts = (0 until JoinSalt).map(i => lit(i))
+      val fact = Tables.orders(s, d)
+        .withColumn("_salt", pmod(col("o_orderkey"), lit(JoinSalt)).cast("int"))
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          explode(array(salts: _*)).as("_salt"))
+      fact.hint("SHUFFLE_HASH")
+        .join(dim, fact("o_custkey") === dim("c_custkey") &&
+          fact("_salt") === dim("_salt"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sumd(col("o_totalprice")).as("total_price"))
+    },
+    Some(s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+      ${dsum("o_totalprice")} AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  private val JoinSalt = 8
+
   val defs: Seq[QueryDef] = Seq(
     q1, q3, q5, q6, qMarketShare, qTopCustomers, qRollup, qCube, qExcept,
     qExists, qDistinctAgg, qTopKCustom, qAntiJoin, qDecile,
-    qPivot, qUnpivot, qArgminJoin, qWindowFuncs, qGroupingSets)
+    qPivot, qUnpivot, qArgminJoin, qWindowFuncs, qGroupingSets,
+    qCountDistribution, qJoinSalted)
 }

@@ -188,5 +188,47 @@ object Temporal {
     FROM grid g LEFT JOIN hourly h
       ON g.user_id = h.user_id AND g.hour = h.hour"""))
 
-  val defs: Seq[QueryDef] = Seq(asofJoin, asofJoinCustom, sessionize, fillForward)
+  /** Time-series downsampling to hourly OHLC bars (open/high/low/
+    * close/volume — the resample-and-summarize shape every metrics
+    * store runs). ONE partial+final aggregate over the scan: open and
+    * close are `min_by`/`max_by` on the unique composite order
+    * (ms, event_id) — struct-ordered, so ties are impossible and the
+    * result is deterministic — which makes the whole bar map-side
+    * combinable with no window sort at all (the row_number
+    * formulation would force an exchange + per-key sort; this is the
+    * same aggregate-only shape a streaming OHLC needs). DuckDB's
+    * arg_min/arg_max take only scalar keys, so the oracle uses the
+    * order-equivalent HUGEINT composite ms*2^62 + event_id (valid
+    * while 0 <= event_id < 2^62 — event ids are dense from 0).
+    */
+  val ohlcResample = QueryDef(
+    "q_ohlc_resample",
+    (s, d) => {
+      val hourMs = expr("(ms div 3600000) * 3600000")
+      Tables.events(s, d)
+        .select(col("user_id"), tsMs.as("ms"), col("event_id"), col("value"))
+        .withColumn("hour_ms", hourMs)
+        .groupBy("user_id", "hour_ms")
+        .agg(
+          min_by(col("value"), struct(col("ms"), col("event_id"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), struct(col("ms"), col("event_id"))).as("close"),
+          count(lit(1)).as("volume"),
+          graft.Det.sumd(col("value")).as("sum_value"))
+    },
+    Some(s"""WITH base AS (
+      SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_id, value
+      FROM events)
+    SELECT user_id, (ms // 3600000) * 3600000 AS hour_ms,
+      arg_min(value, CAST(ms AS HUGEINT) * 4611686018427387904 + event_id) AS open,
+      MAX(value) AS high,
+      MIN(value) AS low,
+      arg_max(value, CAST(ms AS HUGEINT) * 4611686018427387904 + event_id) AS close,
+      COUNT(*) AS volume,
+      ${graft.Det.dsum("value")} AS sum_value
+    FROM base GROUP BY user_id, hour_ms ORDER BY user_id, hour_ms"""))
+
+  val defs: Seq[QueryDef] = Seq(asofJoin, asofJoinCustom, sessionize, fillForward,
+    ohlcResample)
 }
