@@ -356,6 +356,67 @@ object TextAnalysis {
     SELECT bigram, COUNT(*) AS n FROM pairs
     GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50"""))
 
+  /** Token-distribution Shannon entropy per document (nats) — low
+    * entropy flags repetitive/templated text, near-max entropy flags
+    * random noise; both are standard drop signals next to
+    * [[repetition]].
+    *
+    * Cross-engine determinism: H = ln n - (1/n) * sum_c c*ln c needs
+    * ln, and libm vs JVM Math.log can disagree in the last ulp. All
+    * ln inputs here are INTEGER token counts, so a lookup table
+    * L[i] = floor(ln(i) * 1e9) is computed ONCE in Scala at plan
+    * build and inlined as a literal into BOTH plans (the hyperplane-
+    * constants trick from the LSH family) — every engine-side
+    * operation is then integer arithmetic plus two identical IEEE
+    * divisions. Docs beyond [[EntropyMaxN]] tokens yield NULL (guard,
+    * documented) rather than a silently-wrong clamp; the corpus max
+    * is 100.
+    *
+    * Shape: one exchange on doc_id for the (doc, token) counts; the
+    * per-doc reduce rides the same partitioning. Scan-speed at scale.
+    */
+  val entropy = {
+    val EntropyMaxN = 1024
+    // L[0] unused (ln 0 undefined); 1-based access via element_at(i+1)
+    val lnTable: IndexedSeq[Long] = IndexedSeq.tabulate(EntropyMaxN + 1)(i =>
+      if (i < 1) 0L else math.floor(math.log(i.toDouble) * 1e9).toLong)
+    QueryDef(
+      "text_entropy",
+      (s, d) => {
+        val lt = typedlit(lnTable)
+        def ln9(c: Column): Column =
+          element_at(lt, (c + 1).cast(IntegerType)) // NULL beyond table
+        val counts = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "tok")
+          .agg(count(lit(1)).as("c"))
+        counts.groupBy("doc_id")
+          .agg(sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_distinct_tokens"),
+            sum(col("c") * ln9(col("c"))).as("s9"))
+          .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+            ((ln9(col("n_tokens")).cast(DoubleType) -
+              col("s9").cast(DoubleType) / col("n_tokens")) / 1e9)
+              .as("token_entropy"))
+      },
+      Some {
+        val lit = lnTable.mkString("[", ", ", "]")
+        s"""WITH counts AS (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY doc_id, tok),
+      agg AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          COUNT(*) AS n_distinct_tokens,
+          CAST(SUM(c * ($lit)[CAST(c + 1 AS INT)]) AS BIGINT) AS s9
+        FROM counts GROUP BY doc_id)
+      SELECT doc_id, n_tokens, n_distinct_tokens,
+        (CAST(($lit)[CAST(n_tokens + 1 AS INT)] AS DOUBLE)
+          - CAST(s9 AS DOUBLE) / n_tokens) / 1e9 AS token_entropy
+      FROM agg ORDER BY doc_id"""
+      })
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint,
-    rollingFingerprint, scrub, repetition, bigrams)
+    rollingFingerprint, scrub, repetition, bigrams, entropy)
 }
