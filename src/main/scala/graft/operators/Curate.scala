@@ -22,9 +22,14 @@ object Curate {
 
   private val MaxDupShingleFrac = 0.5
 
-  val curate = QueryDef(
-    "pipeline_curate",
-    (s, d) => {
+  /** [[curate]] body over an injectable keep-decision frame — the
+    * seam [[Shared]] uses to feed a pre-computed pair graph's keep
+    * decision into the pipeline instead of recomputing the whole
+    * jaccard+CC branch; the registered query passes the fresh one.
+    */
+  private[operators] def curateFrom(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      dupsIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       // All per-doc scores in ONE select over one documents scan
       // (shared Column builders, same expressions the standalone
       // queries verify); the branch pipelines join in.
@@ -33,7 +38,7 @@ object Curate {
         TextAnalysis.predictedLangCol(col("text")).as("predicted_lang"),
         TextAnalysis.qualityScoreCol(col("text")).as("quality_score"),
         Sampling.splitCol(col("text")).as("split"))
-      val dups = Dedup.clusterKeep.fn(s, d)
+      val dups = dupsIn
         .select(col("doc_id"), col("keep"))
       val rep = TextAnalysis.repetition.fn(s, d)
         .select(col("doc_id"), col("dup_shingle_frac"))
@@ -54,7 +59,11 @@ object Curate {
         .filter(coalesce(col("dup_shingle_frac"), lit(0.0)) < MaxDupShingleFrac)
         .filter(col("split") === "train")                // train shard
         .select("doc_id", "predicted_lang", "quality_score")
-    },
+  }
+
+  val curate = QueryDef(
+    "pipeline_curate",
+    (s, d) => curateFrom(s, d, Dedup.clusterKeep.fn(s, d)),
     Some {
       // Compose the component oracles as subqueries — each is the
       // exact SQL already hash-verified on its own.

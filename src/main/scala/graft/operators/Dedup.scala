@@ -367,20 +367,27 @@ object Dedup {
     * blocking, that graph is sparse at any scale. The oracle is a
     * DuckDB recursive CTE over the same pairs.
     */
+  /** [[clusterKeep]] body over an injectable pair graph — the seam
+    * that lets a session compute the (expensive) near-dup pairs ONCE
+    * and feed both the keep decision and the curation pipeline (see
+    * [[Shared]]); the registered query passes the fresh pairs.
+    */
+  private[operators] def clusterKeepFrom(
+      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // Materialize once: every loop iteration joins against edges,
+    // and without the checkpoint each join would re-run the whole
+    // jaccard pipeline.
+    val edges = pairs.unionByName(
+      pairs.select(col("j").as("i"), col("i").as("j")))
+      .toDF("src", "dst")
+    connectedComponents(edges)
+      .select(col("node").as("doc_id"), col("label").as("canonical_id"))
+      .withColumn("keep", col("doc_id") === col("canonical_id"))
+  }
+
   val clusterKeep = QueryDef(
     "dedup_cluster_keep",
-    (s, d) => {
-      val pairs = ngramJaccard.fn(s, d).select("i", "j")
-      // Materialize once: every loop iteration joins against edges,
-      // and without the checkpoint each join would re-run the whole
-      // jaccard pipeline.
-      val edges = pairs.unionByName(
-        pairs.select(col("j").as("i"), col("i").as("j")))
-        .toDF("src", "dst")
-      connectedComponents(edges)
-        .select(col("node").as("doc_id"), col("label").as("canonical_id"))
-        .withColumn("keep", col("doc_id") === col("canonical_id"))
-    },
+    (s, d) => clusterKeepFrom(ngramJaccard.fn(s, d).select("i", "j")),
     Some {
       // the ngram-jaccard pair query, stripped of its ORDER BY/cols
       val pairSql = ngramJaccard.oracle.get.replace("ORDER BY i, j", "")

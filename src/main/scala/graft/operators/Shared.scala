@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Session-level subplan sharing for pipelines that consume the same
+  * expensive intermediate. The flagship case (SURVEY §8): the near-dup
+  * PAIR GRAPH is the costliest branch of both `dedup_cluster_keep`
+  * and `pipeline_curate` — a session running both should compute the
+  * jaccard blocking join once, not twice.
+  *
+  * Deliberately an OPT-IN API rather than a hidden cache inside the
+  * registered queries: the driver's Verify/Bench treat each query as
+  * independent, and silently memoizing across queries would make the
+  * second one benchmark as nearly free — the honest default stays
+  * recompute-per-query, and a session that wants reuse says so:
+  *
+  * {{{
+  *   val sh = Shared.pairGraph(spark, sfDir)
+  *   try {
+  *     val keep  = sh.clusterKeep     // CC over the cached pairs
+  *     val train = sh.curated         // full curation, same cached pairs
+  *   } finally sh.release()
+  * }}}
+  *
+  * Persistence is MEMORY_AND_DISK: the pair graph after blocking is
+  * tiny relative to the corpus (near-dup pairs only), so on a cluster
+  * this is a few MB per executor, not a second copy of the data.
+  */
+object Shared {
+
+  final class PairGraphSession private[Shared] (
+      spark: SparkSession, sfDir: String) {
+
+    /** The near-dup pair graph (i < j), computed once and persisted on
+      * first action.
+      */
+    val pairs: DataFrame = Dedup.ngramJaccard.fn(spark, sfDir)
+      .select("i", "j")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    /** Canonical keep decision over the cached pairs — same result as
+      * the registered `dedup_cluster_keep` (spec-asserted).
+      */
+    def clusterKeep: DataFrame = Dedup.clusterKeepFrom(pairs)
+
+    /** Full curation pipeline over the cached pairs — same result as
+      * the registered `pipeline_curate` (spec-asserted).
+      */
+    def curated: DataFrame = Curate.curateFrom(spark, sfDir, clusterKeep)
+
+    /** Drop the cached pairs (idempotent). */
+    def release(): Unit = pairs.unpersist()
+  }
+
+  /** Start a shared-pair-graph session over `sfDir`. */
+  def pairGraph(spark: SparkSession, sfDir: String): PairGraphSession =
+    new PairGraphSession(spark, sfDir)
+}

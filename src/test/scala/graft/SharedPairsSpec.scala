@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Shared
+import org.scalatest.funsuite.AnyFunSuite
+
+class SharedPairsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.sfDir
+
+  test("shared pair graph yields identical results to the registered queries") {
+    val sh = Shared.pairGraph(spark, d)
+    try {
+      val keepShared = sh.clusterKeep.collect().map(_.toSeq).toSet
+      val keepFresh = SparkEntry.queries("dedup_cluster_keep")(spark, d)
+        .collect().map(_.toSeq).toSet
+      assert(keepShared == keepFresh)
+
+      val curShared = sh.curated.collect().map(_.toSeq).toSet
+      val curFresh = SparkEntry.queries("pipeline_curate")(spark, d)
+        .collect().map(_.toSeq).toSet
+      assert(curShared == curFresh)
+    } finally sh.release()
+  }
+
+  test("second consumer reads the cached pairs, not a recomputed jaccard join") {
+    // NOTE: clusterKeep/curated end behind the CC loop's localCheckpoints,
+    // so their FINAL plans read checkpointed RDDs — the pair cache is
+    // consumed when the edge list materializes. The observable contract
+    // is therefore (a) the pairs plan is an in-memory scan and (b) the
+    // cache is actually materialized after the first consumer runs.
+    val sh = Shared.pairGraph(spark, d)
+    try {
+      val p = sh.pairs.queryExecution.executedPlan.toString
+      assert(p.contains("InMemoryTableScan"),
+        s"pairs should plan as a cache scan:\n$p")
+      sh.clusterKeep.collect() // first consumer materializes the cache
+      val info = spark.sparkContext.getRDDStorageInfo
+        .filter(_.numCachedPartitions > 0)
+      assert(info.nonEmpty,
+        "pair-graph cache should be materialized after the first consumer")
+    } finally sh.release()
+  }
+
+  test("release is idempotent and unpersists the cache") {
+    val sh = Shared.pairGraph(spark, d)
+    sh.pairs.count()
+    sh.release()
+    sh.release()
+    assert(sh.pairs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+}
