@@ -35,9 +35,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * maxIdx] (buckets outside are clamped to the boundary buckets, the
   * standard collapse strategy): with alpha=0.01, gamma~1.0202,
   * log_gamma spans ~[-690, 1380] for doubles in [1e-6, 1e12] — we keep
-  * [-800, 1500] = 2301 long counters ~ 18 KB per group. Values <= 0
-  * count into a dedicated zero/negative bucket returned as the
-  * minimum (the events/lineitem measures here are positive).
+  * [-800, 1500] = 2301 long counters per sign ~ 36 KB per group.
+  * Negative values get the standard MIRRORED bucket store (the sketch
+  * of -x, estimates negated), exact zeros a dedicated bucket, so the
+  * relative-error guarantee holds over the full real line; NaNs are
+  * skipped like NULLs (they have no order statistics to estimate).
   *
   * Reference for the operator surface this backs: the AggregationJob
   * metrics family (/root/reference/jobs/flink-job/src/main/kotlin/com/
@@ -61,15 +63,18 @@ case class DdSketchAgg(
 
   private val gamma: Double = (1 + alpha) / (1 - alpha)
   private val logGamma: Double = math.log(gamma)
-  // state layout: [zeroCount, count(MinIdx), ..., count(MaxIdx)]
+  // state layout: [zeroCount,
+  //   posCount(MinIdx..MaxIdx),   -- offset 1
+  //   negCount(MinIdx..MaxIdx)]   -- offset 1 + nBuckets, sketch of -x
   private val nBuckets: Int = MaxIdx - MinIdx + 1
+  private val stateLen: Int = 1 + 2 * nBuckets
 
   override def children: Seq[Expression] = child :: Nil
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "graft_ddsketch"
 
-  override def createAggregationBuffer(): Array[Long] = new Array[Long](nBuckets + 1)
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](stateLen)
 
   private def bucketOf(x: Double): Int = {
     val idx = math.ceil(math.log(x) / logGamma).toInt
@@ -80,7 +85,9 @@ case class DdSketchAgg(
     val v = child.eval(input)
     if (v != null) {
       val x = v.asInstanceOf[Double]
-      if (x > 0 && !x.isNaN) buf(bucketOf(x) - MinIdx + 1) += 1
+      if (x.isNaN) () // no order statistic to estimate; skip like NULL
+      else if (x > 0) buf(bucketOf(x) - MinIdx + 1) += 1
+      else if (x < 0) buf(bucketOf(-x) - MinIdx + 1 + nBuckets) += 1
       else buf(0) += 1
     }
     buf
@@ -88,7 +95,7 @@ case class DdSketchAgg(
 
   override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
     var i = 0
-    while (i <= nBuckets) {
+    while (i < stateLen) {
       b1(i) += b2(i)
       i += 1
     }
@@ -96,14 +103,16 @@ case class DdSketchAgg(
   }
 
   /** Emits one estimated value per requested quantile: walk the
-    * cumulative counts to the ceil(q * n)-th element's bucket and
-    * return the bucket's midpoint value `2*gamma^i/(gamma+1)`, which
-    * is within alpha of every value the bucket can hold.
+    * cumulative counts in value order — negatives from most negative
+    * (highest mirrored bucket) down, then zeros, then positives — to
+    * the ceil(q * n)-th element's bucket and return the bucket's
+    * midpoint `±2*gamma^i/(gamma+1)`, which is within alpha of every
+    * value the bucket can hold.
     */
   override def eval(buf: Array[Long]): Any = {
     var n = 0L
     var i = 0
-    while (i <= nBuckets) { n += buf(i); i += 1 }
+    while (i < stateLen) { n += buf(i); i += 1 }
     val out = new Array[Any](quantiles.length)
     var qi = 0
     while (qi < quantiles.length) {
@@ -113,30 +122,37 @@ case class DdSketchAgg(
     new GenericArrayData(out)
   }
 
+  private def midpoint(idx: Int): Double = 2.0 * math.pow(gamma, idx) / (gamma + 1)
+
   private def estimate(buf: Array[Long], n: Long, q: Double): Double = {
     val rank = math.max(1L, math.ceil(q * n).toLong)
-    var cum = buf(0)
-    if (rank <= cum) return 0.0 // zero/negative bucket
-    var i = 1
-    while (i <= nBuckets) {
-      cum += buf(i)
-      if (rank <= cum) {
-        val idx = MinIdx + i - 1
-        return 2.0 * math.pow(gamma, idx) / (gamma + 1)
-      }
-      i += 1
+    var cum = 0L
+    // negatives: most negative first = mirrored bucket index descending
+    var i = nBuckets - 1
+    while (i >= 0) {
+      cum += buf(1 + nBuckets + i)
+      if (rank <= cum) return -midpoint(MinIdx + i)
+      i -= 1
+    }
+    cum += buf(0)
+    if (rank <= cum) return 0.0
+    var j = 0
+    while (j < nBuckets) {
+      cum += buf(1 + j)
+      if (rank <= cum) return midpoint(MinIdx + j)
+      j += 1
     }
     Double.NaN // unreachable: rank <= n = total count
   }
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate((nBuckets + 1) * 8)
+    val bb = java.nio.ByteBuffer.allocate(stateLen * 8)
     bb.asLongBuffer().put(buf)
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val out = new Array[Long](nBuckets + 1)
+    val out = new Array[Long](stateLen)
     java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
     out
   }

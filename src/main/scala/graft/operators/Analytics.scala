@@ -504,10 +504,13 @@ object Analytics {
   /** Explicit GROUPING SETS — the general form that ROLLUP ([[qRollup]])
     * and CUBE ([[qCube]]) are sugar for; an arbitrary (non-prefix,
     * non-powerset) set combination can only be written this way. Also
-    * the one query exercising the `spark.sql` entry path over a temp
-    * view: grouping-set sugar has no DataFrame API in Spark, and a
-    * library claiming the reference's SQL surface should prove the SQL
-    * door works. Plans as a single Expand + partial/final aggregate —
+    * the one query exercising the `spark.sql` entry path: grouping-set
+    * sugar has no DataFrame API in Spark, and a library claiming the
+    * reference's SQL surface should prove the SQL door works. The scan
+    * is a direct `parquet.`-qualified file reference — no temp view,
+    * so a read-only query never mutates the session catalog (and two
+    * concurrent callers over different dirs cannot race on a shared
+    * view name). Plans as a single Expand + partial/final aggregate —
     * one exchange, rows multiplied only by the number of sets (3).
     * `GROUPING()` flags disambiguate a real NULL group from a
     * rolled-up one, identically in both engines.
@@ -515,18 +518,15 @@ object Analytics {
   val qGroupingSets = QueryDef(
     "q_grouping_sets",
     (s, d) => {
-      Tables.orders(s, d)
-        .select(col("o_orderpriority"), col("o_orderstatus"),
-          year(col("o_orderdate")).cast(LongType).as("o_year"),
-          col("o_totalprice"))
-        .createOrReplaceTempView("orders_gs")
       s.sql(s"""SELECT o_orderpriority, o_orderstatus, o_year,
           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
           CAST(GROUPING(o_year) AS BIGINT) AS g_year,
           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
           COUNT(*) AS n_orders
-        FROM orders_gs
+        FROM (SELECT o_orderpriority, o_orderstatus,
+                     CAST(year(o_orderdate) AS BIGINT) AS o_year, o_totalprice
+              FROM parquet.`$d/orders.parquet`)
         GROUP BY GROUPING SETS ((o_orderpriority, o_year), (o_orderstatus), (o_year))""")
     },
     Some(s"""SELECT o_orderpriority, o_orderstatus, o_year,

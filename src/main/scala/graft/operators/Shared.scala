@@ -40,9 +40,13 @@ object Shared {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     /** Canonical keep decision over the cached pairs — same result as
-      * the registered `dedup_cluster_keep` (spec-asserted).
+      * the registered `dedup_cluster_keep` (spec-asserted). A lazy
+      * val, not a def: the CC driver loop is EAGER (it runs its
+      * join+checkpoint rounds at first access), so re-deriving it per
+      * consumer would re-run the whole loop — `curated` reuses this
+      * instance's checkpointed result.
       */
-    def clusterKeep: DataFrame = Dedup.clusterKeepFrom(pairs)
+    lazy val clusterKeep: DataFrame = Dedup.clusterKeepFrom(pairs)
 
     /** Full curation pipeline over the cached pairs — same result as
       * the registered `pipeline_curate` (spec-asserted).

@@ -34,10 +34,13 @@ object Similarity {
   private val DedupBands = 16
   private val DedupBits = NDedupPlanes / DedupBands
 
-  /** Quantized embedding + its exact integer squared-norm. */
+  /** Quantized embedding + its exact integer squared-norm (label
+    * carried through for the centroid operator; other callers project
+    * it away).
+    */
   private def quantized(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
-      col("vec_id"),
+      col("vec_id"), col("label"),
       transform(col("embedding"),
         x => floor(x.cast(DoubleType) * Scale).cast(LongType)).as("qa"))
       .withColumn("na", graft.functions.GraftFunctions.dotLong(col("qa"), col("qa")))
@@ -374,11 +377,7 @@ object Similarity {
   val embCentroid = QueryDef(
     "emb_centroid",
     (s, d) => {
-      val emb = Tables.embeddings(s, d).select(
-        col("vec_id"), col("label"),
-        transform(col("embedding"),
-          x => floor(x.cast(DoubleType) * Scale).cast(LongType)).as("qa"))
-        .withColumn("na", dot(col("qa"), col("qa")))
+      val emb = quantized(s, d)
       val sums = emb
         .select(col("label"), posexplode(col("qa")).as(Seq("pos", "v")))
         .groupBy("label", "pos")

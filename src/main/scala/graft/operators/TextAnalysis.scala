@@ -384,8 +384,10 @@ object TextAnalysis {
       "text_entropy",
       (s, d) => {
         val lt = typedlit(lnTable)
+        // try_element_at: NULL (not an ANSI INVALID_ARRAY_INDEX error)
+        // for docs beyond the table bound
         def ln9(c: Column): Column =
-          element_at(lt, (c + 1).cast(IntegerType)) // NULL beyond table
+          try_element_at(lt, (c + 1).cast(IntegerType))
         val counts = Tables.documents(s, d)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .groupBy("doc_id", "tok")

@@ -46,15 +46,34 @@ class DdSketchSpec extends AnyFunSuite {
     assert(sketch(fwd, "v") == sketch(rev, "v"))
   }
 
-  test("zero and negative values land in the zero bucket, nulls ignored") {
+  test("mixed-sign input ranks negatives, zero, positives in value order") {
     val df = spark.createDataFrame(
       Seq(-5.0, 0.0, 1.0, 2.0, 3.0).map(Tuple1(_))).toDF("v")
     val est = sketch(df, "v")
-    // p50 of 5 values is rank 3 -> the value 1.0 (two non-positive below)
+    // p50 of 5 values is rank 3 -> the value 1.0 (two values below)
     assert(math.abs(est.head - 1.0) <= 0.011)
     val withNulls = spark.range(100)
       .select(when(col("id") % 2 === 0, (col("id") + 1).cast("double")).as("v"))
     assert(sketch(withNulls, "v").forall(!_.isNaN))
+  }
+
+  test("all-negative input keeps the relative-error guarantee (mirrored store)") {
+    val vals = (1 to 5000).map(i => -math.exp(i / 700.0))
+    val df = spark.createDataFrame(vals.map(Tuple1(_))).toDF("v")
+    val est = sketch(df, "v")
+    Qs.zip(est).foreach { case (q, e) =>
+      val t = exact(vals, q)
+      assert(math.abs(e - t) / math.abs(t) <= 0.011,
+        s"q=$q est=$e exact=$t")
+    }
+  }
+
+  test("NaN values are skipped like NULLs, not counted") {
+    val df = spark.createDataFrame(
+      Seq(Double.NaN, 10.0, 20.0, 30.0).map(Tuple1(_))).toDF("v")
+    val est = sketch(df, "v")
+    // 3 real values; p50 rank 2 -> 20
+    assert(math.abs(est.head - 20.0) / 20.0 <= 0.011, s"p50=${est.head}")
   }
 
   test("empty input returns NaN per quantile") {

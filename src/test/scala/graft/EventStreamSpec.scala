@@ -241,9 +241,13 @@ class EventStreamSpec extends AnyFunSuite {
     val q = agg.writeStream.format("memory")
       .queryName("hll_stream_test").outputMode("append").start()
     try {
-      // 40 distinct users in batch 1, 20 of them repeated + 10 new in
-      // batch 2 -> 50 distinct in the same tumbling window; at this
-      // cardinality the sketch's linear-counting range is exact
+      // 40 distinct users in batch 1, 20 of them repeated + 20 new in
+      // batch 2 -> 60 distinct in the same tumbling window; linear
+      // counting at 60/4096 registers is exact UNLESS the specific
+      // hash values collide (possible for an arbitrary key set), so
+      // the assertion allows a small collision tolerance — the
+      // property under test is the cross-micro-batch register merge,
+      // not collision-freeness of these particular strings
       input.addData((1 to 40).map(i =>
         ProcessedEvent(s"user-$i", "login", 1000L * i, 0L, Map.empty, 1)): _*)
       q.processAllAvailable()
@@ -259,8 +263,8 @@ class EventStreamSpec extends AnyFunSuite {
         .filter(col("eventType") === "login" && col("windowStart") === timestamp_millis(lit(0L)))
         .collect()
       assert(rows.length == 1)
-      assert(rows.head.getAs[Long]("approxUsers") == 60L,
-        s"cross-micro-batch register merge should count 60 exact via linear counting: ${rows.head}")
+      assert(math.abs(rows.head.getAs[Long]("approxUsers") - 60L) <= 2L,
+        s"cross-micro-batch register merge should count ~60 via linear counting: ${rows.head}")
       assert(rows.head.getAs[Long]("totalEventCount") == 80L)
     } finally q.stop()
   }
