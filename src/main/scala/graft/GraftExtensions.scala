@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_approx_quantiles"),
       new ExpressionInfo(classOf[functions.DdSketchAgg].getName, "graft_approx_quantiles"),
       exprs => functions.GraftFunctions.approxQuantilesBuilder(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_heavy_hitters"),
+      new ExpressionInfo(classOf[functions.FreqSketchAgg].getName, "graft_heavy_hitters"),
+      exprs => functions.GraftFunctions.heavyHittersBuilder(exprs)))
     e.injectPlannerStrategy(_ => plans.TopKStrategy)
     e.injectPlannerStrategy(_ => plans.AsofJoinStrategy)
     // operator-optimization batch: fires on the clean Filter-over-

@@ -126,6 +126,15 @@ object GraftFunctions {
       Seq(0.5, 0.9, 0.99))
   }
 
+  /** `graft_heavy_hitters(x)` — the Misra-Gries top-items aggregate at
+    * its default capacity (k=64); returns array<struct<item, est>>.
+    */
+  def heavyHittersBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1,
+      s"graft_heavy_hitters requires exactly 1 argument, got ${exprs.length}")
+    FreqSketchAgg(exprs.head, 64)
+  }
+
   /** Idempotent per-session SQL registration of all graft functions. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -136,5 +145,7 @@ object GraftFunctions {
       "graft_approx_distinct", approxDistinctBuilder, "built-in")
     reg.createOrReplaceTempFunction(
       "graft_approx_quantiles", approxQuantilesBuilder, "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_heavy_hitters", heavyHittersBuilder, "built-in")
   }
 }

@@ -598,9 +598,49 @@ object Analytics {
 
   private val JoinSalt = 8
 
+  /** FULL OUTER reconciliation — the audit query that finds BOTH
+    * kinds of referential breakage in one pass: orders with no
+    * lineitems and lineitems with no order (the inner/left forms each
+    * silently hide one side). Keys are coalesced, presence flags made
+    * explicit, and the missing-side aggregates defaulted so the output
+    * is a complete ledger. Shape: partial+final count/sum on the
+    * lineitem side, then one shuffle on the join key both inputs
+    * share — the aggregate's partitioning is reused by the join.
+    */
+  val qFullOuter = QueryDef(
+    "q_full_outer",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("lkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sumd(col("l_extendedprice")).as("items_value"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .join(li, col("o_orderkey") === col("lkey"), "full_outer")
+        .select(
+          coalesce(col("o_orderkey"), col("lkey")).as("orderkey"),
+          col("o_orderkey").isNotNull.as("has_order"),
+          col("lkey").isNotNull.as("has_items"),
+          col("o_totalprice"),
+          coalesce(col("n_items"), lit(0L)).as("n_items"),
+          col("items_value"))
+    },
+    Some(s"""WITH li AS (
+      SELECT l_orderkey AS lkey, COUNT(*) AS n_items,
+        ${dsum("l_extendedprice")} AS items_value
+      FROM lineitem GROUP BY 1)
+    SELECT COALESCE(o_orderkey, lkey) AS orderkey,
+      (o_orderkey IS NOT NULL) AS has_order,
+      (lkey IS NOT NULL) AS has_items,
+      o_totalprice,
+      COALESCE(n_items, 0) AS n_items,
+      items_value
+    FROM orders FULL OUTER JOIN li ON o_orderkey = lkey
+    ORDER BY orderkey"""))
+
   val defs: Seq[QueryDef] = Seq(
     q1, q3, q5, q6, qMarketShare, qTopCustomers, qRollup, qCube, qExcept,
     qExists, qDistinctAgg, qTopKCustom, qAntiJoin, qDecile,
     qPivot, qUnpivot, qArgminJoin, qWindowFuncs, qGroupingSets,
-    qCountDistribution, qJoinSalted)
+    qCountDistribution, qJoinSalted, qFullOuter)
 }

@@ -179,5 +179,34 @@ object Corpus {
     GROUP BY source ORDER BY source"""
     })
 
-  val defs: Seq[QueryDef] = Seq(segmentDedup, vocabOov, corpusStats)
+  /** Corpus top tokens via graft's mergeable Misra-Gries sketch
+    * ([[graft.functions.FreqSketchAgg]]) — the bounded-state answer to
+    * "what are the heavy hitters" when the item domain dwarfs memory:
+    * the exchange carries at most k counters per map partition instead
+    * of one row per distinct item.
+    *
+    * Capacity k=64 exceeds this corpus's vocabulary, so the sketch
+    * runs in its EXACT regime (no decrement ever fires, estimates are
+    * true counts) — which is what makes the query deterministic and
+    * fully oracle-checkable against a plain GROUP BY. The lossy
+    * regime's guarantees (superset of true heavy hitters,
+    * under-estimates within n/(k+1)) are property-tested on skewed
+    * synthetic data in FreqSketchSpec.
+    */
+  val heavyHitters = QueryDef(
+    "text_heavy_hitters",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .agg(graft.functions.FreqSketchAgg.topItems(col("tok"), 64).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.item").as("item"), col("e.est").as("est"))
+        .orderBy(col("est").desc, col("item"))
+        .limit(20)
+    },
+    Some("""SELECT tok AS item, COUNT(*) AS est
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY 1 ORDER BY est DESC, item LIMIT 20"""))
+
+  val defs: Seq[QueryDef] = Seq(segmentDedup, vocabOov, corpusStats, heavyHitters)
 }
