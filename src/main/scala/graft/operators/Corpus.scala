@@ -208,5 +208,68 @@ object Corpus {
     FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
     GROUP BY 1 ORDER BY est DESC, item LIMIT 20"""))
 
-  val defs: Seq[QueryDef] = Seq(segmentDedup, vocabOov, corpusStats, heavyHitters)
+  /** Per-document TF-IDF top terms — the classic "what is this doc
+    * about" signal (retrieval indexing, near-dup explanation, topic
+    * drift QA). Smooth idf = ln((N+1)/(df+1)).
+    *
+    * Determinism note: idf needs ln over data-dependent ratios, and
+    * engine libm implementations may differ in the final ulp. Both
+    * RANKING and output therefore use the score rounded to 6 decimals
+    * — a 1-ulp (~1e-16) discrepancy cannot move a 6-dp rounding
+    * except on exact half-way ties, which the irrational ln products
+    * cannot produce — and rank ties break on the token. (The entropy
+    * operator's inlined-table trick is exact but needs a table entry
+    * per possible df value = per corpus doc; at corpus scale that
+    * literal outgrows the plan, so rounding is the honest scale-safe
+    * choice here.)
+    *
+    * Shape: (doc, tok) counts -> df per token (exchange carries the
+    * vocabulary) -> broadcast N -> per-doc top-3 via row_number over
+    * the doc_id partitioning the counts already have.
+    */
+  val tfidf = QueryDef(
+    "text_tfidf",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val counts = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .withColumn("n_doc", sum(col("c")).over(Window.partitionBy("doc_id")))
+      val dfPerTok = counts.groupBy("tok")
+        .agg(count(lit(1)).as("df"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_corpus"))
+      val scored = counts
+        .join(dfPerTok, "tok")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", round(
+          (col("c").cast(DoubleType) / col("n_doc")) *
+            log((col("n_corpus") + 1).cast(DoubleType) / (col("df") + 1)), 6))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("tok"))
+      scored.withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "rk", "tok", "c", "df", "tfidf")
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    counts AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+    with_n AS (
+      SELECT *, SUM(c) OVER (PARTITION BY doc_id) AS n_doc FROM counts),
+    dfs AS (
+      SELECT tok, COUNT(*) AS df FROM counts GROUP BY tok),
+    scored AS (
+      SELECT doc_id, tok, c, df,
+        round((CAST(c AS DOUBLE) / n_doc)
+          * ln(CAST((SELECT COUNT(*) FROM documents) + 1 AS DOUBLE) / (df + 1)), 6) AS tfidf
+      FROM with_n JOIN dfs USING (tok)),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, tok) AS BIGINT) AS rk
+      FROM scored)
+    SELECT doc_id, rk, tok, c, df, tfidf FROM ranked WHERE rk <= 3
+    ORDER BY doc_id, rk"""))
+
+  val defs: Seq[QueryDef] = Seq(segmentDedup, vocabOov, corpusStats, heavyHitters,
+    tfidf)
 }
