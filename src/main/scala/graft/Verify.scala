@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: sfDir outDir [comma-separated query-name filter (dev only;
+    // the driver always passes two args = full run)]
+    val sfDir = args(0)
+    val outDir = args(1)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(',').toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,7 +28,9 @@ object Verify {
       if (f.isDirectory) f.listFiles().foreach(deleteRec)
       f.delete()
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // drop any previous dump first: a query failing before its
       // write must leave NO output, not a stale one the oracle
       // compare would green-light
@@ -47,12 +54,15 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // full expected-query manifest so the checker can flag a
     // rows-only query that silently stopped producing output
     Files.writeString(Paths.get(s"$outDir/manifest.json"),
-      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+      SparkEntry.queries.keys.toSeq.sorted
+        .filter(k => only.forall(_.contains(k)))
+        .map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }
