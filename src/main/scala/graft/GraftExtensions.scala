@@ -31,6 +31,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_heavy_hitters"),
       new ExpressionInfo(classOf[functions.FreqSketchAgg].getName, "graft_heavy_hitters"),
       exprs => functions.GraftFunctions.heavyHittersBuilder(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate",
+        "graft_bloom_agg"),
+      exprs => functions.GraftFunctions.bloomAggBuilder(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain",
+        "graft_bloom_contains"),
+      exprs => functions.GraftFunctions.bloomContainsBuilder(exprs)))
     e.injectPlannerStrategy(_ => plans.TopKStrategy)
     e.injectPlannerStrategy(_ => plans.AsofJoinStrategy)
     // operator-optimization batch: fires on the clean Filter-over-

@@ -135,6 +135,37 @@ object GraftFunctions {
     FreqSketchAgg(exprs.head, 64)
   }
 
+  /** `graft_bloom_agg(x)` — mergeable Bloom filter over xxhash64(x),
+    * surfaced as its serialized binary. This wraps Spark's own
+    * runtime-filter aggregate (the exact machinery InjectRuntimeFilter
+    * plants under a scalar subquery), so build and merge are the
+    * battle-tested sketch implementation; graft only adds the SQL name
+    * and the xxhash64 pre-hash. Pair with `graft_bloom_contains` —
+    * both sides hash with the same xxhash64, so any input type works.
+    * (A NULL hashes to the xxhash64 seed on both sides, so nulls can
+    * only ever FALSE-POSITIVE a probe — conservative for pruning.)
+    */
+  def bloomAggBuilder(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(exprs.length == 1,
+      s"graft_bloom_agg requires exactly 1 argument, got ${exprs.length}")
+    new BloomFilterAggregate(new XxHash64(Seq(exprs.head)))
+  }
+
+  /** `graft_bloom_contains(bloom, x)` — membership probe against a
+    * `graft_bloom_agg` filter (bloom must be foldable or a scalar
+    * subquery, mirroring Spark's runtime-filter contract). May return
+    * false positives, never false negatives — callers keep an exact
+    * join for final semantics and use this only to prune early.
+    */
+  def bloomContainsBuilder(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64}
+    require(exprs.length == 2,
+      s"graft_bloom_contains requires exactly 2 arguments, got ${exprs.length}")
+    BloomFilterMightContain(exprs(0), new XxHash64(Seq(exprs(1))))
+  }
+
   /** Idempotent per-session SQL registration of all graft functions. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -147,5 +178,9 @@ object GraftFunctions {
       "graft_approx_quantiles", approxQuantilesBuilder, "built-in")
     reg.createOrReplaceTempFunction(
       "graft_heavy_hitters", heavyHittersBuilder, "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_bloom_agg", bloomAggBuilder, "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_bloom_contains", bloomContainsBuilder, "built-in")
   }
 }

@@ -638,9 +638,43 @@ object Analytics {
     FROM orders FULL OUTER JOIN li ON o_orderkey = lkey
     ORDER BY orderkey"""))
 
+  /** Semi-join with an EXPLICIT Bloom runtime filter — the manual form
+    * of the pruning Spark's InjectRuntimeFilter applies only under
+    * size/cost heuristics; a library targeting 100 TB wants it on
+    * demand. `graft_bloom_agg` builds the filter over the dimension
+    * keys inside a scalar subquery; `graft_bloom_contains` probes it
+    * on the fact side BEFORE the shuffle, so rows that cannot join
+    * never enter the exchange (at 100 TB the semi-join shuffle is the
+    * dominant cost; a 4%-selective filter cuts it ~25x). Bloom false
+    * positives are swept out by the exact IN semi-join that follows —
+    * the filter changes cost, never semantics, which is why the oracle
+    * is the plain semi-join with no bloom at all.
+    */
+  val qBloomPrune = QueryDef(
+    "q_bloom_prune",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      s.sql(s"""WITH big AS (
+          SELECT o_orderkey FROM parquet.`$d/orders.parquet`
+          WHERE o_totalprice > 400000)
+        SELECT l_returnflag, COUNT(*) AS n_items,
+          CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,6))) AS DOUBLE)
+            AS revenue
+        FROM parquet.`$d/lineitem.parquet`
+        WHERE graft_bloom_contains((SELECT graft_bloom_agg(o_orderkey) FROM big),
+                                   l_orderkey)
+          AND l_orderkey IN (SELECT o_orderkey FROM big)
+        GROUP BY l_returnflag""")
+    },
+    Some(s"""SELECT l_returnflag, COUNT(*) AS n_items,
+      ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+    GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val defs: Seq[QueryDef] = Seq(
     q1, q3, q5, q6, qMarketShare, qTopCustomers, qRollup, qCube, qExcept,
     qExists, qDistinctAgg, qTopKCustom, qAntiJoin, qDecile,
     qPivot, qUnpivot, qArgminJoin, qWindowFuncs, qGroupingSets,
-    qCountDistribution, qJoinSalted, qFullOuter)
+    qCountDistribution, qJoinSalted, qFullOuter, qBloomPrune)
 }

@@ -419,6 +419,51 @@ object TextAnalysis {
       })
   }
 
+  private val ChunkW = 32
+  private val ChunkS = 24
+
+  /** Overlapping token-window chunking — the RAG / context-window
+    * preprocessing step: each document becomes windows of [[ChunkW]]
+    * tokens advancing by stride [[ChunkS]] (8-token overlap), the last
+    * window keeping the remainder. A doc of n tokens yields
+    * max(1, ceil((n-W)/S)+1) chunks, so every token lands in at least
+    * one chunk and no chunk is empty.
+    *
+    * Scale: pure per-row explode (fan-out ~ n/S, bounded by doc
+    * length) over a two-column pruned scan — no shuffle; chunk ids
+    * are (doc_id, chunk_idx), stable under any partitioning.
+    */
+  val chunk = QueryDef(
+    "text_chunk",
+    (s, d) => {
+      val ws = words
+      val nChunks = when(size(ws) <= ChunkW, lit(1))
+        .otherwise(ceil((size(ws) - lit(ChunkW)).cast(DoubleType) / ChunkS)
+          .cast(IntegerType) + 1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ", slice(ws, i * ChunkS + 1, lit(ChunkW)))))
+          .as(Seq("chunk_idx", "chunk_text")))
+        .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
+          size(split(col("chunk_text"), " ")).cast(LongType).as("n_chunk_tokens"),
+          col("chunk_text"))
+    },
+    Some(s"""WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    idx AS (
+      SELECT doc_id, ws, unnest(range(0, CASE WHEN n <= $ChunkW THEN 1
+        ELSE CAST(ceil((n - $ChunkW) / $ChunkS.0) AS BIGINT) + 1 END)) AS chunk_idx
+      FROM base)
+    SELECT doc_id, chunk_idx,
+      CAST(len(ws[(chunk_idx * $ChunkS + 1):(chunk_idx * $ChunkS + $ChunkW)]) AS BIGINT)
+        AS n_chunk_tokens,
+      array_to_string(ws[(chunk_idx * $ChunkS + 1):(chunk_idx * $ChunkS + $ChunkW)], ' ')
+        AS chunk_text
+    FROM idx ORDER BY doc_id, chunk_idx"""))
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint,
-    rollingFingerprint, scrub, repetition, bigrams, entropy)
+    rollingFingerprint, scrub, repetition, bigrams, entropy, chunk)
 }

@@ -120,6 +120,48 @@ class PlanSpec extends AnyFunSuite {
     assert(sorts <= 1, s"expected at most one sort in q_window_funcs:\n$p")
   }
 
+  test("q_range_join plans as bin-explode + aggregate, no join operator at all") {
+    val p = plan("q_range_join")
+    assert(!p.contains("Join"),
+      s"the binned rewrite must not plan any join (range or otherwise):\n$p")
+    assert(p.contains("Generate explode"), s"expected the bin explode:\n$p")
+  }
+
+  test("q_funnel joins every stage on the key, never all-pairs") {
+    val p = plan("q_funnel")
+    assert(!p.contains("CartesianProduct"),
+      s"stage joins must stay equi-joins (the only cross join is the 1x1 count stitch):\n$p")
+  }
+
+  test("q_bloom_prune probes the bloom filter below the semi-join exchange") {
+    val df = SparkEntry.queries("q_bloom_prune")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), s"expected the bloom probe in the plan:\n$p")
+    // the probe must sit in the fact table's scan-side filter, i.e.
+    // BEFORE any exchange — find the Filter containing might_contain
+    // and check no Exchange appears beneath it
+    val sparkPlan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.sparkPlan
+    val probeFilters = sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.contains("might_contain") => f
+    }
+    assert(probeFilters.nonEmpty, s"no Filter carries the bloom probe:\n$sparkPlan")
+    probeFilters.foreach { f =>
+      val hasExchangeBelow = f.child.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.nonEmpty
+      assert(!hasExchangeBelow,
+        s"bloom probe sits above an exchange — it no longer prunes the shuffle:\n$f")
+    }
+  }
+
+  test("text_chunk scans only doc_id and text") {
+    val p = plan("text_chunk")
+    assert(p.contains("ReadSchema") && !p.contains("n_chars") && !p.contains("lang"),
+      s"text_chunk should prune documents to doc_id,text:\n$p")
+  }
+
   test("q1 aggregates inside whole-stage codegen") {
     // AQE finalizes codegen at execution: run the query, then read the
     // final adaptive plan.
