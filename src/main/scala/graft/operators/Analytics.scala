@@ -672,9 +672,67 @@ object Analytics {
     WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
     GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Bit-interleave (Morton) z-value of two 16-bit keys, spelled in
+    * pure integer arithmetic (div/mod/multiply — no shift operators)
+    * so the SAME 32-term expression runs in Spark and DuckDB.
+    */
+  private def zValueExpr(x: String, y: String, intDiv: String): String =
+    (0 until 16).map { i =>
+      val p = 1L << i
+      s"((($x) $intDiv $p) % 2) * ${1L << (2 * i)} + " +
+        s"((($y) $intDiv $p) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString("(", " + ", ")")
+
+  /** Z-order (Morton-curve) clustering key over (l_partkey, l_suppkey)
+    * — the multi-dimensional data-layout primitive behind file
+    * skipping (the OPTIMIZE-ZORDER shape lakehouse table formats run):
+    * sorting by the interleaved key gives every contiguous range
+    * locality in BOTH dimensions, so per-file min/max stats become
+    * selective for predicates on either key. At write time the layout
+    * is `repartitionByRange(z).sortWithinPartitions(z)`; this query
+    * PROVES the locality property the layout relies on — it buckets
+    * the z-space into 32 equal ranges and reports each bucket's
+    * min/max span per dimension (bounded ~1/sqrt(buckets) of the
+    * domain, vs 1.0 for a single-column sort's non-sort dimension).
+    * The z-value itself is exact integer arithmetic, identical in both
+    * engines.
+    */
+  val qZorder = QueryDef(
+    "q_zorder",
+    (s, d) => {
+      // normalize both keys to the full 16-bit space first (keys are
+      // dense from 1, so *65536 div (max+1) spreads them uniformly);
+      // a raw small-domain key would leave the high interleave bits
+      // zero and collapse every row into one z-bucket
+      val z = zValueExpr("(l_partkey * 65536) div (mp + 1)",
+        "(l_suppkey * 65536) div (ms + 1)", "div")
+      val ranges = Tables.lineitem(s, d)
+        .agg(max(col("l_partkey")).as("mp"), max(col("l_suppkey")).as("ms"))
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"))
+        .crossJoin(broadcast(ranges))
+        .select(col("l_partkey"), col("l_suppkey"), expr(z).as("z"))
+        .withColumn("z_bucket", expr(s"z div ${1L << 27}"))
+        .groupBy("z_bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+          min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
+    },
+    Some(s"""WITH r AS (
+      SELECT MAX(l_partkey) AS mp, MAX(l_suppkey) AS ms FROM lineitem),
+    z AS (
+      SELECT l_partkey, l_suppkey,
+             ${zValueExpr("(l_partkey * 65536) // (mp + 1)",
+               "(l_suppkey * 65536) // (ms + 1)", "//")} AS z
+      FROM lineitem, r)
+    SELECT z // ${1L << 27} AS z_bucket, COUNT(*) AS n_rows,
+           MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+           MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+    FROM z GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] = Seq(
     q1, q3, q5, q6, qMarketShare, qTopCustomers, qRollup, qCube, qExcept,
     qExists, qDistinctAgg, qTopKCustom, qAntiJoin, qDecile,
     qPivot, qUnpivot, qArgminJoin, qWindowFuncs, qGroupingSets,
-    qCountDistribution, qJoinSalted, qFullOuter, qBloomPrune)
+    qCountDistribution, qJoinSalted, qFullOuter, qBloomPrune, qZorder)
 }

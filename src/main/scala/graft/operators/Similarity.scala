@@ -451,6 +451,40 @@ object Similarity {
     FROM reach GROUP BY node ORDER BY vec_id"""
     })
 
+  private val RDim = 8
+
+  /** Johnson-Lindenstrauss-style random projection of the 64-dim
+    * embeddings down to [[RDim]] dims — the standard front-end before
+    * coarse clustering, visualization, or cheap pre-filtering when the
+    * full vector is too wide to shuffle. Projection vectors are the
+    * SAME md5-derived integer constants as the LSH hyperplanes
+    * (entries ~uniform in ±Scale/2), so each output coordinate is an
+    * exact integer dot product — bit-identical cross-engine, no float
+    * anywhere. Output is flattened to scalar r0..r7 columns (array
+    * columns break external row-sorting compares).
+    *
+    * Scale: a narrow per-row map of 8 codegen'd integer dots over a
+    * two-column pruned scan — no shuffle, runs at scan speed; the
+    * projected table is 8/64ths the width for every downstream pass.
+    */
+  val dimReduce = QueryDef(
+    "emb_dim_reduce",
+    (s, d) => {
+      quantized(s, d)
+        .select(col("vec_id") +: (0 until RDim).map(k =>
+          dot(col("qa"), typedlit(hyperplanes(k).toSeq)).as(s"r$k")): _*)
+    },
+    Some {
+      val cols = (0 until RDim).map { k =>
+        val pl = hyperplanes(k).mkString("[", ", ", "]")
+        s"${dotSql("qa", pl)} AS r$k"
+      }.mkString(",\n      ")
+      s"""WITH q AS ($quantizedSql)
+    SELECT vec_id,
+      $cols
+    FROM q ORDER BY vec_id"""
+    })
+
   val defs: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding, annLsh, annIvf,
-    embCentroid, dedupEmbeddingKeep)
+    embCentroid, dedupEmbeddingKeep, dimReduce)
 }

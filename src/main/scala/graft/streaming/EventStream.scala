@@ -27,6 +27,15 @@ final case class ProcessedEvent(
     enrichedData: Map[String, String],
     sequence: Int)
 
+/** A completed event-sequence pattern for one key: when it started,
+  * when it completed, and each stage's event time in pattern order.
+  */
+final case class PatternMatch(
+    userId: String,
+    startTs: Long,
+    endTs: Long,
+    stageTs: Seq[Long])
+
 /** Structured Streaming re-expression of the reference jobs
   * (EventProcessorJob.kt, AggregationJob.kt): `readStream` -> the same
   * declarative transforms as the batch operators -> `writeStream`,
@@ -203,6 +212,54 @@ object EventStream {
       .agg(count(lit(1)).as("totalEventCount"))
       .select(col("userId"), col("w.start").as("sessionStart"),
         col("w.end").as("sessionEnd"), col("totalEventCount"))
+
+  /** Incremental CEP pattern detection — the streaming counterpart of
+    * the batch funnel ([[graft.operators.Patterns]], relaxed
+    * "followedBy" contiguity): per key, match `pattern`'s event types
+    * in order, each stage strictly after the previous, the whole
+    * sequence within `windowMs` of its first stage; emit a
+    * [[PatternMatch]] when the final stage lands, then restart (matches
+    * never overlap). This is the Flink-CEP-shaped capability expressed
+    * as a `flatMapGroupsWithState` state machine.
+    *
+    * State per key is at most `pattern.size - 1` longs (the open
+    * prefix's stage times) — constant-size regardless of stream
+    * length, the property that keeps the detector runnable forever. A
+    * prefix that outlives its window is discarded the next time the
+    * key is seen; at production scale add a state timeout to also
+    * reclaim keys that never return. Within a micro-batch events are
+    * processed in (timestamp, id) order so replays are deterministic;
+    * cross-batch late events are the watermark's concern upstream.
+    */
+  def patternDetect(
+      events: Dataset[ParsedEvent],
+      pattern: Seq[String],
+      windowMs: Long): Dataset[PatternMatch] = {
+    require(pattern.nonEmpty, "pattern must name at least one event type")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.id)
+      .flatMapGroupsWithState[Seq[Long], PatternMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: String, evs: Iterator[ParsedEvent], state: GroupState[Seq[Long]]) =>
+          var stages = state.getOption.getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ListBuffer[PatternMatch]()
+          evs.toSeq.sortBy(_.timestamp).foreach { e =>
+            if (stages.nonEmpty && e.timestamp - stages.head > windowMs) {
+              stages = Seq.empty // open prefix outlived its window
+            }
+            val strictlyAfter = stages.isEmpty || e.timestamp > stages.last
+            if (e.eventType == pattern(stages.size) && strictlyAfter) {
+              stages = stages :+ e.timestamp
+              if (stages.size == pattern.size) {
+                out += PatternMatch(id, stages.head, stages.last, stages)
+                stages = Seq.empty
+              }
+            }
+          }
+          if (stages.isEmpty) state.remove() else state.update(stages)
+          out.iterator
+      }
+  }
 
   /** Stream-stream interval join: pair each left event with the right
     * events of the same key whose time falls in

@@ -360,6 +360,63 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("pattern detector matches across micro-batches and expires stale prefixes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ParsedEvent]
+    val matches = EventStream.patternDetect(
+      input.toDS(), Seq("view", "click", "purchase"), windowMs = 10000L)
+    val q = matches.writeStream.format("memory")
+      .queryName("pattern_test").outputMode("append").start()
+    def ev(id: String, t: String, ts: Long) = ParsedEvent(id, t, ts, Map.empty)
+    try {
+      // u1 builds a prefix in batch 1, completes in batch 2 (state
+      // must carry over); u2's view@1000 is stale by the time its
+      // click arrives at 20000 — the prefix must expire, and the
+      // fresh sequence at 21000+ must match instead
+      input.addData(
+        ev("u1", "view", 1000), ev("u1", "click", 2000),
+        ev("u2", "view", 1000))
+      q.processAllAvailable()
+      input.addData(
+        ev("u1", "purchase", 3000),
+        ev("u2", "click", 20000), ev("u2", "view", 21000),
+        ev("u2", "click", 22000), ev("u2", "purchase", 25000))
+      q.processAllAvailable()
+      val rows = spark.table("pattern_test")
+        .as[graft.streaming.PatternMatch].collect().sortBy(_.userId)
+      assert(rows.length == 2, rows.mkString("; "))
+      assert(rows(0) == graft.streaming.PatternMatch(
+        "u1", 1000, 3000, Seq(1000, 2000, 3000)))
+      assert(rows(1) == graft.streaming.PatternMatch(
+        "u2", 21000, 25000, Seq(21000, 22000, 25000)))
+    } finally q.stop()
+  }
+
+  test("pattern stages must advance strictly in time and restart after a match") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ParsedEvent]
+    val matches = EventStream.patternDetect(
+      input.toDS(), Seq("view", "purchase"), windowMs = 10000L)
+    val q = matches.writeStream.format("memory")
+      .queryName("pattern_strict_test").outputMode("append").start()
+    def ev(id: String, t: String, ts: Long) = ParsedEvent(id, t, ts, Map.empty)
+    try {
+      // purchase at the SAME ms as the view must not complete the
+      // pattern; the later purchase does. After the match the state
+      // restarts: the second (view, purchase) pair matches separately.
+      input.addData(
+        ev("u1", "view", 1000), ev("u1", "purchase", 1000),
+        ev("u1", "purchase", 1500),
+        ev("u1", "view", 2000), ev("u1", "purchase", 2500))
+      q.processAllAvailable()
+      val rows = spark.table("pattern_strict_test")
+        .as[graft.streaming.PatternMatch].collect().sortBy(_.startTs)
+      assert(rows.toSeq == Seq(
+        graft.streaming.PatternMatch("u1", 1000, 1500, Seq(1000, 1500)),
+        graft.streaming.PatternMatch("u1", 2000, 2500, Seq(2000, 2500))))
+    } finally q.stop()
+  }
+
   test("kafka source builder reaches Spark's data-source resolution") {
     // The spark-sql-kafka connector jar is not shippable into this
     // zero-egress container (not in /opt/spark/jars, not in the
