@@ -404,5 +404,57 @@ object Dedup {
     FROM reach GROUP BY node ORDER BY doc_id"""
     })
 
-  val defs: Seq[QueryDef] = Seq(exact, ngramJaccard, minhashLsh, simhash, clusterKeep)
+  private val ContainTau = 0.8
+
+  /** Asymmetric near-CONTAINMENT detection — the dedup case Jaccard
+    * misses: a short document embedded verbatim inside a much longer
+    * one (quoted articles, boilerplate-wrapped reposts) has tiny
+    * Jaccard (|A∩B|/|A∪B| shrinks with the size gap) but containment
+    * |A∩B|/|A| ≈ 1. Emits ORDERED pairs (contained_id, container_id)
+    * with shingle-set containment ≥ [[ContainTau]]; mutually-
+    * contained near-identical docs appear in both directions, which is
+    * the honest semantic (each is removable in favor of the other).
+    *
+    * Same scale shape as [[ngramJaccard]] — the blocking self-equi-join
+    * on capped shingle keys ([[MaxShingleDf]] guards the skew bomb);
+    * only the final ratio differs (denominator = the contained side's
+    * own set size instead of the union).
+    */
+  val containment = QueryDef(
+    "dedup_containment",
+    (s, d) => {
+      val sh = shingleKeys(s, d)
+      val a = sh.select(col("g"), col("doc_id").as("contained_id"), col("n_sh").as("ni"))
+      val b = sh.select(col("g"), col("doc_id").as("container_id"))
+      a.join(b, Seq("g")).filter(col("contained_id") =!= col("container_id"))
+        .groupBy("contained_id", "container_id", "ni")
+        .agg(count(lit(1)).as("n_common"))
+        .withColumn("containment", col("n_common").cast(DoubleType) / col("ni"))
+        .filter(col("containment") >= ContainTau)
+        .select("contained_id", "container_id", "n_common", "containment")
+    },
+    Some(s"""WITH sh0 AS (
+      SELECT doc_id, unnest(list_distinct(${TextAnalysis.shinglesSql("text")})) AS shingle
+      FROM documents),
+    kept AS (
+      SELECT doc_id, shingle FROM sh0
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= $MaxShingleDf),
+    ex AS (
+      SELECT doc_id, shingle,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+      FROM kept),
+    pairs AS (
+      SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+             a.n_sh AS ni, COUNT(*) AS n_common
+      FROM ex a JOIN ex b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2, 3)
+    SELECT contained_id, container_id, n_common,
+      CAST(n_common AS DOUBLE) / ni AS containment
+    FROM pairs
+    WHERE CAST(n_common AS DOUBLE) / ni >= $ContainTau
+    ORDER BY contained_id, container_id"""))
+
+  val defs: Seq[QueryDef] = Seq(exact, ngramJaccard, minhashLsh, simhash, clusterKeep,
+    containment)
 }
