@@ -730,9 +730,43 @@ object Analytics {
            MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
     FROM z GROUP BY 1 ORDER BY 1"""))
 
+  /** Whole-table COUNT/MIN/MAX served from parquet FOOTER STATISTICS —
+    * Spark's scan-level aggregate pushdown (`PushedAggregation` in the
+    * scan node): at 100 TB this query reads row-group metadata instead
+    * of data, turning a full-scan aggregate into a metadata-only
+    * operation (the "how big is this table / what's the key range"
+    * triage every pipeline runs first).
+    *
+    * Pushdown only exists on the DataSource V2 read path, so THIS scan
+    * is built with parquet removed from `useV1SourceList` (the relation
+    * choice is made eagerly at read time; the conf is restored right
+    * after, so every other registered query keeps its V1 plan shape).
+    * `aggregatePushdown=true` stays on the session — it is a no-op for
+    * V1 scans and result-neutral everywhere. PlanSpec asserts the
+    * pushed aggregates are in the scan.
+    */
+  val qAggPushdown = QueryDef(
+    "q_agg_pushdown",
+    (s, d) => {
+      val key = "spark.sql.sources.useV1SourceList"
+      val prev = s.conf.get(key)
+      s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      s.conf.set(key,
+        prev.split(",").map(_.trim).filterNot(_ == "parquet").mkString(","))
+      try {
+        Tables.lineitem(s, d)
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("l_orderkey")).as("min_key"),
+            max(col("l_orderkey")).as("max_key"))
+      } finally s.conf.set(key, prev)
+    },
+    Some("""SELECT COUNT(*) AS n_rows, MIN(l_orderkey) AS min_key,
+           MAX(l_orderkey) AS max_key FROM lineitem"""))
+
   val defs: Seq[QueryDef] = Seq(
     q1, q3, q5, q6, qMarketShare, qTopCustomers, qRollup, qCube, qExcept,
     qExists, qDistinctAgg, qTopKCustom, qAntiJoin, qDecile,
     qPivot, qUnpivot, qArgminJoin, qWindowFuncs, qGroupingSets,
-    qCountDistribution, qJoinSalted, qFullOuter, qBloomPrune, qZorder)
+    qCountDistribution, qJoinSalted, qFullOuter, qBloomPrune, qZorder,
+    qAggPushdown)
 }

@@ -13,9 +13,9 @@ class OperatorSpec extends AnyFunSuite {
   test("every registered query runs and matches its oracle declaration") {
     val qs = SparkEntry.queries
     // coverage floor: mass-deregistration of operators must fail loudly
-    // (64 queries / 59 oracles as of round 2, session 3)
-    assert(qs.size >= 64, s"only ${qs.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 59,
+    // (85 queries / 80 oracles as of round 2, session 4)
+    assert(qs.size >= 85, s"only ${qs.size} queries registered")
+    assert(SparkEntry.oracleSql.size >= 80,
       s"only ${SparkEntry.oracleSql.size} oracles declared")
     qs.foreach { case (name, fn) =>
       val df = fn(spark, d)
@@ -241,5 +241,86 @@ class OperatorSpec extends AnyFunSuite {
     val a = SparkEntry.queries("producer_datagen")(spark, d).collect()
     val b = SparkEntry.queries("producer_datagen")(spark, d).collect()
     assert(a.toSeq == b.toSeq)
+  }
+
+  test("text_chunk reconstructs every document exactly (overlap-aware)") {
+    val chunks = SparkEntry.queries("text_chunk")(spark, d)
+      .select("doc_id", "chunk_idx", "chunk_text")
+      .collect().groupBy(_.getLong(0))
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(chunks.keySet == docs.keySet, "every doc must produce chunks")
+    // stride 24 over width 32 = 8 tokens of overlap: chunk 0 whole,
+    // later chunks minus their first 8 tokens, concatenated in
+    // chunk_idx order, must equal the original text
+    val overlap = 32 - 24
+    docs.foreach { case (id, text) =>
+      val ordered = chunks(id).sortBy(_.getLong(1)).map(_.getString(2))
+      val rebuilt = (ordered.head +: ordered.tail.map(
+        _.split(" ").drop(overlap).mkString(" ")))
+        .filter(_.nonEmpty).mkString(" ")
+      assert(rebuilt == text, s"doc $id reconstruction mismatch")
+    }
+  }
+
+  test("q_funnel stage counts are monotone non-increasing") {
+    val r = SparkEntry.queries("q_funnel")(spark, d).head()
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p, s"funnel must narrow: view=$v click=$c purchase=$p")
+    assert(v > 0, "test corpus must have at least one viewing user")
+  }
+
+  test("dedup_containment is genuinely asymmetric and bounded") {
+    val rows = SparkEntry.queries("dedup_containment")(spark, d).collect()
+    assert(rows.nonEmpty, "test corpus must surface containment pairs")
+    rows.foreach { r =>
+      val c = r.getAs[Double]("containment")
+      assert(c >= 0.8 && c <= 1.0, s"containment $c out of [0.8, 1]")
+    }
+    // the case that motivates the operator: a short doc embedded in a
+    // long one qualifies in ONE direction only (Jaccard-symmetric
+    // detectors cannot express this). The driver corpus's containment
+    // pairs are all near-identical twins, so prove it synthetically.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_contain").toString
+    try {
+      val short = "alpha beta gamma delta epsilon zeta eta theta"
+      val long = s"intro words before the quote $short and plenty of trailing " +
+        "commentary that keeps going with many extra tokens to dilute the union"
+      Seq((0L, short, "en", "srcA", short.length.toLong),
+        (1L, long, "en", "srcB", long.length.toLong),
+        (2L, "completely unrelated text about something else entirely here",
+          "en", "srcC", 60L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$dir/documents.parquet")
+      val syn = SparkEntry.queries("dedup_containment")(spark, dir)
+        .collect().map(r => (r.getAs[Long]("contained_id"),
+          r.getAs[Long]("container_id"))).toSet
+      assert(syn.contains((0L, 1L)), s"short-in-long pair missing: $syn")
+      assert(!syn.contains((1L, 0L)), s"long doc cannot be contained in the short one: $syn")
+      val jac = operators.Dedup.ngramJaccard.fn(spark, dir)
+        .select("i", "j").collect()
+      assert(jac.isEmpty, "jaccard at tau 0.5 must miss the size-skewed pair")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  test("q_zorder buckets bound both dimensions (the file-skipping property)") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+    val dom = li.agg(max("l_partkey"), max("l_suppkey")).head()
+    val (mp, ms) = (dom.getLong(0), dom.getLong(1))
+    // 32 buckets = top 5 z-bits = 2 bits of the part key, 3 of the
+    // supp key: every bucket's span is bounded by a quarter / an
+    // eighth of the (normalized) domain, +1 for quantization
+    SparkEntry.queries("q_zorder")(spark, d).collect().foreach { r =>
+      val partSpan = r.getAs[Long]("max_part") - r.getAs[Long]("min_part")
+      val suppSpan = r.getAs[Long]("max_supp") - r.getAs[Long]("min_supp")
+      assert(partSpan <= mp / 4 + 1, s"bucket ${r.get(0)} part span $partSpan > ${mp / 4 + 1}")
+      assert(suppSpan <= ms / 8 + 1, s"bucket ${r.get(0)} supp span $suppSpan > ${ms / 8 + 1}")
+    }
   }
 }

@@ -162,6 +162,13 @@ class PlanSpec extends AnyFunSuite {
       s"text_chunk should prune documents to doc_id,text:\n$p")
   }
 
+  test("q_agg_pushdown serves count/min/max from parquet footer stats") {
+    val p = plan("q_agg_pushdown")
+    assert(p.contains("PushedAggregation: [COUNT(*)")
+      || p.contains("PushedAggregation: [MIN("),
+      s"expected the aggregate pushed into the parquet scan:\n$p")
+  }
+
   test("q1 aggregates inside whole-stage codegen") {
     // AQE finalizes codegen at execution: run the query, then read the
     // final adaptive plan.
