@@ -97,5 +97,43 @@ object Multimodal {
     // SQL-expressible (driver records the rows-only check).
     None)
 
-  val defs: Seq[QueryDef] = Seq(meta)
+  /** Exact dedup of the BINARY media payloads by content hash — the
+    * first pass every multimodal ingestion runs (identical images/
+    * clips re-crawled under different ids), reported per mime type:
+    * asset count, unique count, and bytes before/after dedup. Unlike
+    * the decode path this is pure SQL surface (md5 over the binary
+    * column), so it IS oracle-checked — the multimodal family's
+    * fully-verified member.
+    *
+    * Scale: one partial+final aggregate whose exchange carries one row
+    * per DISTINCT payload hash (never the payloads — md5 happens at
+    * the scan), then a tiny per-mime rollup.
+    */
+  val dedupMedia = QueryDef(
+    "multimodal_dedup",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(concat(lit("application/x-graft-"), col("source")).as("mime"),
+          md5(col("text").cast(BinaryType)).as("h"),
+          expr("octet_length(text)").cast(LongType).as("nb"))
+        .groupBy("mime", "h", "nb")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("mime")
+        .agg(sum(col("cnt")).as("n_assets"),
+          count(lit(1)).as("n_unique"),
+          sum(col("cnt") * col("nb")).as("bytes_total"),
+          sum(col("nb")).as("bytes_unique"))
+    },
+    Some("""WITH h AS (
+      SELECT 'application/x-graft-' || source AS mime, md5(text) AS h,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb,
+             COUNT(*) AS cnt
+      FROM documents GROUP BY 1, 2, 3)
+    SELECT mime, CAST(SUM(cnt) AS BIGINT) AS n_assets,
+           COUNT(*) AS n_unique,
+           CAST(SUM(cnt * nb) AS BIGINT) AS bytes_total,
+           CAST(SUM(nb) AS BIGINT) AS bytes_unique
+    FROM h GROUP BY mime ORDER BY mime"""))
+
+  val defs: Seq[QueryDef] = Seq(meta, dedupMedia)
 }
