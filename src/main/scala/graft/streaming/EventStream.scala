@@ -186,6 +186,30 @@ object EventStream {
       .select(col("eventType"), col("w.start").as("windowStart"),
         col("w.end").as("windowEnd"), col("approxUsers"), col("totalEventCount"))
 
+  /** Windowed heavy-hitters metrics via graft's mergeable Misra-Gries
+    * sketch ([[graft.functions.FreqSketchAgg]]) under incremental
+    * execution: per tumbling window, the top event types with
+    * estimated counts. Same 100 TB streaming-cardinality argument as
+    * [[approxDistinctMetrics]]: exact per-item counting keeps one
+    * state row per distinct item; the sketch holds at most k counters
+    * per window regardless of item cardinality, merged across
+    * micro-batches by the same counter-merge that combines partitions.
+    * With item cardinality <= k the sketch is in its exact regime
+    * (true counts — the spec asserts them); beyond k the estimates
+    * under-count by at most n/(k+1) (FreqSketchSpec's property).
+    */
+  def heavyHittersMetrics(processed: DataFrame,
+      windowLen: String = "10 minutes", k: Int = 8): DataFrame =
+    processed
+      .withColumn("eventTime", timestamp_millis(col("processedAt")))
+      .withWatermark("eventTime", windowLen)
+      .groupBy(window(col("eventTime"), windowLen).as("w"))
+      .agg(graft.functions.FreqSketchAgg.topItems(col("eventType"), k).as("top"))
+      .select(col("w.start").as("windowStart"), col("w.end").as("windowEnd"),
+        explode(col("top")).as("e"))
+      .select(col("windowStart"), col("windowEnd"),
+        col("e.item").as("item"), col("e.est").as("est"))
+
   /** Streaming exact dedup: drops events whose `keyCols` were already
     * seen, with state bounded by the watermark
     * (`dropDuplicatesWithinWatermark`) — the streaming counterpart of

@@ -269,6 +269,34 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed heavy hitters merge the sketch across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.ProcessedEvent
+    val input = MemoryStream[ProcessedEvent]
+    val agg = EventStream.heavyHittersMetrics(input.toDF(), "10 minutes", k = 8)
+    val q = agg.writeStream.format("memory")
+      .queryName("hh_stream_test").outputMode("append").start()
+    try {
+      // 3 distinct types across two micro-batches, cardinality < k so
+      // the sketch runs exact: the merged counts must be true counts
+      input.addData((1 to 30).map(i =>
+        ProcessedEvent(s"u$i", if (i % 3 == 0) "view" else "click", 1000L * i,
+          0L, Map.empty, 1)): _*)
+      q.processAllAvailable()
+      input.addData((1 to 10).map(i =>
+        ProcessedEvent(s"u$i", "purchase", 1000L * i, 0L, Map.empty, 1)): _*)
+      q.processAllAvailable()
+      // close the window by advancing the watermark
+      input.addData(ProcessedEvent("ux", "view", 40L * 60 * 1000, 0L, Map.empty, 1))
+      q.processAllAvailable()
+      val rows = spark.table("hh_stream_test")
+        .filter(col("windowStart") === timestamp_millis(lit(0L)))
+        .collect().map(r => r.getAs[String]("item") -> r.getAs[Long]("est")).toMap
+      assert(rows == Map("click" -> 20L, "view" -> 10L, "purchase" -> 10L),
+        s"expected exact merged counts, got $rows")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate keys across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
