@@ -33,7 +33,7 @@ import org.apache.spark.sql.types._
   */
 object Bpe {
 
-  private[operators] val NumMerges = 10
+  private[graft] val NumMerges = 10
 
   /** One BPE merge: rank (1-based round), the two symbols joined, and
     * the weighted pair count that won the round.
@@ -67,7 +67,7 @@ object Bpe {
       .agg(sum(col("freq")).as("cnt"))
 
   /** Train [[NumMerges]] merges; returns (rank, left, right, cnt). */
-  private[operators] def train(s: SparkSession, d: String): DataFrame = {
+  private[graft] def train(s: SparkSession, d: String): DataFrame = {
     import scala.collection.mutable.ListBuffer
     var words = wordSymbols(s, d).localCheckpoint(true)
     val merges = ListBuffer.empty[(Int, String, String, Long)]
@@ -95,5 +95,40 @@ object Bpe {
 
   val bpeTrain = QueryDef("bpe_train", (s, d) => train(s, d), None)
 
-  val defs: Seq[QueryDef] = Seq(bpeTrain)
+  /** Apply a learned merge list (in rank order) to a symbols column —
+    * each merge is one codegen'd fold, chained; tokenizing with K
+    * merges is K narrow passes fused into one projection.
+    */
+  private[graft] def applyMerges(
+      symbols: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(symbols) { case (c, (a, b)) => mergePair(c, a, b) }
+
+  /** Tokenize the corpus with the merges [[train]] learned — the apply
+    * half of the tokenizer pipeline (train on a sample, tokenize
+    * everything). Emits per-document char/word/BPE-token counts — the
+    * statistic that feeds sequence packing and cost estimation.
+    *
+    * Rows-only like `bpe_train` (the merge table is data-dependent);
+    * BpeSpec proves the tokenization is a true partition of every word
+    * (symbols concatenate back to the word) and that corpus token
+    * totals match the reference implementation.
+    */
+  val bpeTokenize = QueryDef(
+    "text_tokenize_bpe",
+    (s, d) => {
+      val merges = train(s, d).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .select(col("doc_id"), length(col("word")).as("n_chars"),
+          size(applyMerges(split(col("word"), ""), merges)).as("n_toks"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_chars")).cast(LongType).as("n_word_chars"),
+          sum(col("n_toks")).cast(LongType).as("n_bpe_tokens"))
+    },
+    None)
+
+  val defs: Seq[QueryDef] = Seq(bpeTrain, bpeTokenize)
 }

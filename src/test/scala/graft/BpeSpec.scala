@@ -65,6 +65,36 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenization partitions every word and matches reference totals") {
+    import org.apache.spark.sql.functions._
+    val d = TestSpark.sfDir
+    // round-trip inside Spark: symbols must concatenate back to the
+    // word for EVERY word occurrence (tokenization is a partition)
+    val merges = operators.Bpe.train(spark, d).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val words = spark.read.parquet(s"$d/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val broken = words
+      .select(col("word"), operators.Bpe.applyMerges(split(col("word"), ""), merges).as("toks"))
+      .filter(concat_ws("", col("toks")) =!= col("word"))
+      .count()
+    assert(broken == 0, s"$broken words do not round-trip through tokenization")
+    // corpus totals match the reference tokenizer
+    val wordFreqs = words.groupBy("word").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val refMerges = referenceBpe(wordFreqs, 10).map { case (_, a, b, _) => (a, b) }
+    assert(refMerges == merges)
+    val refTotal = wordFreqs.map { case (w, f) =>
+      refMerges.foldLeft(w.split("").toVector) {
+        case (syms, (a, b)) => merge(syms, a, b)
+      }.size * f
+    }.sum
+    val gotTotal = SparkEntry.queries("text_tokenize_bpe")(spark, d)
+      .agg(sum(col("n_bpe_tokens"))).head().getLong(0)
+    assert(gotTotal == refTotal, s"corpus BPE token totals differ: $gotTotal vs $refTotal")
+  }
+
   test("real corpus: all 10 merges match the reference implementation") {
     import org.apache.spark.sql.functions._
     val d = TestSpark.sfDir
