@@ -79,6 +79,21 @@ object Scratch {
       "text_bigrams", "q_corr_stats", "ts_fill_forward").foreach { q =>
       println(s"[scratch] $q rows: ${SparkEntry.queries(q)(spark, d).count()}")
     }
+
+    // Session-4 surface: CEP patterns, bloom SQL pair, chunking,
+    // layout keys, BPE train+apply
+    Seq("q_funnel", "q_pattern_match", "q_range_join", "q_bloom_prune",
+      "text_chunk", "q_zorder", "emb_dim_reduce", "dedup_containment",
+      "multimodal_dedup", "q_agg_pushdown", "bpe_train",
+      "text_tokenize_bpe").foreach { q =>
+      println(s"[scratch] $q rows: ${SparkEntry.queries(q)(spark, d).count()}")
+    }
+    val sqlBloom = spark.sql(
+      """SELECT COUNT(*) FROM scratch_events
+        |WHERE graft_bloom_contains(
+        |  (SELECT graft_bloom_agg(user_id) FROM scratch_events WHERE event_type = 'purchase'),
+        |  user_id)""".stripMargin).head().getLong(0)
+    println(s"[scratch] SQL bloom-pruned rows: $sqlBloom")
     spark.stop()
 
     // Driver-parity smoke: entry() must work on a VANILLA session

