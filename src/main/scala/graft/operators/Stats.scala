@@ -240,6 +240,41 @@ object Stats {
         / CAST(n_rows AS DOUBLE) * 1000.0 AS intercept
     FROM m"""))
 
+  /** Time-RANGE window frame — the moving aggregate [[movingAvg]]'s
+    * ROWS frame cannot express: each event's sum/count over the
+    * TRAILING HOUR of the same user's events, however many rows that
+    * is (irregular event spacing makes row-count frames semantically
+    * wrong for time windows). RANGE frames include all ORDER-BY peers,
+    * so same-millisecond ties contribute identically in both engines;
+    * the frame sum is decimal-exact (order-independent) per the Det
+    * rule. One shuffle + one sort on (user_id, ms) — same cost shape
+    * as any per-key window.
+    */
+  val rangeFrame = QueryDef(
+    "q_range_frame",
+    (s, d) => {
+      val HourMs = 3600000L
+      val frame = Window.partitionBy("user_id").orderBy(col("ms"))
+        .rangeBetween(-HourMs, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000000").as("ms"), col("value"))
+        .withColumn("hour_sum",
+          sum(graft.Det.dec(col("value"))).over(frame).cast(DoubleType))
+        .withColumn("hour_n", count(lit(1)).over(frame))
+        .select("event_id", "user_id", "ms", "hour_sum", "hour_n")
+    },
+    Some("""WITH e AS (
+      SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, value
+      FROM events)
+    SELECT event_id, user_id, ms,
+      CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS hour_sum,
+      COUNT(*) OVER w AS hour_n
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ms
+                 RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id"""))
+
   val defs: Seq[QueryDef] = Seq(histogram, percentiles, avgQtyFilter, movingAvg,
-    approxDistinct, approxQuantiles, corrStats)
+    approxDistinct, approxQuantiles, corrStats, rangeFrame)
 }

@@ -285,6 +285,24 @@ object EventStream {
       }
   }
 
+  /** Stream-STATIC enrichment join: attach a batch dimension table to
+    * a stream (user profiles, product catalogs — the lookup-join every
+    * production stream runs). Stateless on the stream side: each
+    * micro-batch joins against the CURRENT static relation, so a
+    * reloaded dimension is picked up at the next trigger without
+    * restarting the query; typically a broadcast join (no stream-side
+    * shuffle, no state store). Left-outer keeps events whose key has
+    * no dimension row (`isDimMissing` flags them for a dead-letter
+    * route).
+    */
+  def enrichStatic(
+      stream: DataFrame, dim: DataFrame, key: String): DataFrame = {
+    val tagged = dim.withColumn("_dim_present", lit(true))
+    stream.join(tagged, Seq(key), "left_outer")
+      .withColumn("isDimMissing", col("_dim_present").isNull)
+      .drop("_dim_present")
+  }
+
   /** Stream-stream interval join: pair each left event with the right
     * events of the same key whose time falls in
     * [leftTime - lookback, leftTime] — the "purchase joined to the

@@ -445,6 +445,26 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches from the batch dimension and flags misses") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Long)]
+    val stream = input.toDF().toDF("userId", "amount")
+    val dim = Seq(("u1", "gold"), ("u2", "silver")).toDF("userId", "tier")
+    val q = EventStream.enrichStatic(stream, dim, "userId")
+      .writeStream.format("memory")
+      .queryName("static_join_test").outputMode("append").start()
+    try {
+      input.addData(("u1", 10L), ("u3", 30L))
+      q.processAllAvailable()
+      val rows = spark.table("static_join_test")
+        .select("userId", "tier", "isDimMissing")
+        .as[(String, Option[String], Boolean)].collect().sortBy(_._1)
+      assert(rows.toSeq == Seq(
+        ("u1", Some("gold"), false), ("u3", None, true)))
+    } finally q.stop()
+  }
+
   test("kafka source builder reaches Spark's data-source resolution") {
     // The spark-sql-kafka connector jar is not shippable into this
     // zero-egress container (not in /opt/spark/jars, not in the
