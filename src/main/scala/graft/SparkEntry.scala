@@ -19,7 +19,7 @@ object SparkEntry {
         operators.Temporal.defs ++ operators.Stats.defs ++
         operators.Sampling.defs ++ operators.Curate.defs ++
         operators.Contamination.defs ++ operators.Corpus.defs ++
-        operators.Patterns.defs ++ operators.Bpe.defs
+        operators.Patterns.defs ++ operators.Bpe.defs ++ operators.Graph.defs
     val dupes = defs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupes.isEmpty,
       s"duplicate query names would silently shadow operators: ${dupes.mkString(", ")}")

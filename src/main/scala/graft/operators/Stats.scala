@@ -275,6 +275,83 @@ object Stats {
                  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
     ORDER BY event_id"""))
 
+  /** Whole-table column profile — the data-quality triage every
+    * pipeline runs on a new drop: per column, row/non-null/distinct
+    * counts plus min/max (numeric and string kept in separate typed
+    * columns). ONE scan: all per-column aggregates sit in one
+    * Aggregate node (the multi-distinct Expand multiplies rows by the
+    * distinct-column count internally but never rescans), then the
+    * wide row explodes to long form. `ts` is profiled as epoch-ms —
+    * raw nanos exceed double's 2^53 integer range and min/max surface
+    * as DOUBLE here.
+    */
+  val profile = QueryDef(
+    "q_profile", {
+      val numericCols = Seq("event_id", "user_id", "ts_ms", "value")
+      val stringCols = Seq("event_type", "props")
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .withColumn("ts_ms", expr("ts div 1000000")).drop("ts")
+        val aggs =
+          Seq(count(lit(1)).as("n")) ++
+            (numericCols ++ stringCols).flatMap { c =>
+              Seq(count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c"))
+            } ++
+            numericCols.flatMap { c =>
+              Seq(min(col(c)).cast(DoubleType).as(s"mn_$c"),
+                max(col(c)).cast(DoubleType).as(s"mx_$c"))
+            } ++
+            stringCols.flatMap { c =>
+              Seq(min(col(c)).as(s"mns_$c"), max(col(c)).as(s"mxs_$c"))
+            }
+        val rows =
+          numericCols.map { c =>
+            struct(lit(c).as("col_name"), col("n").as("n_rows"),
+              col(s"nn_$c").as("n_nonnull"), col(s"nd_$c").as("n_distinct"),
+              col(s"mn_$c").as("min_num"), col(s"mx_$c").as("max_num"),
+              lit(null).cast(StringType).as("min_str"),
+              lit(null).cast(StringType).as("max_str"))
+          } ++ stringCols.map { c =>
+            struct(lit(c).as("col_name"), col("n").as("n_rows"),
+              col(s"nn_$c").as("n_nonnull"), col(s"nd_$c").as("n_distinct"),
+              lit(null).cast(DoubleType).as("min_num"),
+              lit(null).cast(DoubleType).as("max_num"),
+              col(s"mns_$c").as("min_str"), col(s"mxs_$c").as("max_str"))
+          }
+        e.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(rows: _*)).as("r"))
+          .select("r.*")
+      }
+    },
+    Some {
+      val numericCols = Seq("event_id", "user_id", "ts_ms", "value")
+      val stringCols = Seq("event_type", "props")
+      val aggSelect =
+        (Seq("COUNT(*) AS n") ++
+          (numericCols ++ stringCols).flatMap(c =>
+            Seq(s"COUNT($c) AS nn_$c", s"COUNT(DISTINCT $c) AS nd_$c")) ++
+          numericCols.flatMap(c =>
+            Seq(s"CAST(MIN($c) AS DOUBLE) AS mn_$c", s"CAST(MAX($c) AS DOUBLE) AS mx_$c")) ++
+          stringCols.flatMap(c =>
+            Seq(s"MIN($c) AS mns_$c", s"MAX($c) AS mxs_$c"))).mkString(", ")
+      val branches =
+        numericCols.map(c =>
+          s"""SELECT '$c' AS col_name, n AS n_rows, nn_$c AS n_nonnull,
+             nd_$c AS n_distinct, mn_$c AS min_num, mx_$c AS max_num,
+             CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a""") ++
+          stringCols.map(c =>
+            s"""SELECT '$c' AS col_name, n AS n_rows, nn_$c AS n_nonnull,
+               nd_$c AS n_distinct, CAST(NULL AS DOUBLE) AS min_num,
+               CAST(NULL AS DOUBLE) AS max_num, mns_$c AS min_str, mxs_$c AS max_str FROM a""")
+      s"""WITH e AS (
+        SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+               event_type, value, props
+        FROM events),
+      a AS (SELECT $aggSelect FROM e)
+      ${branches.mkString("\n      UNION ALL\n      ")}
+      ORDER BY col_name"""
+    })
+
   val defs: Seq[QueryDef] = Seq(histogram, percentiles, avgQtyFilter, movingAvg,
-    approxDistinct, approxQuantiles, corrStats, rangeFrame)
+    approxDistinct, approxQuantiles, corrStats, rangeFrame, profile)
 }
