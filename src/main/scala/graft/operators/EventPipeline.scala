@@ -297,8 +297,42 @@ object EventPipeline {
       END AS raw
     FROM g"""))
 
+  /** Latest-state view of the event stream — the batch form of Kafka
+    * log compaction / Flink upsert semantics: one row per user
+    * carrying their most recent event (latest ms; event_id breaks
+    * same-millisecond ties, so the winner is unique and
+    * deterministic). ONE partial+final max_by aggregate over the scan
+    * — no window sort, map-side combinable, the same aggregate-only
+    * shape the OHLC bars use. The streaming half of this semantic is
+    * [[graft.streaming.EventStream.upsertSink]].
+    */
+  val latestState = QueryDef(
+    "ep_latest_state",
+    (s, d) => {
+      val ord = struct(col("ms"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 1000000").as("ms"),
+          col("event_id"), col("event_type"), col("value"))
+        .groupBy("user_id")
+        .agg(max(col("ms")).as("last_ms"),
+          max_by(col("event_id"), ord).as("last_event_id"),
+          max_by(col("event_type"), ord).as("last_type"),
+          max_by(col("value"), ord).as("last_value"),
+          count(lit(1)).as("n_events"))
+    },
+    Some("""WITH e AS (
+      SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_id,
+             event_type, value
+      FROM events)
+    SELECT user_id, MAX(ms) AS last_ms,
+      arg_max(event_id, CAST(ms AS HUGEINT) * 4611686018427387904 + event_id) AS last_event_id,
+      arg_max(event_type, CAST(ms AS HUGEINT) * 4611686018427387904 + event_id) AS last_type,
+      arg_max(value, CAST(ms AS HUGEINT) * 4611686018427387904 + event_id) AS last_value,
+      COUNT(*) AS n_events
+    FROM e GROUP BY user_id ORDER BY user_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     parseRouteValid, parseRouteError, enrichSequence, processingDelay,
     windowTumbling, windowSliding, typeCounts, typeCountsSalted,
-    producerDatagen)
+    producerDatagen, latestState)
 }

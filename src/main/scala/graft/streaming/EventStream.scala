@@ -378,6 +378,48 @@ object EventStream {
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
 
+  /** Keyed UPSERT sink (streaming materialized view): each micro-batch
+    * merges into a parquet target by key — new rows win, unmatched
+    * existing rows survive — the foreachBatch analog of a compacted
+    * Kafka topic / Flink upsert sink, and the streaming half of the
+    * batch `ep_latest_state` semantics.
+    *
+    * Within a micro-batch the per-key winner is the `orderCol` max
+    * (ties impossible when orderCol is unique per key, e.g. a
+    * (ts, id) struct). The read-merge-overwrite works on plain
+    * parquet by materializing the merged result BEFORE the overwrite
+    * (persist + count — Spark cannot overwrite a path while lazily
+    * reading it); at production scale the same foreachBatch body
+    * targets a transactional table format's MERGE and drops that
+    * materialization.
+    */
+  def upsertSink[T](
+      ds: Dataset[T],
+      keyCols: Seq[String],
+      orderCol: String,
+      path: String,
+      checkpoint: String): DataStreamWriter[T] =
+    foreachBatchSink(ds, checkpoint) { (batch, _) =>
+      val spark = batch.sparkSession
+      val latest = batch.toDF()
+        .withColumn("_rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(keyCols.map(col): _*).orderBy(col(orderCol).desc)))
+        .filter(col("_rn") === 1).drop("_rn")
+      val target = new org.apache.hadoop.fs.Path(path)
+      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val merged = if (fs.exists(target)) {
+        val existing = spark.read.parquet(path)
+        val keep = existing.join(latest.select(keyCols.map(col): _*),
+          keyCols, "left_anti")
+        keep.unionByName(latest)
+      } else latest
+      val snapshot = merged.persist()
+      snapshot.count() // materialize before overwriting the input path
+      try snapshot.write.mode("overwrite").parquet(path)
+      finally snapshot.unpersist()
+    }
+
   /** foreachBatch sink: hands each micro-batch to an arbitrary batch
     * writer (e.g. [[graft.sources.Formats]]) — the escape hatch for
     * sinks without a native streaming writer (JDBC, multi-table

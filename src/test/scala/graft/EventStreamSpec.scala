@@ -445,6 +445,31 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("upsert sink maintains a latest-state materialized view across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val input = MemoryStream[(String, Long, String)]
+    val stream = input.toDF().toDF("userId", "ver", "state")
+    val q = EventStream.upsertSink(stream, Seq("userId"), "ver",
+      s"$dir/view", s"$dir/ckpt").start()
+    try {
+      // batch 1: u1@1, u2@1 (u1 appears twice — higher ver must win)
+      input.addData(("u1", 1L, "a"), ("u1", 2L, "b"), ("u2", 1L, "c"))
+      q.processAllAvailable()
+      // batch 2: u1 updated, u3 inserted, u2 untouched (must survive)
+      input.addData(("u1", 3L, "d"), ("u3", 1L, "e"))
+      q.processAllAvailable()
+      val view = spark.read.parquet(s"$dir/view")
+        .as[(String, Long, String)].collect().sortBy(_._1)
+      assert(view.toSeq == Seq(("u1", 3L, "d"), ("u2", 1L, "c"), ("u3", 1L, "e")))
+    } finally {
+      q.stop()
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("stream-static join enriches from the batch dimension and flags misses") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
