@@ -352,6 +352,66 @@ object Stats {
       ORDER BY col_name"""
     })
 
+  /** Robust statistics per group: exact (lower-)median and MAD
+    * (median absolute deviation) — the outlier-detection pair that,
+    * unlike mean/stddev, a few corrupt rows cannot drag. Same explicit
+    * order-statistic formulation as [[percentiles]] (element at
+    * ceil(n/2) — no interpolation, engine-independent), run twice:
+    * once over values, once over |v - median| after a 5-row broadcast
+    * join of the medians. Both ranking passes share the group key's
+    * partitioning; ties break on event_id so the result is unique.
+    */
+  val mad = QueryDef(
+    "q_mad",
+    (s, d) => {
+      val wAll = Window.partitionBy("event_type")
+      def lowerMedian(order: org.apache.spark.sql.Column) =
+        max(when(col("rn") === ceil(col("n") * 0.5).cast(LongType), order))
+      val base = Tables.events(s, d)
+        .select(col("event_type"), col("value"), col("event_id"))
+      val meds = base
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("value"), col("event_id")))
+          .cast(LongType))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy("event_type")
+        .agg(lowerMedian(col("value")).as("med"), max(col("n")).as("n_events"))
+      base.join(broadcast(meds), "event_type")
+        .withColumn("dev", abs(col("value") - col("med")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("dev"), col("event_id")))
+          .cast(LongType))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy("event_type")
+        .agg(max(col("n_events")).as("n_events"),
+          max(col("med")).as("median"),
+          lowerMedian(col("dev")).as("mad"))
+    },
+    Some("""WITH base AS (
+      SELECT event_type, value, event_id FROM events),
+    ranked AS (
+      SELECT event_type, value,
+        CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn,
+        COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM base),
+    meds AS (
+      SELECT event_type,
+        max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS med,
+        max(n) AS n_events
+      FROM ranked GROUP BY event_type),
+    devs AS (
+      SELECT b.event_type, abs(b.value - m.med) AS dev, b.event_id,
+             m.med, m.n_events
+      FROM base b JOIN meds m USING (event_type)),
+    ranked2 AS (
+      SELECT event_type, dev, med, n_events,
+        CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS BIGINT) AS rn,
+        COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM devs)
+    SELECT event_type, max(n_events) AS n_events, max(med) AS median,
+      max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN dev END) AS mad
+    FROM ranked2 GROUP BY event_type ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] = Seq(histogram, percentiles, avgQtyFilter, movingAvg,
-    approxDistinct, approxQuantiles, corrStats, rangeFrame, profile)
+    approxDistinct, approxQuantiles, corrStats, rangeFrame, profile, mad)
 }
