@@ -173,5 +173,38 @@ object Patterns {
     FROM weeks JOIN iv ON week BETWEEN w0 AND w1
     GROUP BY week ORDER BY week"""))
 
-  val defs: Seq[QueryDef] = Seq(funnel, patternMatch, rangeJoin)
+  /** Cohort retention matrix — the product-analytics staple next to
+    * the funnel: users cohorted by first-active week, then for each
+    * (cohort_week, week_offset) the count of still-active users.
+    * Activity is first collapsed to DISTINCT (user, week) — the join
+    * and the final aggregate run on user-weeks, not raw events — and
+    * each user contributes once per week by construction, so the final
+    * count is a plain map-combinable count(*), not a count(distinct).
+    * Two shuffles total (user-week dedup; cohort/offset aggregate) —
+    * the cohort join reuses the user_id partitioning.
+    */
+  val retention = QueryDef(
+    "q_retention",
+    (s, d) => {
+      val WeekMs = 7L * DayMs
+      val act = Tables.events(s, d)
+        .select(col("user_id"), expr(s"(ts div 1000000) div $WeekMs").as("week"))
+        .distinct()
+      val cohorts = act.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+      act.join(cohorts, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+    },
+    Some(s"""WITH act AS (
+      SELECT DISTINCT user_id,
+             epoch_ms(CAST(ts AS TIMESTAMP)) // ${7L * DayMs} AS week
+      FROM events),
+    cohorts AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id)
+    SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+           COUNT(*) AS n_active
+    FROM act a JOIN cohorts c USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  val defs: Seq[QueryDef] = Seq(funnel, patternMatch, rangeJoin, retention)
 }

@@ -464,6 +464,39 @@ object TextAnalysis {
         AS chunk_text
     FROM idx ORDER BY doc_id, chunk_idx"""))
 
+  /** Language-ID confusion matrix — declared `lang` label vs
+    * [[langId]]'s detection, with the per-declared-language rate
+    * (floor-quantized: the count ratio is a bit-identical IEEE
+    * division in both engines, and floor(r*1e6)/1e6 of it is stable).
+    * The QA readout that says WHERE the detector disagrees with the
+    * source metadata — wrong-label slices and und-heavy sources jump
+    * out of this table before they poison a training mix.
+    */
+  val langConfusion = QueryDef(
+    "text_langid_confusion",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      langId.fn(s, d)
+        .groupBy("lang", "predicted_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("rate",
+          floor(col("n_docs").cast(DoubleType)
+            / sum(col("n_docs")).over(Window.partitionBy("lang")).cast(DoubleType)
+            * 1e6) / 1e6)
+    },
+    Some {
+      val inner = langId.oracle.get.replace("ORDER BY doc_id", "")
+      s"""WITH pred AS ($inner),
+    counts AS (
+      SELECT lang, predicted_lang, COUNT(*) AS n_docs
+      FROM pred GROUP BY 1, 2)
+    SELECT lang, predicted_lang, n_docs,
+      FLOOR(CAST(n_docs AS DOUBLE)
+        / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE) * 1e6) / 1e6 AS rate
+    FROM counts ORDER BY lang, predicted_lang"""
+    })
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint,
-    rollingFingerprint, scrub, repetition, bigrams, entropy, chunk)
+    rollingFingerprint, scrub, repetition, bigrams, entropy, chunk,
+    langConfusion)
 }
