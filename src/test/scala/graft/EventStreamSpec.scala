@@ -196,6 +196,32 @@ class EventStreamSpec extends AnyFunSuite {
       rows.mkString(", "))
   }
 
+  test("pattern detector recovers its open prefix from a checkpoint restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ParsedEvent]
+    def detector() = EventStream.patternDetect(
+      input.toDS(), Seq("view", "click", "purchase"), windowMs = 10000L)
+    val out = java.nio.file.Files.createTempDirectory("graft_pat_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pat_ckpt").toString
+    def ev(t: String, ts: Long) = ParsedEvent("u1", t, ts, Map.empty)
+    // run 1: the first two stages arrive, no match yet
+    val q1 = EventStream.parquetSink(detector(), out, ckpt, triggerMs = 100L).start()
+    try {
+      input.addData(ev("view", 1000), ev("click", 2000))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // run 2: a NEW query over the same checkpoint — the open
+    // (view, click) prefix must come back so the purchase completes
+    // the match with the ORIGINAL stage timestamps
+    input.addData(ev("purchase", 3000))
+    val q2 = EventStream.parquetSink(detector(), out, ckpt, triggerMs = 100L).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(out)
+      .as[graft.streaming.PatternMatch].collect()
+    assert(rows.toSeq == Seq(graft.streaming.PatternMatch(
+      "u1", 1000, 3000, Seq(1000, 2000, 3000))), rows.mkString(", "))
+  }
+
   test("session_window groups events by inactivity gap") {
     val processed = Seq(
       ("u1", "login", 0L),
