@@ -35,8 +35,8 @@ object Bpe {
 
   private[graft] val NumMerges = 10
 
-  /** One BPE merge: rank (1-based round), the two symbols joined, and
-    * the weighted pair count that won the round.
+  /** Distinct words split to character symbols, with occurrence
+    * counts — the vocabulary-sized state the merge loop iterates on.
     */
   private def wordSymbols(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -81,12 +81,18 @@ object Bpe {
       else {
         val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, a, b, cnt))
+        val prev = words
+        // eager checkpoint materializes the new state BEFORE the old
+        // round's cached blocks are released — without the unpersist,
+        // every round's snapshot would stay in the block manager
         words = words
           .select(mergePair(col("symbols"), a, b).as("symbols"), col("freq"))
           .localCheckpoint(true)
+        prev.unpersist()
         rank += 1
       }
     }
+    words.unpersist()
     import s.implicits._
     merges.toSeq.toDF("merge_rank", "left", "right", "cnt")
       .select(col("merge_rank").cast(LongType), col("left"), col("right"),

@@ -108,6 +108,24 @@ object Dedup {
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
   }
 
+  /** Shared DuckDB CTE block: capped shingle extraction with per-doc
+    * set sizes (`ex(doc_id, shingle, n_sh)`) — the SQL mirror of
+    * [[shingleKeys]], used by both the Jaccard and containment
+    * oracles so the two operators cannot drift apart on their common
+    * universe.
+    */
+  private def shingleCtesSql: String =
+    s"""sh0 AS (
+      SELECT doc_id, unnest(list_distinct(${TextAnalysis.shinglesSql("text")})) AS shingle
+      FROM documents),
+    kept AS (
+      SELECT doc_id, shingle FROM sh0
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= $MaxShingleDf),
+    ex AS (
+      SELECT doc_id, shingle,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+      FROM kept)"""
+
   val ngramJaccard = QueryDef(
     "dedup_ngram_jaccard",
     (s, d) => {
@@ -124,16 +142,7 @@ object Dedup {
         .filter(col("jaccard") >= JaccardTau)
         .select("i", "j", "n_common", "jaccard")
     },
-    Some(s"""WITH sh0 AS (
-      SELECT doc_id, unnest(list_distinct(${TextAnalysis.shinglesSql("text")})) AS shingle
-      FROM documents),
-    kept AS (
-      SELECT doc_id, shingle FROM sh0
-      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= $MaxShingleDf),
-    ex AS (
-      SELECT doc_id, shingle,
-             COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
-      FROM kept),
+    Some(s"""WITH $shingleCtesSql,
     pairs AS (
       SELECT a.doc_id AS i, b.doc_id AS j, a.n_sh AS ni, b.n_sh AS nj,
              COUNT(*) AS n_common
@@ -433,16 +442,7 @@ object Dedup {
         .filter(col("containment") >= ContainTau)
         .select("contained_id", "container_id", "n_common", "containment")
     },
-    Some(s"""WITH sh0 AS (
-      SELECT doc_id, unnest(list_distinct(${TextAnalysis.shinglesSql("text")})) AS shingle
-      FROM documents),
-    kept AS (
-      SELECT doc_id, shingle FROM sh0
-      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= $MaxShingleDf),
-    ex AS (
-      SELECT doc_id, shingle,
-             COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
-      FROM kept),
+    Some(s"""WITH $shingleCtesSql,
     pairs AS (
       SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
              a.n_sh AS ni, COUNT(*) AS n_common

@@ -74,6 +74,9 @@ final class EventsTable extends Table with SupportsRead {
 
 final class EventsScanBuilder(rows: Long, partitions: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
+  require(rows >= 0, s"rows must be non-negative, got $rows")
+  require(partitions > 0, s"partitions must be positive, got $partitions")
+
   private var required: StructType = EventsDataSource.schema
 
   override def pruneColumns(requiredSchema: StructType): Unit = {

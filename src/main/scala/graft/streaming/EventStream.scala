@@ -252,8 +252,11 @@ object EventStream {
     * prefix that outlives its window is discarded the next time the
     * key is seen; at production scale add a state timeout to also
     * reclaim keys that never return. Within a micro-batch events are
-    * processed in (timestamp, id) order so replays are deterministic;
-    * cross-batch late events are the watermark's concern upstream.
+    * processed in (timestamp, eventType) order — ParsedEvent carries
+    * no per-event id, so the type breaks same-timestamp ties and any
+    * remaining ties are between interchangeable events — making
+    * replays deterministic; cross-batch late events are the
+    * watermark's concern upstream.
     */
   def patternDetect(
       events: Dataset[ParsedEvent],
@@ -267,7 +270,7 @@ object EventStream {
         (id: String, evs: Iterator[ParsedEvent], state: GroupState[Seq[Long]]) =>
           var stages = state.getOption.getOrElse(Seq.empty)
           val out = scala.collection.mutable.ListBuffer[PatternMatch]()
-          evs.toSeq.sortBy(_.timestamp).foreach { e =>
+          evs.toSeq.sortBy(e => (e.timestamp, e.eventType)).foreach { e =>
             if (stages.nonEmpty && e.timestamp - stages.head > windowMs) {
               stages = Seq.empty // open prefix outlived its window
             }
@@ -384,14 +387,20 @@ object EventStream {
     * Kafka topic / Flink upsert sink, and the streaming half of the
     * batch `ep_latest_state` semantics.
     *
-    * Within a micro-batch the per-key winner is the `orderCol` max
-    * (ties impossible when orderCol is unique per key, e.g. a
-    * (ts, id) struct). The read-merge-overwrite works on plain
-    * parquet by materializing the merged result BEFORE the overwrite
-    * (persist + count — Spark cannot overwrite a path while lazily
-    * reading it); at production scale the same foreachBatch body
-    * targets a transactional table format's MERGE and drops that
-    * materialization.
+    * The per-key winner is the `orderCol` max across BOTH the
+    * micro-batch and the existing snapshot (union, then one window
+    * pick per key) — a late out-of-order row can never regress the
+    * view below what it already shows, matching the batch
+    * `ep_latest_state` semantics. Ties are impossible when orderCol
+    * is unique per key (e.g. a (ts, id) struct).
+    *
+    * The new snapshot is written to a sibling temp directory and then
+    * swapped in (delete + rename) — never an in-place overwrite of a
+    * path the merge plan is still lazily reading (recomputed
+    * partitions would re-read a truncated target). The swap is atomic
+    * on HDFS-like filesystems; on object stores, and for concurrent
+    * readers generally, the production answer is a transactional
+    * table format's MERGE — this body is the plain-parquet analog.
     */
   def upsertSink[T](
       ds: Dataset[T],
@@ -399,25 +408,25 @@ object EventStream {
       orderCol: String,
       path: String,
       checkpoint: String): DataStreamWriter[T] =
-    foreachBatchSink(ds, checkpoint) { (batch, _) =>
+    foreachBatchSink(ds, checkpoint) { (batch, batchId) =>
       val spark = batch.sparkSession
-      val latest = batch.toDF()
+      val target = new org.apache.hadoop.fs.Path(path)
+      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val candidates =
+        if (fs.exists(target)) batch.toDF().unionByName(spark.read.parquet(path))
+        else batch.toDF()
+      val merged = candidates
         .withColumn("_rn", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(keyCols.map(col): _*).orderBy(col(orderCol).desc)))
         .filter(col("_rn") === 1).drop("_rn")
-      val target = new org.apache.hadoop.fs.Path(path)
-      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val merged = if (fs.exists(target)) {
-        val existing = spark.read.parquet(path)
-        val keep = existing.join(latest.select(keyCols.map(col): _*),
-          keyCols, "left_anti")
-        keep.unionByName(latest)
-      } else latest
-      val snapshot = merged.persist()
-      snapshot.count() // materialize before overwriting the input path
-      try snapshot.write.mode("overwrite").parquet(path)
-      finally snapshot.unpersist()
+      val tmp = new org.apache.hadoop.fs.Path(s"$path.tmp-$batchId")
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(target, true)
+      if (!fs.rename(tmp, target)) {
+        throw new java.io.IOException(
+          s"upsertSink: rename $tmp -> $target failed; snapshot preserved at $tmp")
+      }
     }
 
   /** foreachBatch sink: hands each micro-batch to an arbitrary batch

@@ -486,6 +486,10 @@ class EventStreamSpec extends AnyFunSuite {
       // batch 2: u1 updated, u3 inserted, u2 untouched (must survive)
       input.addData(("u1", 3L, "d"), ("u3", 1L, "e"))
       q.processAllAvailable()
+      // batch 3: a LATE lower-version row for u1 must NOT regress the
+      // view (the merge compares orderCol against the existing row)
+      input.addData(("u1", 2L, "late"))
+      q.processAllAvailable()
       val view = spark.read.parquet(s"$dir/view")
         .as[(String, Long, String)].collect().sortBy(_._1)
       assert(view.toSeq == Seq(("u1", 3L, "d"), ("u2", 1L, "c"), ("u3", 1L, "e")))

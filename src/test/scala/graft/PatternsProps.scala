@@ -91,8 +91,20 @@ object PatternsProps extends Properties("Patterns") {
       }
     }
 
+  // retention needs multi-week spans (the funnel generator's 48 h cap
+  // would collapse every event into week 0 and make the property
+  // vacuous): ~6 weeks, day granularity
+  private val retentionEventGen = for {
+    user <- Gen.choose(0L, 3L)
+    tpe <- Gen.oneOf("view", "click", "purchase", "error")
+    ms <- Gen.choose(0L, 42L).map(_ * DayMs)
+  } yield (user, tpe, ms)
+
+  private val retentionCorpusGen =
+    Gen.choose(5, 40).flatMap(n => Gen.listOfN(n, retentionEventGen))
+
   property("q_retention equals the cohort reference") =
-    forAllNoShrink(corpusGen) { rows =>
+    forAllNoShrink(retentionCorpusGen) { rows =>
       withCorpus(rows) { dir =>
         val got = SparkEntry.queries("q_retention")(spark, dir)
           .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
