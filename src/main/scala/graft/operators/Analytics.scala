@@ -672,16 +672,13 @@ object Analytics {
     WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
     GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  /** Bit-interleave (Morton) z-value of two 16-bit keys, spelled in
-    * pure integer arithmetic (div/mod/multiply — no shift operators)
-    * so the SAME 32-term expression runs in Spark and DuckDB.
+  /** Bit-interleave (Morton) z-value — shared with the write path
+    * ([[graft.sources.Layout]]): pure integer arithmetic (div/mod/
+    * multiply, no shift operators) so the SAME 32-term expression runs
+    * in Spark and DuckDB.
     */
   private def zValueExpr(x: String, y: String, intDiv: String): String =
-    (0 until 16).map { i =>
-      val p = 1L << i
-      s"((($x) $intDiv $p) % 2) * ${1L << (2 * i)} + " +
-        s"((($y) $intDiv $p) % 2) * ${1L << (2 * i + 1)}"
-    }.mkString("(", " + ", ")")
+    graft.sources.Layout.zValueExpr(x, y, intDiv)
 
   /** Z-order (Morton-curve) clustering key over (l_partkey, l_suppkey)
     * — the multi-dimensional data-layout primitive behind file

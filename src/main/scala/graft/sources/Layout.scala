@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout writers: multi-dimensional clustering for file
+  * skipping. The analysis half (per-bucket locality proof) is the
+  * registered `q_zorder` query; this is the write path a table
+  * maintenance job runs — the plain-Spark analog of a lakehouse
+  * format's OPTIMIZE ZORDER.
+  */
+object Layout {
+
+  /** Bit-interleave (Morton) z-value of two 16-bit keys in pure
+    * integer arithmetic — the same 32-term expression `q_zorder`'s
+    * DuckDB oracle runs, shared here for the write path.
+    */
+  def zValueExpr(x: String, y: String, intDiv: String = "div"): String =
+    (0 until 16).map { i =>
+      val p = 1L << i
+      s"((($x) $intDiv $p) % 2) * ${1L << (2 * i)} + " +
+        s"((($y) $intDiv $p) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString("(", " + ", ")")
+
+  /** Adds a `z` column: the Morton key of the two columns after
+    * normalizing each to the full 16-bit space against its own max
+    * (one tiny aggregate, broadcast into the scan).
+    */
+  def withZ(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val ranges = df.agg(max(col(xCol)).as("_zmx"), max(col(yCol)).as("_zmy"))
+    df.crossJoin(broadcast(ranges))
+      .withColumn("z", expr(zValueExpr(
+        s"($xCol * 65536) div (_zmx + 1)", s"($yCol * 65536) div (_zmy + 1)")))
+      .drop("_zmx", "_zmy")
+  }
+
+  /** Writes `df` as `numFiles` parquet files clustered along the
+    * z-curve of (xCol, yCol): range-repartition on z, sort within
+    * each partition, drop the key. Every output file then covers a
+    * contiguous z-range, so its parquet min/max footer stats bound
+    * BOTH dimensions — point/range predicates on EITHER column skip
+    * most files, which a single-column sort only provides for the
+    * sort column. LayoutSpec proves the contiguity and the locality
+    * advantage over a hash-distributed layout.
+    */
+  def writeZOrdered(
+      df: DataFrame, xCol: String, yCol: String,
+      path: String, numFiles: Int): Unit =
+    withZ(df, xCol, yCol)
+      .repartitionByRange(numFiles, col("z"))
+      .sortWithinPartitions("z")
+      .drop("z")
+      .write.mode("overwrite").parquet(path)
+}
