@@ -1,0 +1,43 @@
+package graft
+
+import graft.sources.Quality
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Inline observation metrics: accumulated during the action itself,
+  * delivered through the gate.
+  */
+class QualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("observed counters ride along with the action and hit the gate") {
+    import spark.implicits._
+    val gate = Quality.Gate(spark)
+    try {
+      val df = Seq(("a", Some(1.0)), ("b", None), ("c", Some(3.0)), ("d", None))
+        .toDF("k", "v")
+      val out = Quality.observe(df, "spec_ingest",
+        count(lit(1)).as("rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("null_values"))
+      out.write.format("noop").mode("overwrite").save()
+      val m = gate.await("spec_ingest")
+      assert(m == Map("rows" -> 4L, "null_values" -> 2L), m.toString)
+    } finally gate.close()
+  }
+
+  test("observation on a real operator costs no extra scan") {
+    val gate = Quality.Gate(spark)
+    try {
+      val df = Quality.observe(
+        spark.read.parquet(s"${TestSpark.sfDir}/events.parquet"),
+        "spec_events",
+        count(lit(1)).as("rows"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_users"))
+      // one action, metrics observed during it
+      val n = df.count()
+      val m = gate.await("spec_events")
+      assert(m("rows") == n)
+      assert(m("null_users") == 0L)
+    } finally gate.close()
+  }
+}
