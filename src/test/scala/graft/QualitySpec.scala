@@ -25,6 +25,25 @@ class QualitySpec extends AnyFunSuite {
     } finally gate.close()
   }
 
+  test("observations surface per micro-batch in streaming progress") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(String, Long)]
+    val observed = Quality.observe(input.toDF().toDF("k", "v"),
+      "spec_stream",
+      count(lit(1)).as("rows"),
+      sum(when(col("v") < 0, 1L).otherwise(0L)).as("violations"))
+    val q = observed.writeStream.format("noop").start()
+    try {
+      input.addData(("a", 1L), ("b", -2L), ("c", 3L))
+      q.processAllAvailable()
+      val m = q.lastProgress.observedMetrics.get("spec_stream")
+      assert(m != null, "observation missing from streaming progress")
+      assert(m.getAs[Long]("rows") == 3L && m.getAs[Long]("violations") == 1L)
+    } finally q.stop()
+  }
+
   test("observation on a real operator costs no extra scan") {
     val gate = Quality.Gate(spark)
     try {
