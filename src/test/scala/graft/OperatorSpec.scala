@@ -264,6 +264,36 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("text_chunk handles every word count across the window boundaries") {
+    import spark.implicits._
+    // docs of EVERY length 1..80 words: covers n<W, n=W, n=W+1, the
+    // stride boundaries (n=W+kS, W+kS+1), and multi-chunk remainders
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunk").toString
+    try {
+      (1 to 80).map { n =>
+        (n.toLong, (1 to n).map(i => s"w$i").mkString(" "), "en", "src", 1L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("text_chunk")(spark, dir)
+        .collect().groupBy(_.getLong(0))
+      (1 to 80).foreach { n =>
+        val words = (1 to n).map(i => s"w$i")
+        val expectChunks =
+          if (n <= 32) 1 else math.ceil((n - 32) / 24.0).toInt + 1
+        val chunks = got(n.toLong).sortBy(_.getLong(1))
+        assert(chunks.length == expectChunks, s"doc len $n chunk count")
+        chunks.zipWithIndex.foreach { case (r, idx) =>
+          val expect = words.slice(idx * 24, idx * 24 + 32).mkString(" ")
+          assert(r.getString(3) == expect, s"doc len $n chunk $idx text")
+          assert(r.getLong(2) == words.slice(idx * 24, idx * 24 + 32).size.toLong)
+        }
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("q_funnel stage counts are monotone non-increasing") {
     val r = SparkEntry.queries("q_funnel")(spark, d).head()
     val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
