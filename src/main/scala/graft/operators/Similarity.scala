@@ -485,6 +485,60 @@ object Similarity {
     FROM q ORDER BY vec_id"""
     })
 
+  /** Symmetric int8 vector quantization QA — the compression pass a
+    * 100 TB vector store runs before ANN serving (4x smaller than
+    * f32, SIMD-friendly codes): per vector, scale = maxabs/127 and
+    * code_i = round-toward-zero(q_i * 127 / maxabs). This query
+    * reports the per-label quantization ERROR budget (the
+    * decide-if-int8-is-good-enough readout) rather than the codes
+    * themselves.
+    *
+    * Integer-exactness: codes and errors are computed entirely in the
+    * quantized-long domain — `sign(q) * (|q|*127 div maxabs)` keeps
+    * the integral divide on non-negative operands, where Spark's
+    * `div` (truncate) and DuckDB's `//` (floor) agree; the error
+    * |q*127 − code*maxabs| is an exact long. Only the final
+    * avg-error-per-dim division touches floating point, on identical
+    * integer inputs. One scan, one partial+final aggregate.
+    */
+  val embQuantize = QueryDef(
+    "emb_quantize",
+    (s, d) => {
+      val q = quantized(s, d)
+        .withColumn("maxabs", array_max(transform(col("qa"), x => abs(x))))
+        // zero vectors have no scale; code everything to 0 with 0
+        // error. expr-string form because the integral divide (`div`)
+        // has no Column-API spelling — Column./ is double division,
+        // whose floor can disagree with exact integer division at
+        // representation boundaries.
+        .withColumn("err", expr(
+          """CASE WHEN maxabs = 0 THEN 0L ELSE aggregate(qa, 0L, (acc, x) ->
+             acc + abs(x * 127L - CAST(sign(x) AS BIGINT)
+                       * ((abs(x) * 127L) div maxabs) * maxabs)) END"""))
+      q.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("err")).as("total_err"),
+          max(col("maxabs")).as("max_maxabs"),
+          (sum(col("err")).cast(DoubleType)
+            / (count(lit(1)) * Dim * 127L).cast(DoubleType)).as("avg_err_per_dim"))
+    },
+    Some(s"""WITH q0 AS ($quantizedSql),
+    q AS (
+      SELECT q0.vec_id, e.label, qa,
+        list_max(list_transform(qa, x -> abs(x))) AS maxabs
+      FROM q0 JOIN embeddings e ON e.vec_id = q0.vec_id),
+    errs AS (
+      SELECT label, maxabs,
+        CASE WHEN maxabs = 0 THEN 0 ELSE CAST(list_sum(list_transform(qa, x ->
+          abs(x * 127 - CAST(sign(x) AS BIGINT) * ((abs(x) * 127) // maxabs) * maxabs)))
+          AS BIGINT) END AS err
+      FROM q)
+    SELECT label, COUNT(*) AS n_vecs,
+      CAST(SUM(err) AS BIGINT) AS total_err,
+      MAX(maxabs) AS max_maxabs,
+      CAST(SUM(err) AS DOUBLE) / CAST(COUNT(*) * $Dim * 127 AS DOUBLE) AS avg_err_per_dim
+    FROM errs GROUP BY label ORDER BY label"""))
+
   val defs: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding, annLsh, annIvf,
-    embCentroid, dedupEmbeddingKeep, dimReduce)
+    embCentroid, dedupEmbeddingKeep, dimReduce, embQuantize)
 }
