@@ -323,6 +323,30 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late rows beyond the watermark are dropped and accounted in progress") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.ProcessedEvent
+    val input = MemoryStream[ProcessedEvent]
+    val agg = EventStream.approxDistinctMetrics(input.toDF(), "10 minutes")
+    val q = agg.writeStream.format("memory")
+      .queryName("late_drop_test").outputMode("append").start()
+    try {
+      // establish event time, then advance the watermark far ahead
+      input.addData(ProcessedEvent("u1", "login", 0L, 0L, Map.empty, 1))
+      q.processAllAvailable()
+      input.addData(ProcessedEvent("u2", "login", 120L * 60 * 1000, 0L, Map.empty, 1))
+      q.processAllAvailable()
+      // this row's event time is now far behind the watermark
+      input.addData(ProcessedEvent("u3", "login", 1000L, 0L, Map.empty, 1))
+      q.processAllAvailable()
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped >= 1,
+        s"expected the late row to be dropped by the watermark, progress: " +
+          q.recentProgress.map(_.stateOperators.mkString(",")).mkString(" | "))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate keys across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
