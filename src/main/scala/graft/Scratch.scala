@@ -85,7 +85,9 @@ object Scratch {
     Seq("q_funnel", "q_pattern_match", "q_range_join", "q_bloom_prune",
       "text_chunk", "q_zorder", "emb_dim_reduce", "dedup_containment",
       "multimodal_dedup", "q_agg_pushdown", "bpe_train",
-      "text_tokenize_bpe").foreach { q =>
+      "text_tokenize_bpe", "q_retention", "q_mad", "q_profile",
+      "q_range_frame", "graph_triangles", "text_langid_confusion",
+      "ep_latest_state", "emb_quantize").foreach { q =>
       println(s"[scratch] $q rows: ${SparkEntry.queries(q)(spark, d).count()}")
     }
     val sqlBloom = spark.sql(

@@ -283,7 +283,10 @@ object Stats {
     * distinct-column count internally but never rescans), then the
     * wide row explodes to long form. `ts` is profiled as epoch-ms —
     * raw nanos exceed double's 2^53 integer range and min/max surface
-    * as DOUBLE here.
+    * as DOUBLE here. At 100 TB the Expand is the dominant cost; the
+    * drop-in fix is swapping each count(distinct) for the mergeable
+    * HLL ([[approxDistinct]]'s aggregate]) — one pass, no Expand —
+    * kept exact here so the oracle can hash-match.
     */
   val profile = QueryDef(
     "q_profile", {
