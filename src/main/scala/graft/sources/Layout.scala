@@ -23,15 +23,23 @@ object Layout {
     }.mkString("(", " + ", ")")
 
   /** Adds a `z` column: the Morton key of the two columns after
-    * normalizing each to the full 16-bit space against its own max
-    * (one tiny aggregate, broadcast into the scan).
+    * normalizing each to the full 16-bit space against its own
+    * [min, max] range (one tiny aggregate, broadcast into the scan).
+    * Operands are widened to BIGINT first — an INT column times 65536
+    * would overflow — and shifting by the min keeps the normalized
+    * value non-negative, where the arithmetic bit-interleave is valid
+    * (negative inputs would emit negative "bit" terms and garbage
+    * z-ordering).
     */
   def withZ(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val ranges = df.agg(max(col(xCol)).as("_zmx"), max(col(yCol)).as("_zmy"))
+    val ranges = df.agg(
+      min(col(xCol)).cast("bigint").as("_zmnx"), max(col(xCol)).cast("bigint").as("_zmxx"),
+      min(col(yCol)).cast("bigint").as("_zmny"), max(col(yCol)).cast("bigint").as("_zmxy"))
     df.crossJoin(broadcast(ranges))
       .withColumn("z", expr(zValueExpr(
-        s"($xCol * 65536) div (_zmx + 1)", s"($yCol * 65536) div (_zmy + 1)")))
-      .drop("_zmx", "_zmy")
+        s"((CAST($xCol AS BIGINT) - _zmnx) * 65536) div (_zmxx - _zmnx + 1)",
+        s"((CAST($yCol AS BIGINT) - _zmny) * 65536) div (_zmxy - _zmny + 1)")))
+      .drop("_zmnx", "_zmxx", "_zmny", "_zmxy")
   }
 
   /** Writes `df` as `numFiles` parquet files clustered along the

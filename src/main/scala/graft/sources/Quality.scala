@@ -45,8 +45,17 @@ object Quality {
           qe: org.apache.spark.sql.execution.QueryExecution,
           durationNs: Long): Unit = {
         qe.observedMetrics.foreach { case (name, row: Row) =>
-          val m = row.schema.fieldNames.map(f =>
-            f -> row.getAs[Any](f).asInstanceOf[Number].longValue()).toMap
+          // empty input makes SUM/MIN/MAX observe SQL NULL — surface
+          // the empty-accumulator value instead of NPE-ing the
+          // listener (which would strand await on its timeout)
+          val m = row.schema.fieldNames.map { f =>
+            f -> (row.getAs[Any](f) match {
+              case null => 0L
+              case n: Number => n.longValue()
+              case other => throw new IllegalArgumentException(
+                s"observation '$name' metric '$f' is non-numeric: $other")
+            })
+          }.toMap
           seen.put(name, m)
           latches.computeIfAbsent(name, _ => new CountDownLatch(1)).countDown()
         }
@@ -65,6 +74,15 @@ object Quality {
       require(latch.await(timeoutSec, TimeUnit.SECONDS),
         s"observation '$name' not delivered within ${timeoutSec}s — did the action run?")
       seen.get(name)
+    }
+
+    /** Re-arm a name before REUSING it for another action: clears the
+      * previous delivery so `await` cannot return the earlier action's
+      * counters. Call arm BEFORE starting the new action.
+      */
+    def arm(name: String): Unit = {
+      seen.remove(name)
+      latches.put(name, new CountDownLatch(1))
     }
 
     /** Deregister the listener (idempotent). */

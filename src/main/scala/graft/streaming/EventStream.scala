@@ -394,13 +394,18 @@ object EventStream {
     * `ep_latest_state` semantics. Ties are impossible when orderCol
     * is unique per key (e.g. a (ts, id) struct).
     *
-    * The new snapshot is written to a sibling temp directory and then
-    * swapped in (delete + rename) — never an in-place overwrite of a
-    * path the merge plan is still lazily reading (recomputed
-    * partitions would re-read a truncated target). The swap is atomic
-    * on HDFS-like filesystems; on object stores, and for concurrent
-    * readers generally, the production answer is a transactional
-    * table format's MERGE — this body is the plain-parquet analog.
+    * Swap protocol (crash-safe at every step, merge idempotent under
+    * batch replay): write the merged snapshot to `<path>.tmp-<batch>`,
+    * rename the current target to `<path>.old-<batch>` (the backup),
+    * rename tmp into place, then prune older backups. A crash between
+    * the two renames leaves no target but a complete backup, and the
+    * merge READS from the newest backup whenever the target is
+    * missing — so replaying the batch reconstructs the exact same
+    * snapshot instead of silently rebuilding the view from one
+    * micro-batch. Renames are atomic on HDFS-like filesystems; on
+    * object stores, and for concurrent readers generally, the
+    * production answer is a transactional table format's MERGE — this
+    * body is the plain-parquet analog.
     */
   def upsertSink[T](
       ds: Dataset[T],
@@ -412,21 +417,40 @@ object EventStream {
       val spark = batch.sparkSession
       val target = new org.apache.hadoop.fs.Path(path)
       val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val candidates =
-        if (fs.exists(target)) batch.toDF().unionByName(spark.read.parquet(path))
-        else batch.toDF()
+      // backups carry a strictly increasing suffix; the newest one is
+      // the recovery source for a swap torn between its two renames.
+      // Nothing that could still serve as a recovery source is ever
+      // deleted before the new target is in place.
+      def backups(): Seq[org.apache.hadoop.fs.Path] =
+        fs.globStatus(new org.apache.hadoop.fs.Path(s"$path.old-*"))
+          .toSeq.map(_.getPath)
+          .sortBy(p => p.getName.substring(p.getName.lastIndexOf('-') + 1).toLong)
+      val prior: Option[String] =
+        if (fs.exists(target)) Some(path)
+        else backups().lastOption.map(_.toString) // recover a torn swap
+      val candidates = prior match {
+        case Some(p) => batch.toDF().unionByName(spark.read.parquet(p))
+        case None => batch.toDF()
+      }
       val merged = candidates
         .withColumn("_rn", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(keyCols.map(col): _*).orderBy(col(orderCol).desc)))
         .filter(col("_rn") === 1).drop("_rn")
       val tmp = new org.apache.hadoop.fs.Path(s"$path.tmp-$batchId")
-      merged.write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(target, true)
+      merged.write.mode("overwrite").parquet(tmp.toString) // reads prior here
+      val backup = new org.apache.hadoop.fs.Path(s"$path.old-${System.nanoTime()}")
+      if (fs.exists(target) && !fs.rename(target, backup)) {
+        throw new java.io.IOException(
+          s"upsertSink: backup rename $target -> $backup failed")
+      }
       if (!fs.rename(tmp, target)) {
         throw new java.io.IOException(
-          s"upsertSink: rename $tmp -> $target failed; snapshot preserved at $tmp")
+          s"upsertSink: swap rename $tmp -> $target failed; " +
+            s"current snapshot preserved at ${backups().last}")
       }
+      // only now are ALL backups stale (the target supersedes them)
+      backups().foreach(fs.delete(_, true))
     }
 
   /** foreachBatch sink: hands each micro-batch to an arbitrary batch

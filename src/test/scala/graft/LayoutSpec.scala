@@ -61,4 +61,20 @@ class LayoutSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // and the data itself survives the layout intact
     assert(spark.read.parquet(s"$dir/z").count() == li.count())
   }
+
+  test("withZ handles int columns, large domains, and negative values") {
+    import spark.implicits._
+    // int columns whose product with 65536 overflows Int, plus a
+    // negative range: the z keys must still be valid and monotone in
+    // each dimension's normalized order
+    val df = Seq((-500000, 40000), (0, 80000), (500000, 120000), (999999, 160000))
+      .toDF("x", "y")
+    val z = sources.Layout.withZ(df, "x", "y")
+      .orderBy("x").select("x", "z").collect()
+    assert(z.length == 4)
+    // equal y-order and x-order here -> z must be strictly increasing
+    assert(z.map(_.getLong(1)).sliding(2).forall { case Array(a, b) => a < b },
+      z.mkString(", "))
+    assert(z.forall(_.getLong(1) >= 0L), "z keys must be non-negative")
+  }
 }

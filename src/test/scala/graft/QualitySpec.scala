@@ -25,6 +25,36 @@ class QualitySpec extends AnyFunSuite {
     } finally gate.close()
   }
 
+  test("empty input observes zero counters instead of stranding the gate") {
+    import spark.implicits._
+    val gate = Quality.Gate(spark)
+    try {
+      val df = Seq(("a", 1.0)).toDF("k", "v").filter(col("k") === "nope")
+      Quality.observe(df, "spec_empty",
+        count(lit(1)).as("rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("null_values"))
+        .write.format("noop").mode("overwrite").save()
+      val m = gate.await("spec_empty")
+      assert(m == Map("rows" -> 0L, "null_values" -> 0L), m.toString)
+    } finally gate.close()
+  }
+
+  test("arm() prevents a reused name from returning the previous action's counters") {
+    import spark.implicits._
+    val gate = Quality.Gate(spark)
+    try {
+      def run(n: Int): Unit =
+        Quality.observe(Seq.fill(n)(("x", 1.0)).toDF("k", "v"), "spec_reuse",
+          count(lit(1)).as("rows"))
+          .write.format("noop").mode("overwrite").save()
+      run(3)
+      assert(gate.await("spec_reuse")("rows") == 3L)
+      gate.arm("spec_reuse")
+      run(5)
+      assert(gate.await("spec_reuse")("rows") == 5L)
+    } finally gate.close()
+  }
+
   test("observations surface per micro-batch in streaming progress") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
