@@ -496,7 +496,43 @@ object TextAnalysis {
     FROM counts ORDER BY lang, predicted_lang"""
     })
 
+  private val HashDim = 8
+
+  /** Hashing-trick featurization (bag-of-words -> fixed [[HashDim]]
+    * dims): every token increments bucket hash(token) mod HashDim —
+    * the constant-memory featurizer behind shallow quality/domain
+    * classifiers when a learned vocabulary is impractical at corpus
+    * scale. Buckets use the portable md5-derived [[hash60]] so both
+    * engines assign identically; output is flattened to scalar h0..h7
+    * columns (array cells break external row-sorting compares).
+    *
+    * Scale: one explode + ONE map-combinable aggregate on doc_id —
+    * the per-bucket sums combine on the map side, so the exchange
+    * carries HashDim longs per doc, not tokens.
+    */
+  val featHash = QueryDef(
+    "text_feat_hash",
+    (s, d) => {
+      val bucket = pmod(hash60(col("tok")), lit(HashDim))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(words).as("tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          (0 until HashDim).map(b =>
+            sum(when(bucket === b, 1L).otherwise(0L)).as(s"h$b")): _*)
+    },
+    Some {
+      val buckets = (0 until HashDim).map(b =>
+        s"CAST(SUM(CASE WHEN ${hash60Sql("tok")} % $HashDim = $b THEN 1 ELSE 0 END) AS BIGINT) AS h$b")
+        .mkString(",\n      ")
+      s"""WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+      $buckets
+    FROM toks GROUP BY doc_id ORDER BY doc_id"""
+    })
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint,
     rollingFingerprint, scrub, repetition, bigrams, entropy, chunk,
-    langConfusion)
+    langConfusion, featHash)
 }
