@@ -61,8 +61,11 @@ object Patterns {
         .groupBy("user_id").agg(min(col("ms")).as("t_purchase"))
       def n(df: org.apache.spark.sql.DataFrame, as: String) =
         df.agg(count(lit(1)).as(as))
+      // NULL rate when the funnel base is empty (a corpus with no
+      // view events) — an unguarded division is an ANSI-mode error
       def rate(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
-        floor(num.cast(DoubleType) / den.cast(DoubleType) * 1e6) / 1e6
+        when(den === 0L, lit(null).cast(DoubleType))
+          .otherwise(floor(num.cast(DoubleType) / den.cast(DoubleType) * 1e6) / 1e6)
       n(views, "n_view_users")
         .crossJoin(n(clicks, "n_click_users"))
         .crossJoin(n(purchases, "n_purchase_users"))
@@ -91,10 +94,14 @@ object Patterns {
     SELECT (SELECT COUNT(*) FROM v) AS n_view_users,
            (SELECT COUNT(*) FROM c) AS n_click_users,
            (SELECT COUNT(*) FROM p) AS n_purchase_users,
-           FLOOR(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
-             / CAST((SELECT COUNT(*) FROM v) AS DOUBLE) * 1e6) / 1e6 AS click_conv,
-           FLOOR(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
-             / CAST((SELECT COUNT(*) FROM v) AS DOUBLE) * 1e6) / 1e6 AS purchase_conv"""))
+           CASE WHEN (SELECT COUNT(*) FROM v) = 0 THEN NULL
+                ELSE FLOOR(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+                  / CAST((SELECT COUNT(*) FROM v) AS DOUBLE) * 1e6) / 1e6
+           END AS click_conv,
+           CASE WHEN (SELECT COUNT(*) FROM v) = 0 THEN NULL
+                ELSE FLOOR(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+                  / CAST((SELECT COUNT(*) FROM v) AS DOUBLE) * 1e6) / 1e6
+           END AS purchase_conv"""))
 
   /** Strict-contiguity pattern ("next" in CEP terms): a view whose
     * IMMEDIATELY following event for the same user is a purchase, at
