@@ -760,10 +760,73 @@ object Analytics {
     Some("""SELECT COUNT(*) AS n_rows, MIN(l_orderkey) AS min_key,
            MAX(l_orderkey) AS max_key FROM lineitem"""))
 
+  /** 2D skyline (Pareto frontier): orders that are non-dominated on
+    * (minimize price, maximize recency) — the multi-criteria shortlist
+    * query ("cheap AND recent", no weighting needed). The naive form
+    * is the O(n²) NOT-EXISTS dominance join the oracle runs; the
+    * distributed plan exploits the 2D structure instead: a row
+    * survives iff its date beats every strictly-cheaper row's max
+    * date (prefix max over price order) and it carries its own price
+    * group's max date.
+    *
+    * Scale shape (the q_decile two-phase trick): per-price max is a
+    * hash aggregate on distinct prices; the global prefix max
+    * decomposes into a per-partition running max (windows partitioned
+    * by the range-partition id) plus a broadcast prefix over the P
+    * per-partition maxima — the only single-partition window is over
+    * P rows, never the data. The frontier join back to orders is a
+    * plain equi-join on price.
+    */
+  val qSkyline = QueryDef(
+    "q_skyline",
+    (s, d) => {
+      val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val base = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_totalprice").as("price"),
+        expr("unix_millis(cast(o_orderdate as timestamp))").as("dms"))
+      // materialize the range partitioning ONCE (eager checkpoint):
+      // the local-prefix and partition-prefix branches below both
+      // consume _pid, and two independent range exchanges would
+      // sample their boundaries independently — consistent on small
+      // data, silently misaligned under real sampling at scale. The
+      // checkpointed state is one row per DISTINCT price.
+      val groups = base.groupBy("price").agg(max(col("dms")).as("gmax"))
+        .repartitionByRange(nParts, col("price"))
+        .sortWithinPartitions("price")
+        .withColumn("_pid", spark_partition_id())
+        .localCheckpoint(true)
+      val wLocal = Window.partitionBy("_pid").orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val localPrev = groups.withColumn("_lprev", max(col("gmax")).over(wLocal))
+      // P rows total: prefix max of earlier partitions, broadcast back
+      val wPid = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+      val partPrefix = groups.groupBy("_pid").agg(max(col("gmax")).as("_pmax"))
+        .withColumn("_pprev", max(col("_pmax")).over(wPid))
+        .select("_pid", "_pprev")
+      val frontier = localPrev.join(broadcast(partPrefix), "_pid")
+        .withColumn("_prev", greatest(col("_lprev"), col("_pprev")))
+        .filter(col("_prev").isNull || col("_prev") < col("gmax"))
+        .select(col("price").as("f_price"), col("gmax"), col("_prev"))
+      base.join(frontier, col("price") === col("f_price"))
+        .filter(col("dms") === col("gmax") &&
+          (col("_prev").isNull || col("_prev") < col("dms")))
+        .select("o_orderkey", "price", "dms")
+    },
+    Some("""WITH base AS (
+      SELECT o_orderkey, o_totalprice AS price,
+             epoch_ms(o_orderdate) AS dms
+      FROM orders)
+    SELECT o_orderkey, price, dms FROM base b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM base a
+      WHERE a.price <= b.price AND a.dms >= b.dms
+        AND (a.price < b.price OR a.dms > b.dms))
+    ORDER BY o_orderkey"""))
+
   val defs: Seq[QueryDef] = Seq(
     q1, q3, q5, q6, qMarketShare, qTopCustomers, qRollup, qCube, qExcept,
     qExists, qDistinctAgg, qTopKCustom, qAntiJoin, qDecile,
     qPivot, qUnpivot, qArgminJoin, qWindowFuncs, qGroupingSets,
     qCountDistribution, qJoinSalted, qFullOuter, qBloomPrune, qZorder,
-    qAggPushdown)
+    qAggPushdown, qSkyline)
 }
