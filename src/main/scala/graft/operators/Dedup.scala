@@ -329,8 +329,10 @@ object Dedup {
     * log2(component diameter), not diameter — a 1000-hop chain
     * converges in ~10 rounds instead of 1000 (spec-verified on a
     * 200-node path). `localCheckpoint` truncates lineage each round,
-    * and the convergence flag rides inside the checkpointed pass so
-    * fixpoint detection is a count on cached data, not a second join.
+    * and the convergence count rides the checkpoint action itself as
+    * an observed metric (`Dataset.observe` + [[org.apache.spark.sql.Observation]]),
+    * so each round is exactly ONE Spark job — no separate
+    * fixpoint-detection pass, even over cached data.
     */
   private[graft] def connectedComponents(
       edgesIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -350,12 +352,16 @@ object Dedup {
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
       // jump: follow the label pointer one step (label of my label)
       val ptrs = hopped.select(col("node").as("pnode"), col("label").as("plabel"))
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
       val next = hopped.join(ptrs, hopped("label") === ptrs("pnode"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("plabel"), col("label"))).as("label"),
           (least(col("label"), coalesce(col("plabel"), col("label"))) < col("old_label")).as("chg"))
+        // fused convergence check: CollectMetrics executes inside the
+        // eager checkpoint's job, so obs.get costs no extra action
+        .observe(obs, count(when(col("chg"), lit(1))).as("n_changed"))
         .localCheckpoint(true)
-      converged = next.filter(col("chg")).limit(1).count() == 0
+      converged = obs.get("n_changed").asInstanceOf[Long] == 0L
       labels = next.drop("chg")
       iter += 1
     }

@@ -1,8 +1,8 @@
 package graft.operators
 
-import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import graft.QueryDef
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Graph-motif operators over the near-dup pair graph (the edge set
   * [[Dedup.ngramJaccard]] emits, also consumed by the
@@ -15,28 +15,82 @@ import org.apache.spark.sql.types._
   */
 object Graph {
 
-  /** Triangle enumeration via the two-equi-join wedge formulation:
-    * edges kept as (i < j), wedges built by joining edges sharing the
-    * middle vertex, closed by a third equi-join on the outer pair.
-    * Every join is an equi-join on vertex ids — no cross product; at
-    * corpus scale the standard refinement is degree orientation
-    * (direct each edge low-degree -> high-degree before the wedge
-    * join, bounding per-vertex fan-out by max out-degree ~ sqrt(|E|))
-    * — same plan shape, different join keys, noted here because the
-    * dedup pair graph's components are tiny cliques where id order
-    * already bounds the fan-out.
+  /** Orient each undirected edge low -> high by (degree, id) — the
+    * classic skew guard for distributed triangle counting: after
+    * orientation, per-vertex OUT-degree is bounded by ~sqrt(2|E|)
+    * regardless of raw degree (a hub of raw degree 10^6 has out-degree
+    * 0 unless its neighbour is an even bigger hub), so the wedge
+    * self-join's per-key fan-out is bounded even on boilerplate-heavy
+    * corpora where the pair graph grows hub vertices. `dord` carries
+    * the endpoint's (deg, id) rank so wedge endpoints can be ordered
+    * in the same total order without re-joining degrees.
+    */
+  private[graft] def orientEdges(e: DataFrame): DataFrame = {
+    val deg = e.select(col("i").as("node"))
+      .unionByName(e.select(col("j").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val iOrd = struct(col("di").as("d"), col("i").as("n"))
+    val jOrd = struct(col("dj").as("d"), col("j").as("n"))
+    val iLower = iOrd < jOrd
+    e.join(deg.select(col("node").as("i"), col("deg").as("di")), "i")
+      .join(deg.select(col("node").as("j"), col("deg").as("dj")), "j")
+      .select(
+        when(iLower, col("i")).otherwise(col("j")).as("src"),
+        when(iLower, col("j")).otherwise(col("i")).as("dst"),
+        when(iLower, jOrd).otherwise(iOrd).as("dord"))
+  }
+
+  /** Wedges over the ORIENTED edges: two out-edges of the same center,
+    * endpoints ordered by the global (deg, id) total order so each
+    * unordered wedge appears exactly once. On a star graph every edge
+    * orients leaf -> hub, so the hub contributes ZERO wedges (the
+    * un-oriented formulation would emit C(deg, 2) of them) —
+    * spec-asserted on a 1000-leaf hub in GraphSpec.
+    */
+  private[graft] def orientedWedges(directed: DataFrame): DataFrame = {
+    val e1 = directed.select(col("src"), col("dst").as("x"), col("dord").as("xo"))
+    val e2 = directed.select(col("src"), col("dst").as("y"), col("dord").as("yo"))
+    e1.join(e2, Seq("src")).filter(col("xo") < col("yo")).select("src", "x", "y")
+  }
+
+  /** [[triangles]] body over an injectable pair graph (`i` < `j`
+    * columns) — the seam that lets a [[Shared]] session feed the
+    * cached pairs instead of recomputing the jaccard blocking join;
+    * the registered query passes the fresh pairs.
+    *
+    * The pair graph is localCheckpoint'd first: degrees, both wedge
+    * sides and the closing-edge probe all consume it, and without the
+    * materialization each consumer would re-run the whole upstream
+    * shingle pipeline.
+    */
+  private[graft] def trianglesFrom(pairsIn: DataFrame): DataFrame = {
+    val e = pairsIn.select("i", "j").localCheckpoint(true)
+    val directed = orientEdges(e)
+    // In the (deg, id) total order x precedes y, so the closing x-y
+    // edge — if present — is oriented x -> y: one left-semi equi-join.
+    val closing = directed.select(col("src").as("x"), col("dst").as("y"))
+    orientedWedges(directed)
+      .join(closing, Seq("x", "y"), "left_semi")
+      // emit id-sorted (a, b, c), the orientation-invariant canonical
+      // form the oracle produces
+      .select(array_sort(array(col("src"), col("x"), col("y"))).as("t"))
+      .select(col("t").getItem(0).as("a"), col("t").getItem(1).as("b"),
+        col("t").getItem(2).as("c"))
+  }
+
+  /** Triangle enumeration via degree-oriented wedge counting: orient
+    * each edge low -> high by (degree, id), self-join out-edges on the
+    * shared center to build each wedge once, close with a left-semi
+    * equi-join on the oriented endpoint pair. Every join is an
+    * equi-join on vertex ids — no cross product — and the orientation
+    * bounds per-key wedge fan-out by max out-degree ~ sqrt(2|E|), so
+    * hub vertices (boilerplate-heavy corpora) cannot skew-bomb the
+    * shuffle. The triangle set is orientation-invariant, so the oracle
+    * is the plain id-ordered wedge SQL.
     */
   val triangles = QueryDef(
     "graph_triangles",
-    (s, d) => {
-      val e = Dedup.ngramJaccard.fn(s, d).select("i", "j")
-      val ab = e.select(col("i").as("a"), col("j").as("b"))
-      val bc = e.select(col("i").as("b"), col("j").as("c"))
-      val ac = e.select(col("i").as("a"), col("j").as("c"))
-      ab.join(bc, "b")
-        .join(ac, Seq("a", "c"), "left_semi")
-        .select("a", "b", "c")
-    },
+    (s, d) => trianglesFrom(Dedup.ngramJaccard.fn(s, d)),
     Some(Dedup.ngramJaccard.oracle.map { jaccardSql =>
       val inner = jaccardSql.replace("ORDER BY i, j", "")
       s"""WITH pairs AS ($inner)

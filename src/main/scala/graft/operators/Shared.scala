@@ -53,6 +53,11 @@ object Shared {
       */
     def curated: DataFrame = Curate.curateFrom(spark, sfDir, clusterKeep)
 
+    /** Triangle cluster-quality diagnostic over the cached pairs —
+      * same result as the registered `graph_triangles` (spec-asserted).
+      */
+    def triangles: DataFrame = Graph.trianglesFrom(pairs)
+
     /** Drop the cached pairs (idempotent). */
     def release(): Unit = pairs.unpersist()
   }

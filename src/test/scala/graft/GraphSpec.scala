@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degree-oriented triangle counting (graft.operators.Graph) on
+  * synthetic graphs — in particular the hub/star shape whose
+  * un-oriented wedge join fans out quadratically in hub degree.
+  */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def pairsDf(pairs: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    pairs.toDF("i", "j")
+  }
+
+  private def trianglesOf(pairs: Seq[(Long, Long)]): Set[(Long, Long, Long)] =
+    Graph.trianglesFrom(pairsDf(pairs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("hub/star graph: orientation bounds the wedge join to ZERO rows") {
+    // One hub (id 2000) with 1000 leaves. Un-oriented, the hub is the
+    // middle of C(1000, 2) = 499500 wedges — the skew bomb. Oriented
+    // low->high by (degree, id), every edge points leaf -> hub, the
+    // hub has out-degree 0, and the wedge join emits nothing.
+    val star = (1L to 1000L).map(k => (k, 2000L))
+    val directed = Graph.orientEdges(pairsDf(star))
+    assert(Graph.orientedWedges(directed).count() == 0L,
+      "a pure star must produce zero oriented wedges")
+    assert(trianglesOf(star).isEmpty)
+  }
+
+  test("hub with one cross edge: wedge count is per-leaf, not per-hub") {
+    // Star plus a single leaf-leaf edge: exactly one triangle, and the
+    // wedge join stays bounded by leaf out-degrees (each leaf has
+    // out-degree <= 2), never the hub's.
+    val g = (1L to 1000L).map(k => (k, 2000L)) :+ (1L, 2L)
+    val directed = Graph.orientEdges(pairsDf(g))
+    val wedges = Graph.orientedWedges(directed).count()
+    assert(wedges <= 2000L, s"oriented wedges must stay O(|E|), got $wedges")
+    assert(trianglesOf(g) == Set((1L, 2L, 2000L)))
+  }
+
+  test("K5 clique yields C(5,3) = 10 id-sorted triangles") {
+    val nodes = Seq(3L, 7L, 11L, 20L, 42L)
+    val clique = for {
+      a <- nodes; b <- nodes if a < b
+    } yield (a, b)
+    val expected = (for {
+      a <- nodes; b <- nodes; c <- nodes if a < b && b < c
+    } yield (a, b, c)).toSet
+    assert(trianglesOf(clique) == expected)
+    assert(expected.size == 10)
+  }
+
+  test("two triangles sharing an edge enumerate exactly twice") {
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 4L))
+    assert(trianglesOf(g) == Set((1L, 2L, 3L), (2L, 3L, 4L)))
+  }
+}

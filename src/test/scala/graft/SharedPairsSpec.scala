@@ -19,6 +19,11 @@ class SharedPairsSpec extends AnyFunSuite {
       val curFresh = SparkEntry.queries("pipeline_curate")(spark, d)
         .collect().map(_.toSeq).toSet
       assert(curShared == curFresh)
+
+      val triShared = sh.triangles.collect().map(_.toSeq).toSet
+      val triFresh = SparkEntry.queries("graph_triangles")(spark, d)
+        .collect().map(_.toSeq).toSet
+      assert(triShared == triFresh)
     } finally sh.release()
   }
 
