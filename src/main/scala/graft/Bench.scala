@@ -97,7 +97,15 @@ object Bench {
     // smaller (better) total
     val failed = results.collect { case (k, (v, _, _)) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"shuffle_bytes":$shuffles,"spill_bytes":$spills,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"shuffle_bytes":$shuffles,"spill_bytes":$spills,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist next to the repo: the driver captures stdout tails,
+    // which has truncated the per-query map before — the file is the
+    // durable copy (BENCH analysis shouldn't need a re-run).
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json"))
+    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

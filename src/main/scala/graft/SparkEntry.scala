@@ -8,6 +8,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * flattens them into the `queries` / `oracleSql` maps the driver
   * consumes (`Verify` at sf0.01 vs the DuckDB oracle, `Bench` at
   * sf0.1).
+  *
+  * Build-concurrency note: query BUILDERS are assumed to run one at a
+  * time per session (Verify/Bench/Explain all iterate sequentially).
+  * The one builder that mutates session conf (q_agg_pushdown's V2-scan
+  * window, Analytics.v2ConfLock) self-serializes, but a harness that
+  * builds OTHER queries concurrently during that window could pick up
+  * a V2 parquet scan — keep builds sequential.
   */
 object SparkEntry {
 

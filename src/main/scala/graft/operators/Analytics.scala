@@ -742,9 +742,18 @@ object Analytics {
     * V1 scans and result-neutral everywhere. PlanSpec asserts the
     * pushed aggregates are in the scan.
     */
+  /** Serializes [[qAggPushdown]]'s conf-flip window: useV1SourceList
+    * is session-global, so a query BUILT concurrently on the same
+    * session inside that window would silently get a V2 parquet scan.
+    * The lock removes the self-race; the residual assumption (no
+    * OTHER thread builds unrelated queries mid-window) is documented
+    * at the SparkEntry registry, whose consumers build sequentially.
+    */
+  private val v2ConfLock = new Object
+
   val qAggPushdown = QueryDef(
     "q_agg_pushdown",
-    (s, d) => {
+    (s, d) => v2ConfLock.synchronized {
       val key = "spark.sql.sources.useV1SourceList"
       val prev = s.conf.get(key)
       s.conf.set("spark.sql.parquet.aggregatePushdown", "true")

@@ -39,6 +39,10 @@ object Quality {
   final class Gate private[Quality] (spark: SparkSession) {
     private val seen = new ConcurrentHashMap[String, Map[String, Long]]()
     private val latches = new ConcurrentHashMap[String, CountDownLatch]()
+    // serializes arm() against listener delivery so a re-arm can never
+    // interleave between a delivery's seen.put and countDown (which
+    // would either strand the new latch or hand await a null result)
+    private val armLock = new Object
 
     private val listener = new QueryExecutionListener {
       override def onSuccess(funcName: String,
@@ -56,8 +60,10 @@ object Quality {
                 s"observation '$name' metric '$f' is non-numeric: $other")
             })
           }.toMap
-          seen.put(name, m)
-          latches.computeIfAbsent(name, _ => new CountDownLatch(1)).countDown()
+          armLock.synchronized {
+            seen.put(name, m)
+            latches.computeIfAbsent(name, _ => new CountDownLatch(1)).countDown()
+          }
         }
       }
       override def onFailure(funcName: String,
@@ -73,14 +79,18 @@ object Quality {
       val latch = latches.computeIfAbsent(name, _ => new CountDownLatch(1))
       require(latch.await(timeoutSec, TimeUnit.SECONDS),
         s"observation '$name' not delivered within ${timeoutSec}s — did the action run?")
-      seen.get(name)
+      val m = seen.get(name)
+      require(m != null,
+        s"observation '$name' was re-armed after delivery but before its " +
+          "metrics were read — arm() must precede the action, not the await")
+      m
     }
 
     /** Re-arm a name before REUSING it for another action: clears the
       * previous delivery so `await` cannot return the earlier action's
       * counters. Call arm BEFORE starting the new action.
       */
-    def arm(name: String): Unit = {
+    def arm(name: String): Unit = armLock.synchronized {
       seen.remove(name)
       latches.put(name, new CountDownLatch(1))
     }

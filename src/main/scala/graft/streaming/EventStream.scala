@@ -421,10 +421,22 @@ object EventStream {
       // the recovery source for a swap torn between its two renames.
       // Nothing that could still serve as a recovery source is ever
       // deleted before the new target is in place.
+      // suffix = <batchId>-<millis>: batchId is replay-stable and
+      // strictly increasing ACROSS restarts (nanoTime's origin is
+      // arbitrary per JVM and could order a restart's backup older);
+      // millis breaks the tie between replayed attempts of one batch,
+      // and also keeps the rename target fresh if the same batch
+      // replays after a crash between swap and prune.
       def backups(): Seq[org.apache.hadoop.fs.Path] =
         fs.globStatus(new org.apache.hadoop.fs.Path(s"$path.old-*"))
           .toSeq.map(_.getPath)
-          .sortBy(p => p.getName.substring(p.getName.lastIndexOf('-') + 1).toLong)
+          .sortBy { p =>
+            val suffix = p.getName.substring(p.getName.indexOf(".old-") + 5)
+            suffix.split('-') match {
+              case Array(b, t) => (b.toLong, t.toLong)
+              case _ => (suffix.toLong, 0L) // legacy single-number suffix
+            }
+          }
       val prior: Option[String] =
         if (fs.exists(target)) Some(path)
         else backups().lastOption.map(_.toString) // recover a torn swap
@@ -439,15 +451,19 @@ object EventStream {
         .filter(col("_rn") === 1).drop("_rn")
       val tmp = new org.apache.hadoop.fs.Path(s"$path.tmp-$batchId")
       merged.write.mode("overwrite").parquet(tmp.toString) // reads prior here
-      val backup = new org.apache.hadoop.fs.Path(s"$path.old-${System.nanoTime()}")
+      val backup = new org.apache.hadoop.fs.Path(
+        s"$path.old-$batchId-${System.currentTimeMillis()}")
       if (fs.exists(target) && !fs.rename(target, backup)) {
         throw new java.io.IOException(
           s"upsertSink: backup rename $target -> $backup failed")
       }
       if (!fs.rename(tmp, target)) {
+        // first-ever batch has no backup — don't mask the IOException
+        // with a NoSuchElementException from .last
         throw new java.io.IOException(
           s"upsertSink: swap rename $tmp -> $target failed; " +
-            s"current snapshot preserved at ${backups().last}")
+            s"current snapshot preserved at " +
+            backups().lastOption.map(_.toString).getOrElse("<none>"))
       }
       // only now are ALL backups stale (the target supersedes them)
       backups().foreach(fs.delete(_, true))
