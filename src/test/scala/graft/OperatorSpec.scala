@@ -24,6 +24,25 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("SURVEY §2 inventory matches the registry exactly") {
+    // The coverage checklist is the round-to-round contract: every
+    // registered query needs a table row and every row a query. A/C/D
+    // rows carry query keys as the whole second column; B/E rows are
+    // components (their backticked names contain dots, and the letter
+    // filter excludes them anyway).
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val row = """(?m)^\| [ACD]\d+b? \| `(\w+)` \|""".r
+    val listed = row.findAllMatchIn(src).map(_.group(1)).toSeq
+    assert(listed.distinct.size == listed.size,
+      s"duplicate SURVEY §2 rows: ${listed.diff(listed.distinct).mkString(", ")}")
+    val registry = SparkEntry.queries.keySet
+    assert(listed.toSet == registry,
+      s"SURVEY §2 / registry drift — unlisted queries: " +
+        s"${(registry -- listed).toSeq.sorted.mkString(", ")}; stale rows: " +
+        s"${(listed.toSet -- registry).toSeq.sorted.mkString(", ")}")
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
