@@ -26,7 +26,8 @@ object SparkEntry {
         operators.Temporal.defs ++ operators.Stats.defs ++
         operators.Sampling.defs ++ operators.Curate.defs ++
         operators.Contamination.defs ++ operators.Corpus.defs ++
-        operators.Patterns.defs ++ operators.Bpe.defs ++ operators.Graph.defs
+        operators.Patterns.defs ++ operators.Bpe.defs ++ operators.Graph.defs ++
+        operators.Substring.defs
     val dupes = defs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupes.isEmpty,
       s"duplicate query names would silently shadow operators: ${dupes.mkString(", ")}")

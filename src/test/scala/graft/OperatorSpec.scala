@@ -13,9 +13,9 @@ class OperatorSpec extends AnyFunSuite {
   test("every registered query runs and matches its oracle declaration") {
     val qs = SparkEntry.queries
     // coverage floor: mass-deregistration of operators must fail loudly
-    // (98 queries / 91 oracles as of round 2, session 4)
-    assert(qs.size >= 98, s"only ${qs.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 91,
+    // (99 queries / 92 oracles as of round 3)
+    assert(qs.size >= 99, s"only ${qs.size} queries registered")
+    assert(SparkEntry.oracleSql.size >= 92,
       s"only ${SparkEntry.oracleSql.size} oracles declared")
     qs.foreach { case (name, fn) =>
       val df = fn(spark, d)
