@@ -302,12 +302,22 @@ object Similarity {
     */
   val annIvf = QueryDef(
     "ann_ivf",
-    (s, d) => {
+    (s, d) => ivfTopK(s, d, nList = 16, nProbe = 4),
+    None)
+
+  /** Parameterized IVF search — `ann_ivf` runs (nlist=16, nprobe=4);
+    * the recall-vs-nprobe sweep in AnnIvfSpec measures the
+    * quality-cost knob (nprobe ∈ 1,2,4,8) against brute force rather
+    * than asserting it. More probes = more cells reranked = higher
+    * recall at proportionally higher candidate volume.
+    */
+  def ivfTopK(s: SparkSession, d: String, nList: Int, nProbe: Int): DataFrame = {
+    {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
-      val NList = 16
-      val NProbe = 4
+      val NList = nList
+      val NProbe = nProbe
       val QuantizerTrainCap = 100000L
       val emb = quantized(s, d)
       val featured = Tables.embeddings(s, d)
@@ -351,8 +361,8 @@ object Similarity {
         .withColumn("rank", row_number().over(w).cast(LongType))
         .filter(col("rank") <= TopK)
         .select("qid", "rank", "vec_id", "cosine")
-    },
-    None)
+    }
+  }
 
   /** Per-label centroid + per-vector centroid-cosine — the embedding
     * QA pass that finds mislabeled / outlier vectors (low cosine to

@@ -27,4 +27,26 @@ class AnnIvfSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("recall-vs-nprobe curve on the sf0.01 corpus (the quality-cost knob)") {
+    // Measures, rather than asserts, the IVF tuning tradeoff: recall@5
+    // against exact brute force as nprobe sweeps 1 -> 8 of nlist=16
+    // cells. Printed as a table so the knob's shape is in the test
+    // output; assertions pin only what must hold (monotone
+    // non-decreasing recall, a usable ceiling at nprobe=8).
+    val d01 = "/root/testdata/sf0.01"
+    val truth = SparkEntry.queries("ann_bruteforce")(spark, d01).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recalls = Seq(1, 2, 4, 8).map { np =>
+      val got = graft.operators.Similarity.ivfTopK(spark, d01, nList = 16, nProbe = np)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val r = (got & truth).size.toDouble / truth.size
+      info(f"nprobe=$np%d  probed=${np * 100.0 / 16}%5.1f%% of cells  recall@5=$r%.3f")
+      np -> r
+    }
+    val rs = recalls.map(_._2)
+    assert(rs.zip(rs.tail).forall { case (a, b) => b >= a },
+      s"recall must not decrease with nprobe: $recalls")
+    assert(rs.last >= 0.9, s"nprobe=8 recall too low: ${rs.last}")
+  }
 }
