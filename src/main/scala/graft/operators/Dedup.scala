@@ -154,6 +154,71 @@ object Dedup {
     WHERE CAST(n_common AS DOUBLE) / (ni + nj - n_common) >= 0.5
     ORDER BY i, j"""))
 
+  /** Prefix-filtered set-similarity join (the PPJoin/SSJoin family) —
+    * the OTHER web-scale Jaccard shape, complementing [[ngramJaccard]]'s
+    * document-frequency cap: instead of dropping boilerplate shingles,
+    * order each doc's shingles by global rarity (document frequency
+    * ascending, hash tiebreak) and join only on each doc's PREFIX —
+    * the first `n div 2 + 1` shingles for tau = 0.5 (per-side length
+    * `|X| - ceil(tau*|X|) + 1`). The prefix-filter lemma makes this
+    * LOSSLESS: if the two prefixes were disjoint, every common shingle
+    * would exceed the smaller prefix's boundary value, capping the
+    * overlap below `ceil(tau*|X|)` — which J >= tau requires. Hence
+    * this query declares the SAME exact-Jaccard oracle as
+    * `dedup_ngram_jaccard`, and the hash-match is the losslessness
+    * proof, not an approximation waiver.
+    *
+    * Scale shape: candidate generation joins ~half of each doc's
+    * shingles — and because prefixes hold each doc's RAREST shingles,
+    * per-key fan-out concentrates on low-DF keys (bounded quadratic in
+    * DF, which rarity makes tiny); the `2*min >= max` length filter
+    * prunes size-incompatible pairs inside the join. Exact overlap
+    * verification then touches only surviving candidates via two
+    * equi-joins back to the full (df-capped) shingle sets.
+    */
+  val prefixJaccard = QueryDef(
+    "dedup_jaccard_prefix",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val keyed = shingleStrings(s, d)
+        .select(col("doc_id"), xxhash64(col("g0")).as("g"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+        .filter(col("df") <= MaxShingleDf)
+        .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+      val pfx = keyed
+        .withColumn("p", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
+        .filter(col("p") <= expr("n_sh div 2 + 1"))
+      val a = pfx.select(col("g"), col("doc_id").as("i"), col("n_sh").as("ni"))
+      val b = pfx.select(col("g"), col("doc_id").as("j"), col("n_sh").as("nj"))
+      val cand = a.join(b, Seq("g"))
+        .filter(col("i") < col("j") &&
+          col("ni") * 2 >= col("nj") && col("nj") * 2 >= col("ni"))
+        .select("i", "j", "ni", "nj").dropDuplicates("i", "j")
+      val full = keyed.select("doc_id", "g")
+      cand
+        .join(full.select(col("doc_id").as("i"), col("g")), Seq("i"))
+        .join(full.select(col("doc_id").as("j"), col("g")), Seq("j", "g"))
+        .groupBy("i", "j", "ni", "nj").agg(count(lit(1)).as("n_common"))
+        .withColumn("jaccard",
+          col("n_common").cast(DoubleType) / (col("ni") + col("nj") - col("n_common")))
+        .filter(col("jaccard") >= JaccardTau)
+        .select("i", "j", "n_common", "jaccard")
+    },
+    // the exact all-pairs oracle — identical to dedup_ngram_jaccard's
+    // by design (see Scaladoc: hash-match == losslessness proof)
+    Some(s"""WITH $shingleCtesSql,
+    pairs AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, a.n_sh AS ni, b.n_sh AS nj,
+             COUNT(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT i, j, n_common,
+      CAST(n_common AS DOUBLE) / (ni + nj - n_common) AS jaccard
+    FROM pairs
+    WHERE CAST(n_common AS DOUBLE) / (ni + nj - n_common) >= 0.5
+    ORDER BY i, j"""))
+
   // ---------------------------------------------------------------
   // MinHash + LSH
   // ---------------------------------------------------------------
@@ -461,6 +526,6 @@ object Dedup {
     WHERE CAST(n_common AS DOUBLE) / ni >= $ContainTau
     ORDER BY contained_id, container_id"""))
 
-  val defs: Seq[QueryDef] = Seq(exact, ngramJaccard, minhashLsh, simhash, clusterKeep,
-    containment)
+  val defs: Seq[QueryDef] = Seq(exact, ngramJaccard, prefixJaccard, minhashLsh,
+    simhash, clusterKeep, containment)
 }
