@@ -832,8 +832,182 @@ object Analytics {
         AND (a.price < b.price OR a.dms > b.dms))
     ORDER BY o_orderkey"""))
 
+  /** Bilateral trade volume (the TPC-H Q7 shape): revenue shipped
+    * between two named nations, by direction and year. The interesting
+    * plan property is the DOUBLE dimension role: nation joins the fact
+    * twice (supplier side and customer side) under different aliases,
+    * with the symmetric pair predicate applied across both — all four
+    * dimensions broadcast, so the only shuffle is the lineitem⋈orders
+    * key exchange and the final tiny group-by.
+    */
+  val q7 = QueryDef(
+    "q7_nation_volume",
+    (s, d) => {
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate").between(ts("1996-01-01"), ts("1997-12-31")))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast(LongType).as("l_year"))
+        .agg(sumd(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    },
+    Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM lineitem, orders, supplier, customer, nation n1, nation n2
+    WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      AND o_custkey = c_custkey AND s_nationkey = n1.n_nationkey
+      AND c_nationkey = n2.n_nationkey
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
+  /** Promotion revenue share (the TPC-H Q14 shape): conditional
+    * aggregation — one pass computes both the filtered and the total
+    * decimal sum, the ratio is 6-dp floor-quantized so a 1-ulp double
+    * divergence cannot flip the hash (the [[graft.Det]] ratio rule).
+    */
+  val q14 = QueryDef(
+    "q14_promo_revenue",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1997-03-01"))
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(dec(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0)))).as("pr"),
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("tr"))
+        .select((floor(lit(100.0) * col("pr").cast(DoubleType) / col("tr").cast(DoubleType) * 1e6) / 1e6)
+          .as("promo_revenue"))
+    },
+    Some("""SELECT floor(100.0 *
+        CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+          THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+        * 1e6) / 1e6 AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-03-01'"""))
+
+  /** Disjunctive multi-clause predicate join (the TPC-H Q19 shape):
+    * an OR of brand/size/quantity conjunctions. Catalyst extracts the
+    * common `l_partkey = p_partkey` equi-key from under the OR (the
+    * join stays hash-based, never nested-loop) and pushes the
+    * residual disjunction into the join filter; part is broadcast.
+    */
+  val q19 = QueryDef(
+    "q19_disjunctive",
+    (s, d) => {
+      val j = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      j.filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#15" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+        .agg(sumd(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    },
+    Some(s"""SELECT ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey AND (
+         (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+      OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+      OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))"""))
+
+  /** Sole-returner suppliers (the TPC-H Q21 shape — EXISTS plus
+    * NOT EXISTS correlated on the same fact): in finished
+    * multi-supplier orders, count per supplier the lines where THIS
+    * supplier returned ('R') and no other supplier on the order did.
+    * Spark-first decorrelation: the EXISTS becomes a left-semi join,
+    * the NOT EXISTS a left-anti join, both on the order key with the
+    * supplier-inequality as a residual condition — two hash joins on
+    * the same key, no correlated re-execution per row.
+    */
+  val q21 = QueryDef(
+    "q21_waiting_supplier",
+    (s, d) => {
+      val l1 = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("k1"), col("l_suppkey").as("sk1"))
+      val others = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2"))
+      val othersR = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("sk3"))
+      l1.join(others, col("k1") === col("k2") && col("sk2") =!= col("sk1"), "left_semi")
+        .join(othersR, col("k1") === col("k3") && col("sk3") =!= col("sk1"), "left_anti")
+        .join(broadcast(Tables.supplier(s, d)), col("sk1") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), asc("s_name"))
+        .limit(10)
+    },
+    Some("""SELECT s_name, COUNT(*) AS numwait
+    FROM lineitem l1, orders, supplier
+    WHERE l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R' AND l1.l_suppkey = s_suppkey
+      AND EXISTS (SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R')
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10"""))
+
+  /** Idle wealthy customers (the TPC-H Q22 shape — scalar aggregate
+    * threshold + anti join): customers in three segments with no
+    * FINAL-YEAR order (every synthetic customer has some order, so the
+    * lapse is dated) whose balance exceeds the segment-population's
+    * positive average. The threshold compare is CROSS-MULTIPLIED
+    * (`bal * n_pos > sum_pos`, all DECIMAL) so no division touches
+    * floating point anywhere — bit-deterministic across engines with
+    * zero quantization. The one-row aggregate broadcasts into the
+    * customer scan; the lapse check is a left-anti join on custkey
+    * against the date-filtered orders.
+    */
+  val q22 = QueryDef(
+    "q22_idle_customers",
+    (s, d) => {
+      val segs = Seq("BUILDING", "MACHINERY", "HOUSEHOLD")
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment").isin(segs: _*))
+      val thresh = cust.filter(col("c_acctbal") > 0.0)
+        .agg(sum(dec(col("c_acctbal"))).as("sum_pos"), count(lit(1)).as("n_pos"))
+      cust
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= ts("2001-01-01")).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(thresh))
+        .filter(dec(col("c_acctbal")) * col("n_pos") > col("sum_pos"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("numcust"), sumd(col("c_acctbal")).as("totacctbal"))
+    },
+    Some(s"""WITH pool AS (
+      SELECT * FROM customer
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'HOUSEHOLD')),
+    t AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS sum_pos, COUNT(*) AS n_pos
+      FROM pool WHERE c_acctbal > 0.0)
+    SELECT c_mktsegment AS segment, COUNT(*) AS numcust,
+      ${dsum("c_acctbal")} AS totacctbal
+    FROM pool, t
+    WHERE CAST(c_acctbal AS DECIMAL(38,6)) * n_pos > sum_pos
+      AND NOT EXISTS (SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01')
+    GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] = Seq(
-    q1, q3, q5, q6, qMarketShare, qTopCustomers, qRollup, qCube, qExcept,
+    q1, q3, q5, q6, q7, q14, q19, q21, q22,
+    qMarketShare, qTopCustomers, qRollup, qCube, qExcept,
     qExists, qDistinctAgg, qTopKCustom, qAntiJoin, qDecile,
     qPivot, qUnpivot, qArgminJoin, qWindowFuncs, qGroupingSets,
     qCountDistribution, qJoinSalted, qFullOuter, qBloomPrune, qZorder,
