@@ -482,6 +482,42 @@ object EventStream {
       .outputMode(OutputMode.Append)
       .foreachBatch(write)
 
+  /** Bounded historical backfill: run a streaming transform over ALL
+    * files already present in a parquet directory under
+    * `Trigger.AvailableNow` — ingest proceeds in micro-batches of at
+    * most `maxFilesPerTrigger` files (bounding per-trigger memory and
+    * state-update volume no matter how much history accumulated), the
+    * query STOPS when the backlog is drained, and the checkpoint it
+    * leaves is one a live continuation of the same pipeline resumes
+    * from. This is how a streaming materialized view bootstraps from
+    * months of history without either (a) a giant single batch that
+    * OOMs the state store or (b) a separate batch codepath whose
+    * semantics can drift from the streaming one: SAME transform, SAME
+    * checkpoint lineage, bounded batches.
+    *
+    * Stateful transforms keep their state ACROSS backfill
+    * micro-batches (a key's per-event sequence keeps counting when its
+    * events span ingest batches) — spec-proven in AvailableNowSpec.
+    */
+  def backfill(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      transform: DataFrame => DataFrame,
+      outDir: String,
+      checkpoint: String,
+      maxFilesPerTrigger: Int = 4): org.apache.spark.sql.streaming.StreamingQuery = {
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+    transform(src).writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Parquet file sink (the local stand-in for the Kafka sink). */
   def parquetSink[T](
       ds: Dataset[T],
