@@ -229,6 +229,44 @@ object Temporal {
       ${graft.Det.dsum("value")} AS sum_value
     FROM base GROUP BY user_id, hour_ms ORDER BY user_id, hour_ms"""))
 
+  /** SCD type-2 dimension build from the event stream: one validity
+    * interval per (user, state run) — the history table a warehouse
+    * keeps for "what was this user's state at time T?" lookups, and
+    * the batch complement of the upsert/latest-state (SCD-1) pair
+    * (`ep_latest_state` / `EventStream.upsertSink`).
+    *
+    * Gaps-and-islands: consecutive duplicate states collapse (lag
+    * compare keeps only change rows), then `lead` closes each
+    * interval at the NEXT change's start; the live row keeps
+    * valid_to NULL. Both window passes and the change filter share
+    * ONE user_id shuffle — at 100 TB this is a single exchange plus
+    * narrow sorts, no self-join against the history table.
+    */
+  val scd2 = QueryDef(
+    "q_scd2",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), tsMs.as("ms"),
+          col("event_type").as("state"))
+        .withColumn("prev_state", lag(col("state"), 1).over(w))
+        .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
+        .withColumn("valid_from", col("ms"))
+        .withColumn("valid_to", lead(col("ms"), 1).over(w))
+        .select("user_id", "state", "valid_from", "valid_to")
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_type AS state
+      FROM events),
+    lagged AS (
+      SELECT *, lag(state) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_state
+      FROM e),
+    changes AS (
+      SELECT * FROM lagged WHERE prev_state IS NULL OR prev_state <> state)
+    SELECT user_id, state, ms AS valid_from,
+      lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS valid_to
+    FROM changes ORDER BY user_id, valid_from, state"""))
+
   val defs: Seq[QueryDef] = Seq(asofJoin, asofJoinCustom, sessionize, fillForward,
-    ohlcResample)
+    ohlcResample, scd2)
 }
