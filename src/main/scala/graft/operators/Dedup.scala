@@ -180,11 +180,16 @@ object Dedup {
     "dedup_jaccard_prefix",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // materialized ONCE (lineage-truncating): four consumers below
+      // (both prefix join sides + both exact-verify sides) would
+      // otherwise each re-run the corpus scan and all three windows —
+      // at 100 TB that is 4 corpus scans instead of 1 shingle table
       val keyed = shingleStrings(s, d)
         .select(col("doc_id"), xxhash64(col("g0")).as("g"))
         .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
         .filter(col("df") <= MaxShingleDf)
         .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .localCheckpoint(true)
       val pfx = keyed
         .withColumn("p", row_number().over(
           Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
