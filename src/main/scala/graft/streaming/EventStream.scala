@@ -332,6 +332,30 @@ object EventStream {
         s"r.$rightTime BETWEEN l.$leftTime - INTERVAL $lookback AND l.$leftTime"))
   }
 
+  /** LEFT OUTER stream-stream interval join: like [[intervalJoin]],
+    * but a left event with NO right match in its interval is still
+    * emitted (right columns null) once the watermark proves no
+    * matching right event can arrive anymore — the "purchase with no
+    * preceding click = organic conversion" attribution shape, where
+    * the absence of the match is itself the signal. Same bounded
+    * state-retention property as the inner variant: both watermarks
+    * plus the time-bound condition let the state store GC each side
+    * past watermark + lookback; the null-padded emission happens at
+    * that same eviction boundary (it is delayed, not unbounded).
+    */
+  def intervalJoinOuter(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      lookback: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTime, watermark).alias("l")
+    val r = right.withWatermark(rightTime, watermark).alias("r")
+    l.join(r,
+      expr(s"l.$key = r.$key AND " +
+        s"r.$rightTime BETWEEN l.$leftTime - INTERVAL $lookback AND l.$leftTime"),
+      "leftOuter")
+  }
+
   /** EventProducer (EventProducer.kt:28-51) as a rate-source stream:
     * 2 rows/s default, 50 users, 5 types, 5% malformed, same
     * md5-derived distributions as the batch `producer_datagen`.

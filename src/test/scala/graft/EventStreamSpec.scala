@@ -438,6 +438,43 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched purchases after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(String, java.sql.Timestamp, String)]
+    val buys = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val joined = EventStream.intervalJoinOuter(
+        buys.toDF.toDF("userId", "eventTime", "amount"),
+        clicks.toDF.toDF("userId", "eventTime", "page"),
+        "userId", "eventTime", "eventTime",
+        lookback = "10 minutes", watermark = "10 minutes")
+      .select(col("l.userId").as("u"), col("l.amount").as("amount"),
+        col("r.page").as("page"))
+    val q = joined.writeStream.format("memory").queryName("ivj_outer")
+      .outputMode("append").start()
+    try {
+      def ts(min: Int) = new java.sql.Timestamp((1000L + min) * 60000L)
+      // u1's purchase has a click in its lookback; u2's has NONE
+      clicks.addData(("u1", ts(0), "home"))
+      buys.addData(("u1", ts(5), 9.99), ("u2", ts(5), 3.50))
+      q.processAllAvailable()
+      // matched row emits promptly
+      assert(spark.table("ivj_outer").collect()
+        .exists(r => r.getAs[String]("u") == "u1" && r.getAs[String]("page") == "home"))
+      // push both watermarks far past t=5's eviction boundary; a few
+      // batches let the outer null-padded row surface
+      (1 to 3).foreach { i =>
+        clicks.addData(("wm", ts(60 + i), "x"))
+        buys.addData(("wm", ts(60 + i), 0.0))
+        q.processAllAvailable()
+      }
+      val organic = spark.table("ivj_outer").collect()
+        .filter(_.getAs[String]("u") == "u2")
+      assert(organic.length == 1, organic.mkString(", "))
+      assert(organic.head.getAs[String]("page") == null,
+        "unmatched purchase must emit with null right side")
+    } finally q.stop()
+  }
+
   test("pattern detector matches across micro-batches and expires stale prefixes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[ParsedEvent]
