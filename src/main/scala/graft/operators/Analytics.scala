@@ -727,6 +727,15 @@ object Analytics {
            MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
     FROM z GROUP BY 1 ORDER BY 1"""))
 
+  /** Serializes [[qAggPushdown]]'s conf-flip window: useV1SourceList
+    * is session-global, so a query BUILT concurrently on the same
+    * session inside that window would silently get a V2 parquet scan.
+    * The lock removes the self-race; the residual assumption (no
+    * OTHER thread builds unrelated queries mid-window) is documented
+    * at the SparkEntry registry, whose consumers build sequentially.
+    */
+  private val v2ConfLock = new Object
+
   /** Whole-table COUNT/MIN/MAX served from parquet FOOTER STATISTICS —
     * Spark's scan-level aggregate pushdown (`PushedAggregation` in the
     * scan node): at 100 TB this query reads row-group metadata instead
@@ -742,15 +751,6 @@ object Analytics {
     * V1 scans and result-neutral everywhere. PlanSpec asserts the
     * pushed aggregates are in the scan.
     */
-  /** Serializes [[qAggPushdown]]'s conf-flip window: useV1SourceList
-    * is session-global, so a query BUILT concurrently on the same
-    * session inside that window would silently get a V2 parquet scan.
-    * The lock removes the self-race; the residual assumption (no
-    * OTHER thread builds unrelated queries mid-window) is documented
-    * at the SparkEntry registry, whose consumers build sequentially.
-    */
-  private val v2ConfLock = new Object
-
   val qAggPushdown = QueryDef(
     "q_agg_pushdown",
     (s, d) => v2ConfLock.synchronized {

@@ -96,15 +96,18 @@ object Dedup {
     * 8-byte keys instead of ~30-char strings; 64-bit collision odds
     * (~n_shingles^2 / 2^64) are negligible and any false merge would
     * surface in the oracle compare. High-DF shingles are removed (see
-    * [[MaxShingleDf]]) before the per-doc set size is counted.
+    * [[MaxShingleDf]]) before the per-doc set size is counted. The
+    * surviving shingle's document frequency is kept as `df` (the
+    * prefix-filter variant orders by it; other consumers ignore it) —
+    * ONE definition of the capped shingle universe, so the Jaccard
+    * family cannot drift apart on it.
     */
   private def shingleKeys(s: org.apache.spark.sql.SparkSession, d: String) = {
     import org.apache.spark.sql.expressions.Window
     shingleStrings(s, d)
       .select(col("doc_id"), xxhash64(col("g0")).as("g"))
-      .withColumn("_df", count(lit(1)).over(Window.partitionBy("g")))
-      .filter(col("_df") <= MaxShingleDf)
-      .drop("_df")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("df") <= MaxShingleDf)
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
   }
 
@@ -184,12 +187,7 @@ object Dedup {
       // (both prefix join sides + both exact-verify sides) would
       // otherwise each re-run the corpus scan and all three windows —
       // at 100 TB that is 4 corpus scans instead of 1 shingle table
-      val keyed = shingleStrings(s, d)
-        .select(col("doc_id"), xxhash64(col("g0")).as("g"))
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
-        .filter(col("df") <= MaxShingleDf)
-        .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
-        .localCheckpoint(true)
+      val keyed = shingleKeys(s, d).localCheckpoint(true)
       val pfx = keyed
         .withColumn("p", row_number().over(
           Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))

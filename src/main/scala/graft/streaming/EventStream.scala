@@ -324,13 +324,9 @@ object EventStream {
       left: DataFrame, right: DataFrame,
       key: String, leftTime: String, rightTime: String,
       lookback: String = "10 minutes",
-      watermark: String = "10 minutes"): DataFrame = {
-    val l = left.withWatermark(leftTime, watermark).alias("l")
-    val r = right.withWatermark(rightTime, watermark).alias("r")
-    l.join(r,
-      expr(s"l.$key = r.$key AND " +
-        s"r.$rightTime BETWEEN l.$leftTime - INTERVAL $lookback AND l.$leftTime"))
-  }
+      watermark: String = "10 minutes"): DataFrame =
+    intervalJoinImpl(left, right, key, leftTime, rightTime,
+      lookback, watermark, "inner")
 
   /** LEFT OUTER stream-stream interval join: like [[intervalJoin]],
     * but a left event with NO right match in its interval is still
@@ -347,13 +343,23 @@ object EventStream {
       left: DataFrame, right: DataFrame,
       key: String, leftTime: String, rightTime: String,
       lookback: String = "10 minutes",
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes"): DataFrame =
+    intervalJoinImpl(left, right, key, leftTime, rightTime,
+      lookback, watermark, "leftOuter")
+
+  /** One definition of the interval condition + dual watermarks for
+    * both join types, so a bound fix can never apply to only one.
+    */
+  private def intervalJoinImpl(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      lookback: String, watermark: String, joinType: String): DataFrame = {
     val l = left.withWatermark(leftTime, watermark).alias("l")
     val r = right.withWatermark(rightTime, watermark).alias("r")
     l.join(r,
       expr(s"l.$key = r.$key AND " +
         s"r.$rightTime BETWEEN l.$leftTime - INTERVAL $lookback AND l.$leftTime"),
-      "leftOuter")
+      joinType)
   }
 
   /** EventProducer (EventProducer.kt:28-51) as a rate-source stream:
@@ -458,7 +464,12 @@ object EventStream {
             val suffix = p.getName.substring(p.getName.indexOf(".old-") + 5)
             suffix.split('-') match {
               case Array(b, t) => (b.toLong, t.toLong)
-              case _ => (suffix.toLong, 0L) // legacy single-number suffix
+              // legacy single-number (nanoTime) suffix: its magnitude
+              // (~1e12) would outsort every (batchId, millis) tuple and
+              // recovery would prefer the STALE pre-upgrade snapshot —
+              // pin legacy backups below all new-format ones instead
+              // (among themselves they keep their original order)
+              case _ => (Long.MinValue, suffix.toLong)
             }
           }
       val prior: Option[String] =

@@ -36,6 +36,14 @@ final case class SessionAcc(start: Long, end: Long, n: Long)
   * `session_window` aggregate): same windows, but this one is the
   * EXTENSIBLE shape — pattern state, session-local counters, or
   * early-emission rules drop straight into the processor.
+  *
+  * State model: ONE open session per key. A straggler landing more
+  * than gapMs before the open session's start can never merge with it
+  * and is emitted as its own closed singleton immediately (a
+  * `session_window` aggregate would instead hold multiple open
+  * windows per key; within the watermark delay the two models agree
+  * on everything except multiple INTERLEAVED late sessions, which the
+  * watermark bound makes a non-case at one open session per key).
   */
 class GapSessionProcessor(gapMs: Long)
     extends StatefulProcessor[String, Row, GapSession] {
@@ -55,11 +63,19 @@ class GapSessionProcessor(gapMs: Long)
     // (timestamp, arrival) order makes replays deterministic
     rows.toSeq.map(_.getAs[Long]("timestamp")).sorted.foreach { ts =>
       cur match {
-        case Some(acc) if ts <= acc.end + gapMs =>
+        // merge needs BOTH bounds: an event more than gapMs before the
+        // open session's start must not be folded into it (it belongs
+        // to its own, earlier session)
+        case Some(acc) if ts <= acc.end + gapMs && ts >= acc.start - gapMs =>
           cur = Some(SessionAcc(math.min(acc.start, ts), math.max(acc.end, ts), acc.n + 1))
-        case Some(acc) =>
+        case Some(acc) if ts > acc.end + gapMs =>
           out += GapSession(key, acc.start, acc.end, acc.n) // gap observed inline
           cur = Some(SessionAcc(ts, ts, 1))
+        case Some(_) =>
+          // a straggler more than gapMs BEFORE the open session: it can
+          // never merge with it, and (single-open-session state model)
+          // nothing later can extend it either — emit it closed now
+          out += GapSession(key, ts, ts, 1)
         case None =>
           cur = Some(SessionAcc(ts, ts, 1))
       }

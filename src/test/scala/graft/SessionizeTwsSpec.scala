@@ -55,6 +55,29 @@ class SessionizeTwsSpec extends AnyFunSuite {
     }
   }
 
+  test("a straggler more than gapMs before the open session is its own session") {
+    implicit val sqlCtx = spark.sqlContext
+    StateConfig.withRocksDB(spark) {
+      val input = MemoryStream[ParsedEvent]
+      val q = SessionizeTws.sessions(input.toDS(), gapMs = 5000L,
+        watermarkDelay = "20 seconds") // wide enough that the straggler isn't dropped
+        .writeStream.format("memory").queryName("tws_straggler")
+        .outputMode("append").start()
+      try {
+        input.addData(ev("u1", 20000))
+        q.processAllAvailable()
+        // 8s before the open session's start with a 5s gap: must NOT
+        // merge into [20000,20000] (that session would then span a
+        // gap larger than gapMs) — it closes immediately as a singleton
+        input.addData(ev("u1", 12000))
+        q.processAllAvailable()
+        val got = spark.table("tws_straggler").as[GapSession].collect().toSet
+        assert(got === Set(GapSession("u1", 12000, 12000, 1)),
+          s"straggler must close as its own singleton, got $got")
+      } finally q.stop()
+    }
+  }
+
   test("a session extended across batches is emitted once with the full span") {
     implicit val sqlCtx = spark.sqlContext
     StateConfig.withRocksDB(spark) {
