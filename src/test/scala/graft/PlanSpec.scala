@@ -178,4 +178,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WholeStageCodegen") || p.contains("*("),
       s"expected WholeStageCodegen stages in q1:\n$p")
   }
+
+  test("q19's disjunctive predicate keeps the hash equi-join") {
+    // Catalyst must extract the common l_partkey = p_partkey key from
+    // under the OR; a NestedLoop here would be the 100-TB disaster
+    val p = plan("q19_disjunctive")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q19 must stay a hash join:\n$p")
+  }
+
+  test("q21's EXISTS/NOT EXISTS decorrelate to semi/anti joins") {
+    val p = plan("q21_waiting_supplier")
+    assert(p.contains("LeftSemi"), s"EXISTS should plan as a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS should plan as an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q22's scalar threshold broadcasts a one-row build side") {
+    // the only nested-loop allowed is the broadcast of the 1-row
+    // (sum_pos, n_pos) aggregate — assert its build side aggregates
+    val df = SparkEntry.queries("q22_idle_customers")(spark, d)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    val bnl = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    bnl.foreach { j =>
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        case _ => j.left
+      }
+      assert(build.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.nonEmpty, s"BNL build side must be the one-row aggregate:\n$j")
+    }
+  }
 }
