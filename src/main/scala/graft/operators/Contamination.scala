@@ -108,5 +108,69 @@ object Contamination {
            COALESCE(h5.n5_benchmark_docs, 0) AS n5_benchmark_docs
     FROM hits3 h3 LEFT JOIN hits5 h5 ON h3.doc_id = h5.doc_id"""))
 
-  val defs: Seq[QueryDef] = Seq(decontaminate)
+  /** Exact-substring decontamination (the GPT-3 appendix-C shape):
+    * report every MAXIMAL train-doc span of >= [[SubstrL]] consecutive
+    * tokens that appears VERBATIM anywhere in the benchmark slice —
+    * the precise check the n-gram screen above approximates (n-gram
+    * flags say "shares a phrase"; this one returns the actual leaked
+    * span boundaries, ready for span-level excision instead of
+    * whole-doc dropping).
+    *
+    * Plan shape — deliberately NOT the suffix sort `dedup_substring`
+    * uses: that operator finds repeats WITHIN one giant corpus
+    * (symmetric, nothing broadcastable), so it range-sorts the whole
+    * gram table. Here the comparison is ASYMMETRIC — benchmark grams
+    * are small by construction — so candidate detection is a broadcast
+    * semi-join of train positional grams against the distinct bench
+    * gram set: ZERO train-side shuffle for detection, one doc_id
+    * exchange for the span merge. Swapping in a real eval table
+    * changes one line, exactly as for [[decontaminate]].
+    *
+    * L = 13 tokens (the GPT-3 decontamination convention); the eval
+    * slice is doc_id % [[SubstrBenchMod]] = 0 — wider than the n-gram
+    * screen's 1/53 so the diagnostic exercises at the test scales.
+    */
+  private[operators] val SubstrL = 13
+  private[operators] val SubstrBenchMod = 11
+
+  val decontaminateSubstring = QueryDef(
+    "decontaminate_substring",
+    (s, d) => {
+      val n = SubstrL
+      val grams = Substring.positionalGrams(s, d, n)
+      val bench = grams.filter(col("doc_id") % SubstrBenchMod === 0)
+        .select("h").distinct()
+      val cov = grams.filter(col("doc_id") % SubstrBenchMod =!= 0)
+        .join(broadcast(bench), "h")
+        .select("doc_id", "pos")
+      Substring.mergeSpans(cov, n)
+    },
+    Some {
+      val n = SubstrL
+      s"""WITH g AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(string_split(text, ' ')[i:i+${n - 1}], ' ') AS gram
+      FROM documents, UNNEST(range(1, len(string_split(text, ' ')) - $n + 2)) AS t(i)),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % $SubstrBenchMod = 0),
+    cov AS (
+      SELECT doc_id, pos FROM g
+      WHERE doc_id % $SubstrBenchMod <> 0
+        AND gram IN (SELECT gram FROM bench)),
+    m AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $n
+                  THEN 0 ELSE 1 END AS brk
+      FROM cov),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM m)
+    SELECT doc_id, MIN(pos) AS span_start,
+           MAX(pos) + $n - 1 AS span_end,
+           MAX(pos) + $n - MIN(pos) AS n_tokens
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, span_start"""
+    })
+
+  val defs: Seq[QueryDef] = Seq(decontaminate, decontaminateSubstring)
 }

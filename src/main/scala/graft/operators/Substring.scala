@@ -60,7 +60,7 @@ object Substring {
     * each token read once per offset) — the profiled-fast shape from
     * [[Dedup.ngramStrings]]; docs shorter than `n` contribute nothing.
     */
-  private def positionalGrams(s: SparkSession, d: String, n: Int): DataFrame = {
+  private[operators] def positionalGrams(s: SparkSession, d: String, n: Int): DataFrame = {
     val wspec = Window.partitionBy("doc_id").orderBy("pos0")
     Tables.documents(s, d)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "w")))
@@ -125,7 +125,7 @@ object Substring {
     * opens only when the gap exceeds L. All-integer arithmetic —
     * bit-identical cross-engine.
     */
-  private def mergeSpans(cov: DataFrame, n: Int): DataFrame = {
+  private[operators] def mergeSpans(cov: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     cov
       .withColumn("brk",
