@@ -533,6 +533,14 @@ object EventStream {
     * Stateful transforms keep their state ACROSS backfill
     * micro-batches (a key's per-event sequence keeps counting when its
     * events span ingest batches) — spec-proven in AvailableNowSpec.
+    *
+    * `trigger` exists for the LIVE CONTINUATION: after the
+    * AvailableNow run stops, calling this again with the same source/
+    * checkpoint and `Trigger.ProcessingTime(...)` resumes from the
+    * backfill's offsets AND state — already-ingested files are never
+    * reprocessed and per-key state carries over (spec-proven). That
+    * the continuation is the same builder with a different trigger is
+    * the point of the design: one pipeline, one lineage.
     */
   def backfill(
       spark: SparkSession,
@@ -541,7 +549,8 @@ object EventStream {
       transform: DataFrame => DataFrame,
       outDir: String,
       checkpoint: String,
-      maxFilesPerTrigger: Int = 4): org.apache.spark.sql.streaming.StreamingQuery = {
+      maxFilesPerTrigger: Int = 4,
+      trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
@@ -549,7 +558,7 @@ object EventStream {
       .option("path", outDir)
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
   }
 

@@ -59,4 +59,33 @@ class AvailableNowSpec extends AnyFunSuite {
       .as[(String, String, Int)].collect().toSet
     assert(batchRows === got)
   }
+
+  test("a live continuation resumes the backfill's offsets and state") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_cont_src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_cont_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cont_ckpt").toString
+    def writeFile(f: Int): Unit =
+      Seq(s"""{"id":"u1","type":"login","timestamp":${1000L + f},"data":{}}""")
+        .toDF("value").coalesce(1).write.mode("append").parquet(srcDir)
+    // phase 1: backfill three history files (sequences 1..3)
+    (0 until 3).foreach(writeFile)
+    val q1 = EventStream.backfill(
+      spark, srcDir, rawSchema, pipeline, outDir, ckpt, maxFilesPerTrigger = 2)
+    q1.awaitTermination(120000L)
+    // phase 2: SAME builder, live trigger, same checkpoint — new file
+    // continues u1's sequence at 4, old files are not reprocessed
+    val q2 = EventStream.backfill(
+      spark, srcDir, rawSchema, pipeline, outDir, ckpt,
+      maxFilesPerTrigger = 2,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+    try {
+      writeFile(3)
+      q2.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .select("originalId", "sequence")
+        .as[(String, Int)].collect().sorted.toSeq
+      assert(got === (1 to 4).map(s => ("u1", s)),
+        s"live continuation must extend, not replay: $got")
+    } finally q2.stop()
+  }
 }
