@@ -42,7 +42,19 @@ final case class QuerySnapshot(
   *
   * Listener callbacks arrive on Spark's listener bus thread;
   * snapshots live in a [[TrieMap]], so reads from any thread are
-  * lock-free and safe. Unnamed queries are keyed by their runId.
+  * lock-free and safe. Unnamed queries are keyed by their runId —
+  * and evicted on termination, because every restart mints a fresh
+  * runId and a crash-looping unnamed query would otherwise grow the
+  * maps without bound. NAMED queries keep their last snapshot after
+  * termination (bounded by name cardinality; post-mortem reads are
+  * the point of naming a query).
+  *
+  * Watermark caveat: Spark's progress JSON reports epoch zero both
+  * before any watermark is established and for a genuine watermark of
+  * exactly 0 — the two are indistinguishable in the event, so
+  * `watermarkMs` is None for both and the lag alarm stays silent
+  * until the watermark first moves past epoch. With a real wall-clock
+  * event-time domain this is the first micro-batch only.
   *
   * Usage:
   * {{{
@@ -61,7 +73,16 @@ final class Monitor extends StreamingQueryListener {
   def all(): Map[String, QuerySnapshot] = byName.toMap
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+
+  /** Evict unnamed (runId-keyed) entries: each restart gets a fresh
+    * runId, so without eviction a restart-looping unnamed query leaks
+    * one entry per run. Named keys survive for post-mortem reads.
+    */
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+    val k = e.runId.toString
+    byName.remove(k)
+    totals.remove(k)
+  }
 
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = e.progress

@@ -38,6 +38,13 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Session-level Hadoop configuration (spark.hadoop.* + per-session
+    * overrides) — what built-in sources resolve filesystems with;
+    * `sessionState` is private[sql], hence the bridge.
+    */
+  def newHadoopConf(spark: org.apache.spark.sql.SparkSession): org.apache.hadoop.conf.Configuration =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.newHadoopConf()
+
   /** Runtime registration of an extra planner strategy (idempotent). */
   def addStrategy(spark: org.apache.spark.sql.SparkSession,
       strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {

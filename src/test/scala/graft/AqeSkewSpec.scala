@@ -16,17 +16,14 @@ class AqeSkewSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   test("AQE splits a runtime-skewed sort-merge join partition") {
-    val confs = Seq(
+    TestSpark.withConfs(
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       // 90% of the fact rows pile on key 0 — one shuffle partition
       // carries ~9x the median and AQE must split it
       val fact = spark.range(0, 200000)
@@ -43,9 +40,6 @@ class AqeSkewSpec extends AnyFunSuite {
       assert(plan.contains("SortMergeJoin"), plan)
       assert(plan.contains("skew=true"),
         s"AQE should mark the skewed join for runtime splitting:\n$plan")
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
     }
   }
 }

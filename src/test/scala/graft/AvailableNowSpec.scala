@@ -71,7 +71,9 @@ class AvailableNowSpec extends AnyFunSuite {
     (0 until 3).foreach(writeFile)
     val q1 = EventStream.backfill(
       spark, srcDir, rawSchema, pipeline, outDir, ckpt, maxFilesPerTrigger = 2)
-    q1.awaitTermination(120000L)
+    assert(q1.awaitTermination(120000L),
+      "backfill must drain and stop before the continuation starts (else q2 " +
+        "would open the same checkpoint against a live query)")
     // phase 2: SAME builder, live trigger, same checkpoint — new file
     // continues u1's sequence at 4, old files are not reprocessed
     val q2 = EventStream.backfill(

@@ -25,6 +25,16 @@ class MonitorSpec extends AnyFunSuite {
       input.addData(ProcessedEvent("u1", "login", 40L * 60 * 1000, 0L, Map.empty, 2))
       q.processAllAvailable()
 
+      // Listener events are delivered asynchronously on the bus thread,
+      // and the advanced watermark is first REPORTED by the follow-up
+      // no-data batch — poll until that progress event has landed (the
+      // pattern Spark's own listener suites use) instead of reading
+      // immediately after processAllAvailable().
+      val deadline = System.currentTimeMillis() + 30000
+      def ready: Boolean = mon.snapshot("monitored_query").exists(s =>
+        s.totalInputRows >= 2L && s.watermarkMs.contains(30L * 60 * 1000))
+      while (!ready && System.currentTimeMillis() < deadline) Thread.sleep(50)
+
       val s = mon.snapshot("monitored_query").get
       assert(s.totalInputRows === 2L, s.toString)
       assert(s.stateRows > 0, s"windowed agg must hold state: $s")

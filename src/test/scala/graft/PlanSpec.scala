@@ -203,6 +203,11 @@ class PlanSpec extends AnyFunSuite {
     val bnl = df.queryExecution.sparkPlan.collect {
       case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
     }
+    // without this the foreach below is vacuous: a regression to
+    // CartesianProduct (zero BNL nodes) would pass silently
+    assert(bnl.nonEmpty, s"q22's scalar threshold should plan as a BNL join:\n" +
+      df.queryExecution.sparkPlan.toString)
+    assert(!df.queryExecution.sparkPlan.toString.contains("CartesianProduct"))
     bnl.foreach { j =>
       val build = j.buildSide match {
         case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right

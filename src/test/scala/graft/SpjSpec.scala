@@ -17,15 +17,8 @@ class SpjSpec extends AnyFunSuite {
     spark.read.format("graft.sources.SpjEventsDataSource")
       .option("rows", rows).option("buckets", buckets).load()
 
-  private def withConfs(confs: (String, String)*)(body: => Unit): Unit = {
-    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
+  private def withConfs(confs: (String, String)*)(body: => Unit): Unit =
+    TestSpark.withConfs(confs: _*)(body)
 
   /** Final (post-AQE) plan string of an executed join. */
   private def executedPlan(df: DataFrame): String = {

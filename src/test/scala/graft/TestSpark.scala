@@ -18,4 +18,18 @@ object TestSpark {
     s
   }
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Set session confs for `body`, restoring previous values (or
+    * unsetting) afterwards. Safe because suites run sequentially in
+    * the one forked test JVM — no concurrent suite sees the flip.
+    */
+  def withConfs(confs: (String, String)*)(body: => Unit): Unit = {
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
