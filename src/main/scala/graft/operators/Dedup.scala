@@ -245,6 +245,57 @@ object Dedup {
       (h60(s"mh_a$k") % ((1L << 30) - 1) + 1, h60(s"mh_b$k") % P))
   }
 
+  /** MinHash signatures: doc_id, m = array of [[MinhashPerms]] minima.
+    * One shuffle, map-side-combinable MIN aggregates.
+    */
+  private def minhashSigs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val h32 = conv(substring(md5(col("g0")), 1, 8), 16, 10).cast(LongType)
+    shingleStrings(s, d)
+      .select(col("doc_id"), h32.as("h"))
+      .groupBy("doc_id")
+      .agg(
+        min((col("h") * minhashPerms(0)._1 + minhashPerms(0)._2) % P).as("m0"),
+        (1 until MinhashPerms).map(k =>
+          min((col("h") * minhashPerms(k)._1 + minhashPerms(k)._2) % P).as(s"m$k")): _*)
+      .select(col("doc_id"),
+        array((0 until MinhashPerms).map(k => col(s"m$k")): _*).as("m"))
+  }
+
+  /** Band explode: one row per (doc, band) with the concatenated
+    * band key — the LSH bucket id.
+    */
+  private def bandedSigs(sig: org.apache.spark.sql.DataFrame) =
+    sig.select(col("doc_id"), col("m"),
+      explode(array((0 until MinhashBands).map { b =>
+        struct(lit(b).as("band_id"),
+          concat_ws("_", (0 until MinhashRows).map(r =>
+            col("m").getItem(b * MinhashRows + r)): _*).as("band_key"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("m"),
+        col("bb.band_id").as("band_id"), col("bb.band_key").as("band_key"))
+
+  /** Shared oracle CTE text: shingle hashes -> signatures -> band rows
+    * (`sig` and `bb` are the reusable relations).
+    */
+  private lazy val minhashCtesSql: String = {
+    val permMins = minhashPerms.zipWithIndex.map { case ((a, b), _) =>
+      s"min((h * $a + $b) % $P)"
+    }.mkString("[", ", ", "]")
+    val bandStructs = (0 until MinhashBands).map { b =>
+      val key = (0 until MinhashRows)
+        .map(r => s"CAST(m[${b * MinhashRows + r + 1}] AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"{'band_id': $b, 'band_key': $key}"
+    }.mkString("[", ", ", "]")
+    s"""sh AS (
+      SELECT doc_id, unnest(list_distinct(${TextAnalysis.shinglesSql("text")})) AS g0
+      FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(g0), 1, 8))::BIGINT AS h FROM sh),
+    sig AS (SELECT doc_id, $permMins AS m FROM h GROUP BY doc_id),
+    banded AS (SELECT doc_id, m, unnest($bandStructs) AS bb FROM sig),
+    bb AS (SELECT doc_id, m, bb['band_id'] AS band_id, bb['band_key'] AS band_key FROM banded)"""
+  }
+
   /** MinHash signatures (16 perms over 32-bit md5 shingle hashes) +
     * banded LSH (4 bands x 4 rows): docs agreeing on all 4 minhashes
     * of any band become candidate pairs; the signature overlap is the
@@ -255,24 +306,7 @@ object Dedup {
   val minhashLsh = QueryDef(
     "dedup_minhash_lsh",
     (s, d) => {
-      val h32 = conv(substring(md5(col("g0")), 1, 8), 16, 10).cast(LongType)
-      val sig = shingleStrings(s, d)
-        .select(col("doc_id"), h32.as("h"))
-        .groupBy("doc_id")
-        .agg(
-          min((col("h") * minhashPerms(0)._1 + minhashPerms(0)._2) % P).as("m0"),
-          (1 until MinhashPerms).map(k =>
-            min((col("h") * minhashPerms(k)._1 + minhashPerms(k)._2) % P).as(s"m$k")): _*)
-        .select(col("doc_id"),
-          array((0 until MinhashPerms).map(k => col(s"m$k")): _*).as("m"))
-      val banded = sig.select(col("doc_id"), col("m"),
-        explode(array((0 until MinhashBands).map { b =>
-          struct(lit(b).as("band_id"),
-            concat_ws("_", (0 until MinhashRows).map(r =>
-              col("m").getItem(b * MinhashRows + r)): _*).as("band_key"))
-        }: _*)).as("bb"))
-        .select(col("doc_id"), col("m"),
-          col("bb.band_id").as("band_id"), col("bb.band_key").as("band_key"))
+      val banded = bandedSigs(minhashSigs(s, d))
       val a = banded.select(col("band_id"), col("band_key"),
         col("doc_id").as("i"), col("m").as("mi"))
       val b = banded.select(col("band_id"), col("band_key"),
@@ -284,23 +318,7 @@ object Dedup {
             .cast(DoubleType) / MinhashPerms)
         .select("i", "j", "est_jaccard")
     },
-    Some {
-      val permMins = minhashPerms.zipWithIndex.map { case ((a, b), k) =>
-        s"min((h * $a + $b) % $P)"
-      }.mkString("[", ", ", "]")
-      val bandStructs = (0 until MinhashBands).map { b =>
-        val key = (0 until MinhashRows)
-          .map(r => s"CAST(m[${b * MinhashRows + r + 1}] AS VARCHAR)")
-          .mkString(" || '_' || ")
-        s"{'band_id': $b, 'band_key': $key}"
-      }.mkString("[", ", ", "]")
-      s"""WITH sh AS (
-      SELECT doc_id, unnest(list_distinct(${TextAnalysis.shinglesSql("text")})) AS g0
-      FROM documents),
-    h AS (SELECT doc_id, ('0x' || substr(md5(g0), 1, 8))::BIGINT AS h FROM sh),
-    sig AS (SELECT doc_id, $permMins AS m FROM h GROUP BY doc_id),
-    banded AS (SELECT doc_id, m, unnest($bandStructs) AS bb FROM sig),
-    bb AS (SELECT doc_id, m, bb['band_id'] AS band_id, bb['band_key'] AS band_key FROM banded),
+    Some(s"""WITH $minhashCtesSql,
     cand AS (
       SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
       FROM bb a JOIN bb b ON a.band_id = b.band_id AND a.band_key = b.band_key
@@ -308,8 +326,62 @@ object Dedup {
     SELECT c.i, c.j,
       CAST(len(list_filter(range(1, ${MinhashPerms + 1}), k -> sa.m[k] = sb.m[k])) AS DOUBLE) / $MinhashPerms AS est_jaccard
     FROM cand c JOIN sig sa ON sa.doc_id = c.i JOIN sig sb ON sb.doc_id = c.j
-    ORDER BY i, j"""
-    })
+    ORDER BY i, j"""))
+
+  /** INCREMENTAL near-dup: dedup a newly-arrived shard against an
+    * already-deduplicated corpus — the shape a live ingestion pipeline
+    * runs daily. Re-running [[minhashLsh]] over corpus+shard would
+    * re-pair the corpus against itself (quadratic in corpus, zero new
+    * information); incremental dedup joins only shard-vs-corpus and
+    * shard-vs-earlier-shard band buckets, so per-run cost scales with
+    * the SHARD, not the corpus.
+    *
+    * At 100 TB the corpus side of the band join is a maintained
+    * SIGNATURE INDEX table (doc_id, band_id, band_key, m) written once
+    * at initial dedup and appended with each shard's survivors — the
+    * corpus text is never re-shingled. This diagnostic derives both
+    * sides from `documents` split by doc_id parity (corpus = even,
+    * shard = odd) so the oracle can replicate the full computation.
+    *
+    * Output: one row per shard doc with at least one duplicate —
+    * its minimum-id matching partner (corpus doc, or an earlier shard
+    * doc: the copy that survives) and the signature-overlap estimate.
+    */
+  val incremental = QueryDef(
+    "dedup_incremental",
+    (s, d) => {
+      val banded = bandedSigs(minhashSigs(s, d))
+      val shard = banded.filter(col("doc_id") % 2 === 1)
+        .select(col("band_id"), col("band_key"), col("doc_id").as("i"), col("m").as("mi"))
+      val corpus = banded.filter(col("doc_id") % 2 === 0)
+        .select(col("band_id"), col("band_key"), col("doc_id").as("j"), col("m").as("mj"))
+      val priorShard = banded.filter(col("doc_id") % 2 === 1)
+        .select(col("band_id"), col("band_key"), col("doc_id").as("j"), col("m").as("mj"))
+      val vsCorpus = shard.join(corpus, Seq("band_id", "band_key"))
+      val vsPrior = shard.join(priorShard, Seq("band_id", "band_key"))
+        .filter(col("j") < col("i"))
+      val matched = vsCorpus.unionByName(vsPrior)
+        .select("i", "j", "mi", "mj").dropDuplicates("i", "j")
+        .withColumn("est_jaccard",
+          size(filter(zip_with(col("mi"), col("mj"), (x, y) => x === y), p => p))
+            .cast(DoubleType) / MinhashPerms)
+      // struct-min: partner = smallest matching id, with ITS estimate
+      matched.groupBy(col("i"))
+        .agg(min(struct(col("j"), col("est_jaccard"))).as("p"))
+        .select(col("i").as("doc_id"), col("p.j").as("partner_id"),
+          col("p.est_jaccard").as("est_jaccard"))
+    },
+    Some(s"""WITH $minhashCtesSql,
+    cand AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM bb a JOIN bb b ON a.band_id = b.band_id AND a.band_key = b.band_key
+      WHERE a.doc_id % 2 = 1
+        AND (b.doc_id % 2 = 0 OR b.doc_id < a.doc_id)),
+    sel AS (SELECT i, min(j) AS partner_id FROM cand GROUP BY i)
+    SELECT s.i AS doc_id, s.partner_id,
+      CAST(len(list_filter(range(1, ${MinhashPerms + 1}), k -> sa.m[k] = sb.m[k])) AS DOUBLE) / $MinhashPerms AS est_jaccard
+    FROM sel s JOIN sig sa ON sa.doc_id = s.i JOIN sig sb ON sb.doc_id = s.partner_id
+    ORDER BY doc_id"""))
 
   // ---------------------------------------------------------------
   // SimHash
@@ -530,5 +602,5 @@ object Dedup {
     ORDER BY contained_id, container_id"""))
 
   val defs: Seq[QueryDef] = Seq(exact, ngramJaccard, prefixJaccard, minhashLsh,
-    simhash, clusterKeep, containment)
+    incremental, simhash, clusterKeep, containment)
 }
