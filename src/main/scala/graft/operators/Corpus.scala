@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -270,6 +271,97 @@ object Corpus {
     SELECT doc_id, rk, tok, c, df, tfidf FROM ranked WHERE rk <= 3
     ORDER BY doc_id, rk"""))
 
+  private val KmvK = 256
+  private val KmvSpace = 1L << 48 // 48-bit hashes: exact under the double order key
+
+  /** KMV (k-minimum-values) / theta-style overlap sketch between the
+    * train (even doc_id) and validation (odd doc_id) halves of the
+    * corpus — the train/val CONTAMINATION estimate at sketch cost.
+    * This is the set operation HLL fundamentally cannot do: HLL
+    * registers merge under union only; KMV keeps the k smallest
+    * distinct hashes per side, which is simultaneously a distinct-
+    * count estimator (est = (k-1)·2^48 / h_k) and a uniform SAMPLE,
+    * so intersecting the samples below theta = min(theta_a, theta_b)
+    * estimates the overlap (|matched| · 2^48 / theta).
+    *
+    * Scale shape: per-side k-minima run through [[graft.plans.GraftOps
+    * .topKPerKey]] — the custom partial+final bounded-heap operator —
+    * so every partition contributes at most k rows to the exchange
+    * and the full shingle sets never shuffle; the sketch columns are
+    * ~k rows total by the final stage. 48-bit md5-prefix hashes keep
+    * the operator's double order key exact (2^48 < 2^53) and the
+    * arithmetic bit-equal on both engines; a production deployment
+    * would use xxhash64 and a larger k.
+    *
+    * Everything downstream of the k-minima is deterministic integer /
+    * exact-double arithmetic, so the DuckDB oracle replicates the
+    * ESTIMATES bit-for-bit — the hash-match proves the sketch, not
+    * just the plumbing. Estimator error (~1/sqrt(k-2) relative) is
+    * measured in OverlapSketchSpec against exact counts.
+    */
+  val overlapSketch = QueryDef(
+    "q_overlap_sketch",
+    (s, d) => {
+      val h48 = conv(substring(md5(col("g0")), 1, 12), 16, 10).cast(LongType)
+      val hashes = Dedup.shingleStrings(s, d)
+        .select((col("doc_id") % 2).as("side"), h48.as("h"))
+        .dropDuplicates("side", "h")
+      val topk = graft.plans.GraftOps.topKPerKey(
+        hashes.withColumn("neg", -col("h")), Seq(col("side")), col("neg"), col("h"), KmvK)
+        .select("side", "h")
+      val th = topk.groupBy("side")
+        .agg(max(col("h")).as("theta"), count(lit(1)).as("n"))
+      def est(theta: Column, n: Column): Column =
+        when(n < KmvK, n.cast(DoubleType))
+          .otherwise(floor(lit((KmvK - 1).toDouble) * KmvSpace / theta))
+          .cast(LongType)
+      val ta = th.filter(col("side") === 0)
+        .select(col("theta").as("th_a"), col("n").as("n_a"))
+      val tb = th.filter(col("side") === 1)
+        .select(col("theta").as("th_b"), col("n").as("n_b"))
+      val tj = ta.crossJoin(tb).withColumn("th", least(col("th_a"), col("th_b")))
+      val matched = topk.filter(col("side") === 0).select(col("h"))
+        .join(topk.filter(col("side") === 1).select(col("h")), Seq("h"))
+        .crossJoin(broadcast(tj.select(col("th").as("th_m"))))
+        .filter(col("h") < col("th_m"))
+        .agg(count(lit(1)).as("n_match"))
+      tj.crossJoin(matched)
+        .select(
+          est(col("th_a"), col("n_a")).as("est_distinct_train"),
+          est(col("th_b"), col("n_b")).as("est_distinct_valid"),
+          floor(col("n_match").cast(DoubleType) * KmvSpace / col("th"))
+            .cast(LongType).as("est_intersection"))
+        .withColumn("est_jaccard",
+          floor(col("est_intersection").cast(DoubleType) * 1e6 /
+            (col("est_distinct_train") + col("est_distinct_valid") - col("est_intersection"))) / 1e6)
+    },
+    Some(s"""WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(${TextAnalysis.shinglesSql("text")})) AS g0
+      FROM documents),
+    dh AS (SELECT DISTINCT doc_id % 2 AS side,
+             ('0x' || substr(md5(g0), 1, 12))::BIGINT AS h FROM sh),
+    topk AS (SELECT side, h FROM (
+        SELECT side, h, row_number() OVER (PARTITION BY side ORDER BY h) AS rk FROM dh)
+      WHERE rk <= $KmvK),
+    th AS (SELECT side, max(h) AS theta, count(*) AS n FROM topk GROUP BY side),
+    tj AS (SELECT a.theta AS th_a, a.n AS n_a, b.theta AS th_b, b.n AS n_b,
+                  least(a.theta, b.theta) AS th
+           FROM th a, th b WHERE a.side = 0 AND b.side = 1),
+    m AS (SELECT count(*) AS n_match
+          FROM topk a JOIN topk b ON a.h = b.h AND a.side = 0 AND b.side = 1
+          JOIN tj ON a.h < tj.th),
+    e AS (SELECT
+      CAST(CASE WHEN n_a < $KmvK THEN CAST(n_a AS DOUBLE)
+                ELSE floor(${(KmvK - 1).toDouble} * $KmvSpace / th_a) END AS BIGINT) AS est_distinct_train,
+      CAST(CASE WHEN n_b < $KmvK THEN CAST(n_b AS DOUBLE)
+                ELSE floor(${(KmvK - 1).toDouble} * $KmvSpace / th_b) END AS BIGINT) AS est_distinct_valid,
+      CAST(floor(CAST(n_match AS DOUBLE) * $KmvSpace / th) AS BIGINT) AS est_intersection
+      FROM tj, m)
+    SELECT est_distinct_train, est_distinct_valid, est_intersection,
+      floor(CAST(est_intersection AS DOUBLE) * 1e6 /
+        (est_distinct_train + est_distinct_valid - est_intersection)) / 1e6 AS est_jaccard
+    FROM e"""))
+
   val defs: Seq[QueryDef] = Seq(segmentDedup, vocabOov, corpusStats, heavyHitters,
-    tfidf)
+    tfidf, overlapSketch)
 }
