@@ -532,7 +532,81 @@ object TextAnalysis {
     FROM toks GROUP BY doc_id ORDER BY doc_id"""
     })
 
+  /** Bigram-LM quality score (the CCNet shape: score every document
+    * by its average log-probability under an n-gram language model;
+    * outlier-low docs are gibberish/templated, outlier-high are
+    * degenerate repetition). The model here is the corpus's own MLE
+    * bigram LM — self-scoring, the standard bootstrap when no
+    * external LM is available: p(w2|w1) = c(w1 w2) / c(w1·), with
+    * history counts derived FROM the bigram table (sum of c12 over
+    * w2), so probabilities sum to exactly 1 per history.
+    *
+    * Cross-engine determinism (the text_entropy trick, capped): all
+    * ln inputs are integer counts, looked up in a floor(ln·1e9) table
+    * inlined into both plans; counts cap at [[LmMaxC]] (ln saturates
+    * for ultra-frequent tokens — a documented property of the score,
+    * not an approximation of something else). Everything engine-side
+    * is integer adds plus two identical IEEE divisions.
+    *
+    * Scale: bigram model state is bigram-vocabulary-sized (the
+    * exchanges carry distinct bigrams, map-side combined); scoring is
+    * one equi-join of the bigram stream against the model and one
+    * doc_id reduce — the same two-shuffle shape as tf-idf. No exp():
+    * perplexity is monotone in avg_logp, so filters threshold the
+    * reported score directly.
+    */
+  val lmScore = {
+    val LmMaxC = 4096
+    val lnTable: IndexedSeq[Long] = IndexedSeq.tabulate(LmMaxC + 1)(i =>
+      if (i < 1) 0L else math.floor(math.log(i.toDouble) * 1e9).toLong)
+    QueryDef(
+      "text_lm_score",
+      (s, d) => {
+        val lt = typedlit(lnTable)
+        def ln9(c: Column): Column =
+          element_at(lt, (least(c, lit(LmMaxC)) + 1).cast(IntegerType))
+        val toks = split(col("text"), " ")
+        val bi = Tables.documents(s, d)
+          .select(col("doc_id"), explode(arrays_zip(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1))).as("p"))
+          .select(col("doc_id"), col("p")("0").as("w1"), col("p")("1").as("w2"))
+        val biCounts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val histCounts = biCounts.groupBy("w1").agg(sum(col("c12")).as("c1"))
+        val model = biCounts.join(histCounts, "w1")
+          .select(col("w1"), col("w2"),
+            (ln9(col("c12")) - ln9(col("c1"))).as("lnp9"))
+        bi.join(model, Seq("w1", "w2"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("lnp9")).as("s9"))
+          .select(col("doc_id"), col("n_bigrams"),
+            (col("s9").cast(DoubleType) / col("n_bigrams") / 1e9).as("avg_logp"))
+      },
+      Some {
+        val lit = lnTable.mkString("[", ", ", "]")
+        s"""WITH lt AS (SELECT $lit AS v),
+      b2 AS (
+        SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' '))),
+            i -> {'w1': string_split(text, ' ')[i], 'w2': string_split(text, ' ')[i+1]})) AS p
+          FROM documents)),
+      bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM b2 GROUP BY w1, w2),
+      hc AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+      model AS (
+        SELECT bc.w1, bc.w2,
+          lt.v[CAST(least(c12, $LmMaxC) + 1 AS INT)]
+            - lt.v[CAST(least(c1, $LmMaxC) + 1 AS INT)] AS lnp9
+        FROM bc JOIN hc ON bc.w1 = hc.w1 CROSS JOIN lt),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(lnp9) AS BIGINT) AS s9
+        FROM b2 JOIN model ON b2.w1 = model.w1 AND b2.w2 = model.w2
+        GROUP BY doc_id)
+      SELECT doc_id, n_bigrams, CAST(s9 AS DOUBLE) / n_bigrams / 1e9 AS avg_logp
+      FROM agg ORDER BY doc_id"""
+      })
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint,
     rollingFingerprint, scrub, repetition, bigrams, entropy, chunk,
-    langConfusion, featHash)
+    langConfusion, featHash, lmScore)
 }
