@@ -195,6 +195,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("dedup_incremental is band equi-joins only, never all-pairs") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental dedup must stay on band-key equi-joins:\n$p")
+  }
+
+  test("q_overlap_sketch's k-minima run through the bounded-heap operator") {
+    val p = plan("q_overlap_sketch")
+    assert(p.contains("TopKPerKey"),
+      s"KMV minima must use the partial+final TopKPerKey operator:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("text_lm_score joins on bigram keys, never all-pairs") {
+    val p = plan("text_lm_score")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LM scoring must stay on (w1,w2) equi-joins:\n$p")
+  }
+
   test("q22's scalar threshold broadcasts a one-row build side") {
     // the only nested-loop allowed is the broadcast of the 1-row
     // (sum_pos, n_pos) aggregate — assert its build side aggregates
