@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -265,14 +266,37 @@ object Dedup {
     * band key — the LSH bucket id.
     */
   private def bandedSigs(sig: org.apache.spark.sql.DataFrame) =
-    sig.select(col("doc_id"), col("m"),
-      explode(array((0 until MinhashBands).map { b =>
-        struct(lit(b).as("band_id"),
-          concat_ws("_", (0 until MinhashRows).map(r =>
-            col("m").getItem(b * MinhashRows + r)): _*).as("band_key"))
-      }: _*)).as("bb"))
+    sig.select(col("doc_id"), col("m"), explode(bandKeysExpr(col("m"))).as("bb"))
       .select(col("doc_id"), col("m"),
         col("bb.band_id").as("band_id"), col("bb.band_key").as("band_key"))
+
+  /** Per-ROW minhash signature of a text column — the same 16 values
+    * [[minhashSigs]] computes via explode+groupBy, but as a single
+    * projection (min over a multiset equals min over the distinct
+    * set). No shuffle, so it is usable on a STREAM row-by-row; the
+    * batch path stays on the explode form, whose one map-combinable
+    * aggregate beats per-element array evaluation on a full corpus
+    * scan (see text_fingerprint's measurement).
+    */
+  def minhashSigExpr(text: Column): Column = {
+    val hs = transform(TextAnalysis.shingles(text), g =>
+      conv(substring(md5(g), 1, 8), 16, 10).cast(LongType))
+    array((0 until MinhashPerms).map { k =>
+      array_min(transform(hs, h =>
+        (h * minhashPerms(k)._1 + minhashPerms(k)._2) % P))
+    }: _*)
+  }
+
+  /** LSH band (band_id, band_key) structs of a signature array —
+    * the bucket ids a document lands in; shared by the batch band
+    * explode and the streaming index path.
+    */
+  def bandKeysExpr(m: Column): Column =
+    array((0 until MinhashBands).map { b =>
+      struct(lit(b).as("band_id"),
+        concat_ws("_", (0 until MinhashRows).map(r =>
+          m.getItem(b * MinhashRows + r)): _*).as("band_key"))
+    }: _*)
 
   /** Shared oracle CTE text: shingle hashes -> signatures -> band rows
     * (`sig` and `bb` are the reusable relations).

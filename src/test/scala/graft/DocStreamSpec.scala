@@ -1,0 +1,86 @@
+package graft
+
+import graft.streaming.DocStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.streaming.DocStream]]: streaming incremental dedup over a
+  * growing signature index — duplicates of the bootstrap corpus, of
+  * EARLIER MICRO-BATCHES, and within a batch are all flagged with the
+  * min-id surviving partner; survivors extend the index so the
+  * accepted corpus is never re-paired with itself.
+  */
+class DocStreamSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
+  private lazy val spark = TestSpark.spark
+  private val dirs = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  private def tmp(tag: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft_ds_$tag").toString
+    dirs += p; p
+  }
+
+  override def afterAll(): Unit = dirs.foreach { d =>
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(d)).deleteRecursively()
+  }
+
+  private val dupText = "the quick brown fox jumps over the lazy dog again and again today"
+  private val otherText = "completely different corpus text about streaming query engines"
+
+  test("cross-batch dedup through the index, survivors extend it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (indexDir, verdictsDir, ckpt) = (tmp("idx"), tmp("out"), tmp("ckpt"))
+
+    // bootstrap corpus: docs 0 (dupText) and 2 (otherText)
+    DocStream.writeSignatureIndex(
+      Seq((0L, dupText), (2L, otherText)).toDF("doc_id", "text"), indexDir)
+
+    val input = MemoryStream[(Long, String)]
+    val q = DocStream.dedupIndexedStream(
+      input.toDF().toDF("doc_id", "text"), indexDir, verdictsDir, ckpt)
+    try {
+      // batch 1: 10 = corpus dup; 11 = new unique; 12 = dup of 11
+      // (same batch, larger id -> 11 wins)
+      val novel = "a brand new document with words never seen in the corpus before now"
+      input.addData((10L, dupText), (11L, novel), (12L, novel))
+      q.processAllAvailable()
+      // batch 2: 20 = dup of batch-1 SURVIVOR 11 (via the index
+      // append); 21 = dup of corpus doc 2
+      input.addData((20L, novel), (21L, otherText))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(verdictsDir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got === Map(
+      10L -> Some(0L),  // corpus duplicate
+      11L -> None,      // survivor
+      12L -> Some(11L), // within-batch dup, first copy wins
+      20L -> Some(11L), // dup of an earlier batch's survivor
+      21L -> Some(2L)), // corpus duplicate, second batch
+      s"verdicts: $got")
+
+    // index grew by exactly the survivor's band rows (4 bands/doc)
+    val idxDocs = spark.read.parquet(indexDir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(idxDocs === Set(0L, 2L, 11L), s"index docs: $idxDocs")
+
+    // replay stability (the exactly-once-effect claim): re-running
+    // batch 1 against the index that ALREADY contains survivor 11's
+    // band rows yields identical verdicts — the self-pair is excluded
+    // by strict <, and duplicate index rows cannot change a MIN
+    import spark.implicits._
+    val replayed = DocStream.dedupBatch(
+      Seq((10L, dupText),
+        (11L, "a brand new document with words never seen in the corpus before now"),
+        (12L, "a brand new document with words never seen in the corpus before now"))
+        .toDF("doc_id", "text"),
+      spark.read.parquet(indexDir))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(replayed === Map(10L -> Some(0L), 11L -> None, 12L -> Some(11L)),
+      s"replayed verdicts drifted: $replayed")
+  }
+}
