@@ -59,4 +59,48 @@ object Layout {
       .sortWithinPartitions("z")
       .drop("z")
       .write.mode("overwrite").parquet(path)
+
+  /** Small-file compaction — the OTHER table-maintenance job next to
+    * OPTIMIZE ZORDER: streaming sinks and per-batch appends (e.g.
+    * [[graft.streaming.DocStream]]'s index, upsert outputs) accrete
+    * many tiny parquet files, and at 100 TB small files kill scans
+    * twice over (per-file open/footer cost, and task-per-file
+    * scheduling). Rewrites `dir` into ceil(bytes / targetFileBytes)
+    * files and atomically swaps via a temp-dir rename pair.
+    *
+    * Safe when no writer is concurrently appending (run it in the
+    * maintenance window, like any OPTIMIZE); a torn swap leaves either
+    * the old dir or the compacted dir intact, never a mix — the swap
+    * is two renames with the data never deleted until the new dir is
+    * in place.
+    *
+    * Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val hconf = org.apache.spark.sql.graft.Bridge.newHadoopConf(spark)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(hconf)
+    val parts = fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    val totalBytes = parts.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "_compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(dir + "_compact_old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    // coalesce, not repartition: compaction must not pay a shuffle —
+    // it only glues input splits into fewer write tasks
+    spark.read.parquet(dir).coalesce(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(path, old)) {
+      throw new java.io.IOException(s"compact: could not move $path aside")
+    }
+    if (!fs.rename(tmp, path)) {
+      // roll the original back; data was never deleted
+      fs.rename(old, path)
+      throw new java.io.IOException(s"compact: could not install $tmp")
+    }
+    fs.delete(old, true)
+    (parts.length, nOut)
+  }
 }

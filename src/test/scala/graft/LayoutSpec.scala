@@ -62,6 +62,32 @@ class LayoutSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(spark.read.parquet(s"$dir/z").count() == li.count())
   }
 
+  test("compact glues small files, preserves data, swaps atomically") {
+    import spark.implicits._
+    val cdir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    try {
+      // 30 tiny appends — the shape a per-batch streaming append leaves
+      (0 until 30).foreach { i =>
+        Seq((i.toLong, s"row$i")).toDF("id", "v")
+          .coalesce(1).write.mode("append").parquet(cdir)
+      }
+      val before = spark.read.parquet(cdir).collect().map(_.toString).sorted
+      val (nBefore, nAfter) = sources.Layout.compact(spark, cdir, 256L * 1024 * 1024)
+      assert(nBefore === 30 && nAfter === 1, s"$nBefore -> $nAfter")
+      val files = new java.io.File(cdir).listFiles()
+        .map(_.getName).filter(_.startsWith("part-"))
+      assert(files.length === 1, files.mkString(", "))
+      val after = spark.read.parquet(cdir).collect().map(_.toString).sorted
+      assert(after === before, "compaction must not change the data")
+      // no leftover temp/old dirs from the swap
+      val parent = new java.io.File(cdir).getParentFile.listFiles().map(_.getName)
+      assert(!parent.exists(_.contains("_compact")), parent.mkString(", "))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(cdir).getParentFile).deleteRecursively()
+    }
+  }
+
   test("withZ handles int columns, large domains, and negative values") {
     import spark.implicits._
     // int columns whose product with 65536 overflows Int, plus a
