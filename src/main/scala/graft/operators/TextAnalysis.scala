@@ -606,7 +606,81 @@ object TextAnalysis {
       })
   }
 
+  /** Winnowing fingerprint selection (the MOSS scheme): slide a
+    * window of [[WinnowW]] consecutive 3-gram hashes along each
+    * document and keep each window's MINIMUM — the distinct kept
+    * hashes are the document's fingerprint set. Selects ~2/(w+1) of
+    * the hashes yet carries a GUARANTEE sampling schemes lack: any
+    * two documents sharing a contiguous token run long enough to
+    * contain one full window (>= w + 2 tokens here) share at least
+    * one fingerprint — the window inside the common run has the same
+    * hashes in both docs, hence the same min (WinnowSpec proves it).
+    * The robust front-end for substring-level near-dup at corpus
+    * scale: downstream joins see the winnowed table (|fps| rows per
+    * doc), not every positional gram.
+    *
+    * Plan: positional grams via posexplode + window-lead (the
+    * shingle-stream trick — split() runs once per row, not per array
+    * element), then window-min over the SAME (doc_id, pos) sort, so
+    * the whole query is one exchange + one sort; the final distinct
+    * rides the doc_id partitioning (subset-clustering satisfies it,
+    * no second exchange). Docs too short for a full window keep the
+    * min of what they have; docs under 3 words fall back to the
+    * whole-text hash, as everywhere in the dedup family.
+    */
+  val winnow = {
+    val WinnowW = 4
+    QueryDef(
+      "text_winnow",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wspec = Window.partitionBy("doc_id").orderBy("pos")
+        val h32 = (c: Column) => conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), size(split(col("text"), " ")).as("nw"))
+        val grams = docs.filter(col("nw") >= 3)
+          .select(col("doc_id"), col("nw"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+          .select(col("doc_id"), col("nw"), col("pos"),
+            h32(concat_ws(" ", col("w"),
+              lead("w", 1).over(wspec), lead("w", 2).over(wspec))).as("h"),
+            lead("w", 2).over(wspec).as("guard"))
+          .filter(col("guard").isNotNull)
+        // windows: min of h .. lead(h, W-1) over the SAME sort as the
+        // gram window (one exchange for both). Complete windows keep
+        // their guard; a doc with fewer than W grams keeps only its
+        // pos-0 row, where least() skipping the null leads yields the
+        // min of ALL its grams — the short-doc winnowing semantics
+        // without a separate scan+aggregate branch.
+        val windowed = grams
+          .select(col("doc_id"), col("pos"),
+            least(col("h") +: (1 until WinnowW).map(k =>
+              lead("h", k).over(wspec)): _*).as("fp"),
+            lead("h", WinnowW - 1).over(wspec).as("g2"))
+          .filter(col("g2").isNotNull || col("pos") === 0)
+          .select("doc_id", "fp")
+        val tiny = docs.filter(col("nw") < 3)
+          .select(col("doc_id"), h32(col("text")).as("fp"))
+        windowed.unionByName(tiny)
+          .dropDuplicates("doc_id", "fp")
+      },
+      Some(s"""WITH hs AS (
+      SELECT doc_id,
+        list_transform(${shinglesSql("text")},
+          g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hs
+      FROM documents),
+    fps AS (
+      SELECT doc_id, CASE WHEN len(hs) >= 4
+        THEN list_transform(range(1, len(hs) - 2),
+          i -> list_aggregate(hs[i:i+3], 'min'))
+        ELSE [list_aggregate(hs, 'min')] END AS fps
+      FROM hs)
+    SELECT DISTINCT doc_id, fp
+    FROM (SELECT doc_id, unnest(fps) AS fp FROM fps)
+    ORDER BY doc_id, fp"""))
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint,
     rollingFingerprint, scrub, repetition, bigrams, entropy, chunk,
-    langConfusion, featHash, lmScore)
+    langConfusion, featHash, lmScore, winnow)
 }
