@@ -1,0 +1,277 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** Model-based data selection — the two classifier/importance shapes a
+  * training-data pipeline runs after the rule-based filters:
+  *
+  *  - `classify_nb`: a multinomial Naive Bayes quality classifier
+  *    (the fastText-filter shape from the GPT-3 / CCNet pipelines)
+  *    trained on the corpus's own rule-based quality gate and scoring
+  *    every document with its log-odds margin.
+  *  - `sample_dsir`: Data Selection via Importance Resampling (Xie et
+  *    al. 2023): hashed-bigram importance weights of a target domain
+  *    against the raw corpus, then a Gumbel top-k draw — the
+  *    deterministic equivalent of sampling-without-replacement
+  *    proportionally to the importance weights.
+  *
+  * == Deterministic unbounded ln ==
+  *
+  * Both operators need `ln` of integer counts with NO a-priori bound
+  * (class totals grow with the corpus — a saturation cap like
+  * `text_lm_score`'s would flatten exactly the global terms that
+  * matter at 100 TB). The trick extends the `text_entropy` ln-table to
+  * arbitrary magnitude via the float decomposition n = m·2^s with
+  * mantissa m in [2048, 4095]:
+  *
+  *   ln9big(n) = L[m] + s · floor(ln 2 · 1e9),  m = n >> s
+  *
+  * where L[i] = floor(ln i · 1e9) is a 4096-entry table inlined into
+  * both plans and s = max(bitlen(n) - 12, 0). Every step is integer
+  * arithmetic on values both engines compute bit-identically
+  * (`bin`/`length`/shift), so scores hash-match cross-engine; the
+  * mantissa truncation costs < ln(1 + 1/2048) ≈ 4.9e-4 nats — three
+  * orders below any decision threshold in use, and a documented
+  * property of the score (not an approximation of something else).
+  *
+  * Scale shape (both queries): token/feature streams reduce to
+  * VOCABULARY-sized model tables (map-side combined, one exchange);
+  * scoring is one equi-join of the stream against the model and one
+  * doc_id reduce — the tf-idf two-shuffle shape. Global totals ride a
+  * broadcast single-row cross join. The DSIR draw itself is a global
+  * top-k (TakeOrdered — per-partition heaps, no full sort).
+  */
+object Select {
+
+  private val LnM = 4096 // 12-bit mantissa table
+  private val Ln2_9 = math.floor(math.log(2.0) * 1e9).toLong
+  private val lnTable: IndexedSeq[Long] = IndexedSeq.tabulate(LnM)(i =>
+    if (i < 1) 0L else math.floor(math.log(i.toDouble) * 1e9).toLong)
+
+  /** floor-scaled ln of a positive integral column, any magnitude. */
+  private[graft] def ln9big(n: Column): Column = {
+    val bits = length(bin(n.cast(LongType)))
+    val shift = greatest(bits - lit(12), lit(0)).cast(IntegerType)
+    val m = call_function("shiftright", n.cast(LongType), shift)
+    element_at(typedlit(lnTable), (m + 1).cast(IntegerType)) +
+      shift.cast(LongType) * Ln2_9
+  }
+
+  /** DuckDB spelling of [[ln9big]]; expects a CTE `lnt(v)` holding the
+    * table literal in scope (CROSS JOIN lnt).
+    */
+  private def ln9bigSql(e: String): String =
+    s"""(lnt.v[CAST((CASE WHEN length(bin(CAST(($e) AS BIGINT))) > 12
+        THEN CAST(($e) AS BIGINT) >> (length(bin(CAST(($e) AS BIGINT))) - 12)
+        ELSE CAST(($e) AS BIGINT) END) + 1 AS INT)]
+      + CAST(greatest(length(bin(CAST(($e) AS BIGINT))) - 12, 0) AS BIGINT) * $Ln2_9)"""
+
+  private val lntCte =
+    s"lnt AS (SELECT ${lnTable.mkString("[", ", ", "]")} AS v)"
+
+  /** Multinomial NB with add-one smoothing, trained on the rule-based
+    * quality score thresholded at the corpus MEDIAN (0.6 — stable
+    * across scale factors; `pipeline_curate`'s 0.5 deployment gate
+    * passes ~99% of docs, which would leave a 2-doc negative class
+    * and nothing to learn) and applied back to every document:
+    *
+    *   margin(d) = ln P(pos)/P(neg)
+    *             + Σ_tok ln p(tok|pos)/p(tok|neg)
+    *   p(tok|c)  = (count(tok,c) + 1) / (T_c + V)
+    *
+    * This is the standard bootstrap when no labeled quality set
+    * exists: distill the cheap rule gate into a token-level model
+    * whose margin RANKS documents (the rule gives only a bit). The
+    * self-training confusion (nb_pred vs quality_label) is part of
+    * the output contract.
+    *
+    * Plan: per-(tok,class) counts are one vocabulary-sized exchange;
+    * the per-token log-likelihood ratio is precomputed ON the model
+    * (once per distinct token, not per occurrence); scoring joins the
+    * token stream back and reduces per doc_id. Class totals and doc
+    * priors are two single-row aggregates broadcast into the final
+    * projection. Everything before the final /1e9 is exact integer
+    * arithmetic — see the module note on ln9big.
+    */
+  private val NbLabelTau = 0.6
+
+  val nbClassify = QueryDef(
+    "classify_nb",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"),
+        (TextAnalysis.qualityScoreCol(col("text")) >= NbLabelTau).as("pos"),
+        split(col("text"), " ").as("ws"))
+      val toks = docs.select(col("doc_id"), col("pos"),
+        explode(col("ws")).as("tok"))
+      val model = toks.groupBy("tok")
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
+          sum(when(col("pos"), 0L).otherwise(1L)).as("cn"))
+        .withColumn("llr9", ln9big(col("cp") + 1) - ln9big(col("cn") + 1))
+      val totals = model.agg(sum(col("cp")).as("tp"), sum(col("cn")).as("tn"),
+        count(lit(1)).as("vsz"))
+      val priors = docs.agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("dp"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("dn"))
+      val score9 = col("s9") +
+        col("n_toks") * (ln9big(col("tn") + col("vsz")) -
+          ln9big(col("tp") + col("vsz"))) +
+        (ln9big(col("dp")) - ln9big(col("dn")))
+      toks.join(model.select("tok", "llr9"), "tok")
+        .groupBy("doc_id", "pos")
+        .agg(count(lit(1)).as("n_toks"), sum(col("llr9")).as("s9"))
+        .crossJoin(broadcast(totals))
+        .crossJoin(broadcast(priors))
+        .select(col("doc_id"), col("pos").as("quality_label"), col("n_toks"),
+          (score9.cast(DoubleType) / 1e9).as("nb_margin"),
+          (score9 > 0).as("nb_pred"))
+    },
+    Some {
+      val qsql = TextAnalysis.quality.oracle.get
+      s"""WITH $lntCte,
+      lab AS (SELECT doc_id, quality_score >= $NbLabelTau AS pos FROM ($qsql)),
+      toks AS (
+        SELECT d.doc_id, lab.pos, unnest(string_split(d.text, ' ')) AS tok
+        FROM documents d JOIN lab ON lab.doc_id = d.doc_id),
+      model AS (
+        SELECT tok,
+          CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+          CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+        FROM toks GROUP BY tok),
+      model2 AS (
+        SELECT tok, ${ln9bigSql("cp + 1")} - ${ln9bigSql("cn + 1")} AS llr9
+        FROM model CROSS JOIN lnt),
+      totals AS (
+        SELECT CAST(SUM(cp) AS BIGINT) AS tp, CAST(SUM(cn) AS BIGINT) AS tn,
+          COUNT(*) AS vsz
+        FROM model),
+      priors AS (
+        SELECT CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+          CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS dn
+        FROM lab),
+      agg AS (
+        SELECT doc_id, pos, COUNT(*) AS n_toks, CAST(SUM(llr9) AS BIGINT) AS s9
+        FROM toks JOIN model2 USING (tok) GROUP BY doc_id, pos),
+      fin AS (
+        SELECT doc_id, pos AS quality_label, n_toks,
+          s9 + n_toks * (${ln9bigSql("tn + vsz")} - ${ln9bigSql("tp + vsz")})
+            + (${ln9bigSql("dp")} - ${ln9bigSql("dn")}) AS score9
+        FROM agg CROSS JOIN totals CROSS JOIN priors CROSS JOIN lnt)
+      SELECT doc_id, quality_label, CAST(n_toks AS BIGINT) AS n_toks,
+        CAST(score9 AS DOUBLE) / 1e9 AS nb_margin, score9 > 0 AS nb_pred
+      FROM fin ORDER BY doc_id"""
+    })
+
+  private val DsirB = 1024 // hashed-feature buckets
+  private val DsirK = 100 // resample size
+  private val DsirM = 1 << 20 // uniform-draw granularity
+  private val Ln1e9_9 = math.floor(math.log(1e9) * 1e9).toLong
+  /** Target domain: the curated source slice the resampler steers
+    * the mixture toward (4 of the 20 synthetic sources here; in
+    * production, the high-trust domain — wiki/books).
+    */
+  private val DsirTargets = Seq("src0", "src1", "src2", "src3")
+
+  /** DSIR: importance weight of each document under a hashed-bigram
+    * unigram-of-features model of the TARGET domain vs the RAW corpus,
+    *
+    *   lw(d) = Σ_f [ ln (c_t(f)+1) - ln (c_r(f)+1) ]
+    *         + n_f · [ ln (T_r+B) - ln (T_t+B) ]
+    *
+    * then a Gumbel top-k draw: key(d) = lw(d) + G(d) where
+    * G = -ln(-ln u) and u is a per-doc uniform from the portable
+    * 60-bit hash — equivalent to drawing K docs without replacement
+    * with probability ∝ exp(lw), but fully deterministic and
+    * rerun-stable (the Gumbel-max trick; no RNG state, no exp()).
+    * Both ln layers go through ln9big, so the composed key is exact
+    * integer arithmetic until the final /1e9 display cast.
+    *
+    * The draw hash is u ∈ [1, 2^20-1]: -ln u stays strictly positive
+    * (scaled e9 ≥ 1), so the outer ln is always defined — no ±inf
+    * path exists in either engine.
+    */
+  val dsir = QueryDef(
+    "sample_dsir",
+    (s, d) => {
+      val isTarget = col("source").isin(DsirTargets: _*)
+      val ws = split(col("text"), " ")
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), isTarget.as("tgt"), ws.as("ws"))
+      val bi = docs.select(col("doc_id"), col("tgt"),
+        explode(arrays_zip(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1))).as("p"))
+        .select(col("doc_id"), col("tgt"),
+          (TextAnalysis.hash60(
+            concat(col("p")("0"), lit(" "), col("p")("1"))) % DsirB).as("f"))
+      val model = bi.groupBy("f")
+        .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+          count(lit(1)).as("cr"))
+        .withColumn("lr9", ln9big(col("ct") + 1) - ln9big(col("cr") + 1))
+      val totals = model.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+      val lw = bi.join(model.select("f", "lr9"), "f")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nf"), sum(col("lr9")).as("s9"))
+      val u = TextAnalysis.hash60(concat(lit("dsir:"), col("doc_id"))) %
+        (DsirM - 1) + 1
+      val e9 = lit(20L * Ln2_9) - ln9big(u)
+      val g9 = lit(Ln1e9_9) - ln9big(e9)
+      docs.select(col("doc_id"))
+        .join(lw, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("nf"), lit(0L)).as("nf"),
+          coalesce(col("s9"), lit(0L)).as("s9"))
+        .crossJoin(broadcast(totals))
+        .withColumn("lw9", col("s9") +
+          col("nf") * (ln9big(col("tr") + DsirB) - ln9big(col("tt") + DsirB)))
+        .withColumn("key9", col("lw9") + g9)
+        .orderBy(col("key9").desc, col("doc_id"))
+        .limit(DsirK)
+        .select(col("doc_id"),
+          (col("lw9").cast(DoubleType) / 1e9).as("log_weight"),
+          (col("key9").cast(DoubleType) / 1e9).as("sample_key"))
+    },
+    Some {
+      val tgtList = DsirTargets.map(t => s"'$t'").mkString(", ")
+      val h60 = TextAnalysis.hash60Sql
+      s"""WITH $lntCte,
+      docs AS (
+        SELECT doc_id, source IN ($tgtList) AS tgt,
+          string_split(text, ' ') AS ws
+        FROM documents),
+      bi AS (
+        SELECT doc_id, tgt,
+          ${h60("ws[i] || ' ' || ws[i+1]")} % $DsirB AS f
+        FROM docs, LATERAL (SELECT unnest(range(1, len(ws)))) t(i)),
+      model AS (
+        SELECT f,
+          CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+          COUNT(*) AS cr
+        FROM bi GROUP BY f),
+      model2 AS (
+        SELECT f, ${ln9bigSql("ct + 1")} - ${ln9bigSql("cr + 1")} AS lr9
+        FROM model CROSS JOIN lnt),
+      totals AS (
+        SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr
+        FROM model),
+      lw AS (
+        SELECT doc_id, COUNT(*) AS nf, CAST(SUM(lr9) AS BIGINT) AS s9
+        FROM bi JOIN model2 USING (f) GROUP BY doc_id),
+      keyed AS (
+        SELECT d.doc_id,
+          COALESCE(lw.s9, 0) + COALESCE(lw.nf, 0)
+            * (${ln9bigSql(s"tr + $DsirB")} - ${ln9bigSql(s"tt + $DsirB")}) AS lw9,
+          ${Ln1e9_9} - ${ln9bigSql(
+        s"${20L * Ln2_9} - ${ln9bigSql(s"${h60(s"'dsir:' || d.doc_id")} % ${DsirM - 1} + 1")}")} AS g9
+        FROM docs d LEFT JOIN lw ON lw.doc_id = d.doc_id
+        CROSS JOIN totals CROSS JOIN lnt)
+      SELECT doc_id, CAST(lw9 AS DOUBLE) / 1e9 AS log_weight,
+        CAST(lw9 + g9 AS DOUBLE) / 1e9 AS sample_key
+      FROM keyed ORDER BY lw9 + g9 DESC, doc_id LIMIT $DsirK"""
+    })
+
+  val defs: Seq[QueryDef] = Seq(nbClassify, dsir)
+}

@@ -384,29 +384,38 @@ object Similarity {
     * One narrow corpus pass + one tiny broadcast: no per-pair work at
     * all, so it scales to any corpus size.
     */
+  /** (vec_id, label, qa, na, cos_centroid) — the per-vector centroid
+    * cosine frame shared by [[embCentroid]] (which projects the three
+    * output columns) and [[semanticPrune]] (which also needs qa/na for
+    * the within-cluster pair cosines). Column pruning keeps the
+    * registered emb_centroid plan identical to its pre-refactor shape.
+    */
+  private def centroidCos(
+      s: SparkSession, d: String): DataFrame = {
+    val emb = quantized(s, d)
+    val sums = emb
+      .select(col("label"), posexplode(col("qa")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+    // floor division: trunc quotient, minus 1 when the remainder is
+    // negative (n is always positive)
+    val floorDiv = (expr("sv div n") -
+      when(col("sv") % col("n") < 0, 1L).otherwise(0L)).cast(LongType)
+    val centroids = sums
+      .select(col("label").as("c_label"), col("pos"), floorDiv.as("cm"))
+      .groupBy("c_label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cm")))),
+        x => x("cm")).as("cvec"))
+      .withColumn("cn", dot(col("cvec"), col("cvec")))
+    emb.join(broadcast(centroids), col("label") === col("c_label"))
+      .withColumn("cos_centroid",
+        cosine(dot(col("qa"), col("cvec")), col("na"), col("cn")))
+      .select("vec_id", "label", "qa", "na", "cos_centroid")
+  }
+
   val embCentroid = QueryDef(
     "emb_centroid",
-    (s, d) => {
-      val emb = quantized(s, d)
-      val sums = emb
-        .select(col("label"), posexplode(col("qa")).as(Seq("pos", "v")))
-        .groupBy("label", "pos")
-        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
-      // floor division: trunc quotient, minus 1 when the remainder is
-      // negative (n is always positive)
-      val floorDiv = (expr("sv div n") -
-        when(col("sv") % col("n") < 0, 1L).otherwise(0L)).cast(LongType)
-      val centroids = sums
-        .select(col("label").as("c_label"), col("pos"), floorDiv.as("cm"))
-        .groupBy("c_label")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cm")))),
-          x => x("cm")).as("cvec"))
-        .withColumn("cn", dot(col("cvec"), col("cvec")))
-      emb.join(broadcast(centroids), col("label") === col("c_label"))
-        .withColumn("cos_centroid",
-          cosine(dot(col("qa"), col("cvec")), col("na"), col("cn")))
-        .select("vec_id", "label", "cos_centroid")
-    },
+    (s, d) => centroidCos(s, d).select("vec_id", "label", "cos_centroid"),
     Some(s"""WITH q AS (
       SELECT vec_id, label,
         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS qa
@@ -549,6 +558,84 @@ object Similarity {
       CAST(SUM(err) AS DOUBLE) / CAST(COUNT(*) * $Dim * 127 AS DOUBLE) AS avg_err_per_dim
     FROM errs GROUP BY label ORDER BY label"""))
 
+  private val SemTau = 0.30
+
+  /** SemDeDup (Abbas et al. 2023) — semantic-redundancy pruning:
+    * within each embedding CLUSTER, any two vectors with cosine >=
+    * [[SemTau]] are semantic duplicates, and the pair member CLOSER to
+    * the cluster centroid is pruned (the farther one carries more
+    * cluster-atypical information — the paper's keep rule). Unlike
+    * [[dedupEmbeddingKeep]] (connected components over the near-dup
+    * graph, component-min keep), this is the cluster-blocked shape:
+    * no iteration, one join round, and the keep criterion is
+    * geometric (centroid distance) rather than positional (min id).
+    * SemTau sits well below the near-dup NearDupTau — it prunes
+    * REDUNDANCY, not just near-copies.
+    *
+    * A vector is pruned iff some same-cluster neighbor within SemTau
+    * has strictly lower cos_centroid (tie: lower vec_id) — the
+    * pairwise-greedy sweep, expressed as one anti-join instead of a
+    * sequential pass. All 500 vectors are emitted with their keep
+    * decision, like every *_keep operator.
+    *
+    * Scale: the label blocking IS the k-means cell structure SemDeDup
+    * runs at scale (the paper's clusters; `ann_ivf`'s trainer builds
+    * them when no labels exist) — cells are capped, so the per-cell
+    * O(b^2) pair join is bounded and the whole query is one label
+    * equi-join plus the broadcast centroid frame from [[centroidCos]].
+    * Determinism: pair cosines and centroid cosines are IEEE divisions
+    * of exact integer dot products — bit-identical cross-engine, so
+    * the keep decision (a comparison of identical doubles) hash-
+    * matches.
+    */
+  val semanticPrune = QueryDef(
+    "dedup_semantic_prune",
+    (s, d) => {
+      val cc = centroidCos(s, d)
+      val mine = cc.select(col("vec_id"), col("label"), col("qa").as("qv"),
+        col("na").as("nv"), col("cos_centroid"))
+      val nbr = cc.select(col("vec_id").as("u"), col("label"),
+        col("qa").as("qu"), col("na").as("nu"), col("cos_centroid").as("ccu"))
+      val pruned = mine.join(nbr, Seq("label"))
+        .filter(col("u") =!= col("vec_id"))
+        .withColumn("cos", cosine(dot(col("qv"), col("qu")), col("nv"), col("nu")))
+        .filter(col("cos") >= SemTau &&
+          (col("ccu") < col("cos_centroid") ||
+            (col("ccu") === col("cos_centroid") && col("u") < col("vec_id"))))
+        .select(col("vec_id").as("p")).distinct()
+      mine.join(pruned, col("vec_id") === col("p"), "left")
+        .select(col("vec_id"), col("label"), col("cos_centroid"),
+          col("p").isNull.as("keep"))
+    },
+    Some(s"""WITH q AS (
+      SELECT vec_id, label,
+        list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS qa
+      FROM embeddings),
+    n AS (SELECT vec_id, label, qa, ${normSql("qa")} AS na FROM q),
+    sums AS (
+      SELECT label, i AS pos, CAST(SUM(qa[i]) AS BIGINT) AS sv, COUNT(*) AS n
+      FROM q, LATERAL (SELECT unnest(range(1, ${Dim + 1}))) t(i)
+      GROUP BY label, i),
+    cent AS (
+      SELECT label AS c_label,
+        list(CAST((sv - (sv % n)) / n AS BIGINT)
+             - CASE WHEN (sv % n) < 0 THEN 1 ELSE 0 END ORDER BY pos) AS cvec
+      FROM sums GROUP BY label),
+    cc AS (
+      SELECT vec_id, n.label, qa, na,
+        ${cosineSql(dotSql("qa", "cvec"), "na", normSql("cvec"))} AS cos_centroid
+      FROM n JOIN cent ON n.label = c_label),
+    pruned AS (
+      SELECT DISTINCT a.vec_id
+      FROM cc a JOIN cc b ON a.label = b.label AND a.vec_id <> b.vec_id
+      WHERE ${cosineSql(dotSql("a.qa", "b.qa"), "a.na", "b.na")} >= $SemTau
+        AND (b.cos_centroid < a.cos_centroid
+          OR (b.cos_centroid = a.cos_centroid AND b.vec_id < a.vec_id)))
+    SELECT cc.vec_id, cc.label, cc.cos_centroid,
+      p.vec_id IS NULL AS keep
+    FROM cc LEFT JOIN pruned p ON cc.vec_id = p.vec_id
+    ORDER BY cc.vec_id"""))
+
   val defs: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding, annLsh, annIvf,
-    embCentroid, dedupEmbeddingKeep, dimReduce, embQuantize)
+    embCentroid, dedupEmbeddingKeep, dimReduce, embQuantize, semanticPrune)
 }

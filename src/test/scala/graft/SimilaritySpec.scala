@@ -57,6 +57,51 @@ class SimilaritySpec extends AnyFunSuite {
     banded.foreach { case (k, c) => assert(exact(k) == c, s"cosine mismatch for $k") }
   }
 
+  test("dedup_semantic_prune matches a brute-force reference sweep exactly") {
+    // independent Scala reimplementation of the SemDeDup rule: same
+    // quantization, floor-mean centroids, IEEE cosine — the keep sets
+    // must agree EXACTLY (identical double arithmetic, no tolerance)
+    val raw = Tables.embeddings(spark, d)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        r.getSeq[Float](2).map(x => math.floor(x.toDouble * 1e6).toLong).toArray))
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => a(i) * b(i)).sum
+    val byLabel = raw.groupBy(_._2)
+    val centroid = byLabel.map { case (lab, vs) =>
+      val dim = vs.head._3.length
+      lab -> Array.tabulate(dim) { i =>
+        Math.floorDiv(vs.map(_._3(i)).sum, vs.length.toLong)
+      }
+    }
+    def cos(a: Array[Long], b: Array[Long]): Double =
+      dot(a, b).toDouble / (math.sqrt(dot(a, a).toDouble) * math.sqrt(dot(b, b).toDouble))
+    val cc = raw.map { case (id, lab, qa) => id -> cos(qa, centroid(lab)) }.toMap
+    val refKeep = raw.map { case (id, lab, qa) =>
+      val prunedBy = byLabel(lab).exists { case (u, _, qu) =>
+        u != id && cos(qa, qu) >= 0.30 &&
+          (cc(u) < cc(id) || (cc(u) == cc(id) && u < id))
+      }
+      id -> !prunedBy
+    }.toMap
+
+    val got = SparkEntry.queries("dedup_semantic_prune")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3)))
+    assert(got.length == raw.length)
+    got.foreach { case (id, c, keep) =>
+      assert(c == cc(id), s"vec $id: centroid cosine $c != reference ${cc(id)}")
+      assert(keep == refKeep(id), s"vec $id: keep=$keep, reference ${refKeep(id)}")
+    }
+    // the rule's structural floor: the centroid-farthest vector of
+    // each cluster can never be pruned, so every cluster survives
+    byLabel.keys.foreach { lab =>
+      assert(byLabel(lab).exists(v => got.find(_._1 == v._1).get._3),
+        s"cluster $lab lost every vector")
+    }
+    val pruned = got.count(!_._3)
+    assert(pruned > 0, "prune set empty — SemTau no longer bites on this corpus")
+  }
+
   test("dedup_embedding plans as equi-join candidates, not a nested-loop cross") {
     val p = SparkEntry.queries("dedup_embedding")(spark, d)
       .queryExecution.executedPlan.toString
