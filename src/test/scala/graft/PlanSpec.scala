@@ -214,6 +214,41 @@ class PlanSpec extends AnyFunSuite {
       s"LM scoring must stay on (w1,w2) equi-joins:\n$p")
   }
 
+  test("classify_nb scores through token equi-joins; BNLs carry only scalar aggregates") {
+    val df = SparkEntry.queries("classify_nb")(spark, d)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct"), s"classify_nb planned a cartesian:\n$p")
+    // the only nested loops are the broadcast single-row class-total
+    // and prior frames — every build side must be an aggregate
+    df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.foreach { j =>
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        case _ => j.left
+      }
+      assert(build.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.nonEmpty, s"BNL build side must be a one-row aggregate:\n$j")
+    }
+  }
+
+  test("sample_dsir draws via TakeOrdered heaps, not a global sort") {
+    val p = plan("sample_dsir")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the Gumbel top-k must plan as per-partition heaps:\n$p")
+    assert(!p.contains("CartesianProduct"), s"sample_dsir planned a cartesian:\n$p")
+  }
+
+  test("dedup_semantic_prune stays on label equi-joins with broadcast centroids") {
+    val p = plan("dedup_semantic_prune")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the cluster-blocked pair sweep must be a label equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 10-row centroid frame should broadcast:\n$p")
+  }
+
   test("q22's scalar threshold broadcasts a one-row build side") {
     // the only nested-loop allowed is the broadcast of the 1-row
     // (sum_pos, n_pos) aggregate — assert its build side aggregates
