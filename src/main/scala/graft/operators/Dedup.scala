@@ -625,6 +625,61 @@ object Dedup {
     WHERE CAST(n_common AS DOUBLE) / ni >= $ContainTau
     ORDER BY contained_id, container_id"""))
 
+  private val WinnowMinShared = 2
+
+  /** Candidate near-dup pairs over the WINNOWED fingerprint universe —
+    * the downstream consumer `text_winnow` exists for. Same blocking
+    * equi-join shape as [[ngramJaccard]], but the join sees only the
+    * ~2/(w+1) window-min fingerprints per document instead of every
+    * gram — at corpus scale that is a ~3x smaller join input CARRYING
+    * A GUARANTEE random sampling lacks: any two documents sharing a
+    * contiguous run of >= w+2 tokens share a fingerprint (WinnowSpec),
+    * so pairs with long verbatim overlaps are never lost to sampling.
+    * [[WinnowMinShared]] >= 2 drops single-fingerprint coincidences;
+    * the [[MaxShingleDf]] document-frequency cap kills boilerplate-
+    * fingerprint skew exactly as in the Jaccard family. `containment`
+    * is the shared fraction of the smaller winnowed set (the winnowed
+    * estimate of [[containment]]'s exact ratio), floor-quantized to
+    * 6dp under the cross-engine ratio rule.
+    */
+  val winnowPairs = QueryDef(
+    "dedup_winnow",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val fps = TextAnalysis.winnow.fn(s, d)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+        .filter(col("df") <= MaxShingleDf)
+        .withColumn("nf", count(lit(1)).over(Window.partitionBy("doc_id")))
+      val a = fps.select(col("fp"), col("doc_id").as("i"), col("nf").as("ni"))
+      val b = fps.select(col("fp"), col("doc_id").as("j"), col("nf").as("nj"))
+      a.join(b, "fp").filter(col("i") < col("j"))
+        .groupBy("i", "j", "ni", "nj")
+        .agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= WinnowMinShared)
+        .select(col("i"), col("j"), col("shared_fps"),
+          (floor(col("shared_fps").cast(DoubleType) /
+            least(col("ni"), col("nj")) * 1e6) / 1e6).as("containment"))
+    },
+    Some {
+      val wsql = TextAnalysis.winnow.oracle.get
+      s"""WITH w AS ($wsql),
+      kept AS (
+        SELECT doc_id, fp FROM w
+        QUALIFY COUNT(*) OVER (PARTITION BY fp) <= $MaxShingleDf),
+      ex AS (
+        SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY doc_id) AS nf
+        FROM kept),
+      pairs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, a.nf AS ni, b.nf AS nj,
+          COUNT(*) AS shared_fps
+        FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4)
+      SELECT i, j, CAST(shared_fps AS BIGINT) AS shared_fps,
+        floor(CAST(shared_fps AS DOUBLE) / least(ni, nj) * 1e6) / 1e6 AS containment
+      FROM pairs WHERE shared_fps >= $WinnowMinShared
+      ORDER BY i, j"""
+    })
+
   val defs: Seq[QueryDef] = Seq(exact, ngramJaccard, prefixJaccard, minhashLsh,
-    incremental, simhash, clusterKeep, containment)
+    incremental, simhash, clusterKeep, containment, winnowPairs)
 }

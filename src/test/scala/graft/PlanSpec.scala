@@ -249,6 +249,12 @@ class PlanSpec extends AnyFunSuite {
       s"the 10-row centroid frame should broadcast:\n$p")
   }
 
+  test("dedup_winnow blocks on fingerprint keys, never all-pairs") {
+    val p = plan("dedup_winnow")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the winnowed pair join must block on fp:\n$p")
+  }
+
   test("q22's scalar threshold broadcasts a one-row build side") {
     // the only nested-loop allowed is the broadcast of the 1-row
     // (sum_pos, n_pos) aggregate — assert its build side aggregates

@@ -47,4 +47,53 @@ class WinnowSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(byDoc(2L).size < 20, s"doc2 kept ${byDoc(2L).size} of 28 grams")
     assert(byDoc(2L).size >= 5, s"doc2 kept implausibly few: ${byDoc(2L).size}")
   }
+
+  test("dedup_winnow pairs docs sharing a long run and matches a brute-force sweep") {
+    import spark.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_winnow2").toString
+    try {
+      // docs 0/1 share a 12-token run — long enough for >= 2 windows,
+      // so they must share >= WinnowMinShared = 2 fingerprints and pair
+      val run = (0 until 12).map(i => s"shared$i").mkString(" ")
+      val doc0 = s"a0 a1 a2 a3 $run a4 a5 a6"
+      val doc1 = s"b0 b1 $run b2 b3 b4 b5"
+      val doc2 = (0 until 30).map(i => s"c$i").mkString(" ")
+      Seq((0L, doc0), (1L, doc1), (2L, doc2))
+        .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$dir2/documents.parquet")
+
+      val pairs = SparkEntry.queries("dedup_winnow")(spark, dir2)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      assert(pairs.map(_._1).toSet == Set((0L, 1L)),
+        s"expected exactly the (0,1) run-sharing pair, got ${pairs.toSeq}")
+      assert(pairs.head._2 >= 2)
+
+      // brute-force cross-check on the real sf0.001 corpus: recompute
+      // the pair table from the winnow output in plain Scala
+      val fps = operators.TextAnalysis.winnow.fn(spark, TestSpark.sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val byFp = fps.groupBy(_._2).filter(_._2.length <= 100) // df cap
+      val sizes = byFp.values.flatten.groupBy(_._1).view.mapValues(_.size).toMap
+      val refPairs = byFp.values.flatMap { rows =>
+        val ids = rows.map(_._1).toSeq.sorted
+        for (x <- ids; y <- ids if x < y) yield (x, y)
+      }.groupBy(identity).view.mapValues(_.size).filter(_._2 >= 2).toMap
+      val got = SparkEntry.queries("dedup_winnow")(spark, TestSpark.sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(got.keySet == refPairs.keySet,
+        s"pair sets differ: extra=${got.keySet -- refPairs.keySet} missing=${refPairs.keySet -- got.keySet}")
+      got.foreach { case (k @ (x, y), (shared, cont)) =>
+        assert(shared == refPairs(k).toLong, s"pair $k shared count")
+        val expect = math.floor(
+          shared.toDouble / math.min(sizes(x), sizes(y)) * 1e6) / 1e6
+        assert(cont == expect, s"pair $k containment $cont != $expect")
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir2)).deleteRecursively()
+    }
+  }
 }
