@@ -43,6 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain",
         "graft_bloom_contains"),
       exprs => functions.GraftFunctions.bloomContainsBuilder(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_ln9"),
+      new ExpressionInfo("graft.operators.Select", "graft_ln9"),
+      exprs => functions.GraftFunctions.ln9Builder(exprs)))
     e.injectPlannerStrategy(_ => plans.TopKStrategy)
     e.injectPlannerStrategy(_ => plans.AsofJoinStrategy)
     // operator-optimization batch: fires on the clean Filter-over-

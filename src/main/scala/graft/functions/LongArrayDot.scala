@@ -166,6 +166,26 @@ object GraftFunctions {
     BloomFilterMightContain(exprs(0), new XxHash64(Seq(exprs(1))))
   }
 
+  /** Column API for the unbounded deterministic ln: floor-scaled
+    * ln(n)·1e9 of a positive integral column at any magnitude, exact
+    * below 4096 and within 4.9e-4 nats above (12-bit mantissa table +
+    * bit-shift decomposition — see [[graft.operators.Select]]). The
+    * cross-engine primitive behind classify_nb / sample_dsir.
+    */
+  def ln9(n: Column): Column = graft.operators.Select.ln9big(n)
+
+  /** `graft_ln9(n)` — SQL registration of [[ln9]]. Composed from
+    * builtin codegen expressions (bin/length/shiftright/element_at);
+    * the conversion must be EAGER — a FunctionRegistry builder's
+    * return value is spliced into the plan directly, where the lazy
+    * ColumnNodeExpression placeholder never gets rewritten.
+    */
+  def ln9Builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1,
+      s"graft_ln9 requires exactly 1 argument, got ${exprs.length}")
+    Bridge.eagerExpression(ln9(Bridge.column(exprs.head)))
+  }
+
   /** Idempotent per-session SQL registration of all graft functions. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -182,5 +202,6 @@ object GraftFunctions {
       "graft_bloom_agg", bloomAggBuilder, "built-in")
     reg.createOrReplaceTempFunction(
       "graft_bloom_contains", bloomContainsBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_ln9", ln9Builder, "built-in")
   }
 }

@@ -193,40 +193,50 @@ object Select {
     * (scaled e9 ≥ 1), so the outer ln is always defined — no ±inf
     * path exists in either engine.
     */
+  /** (doc_id, source, lw9) — the per-document scaled importance log-
+    * weight, shared by the [[dsir]] draw and the [[mixDsir]] mixture
+    * table so the two cannot drift apart on the model.
+    */
+  private def importanceFrame(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val isTarget = col("source").isin(DsirTargets: _*)
+    val ws = split(col("text"), " ")
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"), col("source"), isTarget.as("tgt"), ws.as("ws"))
+    val bi = docs.select(col("doc_id"), col("tgt"),
+      explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1))).as("p"))
+      .select(col("doc_id"), col("tgt"),
+        (TextAnalysis.hash60(
+          concat(col("p")("0"), lit(" "), col("p")("1"))) % DsirB).as("f"))
+    val model = bi.groupBy("f")
+      .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+      .withColumn("lr9", ln9big(col("ct") + 1) - ln9big(col("cr") + 1))
+    val totals = model.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val lw = bi.join(model.select("f", "lr9"), "f")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nf"), sum(col("lr9")).as("s9"))
+    docs.select(col("doc_id"), col("source"))
+      .join(lw, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("nf"), lit(0L)).as("nf"),
+        coalesce(col("s9"), lit(0L)).as("s9"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lw9", col("s9") +
+        col("nf") * (ln9big(col("tr") + DsirB) - ln9big(col("tt") + DsirB)))
+      .select("doc_id", "source", "lw9")
+  }
+
   val dsir = QueryDef(
     "sample_dsir",
     (s, d) => {
-      val isTarget = col("source").isin(DsirTargets: _*)
-      val ws = split(col("text"), " ")
-      val docs = Tables.documents(s, d).select(
-        col("doc_id"), isTarget.as("tgt"), ws.as("ws"))
-      val bi = docs.select(col("doc_id"), col("tgt"),
-        explode(arrays_zip(
-          slice(col("ws"), lit(1), size(col("ws")) - 1),
-          slice(col("ws"), lit(2), size(col("ws")) - 1))).as("p"))
-        .select(col("doc_id"), col("tgt"),
-          (TextAnalysis.hash60(
-            concat(col("p")("0"), lit(" "), col("p")("1"))) % DsirB).as("f"))
-      val model = bi.groupBy("f")
-        .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
-          count(lit(1)).as("cr"))
-        .withColumn("lr9", ln9big(col("ct") + 1) - ln9big(col("cr") + 1))
-      val totals = model.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
-      val lw = bi.join(model.select("f", "lr9"), "f")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("nf"), sum(col("lr9")).as("s9"))
       val u = TextAnalysis.hash60(concat(lit("dsir:"), col("doc_id"))) %
         (DsirM - 1) + 1
       val e9 = lit(20L * Ln2_9) - ln9big(u)
       val g9 = lit(Ln1e9_9) - ln9big(e9)
-      docs.select(col("doc_id"))
-        .join(lw, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("nf"), lit(0L)).as("nf"),
-          coalesce(col("s9"), lit(0L)).as("s9"))
-        .crossJoin(broadcast(totals))
-        .withColumn("lw9", col("s9") +
-          col("nf") * (ln9big(col("tr") + DsirB) - ln9big(col("tt") + DsirB)))
+      importanceFrame(s, d)
         .withColumn("key9", col("lw9") + g9)
         .orderBy(col("key9").desc, col("doc_id"))
         .limit(DsirK)
@@ -235,11 +245,28 @@ object Select {
           (col("key9").cast(DoubleType) / 1e9).as("sample_key"))
     },
     Some {
-      val tgtList = DsirTargets.map(t => s"'$t'").mkString(", ")
       val h60 = TextAnalysis.hash60Sql
-      s"""WITH $lntCte,
+      s"""WITH $dsirCtesSql,
+      keyed AS (
+        SELECT doc_id, lw9,
+          ${Ln1e9_9} - ${ln9bigSql(
+        s"${20L * Ln2_9} - ${ln9bigSql(s"${h60(s"'dsir:' || w.doc_id")} % ${DsirM - 1} + 1")}")} AS g9
+        FROM w CROSS JOIN lnt)
+      SELECT doc_id, CAST(lw9 AS DOUBLE) / 1e9 AS log_weight,
+        CAST(lw9 + g9 AS DOUBLE) / 1e9 AS sample_key
+      FROM keyed ORDER BY lw9 + g9 DESC, doc_id LIMIT $DsirK"""
+    })
+
+  /** Shared DuckDB CTE block ending in `w(doc_id, source, lw9)` — the
+    * SQL mirror of [[importanceFrame]], used by both the sample_dsir
+    * and mix_dsir oracles.
+    */
+  private lazy val dsirCtesSql: String = {
+    val tgtList = DsirTargets.map(t => s"'$t'").mkString(", ")
+    val h60 = TextAnalysis.hash60Sql
+    s"""$lntCte,
       docs AS (
-        SELECT doc_id, source IN ($tgtList) AS tgt,
+        SELECT doc_id, source, source IN ($tgtList) AS tgt,
           string_split(text, ' ') AS ws
         FROM documents),
       bi AS (
@@ -260,18 +287,36 @@ object Select {
       lw AS (
         SELECT doc_id, COUNT(*) AS nf, CAST(SUM(lr9) AS BIGINT) AS s9
         FROM bi JOIN model2 USING (f) GROUP BY doc_id),
-      keyed AS (
-        SELECT d.doc_id,
+      w AS (
+        SELECT d.doc_id, d.source,
           COALESCE(lw.s9, 0) + COALESCE(lw.nf, 0)
-            * (${ln9bigSql(s"tr + $DsirB")} - ${ln9bigSql(s"tt + $DsirB")}) AS lw9,
-          ${Ln1e9_9} - ${ln9bigSql(
-        s"${20L * Ln2_9} - ${ln9bigSql(s"${h60(s"'dsir:' || d.doc_id")} % ${DsirM - 1} + 1")}")} AS g9
+            * (${ln9bigSql(s"tr + $DsirB")} - ${ln9bigSql(s"tt + $DsirB")}) AS lw9
         FROM docs d LEFT JOIN lw ON lw.doc_id = d.doc_id
-        CROSS JOIN totals CROSS JOIN lnt)
-      SELECT doc_id, CAST(lw9 AS DOUBLE) / 1e9 AS log_weight,
-        CAST(lw9 + g9 AS DOUBLE) / 1e9 AS sample_key
-      FROM keyed ORDER BY lw9 + g9 DESC, doc_id LIMIT $DsirK"""
-    })
+        CROSS JOIN totals CROSS JOIN lnt)"""
+  }
 
-  val defs: Seq[QueryDef] = Seq(nbClassify, dsir)
+  /** Domain-mixture reweighting table (the DoReMi-lite shape): the
+    * per-SOURCE mean DSIR importance log-weight — how target-like each
+    * domain's text is under the hashed-bigram model. The mixture
+    * designer feeds these into its softmax/temperature downstream;
+    * emitting the ln-domain means keeps the query exp()-free and
+    * bit-deterministic (exact integer sums; one double division chain
+    * per source, identical in both engines).
+    *
+    * Scale: rides [[importanceFrame]] (two vocabulary-sized shuffles)
+    * plus one ~|sources|-row aggregate — nothing new materializes.
+    */
+  val mixDsir = QueryDef(
+    "mix_dsir",
+    (s, d) => importanceFrame(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        ((sum(col("lw9")).cast(DoubleType) / count(lit(1))) / 1e9)
+          .as("mean_log_weight")),
+    Some(s"""WITH $dsirCtesSql
+      SELECT source, COUNT(*) AS n_docs,
+        (CAST(SUM(lw9) AS DOUBLE) / COUNT(*)) / 1e9 AS mean_log_weight
+      FROM w GROUP BY source ORDER BY source"""))
+
+  val defs: Seq[QueryDef] = Seq(nbClassify, dsir, mixDsir)
 }

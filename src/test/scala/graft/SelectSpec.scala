@@ -32,6 +32,21 @@ class SelectSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_ln9 is SQL-registered and exact below the table bound") {
+    functions.GraftFunctions.register(spark)
+    // below 4096 the mantissa is the value itself: exact floor(ln·1e9)
+    assert(spark.sql("SELECT graft_ln9(1000L) AS l").collect().head.getLong(0)
+      == math.floor(math.log(1000.0) * 1e9).toLong)
+    // SQL path == Column API path at any magnitude
+    val viaSql = spark.sql("SELECT graft_ln9(123456789012L) AS l")
+      .collect().head.getLong(0)
+    import spark.implicits._
+    val viaCol = Seq(123456789012L).toDF("n")
+      .select(operators.Select.ln9big(org.apache.spark.sql.functions.col("n")))
+      .collect().head.getLong(0)
+    assert(viaSql == viaCol)
+  }
+
   test("classify_nb matches an independent float NB within the ln-truncation bound") {
     val rows = SparkEntry.queries("classify_nb")(spark, d)
       .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
@@ -81,6 +96,19 @@ class SelectSpec extends AnyFunSuite {
     // bag-of-words signal on this corpus is modest but must beat the
     // majority-class baseline (~51%) decisively
     assert(agree >= 275, s"NB self-accuracy $agree/500 under floor")
+  }
+
+  test("mix_dsir ranks the target domains above the rest") {
+    val rows = SparkEntry.queries("mix_dsir")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 20)
+    assert(rows.map(_._2).sum == 500L)
+    val tgt = Set("src0", "src1", "src2", "src3")
+    val (t, rest) = rows.partition(r => tgt(r._1))
+    val tMean = t.map(_._3).sum / t.length
+    val rMean = rest.map(_._3).sum / rest.length
+    assert(tMean > rMean,
+      s"target domains mean $tMean should exceed non-target $rMean")
   }
 
   test("sample_dsir is deterministic, sized K, and steered toward the target domain") {
