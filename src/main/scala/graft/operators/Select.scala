@@ -63,13 +63,13 @@ object Select {
   /** DuckDB spelling of [[ln9big]]; expects a CTE `lnt(v)` holding the
     * table literal in scope (CROSS JOIN lnt).
     */
-  private def ln9bigSql(e: String): String =
+  private[graft] def ln9bigSql(e: String): String =
     s"""(lnt.v[CAST((CASE WHEN length(bin(CAST(($e) AS BIGINT))) > 12
         THEN CAST(($e) AS BIGINT) >> (length(bin(CAST(($e) AS BIGINT))) - 12)
         ELSE CAST(($e) AS BIGINT) END) + 1 AS INT)]
       + CAST(greatest(length(bin(CAST(($e) AS BIGINT))) - 12, 0) AS BIGINT) * $Ln2_9)"""
 
-  private val lntCte =
+  private[graft] val lntCte =
     s"lnt AS (SELECT ${lnTable.mkString("[", ", ", "]")} AS v)"
 
   /** Multinomial NB with add-one smoothing, trained on the rule-based

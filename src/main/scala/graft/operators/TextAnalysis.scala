@@ -680,7 +680,141 @@ object TextAnalysis {
     ORDER BY doc_id, fp"""))
   }
 
+  /** Held-out trigram LM scoring with stupid backoff (Brants et al.
+    * 2007) — the KenLM-filter shape done honestly: [[lmScore]] scores
+    * the corpus under its own model, where every n-gram is by
+    * construction observed and no backoff can ever fire; here the
+    * model trains on the hash-split TRAIN shard only
+    * ([[Sampling.splitCol]], 90%) and scores the held-out 10%, so
+    * unseen trigrams genuinely back off — trigram MLE, else
+    * 0.4 · bigram MLE, else 0.4² · add-one unigram. The per-doc
+    * backoff counts are part of the output contract (they are the
+    * OOV-rate diagnostic a corpus report wants).
+    *
+    * All three model levels derive from the ONE trigram count table
+    * (c23 = Σ_w1 c123, c3 = Σ_w2 c23), so each level's conditionals
+    * sum to 1 over the observed support and the tables cannot drift.
+    * Counts are unbounded integers through [[Select.ln9big]] — no
+    * saturation cap — and the backoff constant is floor(ln 0.4·1e9),
+    * so the whole score is exact integer arithmetic until the final
+    * display division.
+    *
+    * Scale: model state is trigram-vocabulary-sized (map-side
+    * combined); scoring is three vocabulary-key equi-joins (trigram,
+    * bigram, unigram) feeding one doc_id reduce — the tf-idf shape
+    * one join deeper. Held-out docs under 3 tokens have no trigram
+    * stream and are absent from the output by definition.
+    */
+  val lm3Heldout = {
+    val Ln04_9 = math.floor(math.log(0.4) * 1e9).toLong
+    QueryDef(
+      "text_lm3_heldout",
+      (s, d) => {
+        val ws = split(col("text"), " ")
+        val n3 = greatest(size(col("ws")) - 2, lit(0))
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          (Sampling.splitCol(col("text")) === "train").as("is_train"),
+          ws.as("ws"))
+        val tri = docs.select(col("doc_id"), col("is_train"),
+          explode(arrays_zip(
+            slice(col("ws"), lit(1), n3),
+            slice(col("ws"), lit(2), n3),
+            slice(col("ws"), lit(3), n3))).as("p"))
+          .select(col("doc_id"), col("is_train"),
+            col("p")("0").as("w1"), col("p")("1").as("w2"), col("p")("2").as("w3"))
+        val c123 = tri.filter(col("is_train"))
+          .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+        val m123 = c123.join(
+          c123.groupBy("w1", "w2").agg(sum(col("c123")).as("c12h")),
+          Seq("w1", "w2"))
+        val c23 = c123.groupBy("w2", "w3").agg(sum(col("c123")).as("c23"))
+        val m23 = c23.join(
+          c23.groupBy("w2").agg(sum(col("c23")).as("c2h")), Seq("w2"))
+        val c3 = c23.groupBy("w3").agg(sum(col("c23")).as("c3"))
+        val tot = c3.agg(sum(col("c3")).as("t"), count(lit(1)).as("v1"))
+        val ln9 = Select.ln9big _
+        tri.filter(!col("is_train"))
+          .join(m123, Seq("w1", "w2", "w3"), "left")
+          .join(m23, Seq("w2", "w3"), "left")
+          .join(c3, Seq("w3"), "left")
+          .crossJoin(broadcast(tot))
+          .withColumn("lnp9",
+            when(col("c123").isNotNull, ln9(col("c123")) - ln9(col("c12h")))
+              .when(col("c23").isNotNull,
+                lit(Ln04_9) + ln9(col("c23")) - ln9(col("c2h")))
+              .otherwise(lit(2 * Ln04_9) +
+                ln9(coalesce(col("c3"), lit(0L)) + 1) -
+                ln9(col("t") + col("v1"))))
+          .withColumn("bo",
+            when(col("c123").isNotNull, 0).when(col("c23").isNotNull, 1)
+              .otherwise(2))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_trigrams"),
+            sum(when(col("bo") === 1, 1L).otherwise(0L)).as("n_backoff_bigram"),
+            sum(when(col("bo") === 2, 1L).otherwise(0L)).as("n_backoff_unigram"),
+            sum(col("lnp9")).as("s9"))
+          .select(col("doc_id"), col("n_trigrams"),
+            col("n_backoff_bigram"), col("n_backoff_unigram"),
+            (col("s9").cast(DoubleType) / col("n_trigrams") / 1e9)
+              .as("avg_logp"))
+      },
+      Some {
+        val h60 = hash60Sql
+        val ln9 = Select.ln9bigSql _
+        s"""WITH ${Select.lntCte},
+      docs AS (
+        SELECT doc_id, ${h60("'split:' || text")} % 100 < 90 AS is_train,
+          string_split(text, ' ') AS ws
+        FROM documents),
+      tri AS (
+        SELECT doc_id, is_train, p['w1'] AS w1, p['w2'] AS w2, p['w3'] AS w3
+        FROM (SELECT doc_id, is_train,
+            unnest(list_transform(range(1, len(ws) - 1),
+              i -> {'w1': ws[i], 'w2': ws[i+1], 'w3': ws[i+2]})) AS p
+          FROM docs)),
+      c123 AS (
+        SELECT w1, w2, w3, COUNT(*) AS c123 FROM tri WHERE is_train
+        GROUP BY 1, 2, 3),
+      m123 AS (
+        SELECT w1, w2, w3, c123, c12h FROM c123 JOIN (
+          SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12h
+          FROM c123 GROUP BY 1, 2) h USING (w1, w2)),
+      c23 AS (
+        SELECT w2, w3, CAST(SUM(c123) AS BIGINT) AS c23
+        FROM c123 GROUP BY 1, 2),
+      m23 AS (
+        SELECT w2, w3, c23, c2h FROM c23 JOIN (
+          SELECT w2, CAST(SUM(c23) AS BIGINT) AS c2h
+          FROM c23 GROUP BY 1) h USING (w2)),
+      c3 AS (
+        SELECT w3, CAST(SUM(c23) AS BIGINT) AS c3 FROM c23 GROUP BY 1),
+      tot AS (
+        SELECT CAST(SUM(c3) AS BIGINT) AS t, COUNT(*) AS v1 FROM c3),
+      sc AS (
+        SELECT doc_id,
+          CASE WHEN m123.c123 IS NOT NULL
+                 THEN ${ln9("m123.c123")} - ${ln9("m123.c12h")}
+               WHEN m23.c23 IS NOT NULL
+                 THEN $Ln04_9 + ${ln9("m23.c23")} - ${ln9("m23.c2h")}
+               ELSE ${2 * Ln04_9} + ${ln9("COALESCE(c3.c3, 0) + 1")}
+                 - ${ln9("t + v1")} END AS lnp9,
+          CASE WHEN m123.c123 IS NOT NULL THEN 0
+               WHEN m23.c23 IS NOT NULL THEN 1 ELSE 2 END AS bo
+        FROM tri
+        LEFT JOIN m123 USING (w1, w2, w3)
+        LEFT JOIN m23 USING (w2, w3)
+        LEFT JOIN c3 USING (w3)
+        CROSS JOIN tot CROSS JOIN lnt
+        WHERE NOT is_train)
+      SELECT doc_id, COUNT(*) AS n_trigrams,
+        CAST(SUM(CASE WHEN bo = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff_bigram,
+        CAST(SUM(CASE WHEN bo = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff_unigram,
+        CAST(CAST(SUM(lnp9) AS BIGINT) AS DOUBLE) / COUNT(*) / 1e9 AS avg_logp
+      FROM sc GROUP BY doc_id ORDER BY doc_id"""
+      })
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint,
     rollingFingerprint, scrub, repetition, bigrams, entropy, chunk,
-    langConfusion, featHash, lmScore, winnow)
+    langConfusion, featHash, lmScore, winnow, lm3Heldout)
 }

@@ -44,4 +44,32 @@ class LmScoreSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
     assert(commonExpected > rareExpected)
   }
+
+  test("text_lm3_heldout scores only held-out docs and its backoff genuinely fires") {
+    import org.apache.spark.sql.functions._
+    val d = TestSpark.sfDir
+    val got = SparkEntry.queries("text_lm3_heldout")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // exactly the hash-split held-out docs with >= 3 tokens
+    val heldOut = Tables.documents(spark, d)
+      .select(col("doc_id"), operators.Sampling.splitCol(col("text")).as("sp"),
+        size(split(col("text"), " ")).as("n"))
+      .filter(col("sp") =!= "train" && col("n") >= 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet == heldOut,
+      "output docs must be exactly the held-out >=3-token set")
+    got.foreach { case (id, n, b1, b2, avg) =>
+      assert(b1 + b2 <= n, s"doc $id: backoff counts exceed positions")
+      assert(avg <= 0, s"doc $id: avg log-prob must be non-positive, got $avg")
+      assert(!avg.isNaN && !avg.isInfinite)
+    }
+    assert(got.map(_._5).min < 0, "no doc scored strictly below zero")
+    // the whole point of the held-out split: some trigram contexts are
+    // unseen (backoff fires), yet not all (the model has real hits)
+    val totalBo = got.map(t => t._3 + t._4).sum
+    val totalN = got.map(_._2).sum
+    assert(totalBo > 0, "backoff never fired — held-out split is broken")
+    assert(totalBo < totalN, "every position backed off — model learned nothing")
+  }
 }

@@ -13,9 +13,9 @@ class OperatorSpec extends AnyFunSuite {
   test("every registered query runs and matches its oracle declaration") {
     val qs = SparkEntry.queries
     // coverage floor: mass-deregistration of operators must fail loudly
-    // (116 queries / 109 oracles as of round 3)
-    assert(qs.size >= 116, s"only ${qs.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 109,
+    // (117 queries / 110 oracles as of round 3)
+    assert(qs.size >= 117, s"only ${qs.size} queries registered")
+    assert(SparkEntry.oracleSql.size >= 110,
       s"only ${SparkEntry.oracleSql.size} oracles declared")
     qs.foreach { case (name, fn) =>
       val df = fn(spark, d)
