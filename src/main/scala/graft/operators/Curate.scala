@@ -90,5 +90,35 @@ object Curate {
     ORDER BY d.doc_id"""
     })
 
-  val defs: Seq[QueryDef] = Seq(curate)
+  /** [[curate]] hardened with the model-based gate: the NB margin
+    * ([[Select.nbClassify]]) must CONFIRM the rule-based quality
+    * score — the fastText-filter composition every production corpus
+    * pipeline runs (rules prune the obvious, the classifier prunes
+    * what rules can't see). Keeps each surviving doc's margin so the
+    * downstream mixer can weight by classifier confidence.
+    *
+    * Scale: one extra doc_id equi-join over [[curate]]'s plan; the NB
+    * branch's model state is vocabulary-sized (see Select). The
+    * composed oracle joins the two independently hash-verified
+    * subquery oracles, so a drift in EITHER branch fails the gate.
+    */
+  val curateNb = QueryDef(
+    "pipeline_curate_nb",
+    (s, d) => {
+      val nb = Select.nbClassify.fn(s, d)
+        .select(col("doc_id"), col("nb_margin"), col("nb_pred"))
+      curate.fn(s, d)
+        .join(nb, Seq("doc_id"))
+        .filter(col("nb_pred"))
+        .select("doc_id", "predicted_lang", "quality_score", "nb_margin")
+    },
+    Some {
+      val curateSql = curate.oracle.get
+      val nbSql = Select.nbClassify.oracle.get
+      s"""SELECT c.doc_id, c.predicted_lang, c.quality_score, n.nb_margin
+    FROM ($curateSql) c JOIN ($nbSql) n ON n.doc_id = c.doc_id
+    WHERE n.nb_pred ORDER BY c.doc_id"""
+    })
+
+  val defs: Seq[QueryDef] = Seq(curate, curateNb)
 }

@@ -318,5 +318,66 @@ object Select {
         (CAST(SUM(lw9) AS DOUBLE) / COUNT(*)) / 1e9 AS mean_log_weight
       FROM w GROUP BY source ORDER BY source"""))
 
+  /** Batch-trained NB artifacts for external consumers (the streaming
+    * scorer): the token model `(tok, llr9)` and a one-row constants
+    * frame `(corr9, prior9)` such that
+    *
+    *   margin9(doc) = Σ_tok llr9(tok) + n_toks · corr9 + prior9
+    *
+    * — algebraically identical to [[nbClassify]]'s score (same count
+    * tables, same ln9big calls). An UNSEEN token's add-one
+    * contribution is ln(1/(T_p+V)) - ln(1/(T_n+V)) = corr9 exactly,
+    * so scoring any frame left-joins the model with llr9 defaulting
+    * to 0 and the n_toks·corr9 term covers OOV for free.
+    */
+  def nbArtifacts(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"),
+      (TextAnalysis.qualityScoreCol(col("text")) >= NbLabelTau).as("pos"),
+      split(col("text"), " ").as("ws"))
+    val toks = docs.select(col("doc_id"), col("pos"),
+      explode(col("ws")).as("tok"))
+    val model = toks.groupBy("tok")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("cn"))
+      .withColumn("llr9", ln9big(col("cp") + 1) - ln9big(col("cn") + 1))
+      .select("tok", "llr9")
+    val totals = toks.groupBy("tok")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("cn"))
+      .agg(sum(col("cp")).as("tp"), sum(col("cn")).as("tn"),
+        count(lit(1)).as("vsz"))
+    val priors = docs.agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("dp"),
+      sum(when(col("pos"), 0L).otherwise(1L)).as("dn"))
+    val consts = totals.crossJoin(priors).select(
+      (ln9big(col("tn") + col("vsz")) - ln9big(col("tp") + col("vsz")))
+        .as("corr9"),
+      (ln9big(col("dp")) - ln9big(col("dn"))).as("prior9"))
+    (model, consts)
+  }
+
+  /** Score any (doc_id, text) frame with [[nbArtifacts]] — stateless
+    * per row except the per-doc token reduce, so it runs unchanged on
+    * a micro-batch inside foreachBatch. OOV tokens ride the corr9
+    * term (see nbArtifacts).
+    */
+  def nbScoreWith(docs: org.apache.spark.sql.DataFrame,
+      model: org.apache.spark.sql.DataFrame,
+      consts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val score9 = col("s9") + col("n_toks") * col("corr9") + col("prior9")
+    toks.join(model, Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(coalesce(col("llr9"), lit(0L))).as("s9"))
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"), col("n_toks"),
+        (score9.cast(DoubleType) / 1e9).as("nb_margin"),
+        (score9 > 0).as("nb_pred"))
+  }
+
   val defs: Seq[QueryDef] = Seq(nbClassify, dsir, mixDsir)
 }
