@@ -101,33 +101,15 @@ object Select {
   val nbClassify = QueryDef(
     "classify_nb",
     (s, d) => {
-      val docs = Tables.documents(s, d).select(
-        col("doc_id"),
-        (TextAnalysis.qualityScoreCol(col("text")) >= NbLabelTau).as("pos"),
-        split(col("text"), " ").as("ws"))
-      val toks = docs.select(col("doc_id"), col("pos"),
-        explode(col("ws")).as("tok"))
-      val model = toks.groupBy("tok")
-        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
-          sum(when(col("pos"), 0L).otherwise(1L)).as("cn"))
-        .withColumn("llr9", ln9big(col("cp") + 1) - ln9big(col("cn") + 1))
-      val totals = model.agg(sum(col("cp")).as("tp"), sum(col("cn")).as("tn"),
-        count(lit(1)).as("vsz"))
-      val priors = docs.agg(
-        sum(when(col("pos"), 1L).otherwise(0L)).as("dp"),
-        sum(when(col("pos"), 0L).otherwise(1L)).as("dn"))
-      val score9 = col("s9") +
-        col("n_toks") * (ln9big(col("tn") + col("vsz")) -
-          ln9big(col("tp") + col("vsz"))) +
-        (ln9big(col("dp")) - ln9big(col("dn")))
-      toks.join(model.select("tok", "llr9"), "tok")
-        .groupBy("doc_id", "pos")
-        .agg(count(lit(1)).as("n_toks"), sum(col("llr9")).as("s9"))
-        .crossJoin(broadcast(totals))
-        .crossJoin(broadcast(priors))
-        .select(col("doc_id"), col("pos").as("quality_label"), col("n_toks"),
-          (score9.cast(DoubleType) / 1e9).as("nb_margin"),
-          (score9 > 0).as("nb_pred"))
+      // ONE training/scoring definition for the batch query and the
+      // streaming scorer: build the artifacts, score the corpus, join
+      // the training label back for the confusion contract.
+      val (model, consts) = nbArtifacts(s, d)
+      nbScoreWith(Tables.documents(s, d).select("doc_id", "text"),
+        model, consts)
+        .join(nbLabeled(s, d)
+          .select(col("doc_id"), col("pos").as("quality_label")), Seq("doc_id"))
+        .select("doc_id", "quality_label", "n_toks", "nb_margin", "nb_pred")
     },
     Some {
       val qsql = TextAnalysis.quality.oracle.get
@@ -158,7 +140,9 @@ object Select {
       fin AS (
         SELECT doc_id, pos AS quality_label, n_toks,
           s9 + n_toks * (${ln9bigSql("tn + vsz")} - ${ln9bigSql("tp + vsz")})
-            + (${ln9bigSql("dp")} - ${ln9bigSql("dn")}) AS score9
+            + (CASE WHEN dp > 0 AND dn > 0
+                 THEN ${ln9bigSql("dp")} - ${ln9bigSql("dn")}
+                 ELSE error('classify_nb: degenerate label split') END) AS score9
         FROM agg CROSS JOIN totals CROSS JOIN priors CROSS JOIN lnt)
       SELECT doc_id, quality_label, CAST(n_toks AS BIGINT) AS n_toks,
         CAST(score9 AS DOUBLE) / 1e9 AS nb_margin, score9 > 0 AS nb_pred
@@ -318,43 +302,56 @@ object Select {
         (CAST(SUM(lw9) AS DOUBLE) / COUNT(*)) / 1e9 AS mean_log_weight
       FROM w GROUP BY source ORDER BY source"""))
 
-  /** Batch-trained NB artifacts for external consumers (the streaming
-    * scorer): the token model `(tok, llr9)` and a one-row constants
-    * frame `(corr9, prior9)` such that
-    *
-    *   margin9(doc) = Σ_tok llr9(tok) + n_toks · corr9 + prior9
-    *
-    * — algebraically identical to [[nbClassify]]'s score (same count
-    * tables, same ln9big calls). An UNSEEN token's add-one
-    * contribution is ln(1/(T_p+V)) - ln(1/(T_n+V)) = corr9 exactly,
-    * so scoring any frame left-joins the model with llr9 defaulting
-    * to 0 and the n_toks·corr9 term covers OOV for free.
+  /** (doc_id, pos, ws) — the labeled training frame; the ONE site
+    * where the quality label is defined.
     */
-  def nbArtifacts(s: org.apache.spark.sql.SparkSession, d: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val docs = Tables.documents(s, d).select(
+  private def nbLabeled(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d).select(
       col("doc_id"),
       (TextAnalysis.qualityScoreCol(col("text")) >= NbLabelTau).as("pos"),
       split(col("text"), " ").as("ws"))
-    val toks = docs.select(col("doc_id"), col("pos"),
-      explode(col("ws")).as("tok"))
-    val model = toks.groupBy("tok")
+
+  /** Batch-trained NB artifacts — the single training definition
+    * behind [[nbClassify]] and the streaming scorer: the token model
+    * `(tok, llr9)` and a one-row constants frame `(corr9, prior9)`
+    * such that
+    *
+    *   margin9(doc) = Σ_tok llr9(tok) + n_toks · corr9 + prior9.
+    *
+    * An UNSEEN token's add-one contribution is
+    * ln(1/(T_p+V)) - ln(1/(T_n+V)) = corr9 exactly, so scoring any
+    * frame left-joins the model with llr9 defaulting to 0 and the
+    * n_toks·corr9 term covers OOV for free.
+    *
+    * A degenerate label split (every doc on one side of the gate)
+    * makes the prior ln(0) — rather than silently treating it as
+    * ln(1), the constants row RAISES, in both engines (raise_error
+    * here, error() in the oracle), surfacing the unlearnable split.
+    */
+  def nbArtifacts(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val docs = nbLabeled(s, d)
+    val counts = docs.select(col("pos"), explode(col("ws")).as("tok"))
+      .groupBy("tok")
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
         sum(when(col("pos"), 0L).otherwise(1L)).as("cn"))
+    val model = counts
       .withColumn("llr9", ln9big(col("cp") + 1) - ln9big(col("cn") + 1))
       .select("tok", "llr9")
-    val totals = toks.groupBy("tok")
-      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
-        sum(when(col("pos"), 0L).otherwise(1L)).as("cn"))
-      .agg(sum(col("cp")).as("tp"), sum(col("cn")).as("tn"),
-        count(lit(1)).as("vsz"))
+    val totals = counts.agg(sum(col("cp")).as("tp"), sum(col("cn")).as("tn"),
+      count(lit(1)).as("vsz"))
     val priors = docs.agg(
       sum(when(col("pos"), 1L).otherwise(0L)).as("dp"),
       sum(when(col("pos"), 0L).otherwise(1L)).as("dn"))
     val consts = totals.crossJoin(priors).select(
       (ln9big(col("tn") + col("vsz")) - ln9big(col("tp") + col("vsz")))
         .as("corr9"),
-      (ln9big(col("dp")) - ln9big(col("dn"))).as("prior9"))
+      when(col("dp") > 0 && col("dn") > 0,
+        ln9big(col("dp")) - ln9big(col("dn")))
+        .otherwise(raise_error(
+          lit("classify_nb: degenerate label split (one class is empty)"))
+          .cast(LongType)).as("prior9"))
     (model, consts)
   }
 

@@ -573,10 +573,17 @@ object Similarity {
     * REDUNDANCY, not just near-copies.
     *
     * A vector is pruned iff some same-cluster neighbor within SemTau
-    * has strictly lower cos_centroid (tie: lower vec_id) — the
-    * pairwise-greedy sweep, expressed as one anti-join instead of a
-    * sequential pass. All 500 vectors are emitted with their keep
-    * decision, like every *_keep operator.
+    * has strictly lower cos_centroid (tie: lower vec_id) — a
+    * DOMINANCE rule, one join round. Note this is deliberately more
+    * aggressive than a sequential keep-set sweep on similarity
+    * CHAINS: in a chain a~b~c (a,c dissimilar, cc(a)<cc(b)<cc(c)),
+    * b prunes c even though b is itself pruned by a — every non-
+    * minimal member of a chain goes. That is the right default for
+    * redundancy pruning (each pruned vector names a specific more-
+    * atypical tau-neighbor that covers it); when per-GROUP survivor
+    * semantics are wanted instead, [[dedupEmbeddingKeep]] is the
+    * connected-component keep next door. All 500 vectors are emitted
+    * with their keep decision, like every *_keep operator.
     *
     * Scale: the label blocking IS the k-means cell structure SemDeDup
     * runs at scale (the paper's clusters; `ann_ivf`'s trainer builds

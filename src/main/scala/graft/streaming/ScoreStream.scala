@@ -14,10 +14,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * and the one-row constants frame are ordinary DataFrames (from the
   * training session or re-read from storage), joined into each
   * micro-batch inside foreachBatch. No state store: scoring is
-  * deterministic per document, so a replayed batch rewrites byte-
-  * identical rows and the output is idempotent at the row level
-  * (consumers key by doc_id; at-least-once append, exactly-once
-  * effect).
+  * deterministic per document, and each batch OVERWRITES its own
+  * `batch=<id>` partition directory — a replayed batch replaces its
+  * previous (possibly partial) output with byte-identical rows, so
+  * the directory as a whole is exactly-once without any dedup burden
+  * on consumers (a bare append would duplicate rows on replay).
   *
   * At scale the per-batch join carries (tok, llr9) pairs — the
   * vocabulary, not the corpus. A production vocabulary (1e6-1e8
@@ -30,17 +31,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object ScoreStream {
 
   /** Score a streaming (doc_id, text) frame against the trained
-    * artifacts; margins append to `outDir` as
-    * (doc_id, n_toks, nb_margin, nb_pred).
+    * artifacts; margins land under `outDir/batch=<id>/` as
+    * (doc_id, n_toks, nb_margin, nb_pred) — read the root with
+    * partition discovery and the batch id comes along as a column.
     */
   def scoreStream(
       docs: DataFrame, model: DataFrame, consts: DataFrame,
       outDir: String, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Select.nbScoreWith(batch, model, consts)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

@@ -117,10 +117,12 @@ class SelectSpec extends AnyFunSuite {
     val a = draw(); val b = draw()
     assert(a.length == 100)
     assert(a.map(_._1).toSet == b.map(_._1).toSet, "draw is not rerun-stable")
-    // gumbel = key - lw must live in the u ∈ [1/2^20, 1) noise range
+    // gumbel = key - lw must live in the construction's range:
+    // u ∈ [1/2^20, 1) gives g ∈ (-ln ln 2^20, -ln(-ln(1 - 2^-20)))
+    // ≈ (-2.64, +13.86)
     a.foreach { case (id, lw, key) =>
       val g = key - lw
-      assert(g > -3.0 && g < 10.0, s"doc $id: gumbel part $g out of range")
+      assert(g > -3.0 && g < 14.0, s"doc $id: gumbel part $g out of range")
     }
     // importance steering: the 4 target sources hold 20% of the corpus
     // uniformly; the resample must overrepresent them decisively
