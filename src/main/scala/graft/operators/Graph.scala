@@ -101,5 +101,83 @@ object Graph {
     ORDER BY a, b, c"""
     }.get))
 
-  val defs: Seq[QueryDef] = Seq(triangles)
+  private val PrIters = 10
+  private val PrScale = 1000000000L // rank fixed-point: 1.0 = 1e9
+  private val PrTeleport9 = 150000000L // (1 - 0.85) * 1e9
+
+  /** [[pageRank]] body over an injectable pair graph — same seam as
+    * [[trianglesFrom]]. Fixed-point integer power iteration:
+    *
+    *   r_{k+1}(v) = 0.15·1e9 + Σ_{u~v} ((85·r_k(u)) div 100) div deg(u)
+    *
+    * Every step is integer multiply/floor-divide/sum on positives —
+    * bit-identical across engines and partitionings — so ranks
+    * hash-match an unrolled-CTE oracle exactly; no float tolerance,
+    * no convergence probe (fixed [[PrIters]] rounds, so the driver
+    * runs zero extra jobs, unlike CC's data-dependent loop).
+    */
+  private[graft] def pageRankFrom(pairsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val pairs = pairsIn.select("i", "j").localCheckpoint(true)
+    val edges = pairs.select(col("i").as("u"), col("j").as("v"))
+      .unionByName(pairs.select(col("j").as("u"), col("i").as("v")))
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+    val e = edges.join(deg, "u").localCheckpoint(true)
+    var ranks = e.select(col("u").as("node")).distinct()
+      .withColumn("rank9", lit(PrScale)).localCheckpoint(true)
+    for (_ <- 0 until PrIters) {
+      ranks = e.join(ranks, e("u") === ranks("node"))
+        .groupBy(col("v"))
+        .agg((lit(PrTeleport9) +
+          sum(expr("((85 * rank9) div 100) div deg"))).as("rank9"))
+        .select(col("v").as("node"), col("rank9"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node").as("doc_id"), col("rank9"),
+      (col("rank9").cast(DoubleType) / 1e9).as("rank"))
+  }
+
+  /** PageRank centrality over the near-dup pair graph — the canonical-
+    * document selector by AUTHORITY rather than min-id: within a dup
+    * cluster the highest-rank doc is the one most other dups point at
+    * through shared content, the natural "keep the original" choice
+    * when ids carry no meaning (min-id keep is arbitrary under
+    * re-sharding; rank is intrinsic to the graph). Undirected edges
+    * become both directions; 10 damped (0.85) power-iteration rounds
+    * in 1e-9 fixed point.
+    *
+    * Scale: each round is ONE edge⋈rank equi-join plus a node-keyed
+    * aggregate — the canonical distributed PageRank; state is the
+    * node-sized rank vector, localCheckpoint'd per round to truncate
+    * lineage (the CC discipline). Rounds are FIXED, so the whole query
+    * is 10 deterministic stages with no driver-side convergence jobs.
+    * Only docs in the pair graph rank (docs with no near-dups have no
+    * edges — rank them trivially 1.0 downstream if needed).
+    */
+  val pageRank = QueryDef(
+    "graph_pagerank",
+    (s, d) => pageRankFrom(Dedup.ngramJaccard.fn(s, d)),
+    Some(Dedup.ngramJaccard.oracle.map { jaccardSql =>
+      val inner = jaccardSql.replace("ORDER BY i, j", "")
+      val iters = (1 to PrIters).map { k =>
+        s"""r$k AS (
+        SELECT e.v AS node, CAST($PrTeleport9
+          + SUM(((85 * r${k - 1}.rank9) // 100) // e.deg) AS BIGINT) AS rank9
+        FROM e JOIN r${k - 1} ON r${k - 1}.node = e.u GROUP BY e.v)"""
+      }.mkString(",\n      ")
+      s"""WITH pairs AS ($inner),
+      edges AS (
+        SELECT i AS u, j AS v FROM pairs
+        UNION ALL SELECT j AS u, i AS v FROM pairs),
+      deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+      e AS (SELECT edges.u, edges.v, deg.deg FROM edges JOIN deg USING (u)),
+      r0 AS (
+        SELECT DISTINCT u AS node, CAST($PrScale AS BIGINT) AS rank9
+        FROM edges),
+      $iters
+    SELECT node AS doc_id, rank9, CAST(rank9 AS DOUBLE) / 1e9 AS rank
+    FROM r$PrIters ORDER BY doc_id"""
+    }.get))
+
+  val defs: Seq[QueryDef] = Seq(triangles, pageRank)
 }

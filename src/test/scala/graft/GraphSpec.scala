@@ -59,4 +59,28 @@ class GraphSpec extends AnyFunSuite {
     val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 4L))
     assert(trianglesOf(g) == Set((1L, 2L, 3L), (2L, 3L, 4L)))
   }
+
+  test("pagerank matches a sequential fixed-point reference and respects symmetry") {
+    // path graph 1-2-3: ends are symmetric, center accumulates more
+    val g = Seq((1L, 2L), (2L, 3L))
+    val got = Graph.pageRankFrom(pairsDf(g))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // independent sequential reference of the same fixed-point recurrence
+    val edges = g.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = deg.keys.map(_ -> 1000000000L).toMap
+    for (_ <- 0 until 10) {
+      rank = edges.groupBy(_._2).map { case (v, es) =>
+        v -> (150000000L + es.map { case (u, _) =>
+          (85L * rank(u) / 100) / deg(u)
+        }.sum)
+      }
+    }
+    assert(got == rank, s"engine $got != reference $rank")
+    assert(got(1L) == got(3L), "symmetric path ends must rank equally")
+    assert(got(2L) > got(1L), "path center must outrank the ends")
+    // damped mass stays under the initial total (floor-divisions leak)
+    assert(got.values.sum <= 3L * 1000000000L)
+  }
 }
