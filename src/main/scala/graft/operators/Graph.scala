@@ -179,5 +179,56 @@ object Graph {
     FROM r$PrIters ORDER BY doc_id"""
     }.get))
 
-  val defs: Seq[QueryDef] = Seq(triangles, pageRank)
+  /** [[keepRank]] body over an injectable pair graph. The pairs are
+    * checkpointed ONCE and feed both the CC labeling and the rank
+    * loop — neither recomputes the jaccard blocking join.
+    */
+  private[graft] def keepRankFrom(pairsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = pairsIn.select("i", "j").localCheckpoint(true)
+    val cc = Dedup.clusterKeepFrom(pairs)
+      .select(col("doc_id"), col("canonical_id").as("cluster_id"))
+    val pr = pageRankFrom(pairs).select(col("doc_id"), col("rank9"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("rank9").desc, col("doc_id"))
+    cc.join(pr, "doc_id")
+      .withColumn("keep_rank", row_number().over(w) === 1)
+      .select("doc_id", "cluster_id", "rank9", "keep_rank")
+  }
+
+  /** Authority-based canonical selection — [[pageRank]]'s consumer:
+    * connected components give the cluster, PageRank picks its
+    * survivor (max rank, tie min id) instead of `dedup_cluster_keep`'s
+    * arbitrary min-id. Within a near-dup cluster the rank-max doc is
+    * the one sharing content with the most other members — the best
+    * "original" proxy the graph alone can give.
+    *
+    * Plan: ONE checkpointed pair graph feeds both loops (CC labels +
+    * 10 rank rounds); the keep decision is a single window over the
+    * cluster key (one exchange). The oracle recomputes both from
+    * their independently verified SQL and re-derives the argmax with
+    * the identical (rank9 DESC, doc_id) total order — longs, so no
+    * tie ambiguity cross-engine.
+    */
+  val keepRank = QueryDef(
+    "dedup_keep_rank",
+    (s, d) => keepRankFrom(Dedup.ngramJaccard.fn(s, d)),
+    Some {
+      val ckSql = Dedup.clusterKeep.oracle.get
+      val prSql = pageRank.oracle.get
+      s"""WITH ck AS (
+        SELECT doc_id, canonical_id AS cluster_id FROM ($ckSql)),
+      pr AS (SELECT doc_id, rank9 FROM ($prSql)),
+      j AS (
+        SELECT ck.doc_id, ck.cluster_id, pr.rank9
+        FROM ck JOIN pr ON pr.doc_id = ck.doc_id),
+      best AS (
+        SELECT cluster_id, doc_id AS best_id FROM j
+        QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY cluster_id ORDER BY rank9 DESC, doc_id) = 1)
+    SELECT j.doc_id, j.cluster_id, j.rank9, j.doc_id = b.best_id AS keep_rank
+    FROM j JOIN best b USING (cluster_id) ORDER BY j.doc_id"""
+    })
+
+  val defs: Seq[QueryDef] = Seq(triangles, pageRank, keepRank)
 }

@@ -83,4 +83,22 @@ class GraphSpec extends AnyFunSuite {
     // damped mass stays under the initial total (floor-divisions leak)
     assert(got.values.sum <= 3L * 1000000000L)
   }
+
+  test("keep_rank keeps exactly one rank-max doc per cluster") {
+    // two clusters: a 3-path (center 2 must win) and a pair (4,5)
+    val g = Seq((1L, 2L), (2L, 3L), (4L, 5L))
+    val rows = Graph.keepRankFrom(pairsDf(g))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.length == 5)
+    val byCluster = rows.groupBy(_._2)
+    assert(byCluster.size == 2)
+    byCluster.foreach { case (c, members) =>
+      val kept = members.filter(_._4)
+      assert(kept.length == 1, s"cluster $c kept ${kept.length} docs")
+      assert(kept.head._3 == members.map(_._3).max,
+        s"cluster $c: kept doc is not rank-max")
+    }
+    // the path's center outranks its ends and survives
+    assert(rows.find(_._1 == 2L).get._4, "path center must be the canonical")
+  }
 }

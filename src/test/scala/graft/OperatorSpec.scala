@@ -13,9 +13,9 @@ class OperatorSpec extends AnyFunSuite {
   test("every registered query runs and matches its oracle declaration") {
     val qs = SparkEntry.queries
     // coverage floor: mass-deregistration of operators must fail loudly
-    // (119 queries / 112 oracles as of round 3)
-    assert(qs.size >= 119, s"only ${qs.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 112,
+    // (120 queries / 113 oracles as of round 3)
+    assert(qs.size >= 120, s"only ${qs.size} queries registered")
+    assert(SparkEntry.oracleSql.size >= 113,
       s"only ${SparkEntry.oracleSql.size} oracles declared")
     qs.foreach { case (name, fn) =>
       val df = fn(spark, d)
