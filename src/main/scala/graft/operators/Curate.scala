@@ -102,16 +102,23 @@ object Curate {
     * composed oracle joins the two independently hash-verified
     * subquery oracles, so a drift in EITHER branch fails the gate.
     */
+  /** [[curateNb]] body over an injectable keep-decision frame — the
+    * [[Shared]] seam, exactly as [[curateFrom]].
+    */
+  private[operators] def curateNbFrom(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      dupsIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nb = Select.nbClassify.fn(s, d)
+      .select(col("doc_id"), col("nb_margin"), col("nb_pred"))
+    curateFrom(s, d, dupsIn)
+      .join(nb, Seq("doc_id"))
+      .filter(col("nb_pred"))
+      .select("doc_id", "predicted_lang", "quality_score", "nb_margin")
+  }
+
   val curateNb = QueryDef(
     "pipeline_curate_nb",
-    (s, d) => {
-      val nb = Select.nbClassify.fn(s, d)
-        .select(col("doc_id"), col("nb_margin"), col("nb_pred"))
-      curate.fn(s, d)
-        .join(nb, Seq("doc_id"))
-        .filter(col("nb_pred"))
-        .select("doc_id", "predicted_lang", "quality_score", "nb_margin")
-    },
+    (s, d) => curateNbFrom(s, d, Dedup.clusterKeep.fn(s, d)),
     Some {
       val curateSql = curate.oracle.get
       val nbSql = Select.nbClassify.oracle.get

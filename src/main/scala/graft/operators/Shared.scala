@@ -53,6 +53,11 @@ object Shared {
       */
     def curated: DataFrame = Curate.curateFrom(spark, sfDir, clusterKeep)
 
+    /** NB-gated curation over the cached pairs — same result as the
+      * registered `pipeline_curate_nb` (spec-asserted).
+      */
+    def curatedNb: DataFrame = Curate.curateNbFrom(spark, sfDir, clusterKeep)
+
     /** Triangle cluster-quality diagnostic over the cached pairs —
       * same result as the registered `graph_triangles` (spec-asserted).
       */

@@ -30,6 +30,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object ScoreStream {
 
+  /** One micro-batch's write — overwrite of its own partition dir, so
+    * calling it again with the same batchId (a replay) REPLACES the
+    * previous output instead of duplicating it (idempotence is
+    * spec-proven by invoking this twice).
+    */
+  def scoreBatch(batch: DataFrame, model: DataFrame, consts: DataFrame,
+      outDir: String, batchId: Long): Unit =
+    graft.operators.Select.nbScoreWith(batch, model, consts)
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+
   /** Score a streaming (doc_id, text) frame against the trained
     * artifacts; margins land under `outDir/batch=<id>/` as
     * (doc_id, n_toks, nb_margin, nb_pred) — read the root with
@@ -41,8 +51,7 @@ object ScoreStream {
       trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Select.nbScoreWith(batch, model, consts)
-          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        scoreBatch(batch, model, consts, outDir, batchId)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

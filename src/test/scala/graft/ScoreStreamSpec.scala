@@ -58,4 +58,25 @@ class ScoreStreamSpec extends AnyFunSuite {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("a replayed batch replaces its output instead of duplicating it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_score2").toString
+    try {
+      val (model, consts) = operators.Select.nbArtifacts(spark, d)
+      val batch = Tables.documents(spark, d).select("doc_id", "text").limit(3)
+      streaming.ScoreStream.scoreBatch(batch, model, consts, s"$dir/out", 7L)
+      val first = spark.read.parquet(s"$dir/out")
+        .select("doc_id", "nb_margin").as[(Long, Double)].collect().sorted
+      // the replay: same batch id, same data
+      streaming.ScoreStream.scoreBatch(batch, model, consts, s"$dir/out", 7L)
+      val second = spark.read.parquet(s"$dir/out")
+        .select("doc_id", "nb_margin").as[(Long, Double)].collect().sorted
+      assert(second.length == 3, s"replay duplicated rows: ${second.length}")
+      assert(first.toSeq == second.toSeq)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }

@@ -24,6 +24,11 @@ class SharedPairsSpec extends AnyFunSuite {
       val triFresh = SparkEntry.queries("graph_triangles")(spark, d)
         .collect().map(_.toSeq).toSet
       assert(triShared == triFresh)
+
+      val curNbShared = sh.curatedNb.collect().map(_.toSeq).toSet
+      val curNbFresh = SparkEntry.queries("pipeline_curate_nb")(spark, d)
+        .collect().map(_.toSeq).toSet
+      assert(curNbShared == curNbFresh)
     } finally sh.release()
   }
 
