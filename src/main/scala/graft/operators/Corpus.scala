@@ -362,6 +362,87 @@ object Corpus {
         (est_distinct_train + est_distinct_valid - est_intersection)) / 1e6 AS est_jaccard
     FROM e"""))
 
+  private val PmiMinPair = 5
+  private val PmiTopK = 50
+
+  /** Pointwise-mutual-information collocation mining — the phrase /
+    * multi-word-expression discovery pass that feeds tokenizer-vocab
+    * curation (which adjacent pairs deserve a single token) and
+    * boilerplate diagnostics (template phrases surface as high-count
+    * low-PMI pairs). For adjacent pair (a,b):
+    *
+    *   PMI = ln p(a,b) - ln p(a) - ln p(b)
+    *       = ln c_ab - ln NB - ln c_a - ln c_b + 2 ln N
+    *
+    * with c from the unigram stream (N tokens) and c_ab from the
+    * adjacent-pair stream (NB = N - n_docs pairs). Every ln input is
+    * an integer count, so the whole score runs through [[Select
+    * .ln9big]] — exact integer arithmetic end-to-end, hash-matched
+    * against the DuckDB oracle computing the identical table lookup.
+    * Pairs below [[PmiMinPair]] occurrences are dropped (classic MI
+    * noise floor: hapax pairs otherwise dominate the ranking).
+    *
+    * Shape: two map-combined count aggregates (vocabulary- and
+    * pair-vocabulary-sized exchanges — corpus-vocab, not corpus-size);
+    * two equi-joins of the pair table against the unigram table; the
+    * two global totals ride broadcast single-row cross joins; the
+    * final top-k is TakeOrdered (per-partition heaps, no full sort).
+    * Nothing in the plan scales with corpus row count except the two
+    * initial scans.
+    */
+  val pmi = QueryDef(
+    "text_pmi",
+    (s, d) => {
+      val ws = split(col("text"), " ")
+      val docs = Tables.documents(s, d).select(ws.as("ws"))
+      val uni = docs.select(explode(col("ws")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val pairs = docs.select(explode(arrays_zip(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1))).as("p"))
+        .select(col("p")("0").as("a"), col("p")("1").as("b"))
+      val big0 = pairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      val tot = uni.agg(sum(col("c")).as("n"))
+      val btot = big0.agg(sum(col("cab")).as("nb"))
+      import Select.ln9big
+      big0.filter(col("cab") >= PmiMinPair)
+        .join(uni.toDF("a", "ca"), "a")
+        .join(uni.toDF("b", "cb"), "b")
+        .crossJoin(broadcast(tot))
+        .crossJoin(broadcast(btot))
+        .withColumn("pmi_e9",
+          ln9big(col("cab")) + lit(2L) * ln9big(col("n")) -
+            ln9big(col("nb")) - ln9big(col("ca")) - ln9big(col("cb")))
+        .select(concat_ws(" ", col("a"), col("b")).as("bigram"),
+          col("cab").as("n_pair"), col("pmi_e9"))
+        .orderBy(col("pmi_e9").desc, col("bigram"))
+        .limit(PmiTopK)
+    },
+    Some {
+      import Select.{ln9bigSql, lntCte}
+      s"""WITH $lntCte,
+      toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+      pairs AS (
+        SELECT ws[i] AS a, ws[i+1] AS b
+        FROM (SELECT string_split(text, ' ') AS ws FROM documents),
+             LATERAL (SELECT unnest(range(1, len(ws)))) t(i)),
+      big0 AS (SELECT a, b, COUNT(*) AS cab FROM pairs GROUP BY a, b),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+      btot AS (SELECT CAST(SUM(cab) AS BIGINT) AS nb FROM big0),
+      scored AS (
+        SELECT a || ' ' || b AS bigram, cab AS n_pair,
+          ${ln9bigSql("cab")} + 2 * ${ln9bigSql("n")} - ${ln9bigSql("nb")}
+            - ${ln9bigSql("ua.c")} - ${ln9bigSql("ub.c")} AS pmi_e9
+        FROM big0
+        JOIN uni ua ON ua.tok = a
+        JOIN uni ub ON ub.tok = b
+        CROSS JOIN tot CROSS JOIN btot CROSS JOIN lnt
+        WHERE cab >= $PmiMinPair)
+      SELECT bigram, n_pair, pmi_e9 FROM scored
+      ORDER BY pmi_e9 DESC, bigram LIMIT $PmiTopK"""
+    })
+
   val defs: Seq[QueryDef] = Seq(segmentDedup, vocabOov, corpusStats, heavyHitters,
-    tfidf, overlapSketch)
+    tfidf, overlapSketch, pmi)
 }
