@@ -49,6 +49,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => functions.GraftFunctions.ln9Builder(exprs)))
     e.injectPlannerStrategy(_ => plans.TopKStrategy)
     e.injectPlannerStrategy(_ => plans.AsofJoinStrategy)
+    e.injectPlannerStrategy(_ => plans.RangeJoinStrategy)
     // operator-optimization batch: fires on the clean Filter-over-
     // Window shape, before Spark's own InferWindowGroupLimit
     e.injectOptimizerRule(_ => plans.InferTopKPerKey)

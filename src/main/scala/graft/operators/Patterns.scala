@@ -180,6 +180,47 @@ object Patterns {
     FROM weeks JOIN iv ON week BETWEEN w0 AND w1
     GROUP BY week ORDER BY week"""))
 
+  /** The interval-overlap query again, through graft's custom
+    * broadcast interval-stab operator ([[graft.plans.RangeJoin]]) —
+    * the C11/C11b pairing applied to C32: same family, no bounded-
+    * interval-length assumption. Audit scenario: the 20 highest-value
+    * orders define 30-day audit windows; count (and sum quantity of)
+    * ALL corpus ship events falling inside each window. The window
+    * side is a global top-k (TakeOrdered) of at most 20 rows — the
+    * legitimate broadcast build; the lineitem probe side never
+    * shuffles before the final 20-group aggregate. The oracle spells
+    * the raw BETWEEN range join, proving the operator's hit set
+    * exactly; overlapping audit windows double-count by design (each
+    * window reports its own activity).
+    */
+  val rangeJoinCustom = QueryDef(
+    "q_range_join_custom",
+    (s, d) => {
+      val AuditK = 20
+      val oday = s"(unix_millis(cast(o_orderdate as timestamp)) div $DayMs)"
+      val sday = s"(unix_millis(cast(l_shipdate as timestamp)) div $DayMs)"
+      val audits = Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(AuditK)
+        .select(col("o_orderkey"), expr(oday).as("d0"))
+      val ships = Tables.lineitem(s, d)
+        .select(expr(sday).as("d"), col("l_quantity"))
+      graft.plans.GraftOps.rangeJoin(ships, audits,
+          col("d"), col("d0"), col("d0") + lit(29))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_shipped"),
+          graft.Det.sumd(col("l_quantity")).as("qty_shipped"))
+    },
+    Some(s"""WITH audits AS (
+      SELECT o_orderkey, epoch_ms(o_orderdate) // $DayMs AS d0
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20),
+    ships AS (
+      SELECT epoch_ms(l_shipdate) // $DayMs AS d, l_quantity FROM lineitem)
+    SELECT o_orderkey, COUNT(*) AS n_shipped,
+      ${graft.Det.dsum("l_quantity")} AS qty_shipped
+    FROM audits JOIN ships ON d BETWEEN d0 AND d0 + 29
+    GROUP BY o_orderkey ORDER BY o_orderkey"""))
+
   /** Cohort retention matrix — the product-analytics staple next to
     * the funnel: users cohorted by first-active week, then for each
     * (cohort_week, week_offset) the count of still-active users.
@@ -213,5 +254,6 @@ object Patterns {
     FROM act a JOIN cohorts c USING (user_id)
     GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  val defs: Seq[QueryDef] = Seq(funnel, patternMatch, rangeJoin, retention)
+  val defs: Seq[QueryDef] = Seq(funnel, patternMatch, rangeJoin,
+    rangeJoinCustom, retention)
 }

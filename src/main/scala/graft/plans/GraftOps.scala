@@ -16,6 +16,7 @@ object GraftOps {
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     Bridge.addStrategy(spark, TopKStrategy)
     Bridge.addStrategy(spark, AsofJoinStrategy)
+    Bridge.addStrategy(spark, RangeJoinStrategy)
     Bridge.addOptimization(spark, InferTopKPerKey)
   }
 
@@ -88,5 +89,28 @@ object GraftOps {
       Bridge.eagerExpression(rightTime.cast("long")),
       Bridge.logicalPlan(left),
       Bridge.logicalPlan(right)))
+  }
+
+  /** Interval-stab join (inner): for each `points` row, every
+    * `intervals` row whose [start, end] contains `point` (inclusive).
+    * The interval side is broadcast and probed by binary search —
+    * O(log m + hits) per probe instead of the BroadcastNestedLoopJoin
+    * full scan a raw BETWEEN predicate plans to, with no bounded-
+    * interval-length assumption (unlike the bin-explode rewrite).
+    * See [[RangeJoin]] for NULL/empty-interval semantics.
+    *
+    * `points` and `intervals` must not share attribute lineage;
+    * `point`/`start`/`end` are cast to LongType.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+      point: Column, start: Column, end: Column): DataFrame = {
+    val spark = points.sparkSession
+    Bridge.addStrategy(spark, RangeJoinStrategy)
+    Bridge.ofRows(spark, RangeJoin(
+      Bridge.eagerExpression(point.cast("long")),
+      Bridge.eagerExpression(start.cast("long")),
+      Bridge.eagerExpression(end.cast("long")),
+      Bridge.logicalPlan(points),
+      Bridge.logicalPlan(intervals)))
   }
 }
