@@ -27,7 +27,7 @@ object SparkEntry {
         operators.Sampling.defs ++ operators.Curate.defs ++
         operators.Contamination.defs ++ operators.Corpus.defs ++
         operators.Patterns.defs ++ operators.Bpe.defs ++ operators.Graph.defs ++
-        operators.Substring.defs ++ operators.Select.defs
+        operators.Substring.defs ++ operators.Select.defs ++ operators.Tpch.defs
     val dupes = defs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupes.isEmpty,
       s"duplicate query names would silently shadow operators: ${dupes.mkString(", ")}")

@@ -111,10 +111,20 @@ object Select {
           .select(col("doc_id"), col("pos").as("quality_label")), Seq("doc_id"))
         .select("doc_id", "quality_label", "n_toks", "nb_margin", "nb_pred")
     },
-    Some {
-      val qsql = TextAnalysis.quality.oracle.get
-      s"""WITH $lntCte,
-      lab AS (SELECT doc_id, quality_score >= $NbLabelTau AS pos FROM ($qsql)),
+    Some(nbOracleSql(
+      s"SELECT doc_id, quality_score >= $NbLabelTau AS pos " +
+        s"FROM (${TextAnalysis.quality.oracle.get})",
+      "quality_label")))
+
+  /** DuckDB mirror of train-then-score NB for any label CTE producing
+    * `(doc_id, pos)` — the single SQL definition behind both the
+    * self-bootstrap ([[nbClassify]]) and external-label
+    * ([[nbClassifyLang]]) oracles, so the two cannot drift on the
+    * model arithmetic.
+    */
+  private def nbOracleSql(labSql: String, labelCol: String): String =
+    s"""WITH $lntCte,
+      lab AS ($labSql),
       toks AS (
         SELECT d.doc_id, lab.pos, unnest(string_split(d.text, ' ')) AS tok
         FROM documents d JOIN lab ON lab.doc_id = d.doc_id),
@@ -138,16 +148,42 @@ object Select {
         SELECT doc_id, pos, COUNT(*) AS n_toks, CAST(SUM(llr9) AS BIGINT) AS s9
         FROM toks JOIN model2 USING (tok) GROUP BY doc_id, pos),
       fin AS (
-        SELECT doc_id, pos AS quality_label, n_toks,
+        SELECT doc_id, pos AS $labelCol, n_toks,
           s9 + n_toks * (${ln9bigSql("tn + vsz")} - ${ln9bigSql("tp + vsz")})
             + (CASE WHEN dp > 0 AND dn > 0
                  THEN ${ln9bigSql("dp")} - ${ln9bigSql("dn")}
                  ELSE error('classify_nb: degenerate label split') END) AS score9
         FROM agg CROSS JOIN totals CROSS JOIN priors CROSS JOIN lnt)
-      SELECT doc_id, quality_label, CAST(n_toks AS BIGINT) AS n_toks,
+      SELECT doc_id, $labelCol, CAST(n_toks AS BIGINT) AS n_toks,
         CAST(score9 AS DOUBLE) / 1e9 AS nb_margin, score9 > 0 AS nb_pred
       FROM fin ORDER BY doc_id"""
-    })
+
+  /** The external-label NB (SURVEY §8's remaining selection
+    * extension): identical train-then-score plan to [[nbClassify]],
+    * but supervised by a CURATED label column — here `lang = 'en'`,
+    * standing in for the production curated-quality table (wiki/books
+    * positives in the CCNet/GPT-3 recipe). Only the label join
+    * differs; the model arithmetic, the vocabulary-sized exchange, and
+    * the OOV-via-corr9 scoring are shared code ([[nbArtifactsFor]] /
+    * [[nbScoreWith]]), so a fix to either classifier reaches both.
+    * The output keeps the training label alongside the prediction —
+    * the confusion matrix is one GROUP BY downstream.
+    */
+  val nbClassifyLang = QueryDef(
+    "classify_nb_labeled",
+    (s, d) => {
+      val labeled = Tables.documents(s, d).select(
+        col("doc_id"), (col("lang") === "en").as("pos"),
+        split(col("text"), " ").as("ws"))
+      val (model, consts) = nbArtifactsFor(labeled)
+      nbScoreWith(Tables.documents(s, d).select("doc_id", "text"),
+        model, consts)
+        .join(labeled.select(col("doc_id"), col("pos").as("lang_label")),
+          Seq("doc_id"))
+        .select("doc_id", "lang_label", "n_toks", "nb_margin", "nb_pred")
+    },
+    Some(nbOracleSql(
+      "SELECT doc_id, lang = 'en' AS pos FROM documents", "lang_label")))
 
   private val DsirB = 1024 // hashed-feature buckets
   private val DsirK = 100 // resample size
@@ -330,8 +366,15 @@ object Select {
     * here, error() in the oracle), surfacing the unlearnable split.
     */
   def nbArtifacts(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    nbArtifactsFor(nbLabeled(s, d))
+
+  /** Train the NB artifacts from ANY labeled frame `(doc_id, pos,
+    * ws)` — the label source (self-bootstrap gate, curated table,
+    * lang column) is the caller's choice; the model arithmetic is not.
+    */
+  def nbArtifactsFor(docs: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val docs = nbLabeled(s, d)
     val counts = docs.select(col("pos"), explode(col("ws")).as("tok"))
       .groupBy("tok")
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
@@ -376,5 +419,5 @@ object Select {
         (score9 > 0).as("nb_pred"))
   }
 
-  val defs: Seq[QueryDef] = Seq(nbClassify, dsir, mixDsir)
+  val defs: Seq[QueryDef] = Seq(nbClassify, nbClassifyLang, dsir, mixDsir)
 }

@@ -267,6 +267,142 @@ object Temporal {
       lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS valid_to
     FROM changes ORDER BY user_id, valid_from, state"""))
 
+  /** Nearest-event temporal join: for every purchase, the click by
+    * the same user closest in time in EITHER direction (backward as-of
+    * is [[asofJoin]]; "nearest" is what feature pipelines usually mean
+    * by "the sensor reading at this event"). Equidistant ties take the
+    * earlier click.
+    *
+    * Same distributed shape as the as-of join — union the tagged
+    * sides, ONE shuffle on user_id, then two window passes over the
+    * same sort (backward `last` / forward `first`, so Catalyst runs
+    * both in a single Window operator): no range join, no per-row
+    * probe, no second exchange. A same-millisecond click reaches the
+    * backward frame (tag 0 sorts first) at distance 0, which beats or
+    * ties anything forward, so the forward frame being same-ms-
+    * exclusive is immaterial.
+    */
+  val asofNearest = QueryDef(
+    "q_asof_nearest",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), tsMs.as("ms"))
+        .agg(max(col("event_id")).as("click_event_id"))
+        .select(col("user_id"), col("ms"), lit(0).as("tag"),
+          col("click_event_id"), lit(null).cast(LongType).as("purchase_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), tsMs.as("ms"), lit(1).as("tag"),
+          lit(null).cast(LongType).as("click_event_id"),
+          col("event_id").as("purchase_id"))
+      val ord = Window.partitionBy("user_id").orderBy(col("ms"), col("tag"))
+      val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val clickMs = when(col("tag") === 0, col("ms"))
+      val unioned = clicks.unionByName(purchases)
+        .withColumn("prev_id", last(col("click_event_id"), ignoreNulls = true).over(wb))
+        .withColumn("prev_ms", last(clickMs, ignoreNulls = true).over(wb))
+        .withColumn("next_id", first(col("click_event_id"), ignoreNulls = true).over(wf))
+        .withColumn("next_ms", first(clickMs, ignoreNulls = true).over(wf))
+        .filter(col("tag") === 1)
+      val takePrev = col("next_ms").isNull ||
+        (col("prev_ms").isNotNull &&
+          (col("ms") - col("prev_ms")) <= (col("next_ms") - col("ms")))
+      unioned.select(col("purchase_id"), col("user_id"), col("ms"),
+        when(takePrev, col("prev_id")).otherwise(col("next_id")).as("nearest_click_id"),
+        when(takePrev, col("ms") - col("prev_ms"))
+          .otherwise(col("next_ms") - col("ms")).as("dist_ms"))
+    },
+    Some("""WITH clicks AS (
+      SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+             max(event_id) AS click_event_id
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id,
+             epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+      FROM events WHERE event_type = 'purchase'),
+    twoside AS (
+      SELECT p.purchase_id, p.user_id, p.ms,
+        b.click_event_id AS prev_id, b.ms AS prev_ms,
+        f.click_event_id AS next_id, f.ms AS next_ms
+      FROM purchases p
+      ASOF LEFT JOIN clicks b ON p.user_id = b.user_id AND p.ms >= b.ms
+      ASOF LEFT JOIN clicks f ON p.user_id = f.user_id AND p.ms <= f.ms)
+    SELECT purchase_id, user_id, ms,
+      CASE WHEN next_ms IS NULL
+             OR (prev_ms IS NOT NULL AND ms - prev_ms <= next_ms - ms)
+           THEN prev_id ELSE next_id END AS nearest_click_id,
+      CASE WHEN next_ms IS NULL
+             OR (prev_ms IS NOT NULL AND ms - prev_ms <= next_ms - ms)
+           THEN ms - prev_ms ELSE next_ms - ms END AS dist_ms
+    FROM twoside ORDER BY purchase_id"""))
+
+  /** Linear interpolation over the hourly grid — the smooth
+    * complement of [[fillForward]] (sensor/metric resampling feeds
+    * model features interpolated, not stepped). Same grid build and
+    * the SAME single user_id shuffle; the previous/next observed
+    * (hour, value) pairs come from one backward + one forward window
+    * pass over one sort. Grid rows span exactly the observed range
+    * per user, so interior gaps always have both anchors — no edge
+    * extrapolation path. The per-row arithmetic is one fixed-shape
+    * IEEE expression (identical parse in DuckDB), so results
+    * hash-match bit-exactly with no quantization step.
+    */
+  val interpolate = QueryDef(
+    "ts_interp",
+    (s, d) => {
+      val HourNs = 3600L * 1000 * 1000 * 1000
+      val hourly = Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts div $HourNs").as("hour"), col("value"))
+        .groupBy("user_id", "hour").agg(max(col("value")).as("v"))
+      val grid = hourly.groupBy("user_id")
+        .agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
+        .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("hour"))
+      val ord = Window.partitionBy("user_id").orderBy("hour")
+      val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsHour = when(col("v").isNotNull, col("hour"))
+      grid.join(hourly, Seq("user_id", "hour"), "left")
+        .withColumn("ph", last(obsHour, ignoreNulls = true).over(wb))
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wb))
+        .withColumn("nh", first(obsHour, ignoreNulls = true).over(wf))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wf))
+        .select(col("user_id"), col("hour"),
+          when(col("v").isNotNull, col("v"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              ((col("hour") - col("ph")).cast(DoubleType) /
+                (col("nh") - col("ph")).cast(DoubleType)))
+            .as("interp_value"),
+          col("v").isNotNull.as("is_observed"))
+    },
+    Some("""WITH hourly AS (
+      SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000 AS hour,
+             MAX(value) AS v
+      FROM events GROUP BY 1, 2),
+    grid AS (
+      SELECT user_id, unnest(range(MIN(hour), MAX(hour) + 1)) AS hour
+      FROM hourly GROUP BY user_id),
+    anchored AS (
+      SELECT g.user_id, g.hour, h.v,
+        last_value(CASE WHEN h.v IS NOT NULL THEN g.hour END IGNORE NULLS) OVER (
+          PARTITION BY g.user_id ORDER BY g.hour ROWS UNBOUNDED PRECEDING) AS ph,
+        last_value(h.v IGNORE NULLS) OVER (
+          PARTITION BY g.user_id ORDER BY g.hour ROWS UNBOUNDED PRECEDING) AS pv,
+        first_value(CASE WHEN h.v IS NOT NULL THEN g.hour END IGNORE NULLS) OVER (
+          PARTITION BY g.user_id ORDER BY g.hour
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh,
+        first_value(h.v IGNORE NULLS) OVER (
+          PARTITION BY g.user_id ORDER BY g.hour
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+      FROM grid g LEFT JOIN hourly h
+        ON g.user_id = h.user_id AND g.hour = h.hour)
+    SELECT user_id, hour,
+      CASE WHEN v IS NOT NULL THEN v
+           ELSE pv + (nv - pv) * (CAST(hour - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+      END AS interp_value,
+      v IS NOT NULL AS is_observed
+    FROM anchored"""))
+
   val defs: Seq[QueryDef] = Seq(asofJoin, asofJoinCustom, sessionize, fillForward,
-    ohlcResample, scd2)
+    ohlcResample, scd2, asofNearest, interpolate)
 }

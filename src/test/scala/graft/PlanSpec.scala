@@ -278,4 +278,32 @@ class PlanSpec extends AnyFunSuite {
       }.nonEmpty, s"BNL build side must be the one-row aggregate:\n$j")
     }
   }
+
+  test("q4's EXISTS decorrelates to a semi join with the lag as residual") {
+    val p = plan("q4_order_priority")
+    assert(p.contains("LeftSemi"), s"q4 should plan a left-semi join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q4's residual date lag must ride the equi-join, not a loop join:\n$p")
+  }
+
+  test("q10/q18 broadcast dimensions and take top-k via ordered limit") {
+    for (q <- Seq("q10_returned_items", "q18_large_orders")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q should broadcast customer:\n$p")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q's LIMIT must plan as per-partition heaps, not a global sort:\n$p")
+    }
+  }
+
+  test("q15 broadcasts the one-row max revenue; q17's part filter prunes below both aggregates") {
+    val p15 = plan("q15_top_supplier")
+    assert(p15.contains("BroadcastNestedLoopJoin") || p15.contains("BroadcastHashJoin"),
+      s"q15's scalar max must broadcast:\n$p15")
+    assert(!p15.contains("CartesianProduct"), p15)
+    val p17 = plan("q17_small_qty_revenue")
+    // the brand filter must reach the part scan (pushed), so the fact
+    // join and BOTH aggregates only ever see the brand's lines
+    assert(p17.contains("p_brand"), s"q17 should push the brand filter to the part scan:\n$p17")
+    assert(p17.contains("BroadcastHashJoin"), s"q17 joins the part filter by broadcast:\n$p17")
+  }
 }
