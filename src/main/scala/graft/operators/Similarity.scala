@@ -643,6 +643,59 @@ object Similarity {
     FROM cc LEFT JOIN pruned p ON cc.vec_id = p.vec_id
     ORDER BY cc.vec_id"""))
 
+  private val HardNegLo = 0.10
+
+  /** Contrastive hard-negative mining — the embedding-TRAINING data
+    * op the dedup family's machinery was pointing at: for every
+    * anchor vector, the single most-similar same-cluster vector whose
+    * cosine sits in the hard band [[HardNegLo]] <= cos < [[NearDupTau]]
+    * (similar enough to be informative, below the near-dup threshold
+    * so it is a genuine negative, not an unlabeled positive — the
+    * false-negative filter every contrastive pipeline needs).
+    *
+    * Scale shape: candidates meet on the cluster label — the same
+    * k-means cell blocking [[semanticPrune]] uses (`ann_ivf`'s
+    * trainer builds the cells when no labels exist), so per-cell work
+    * is bounded O(b^2) and nothing is all-pairs. The top-1-per-anchor
+    * is the row_number-filter idiom, which [[graft.plans.InferTopKPerKey]]
+    * rewrites to the bounded-heap partial/final operator: the exchange
+    * carries at most one candidate row per anchor per map partition,
+    * never the full pair stream. Cosines are IEEE divisions of exact
+    * integer dot products — bit-identical cross-engine.
+    */
+  val mineHardNegatives = QueryDef(
+    "mine_hard_negatives",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = quantized(s, d)
+      val anchors = emb.select(col("vec_id"), col("label"), col("qa"), col("na"))
+      val cands = emb.select(col("vec_id").as("neg_id"), col("label"),
+        col("qa").as("qu"), col("na").as("nu"))
+      val w = Window.partitionBy("vec_id").orderBy(desc("cosine"), asc("neg_id"))
+      anchors.join(cands, Seq("label"))
+        .filter(col("neg_id") =!= col("vec_id"))
+        .withColumn("cosine", cosine(dot(col("qa"), col("qu")), col("na"), col("nu")))
+        .filter(col("cosine") >= HardNegLo && col("cosine") < NearDupTau)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select("vec_id", "label", "neg_id", "cosine")
+    },
+    Some(s"""WITH q0 AS ($quantizedSql),
+    q AS (
+      SELECT q0.vec_id, e.label, qa, ${normSql("qa")} AS na
+      FROM q0 JOIN embeddings e ON e.vec_id = q0.vec_id),
+    pairs AS (
+      SELECT a.vec_id, a.label, b.vec_id AS neg_id,
+        ${cosineSql(dotSql("a.qa", "b.qa"), "a.na", "b.na")} AS cosine
+      FROM q a JOIN q b ON a.label = b.label AND b.vec_id <> a.vec_id),
+    ranked AS (
+      SELECT vec_id, label, neg_id, cosine,
+        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neg_id) AS rk
+      FROM pairs WHERE cosine >= $HardNegLo AND cosine < $NearDupTau)
+    SELECT vec_id, label, neg_id, cosine FROM ranked WHERE rk = 1
+    ORDER BY vec_id"""))
+
   val defs: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding, annLsh, annIvf,
-    embCentroid, dedupEmbeddingKeep, dimReduce, embQuantize, semanticPrune)
+    embCentroid, dedupEmbeddingKeep, dimReduce, embQuantize, semanticPrune,
+    mineHardNegatives)
 }
