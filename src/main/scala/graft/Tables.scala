@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Typed access to the driver-generated parquet tables.
   *
@@ -12,6 +14,25 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Every operator assumes `events.ts` is Long nanoseconds since the
+    * epoch, but the generator is free to encode the column as parquet
+    * TIMESTAMP(NANOS) (read as Long via nanosAsLong), TIMESTAMP(MICROS)
+    * isAdjustedToUTC=false (read as TIMESTAMP_NTZ), or
+    * isAdjustedToUTC=true (read as TIMESTAMP). Normalize all three to
+    * Long nanos here — one projection on top of the scan, so pruning
+    * of the other columns still reaches parquet. NTZ wall-clock is
+    * interpreted in the session timezone; every graft entry point pins
+    * `spark.sql.session.timeZone=UTC`, matching the DuckDB oracle's
+    * naive-UTC `CAST(ts AS TIMESTAMP)`.
+    */
+  private def tsToNanos(dt: DataType): Column = dt match {
+    case LongType          => col("ts")
+    case TimestampNTZType  => unix_micros(col("ts").cast(TimestampType)) * lit(1000L)
+    case TimestampType     => unix_micros(col("ts")) * lit(1000L)
+    case other => throw new IllegalStateException(
+      s"events.ts: unsupported physical type $other")
+  }
+
   def region(s: SparkSession, d: String): DataFrame = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = read(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = read(s, d, "customer")
@@ -19,7 +40,10 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = read(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = read(s, d, "events")
+    raw.withColumn("ts", tsToNanos(raw.schema("ts").dataType))
+  }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 }

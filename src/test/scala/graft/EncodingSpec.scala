@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-3 regression: the driver regenerated `events.parquet` with
+  * `ts` as parquet TIMESTAMP(MICROS) (read by Spark as TIMESTAMP_NTZ)
+  * and every events query died on the hard-coded Long-nanos
+  * assumption. [[Tables.events]] now normalizes the physical encoding
+  * at the read boundary; this spec pins that contract for the three
+  * encodings a generator can legally emit:
+  *
+  *  - int64 nanos (parquet TIMESTAMP(NANOS) via nanosAsLong, or a
+  *    plain BIGINT column) -> passthrough;
+  *  - TIMESTAMP_NTZ (isAdjustedToUTC=false micros) -> wall-clock
+  *    read as UTC (sessions pin spark.sql.session.timeZone=UTC);
+  *  - TIMESTAMP (isAdjustedToUTC=true micros) -> instant micros.
+  *
+  * All three must produce the SAME Long-nanos column.
+  */
+class EncodingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 2024-01-15T12:34:56.789012 UTC in micros since epoch
+  private val micros = Seq(1705322096789012L, 0L, 1705322400000000L)
+
+  private def writeFixture(dir: String, tsCol: org.apache.spark.sql.Column): Unit =
+    micros.toDF("us")
+      .withColumn("ts", tsCol)
+      .withColumn("event_id", col("us"))
+      .select("event_id", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  test("Tables.events normalizes all three ts encodings to identical Long nanos") {
+    val base = java.nio.file.Files.createTempDirectory("graft-enc").toString
+    val asLong = s"$base/long"
+    val asNtz = s"$base/ntz"
+    val asLtz = s"$base/ltz"
+    writeFixture(asLong, col("us") * 1000L)
+    writeFixture(asNtz, timestamp_micros(col("us")).cast(TimestampNTZType))
+    writeFixture(asLtz, timestamp_micros(col("us")))
+
+    val expected = micros.map(_ * 1000L).sorted
+    for ((dir, enc) <- Seq(asLong -> "long", asNtz -> "ntz", asLtz -> "ltz")) {
+      val out = Tables.events(spark, dir)
+      assert(out.schema("ts").dataType == LongType, s"$enc: ts must come out Long")
+      val got = out.select("ts").as[Long].collect().sorted.toSeq
+      assert(got == expected, s"$enc: nanos mismatch")
+    }
+  }
+
+  test("the shipped testdata reads through the normalizer with full-precision nanos") {
+    val ev = Tables.events(spark, TestSpark.sfDir)
+    assert(ev.schema("ts").dataType == LongType)
+    // sanity: values are plausible epoch nanos (year 2000..2100 range)
+    val (lo, hi) = (9.466e17.toLong, 4.102e18.toLong)
+    val bad = ev.filter(col("ts") < lo || col("ts") > hi).count()
+    assert(bad == 0, s"$bad rows outside plausible epoch-nanos range")
+  }
+}
