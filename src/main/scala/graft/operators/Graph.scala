@@ -230,5 +230,74 @@ object Graph {
     FROM j JOIN best b USING (cluster_id) ORDER BY j.doc_id"""
     })
 
-  val defs: Seq[QueryDef] = Seq(triangles, pageRank, keepRank)
+  private val LpIters = 5
+
+  /** [[labelProp]] body over an injectable pair graph — same seam as
+    * [[trianglesFrom]]/[[pageRankFrom]]. Synchronous label
+    * propagation, fixed [[LpIters]] rounds: every node starts as its
+    * own community and each round adopts the most frequent label
+    * among its neighbors (tie: lowest label). The argmax is
+    * `max(struct(cnt, -lbl))` — one aggregate, no window — which is
+    * exact because counts and labels are longs; synchronous updates +
+    * a total tie order make the round function deterministic, so a
+    * FIXED round count is bit-reproducible across engines (an
+    * until-convergence LPA is run-order dependent by definition).
+    */
+  private[graft] def labelPropFrom(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.select("i", "j").localCheckpoint(true)
+    val edges = pairs.select(col("i").as("u"), col("j").as("v"))
+      .unionByName(pairs.select(col("j").as("u"), col("i").as("v")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint(true)
+    for (_ <- 0 until LpIters) {
+      labels = edges.join(labels, edges("u") === labels("node"))
+        .groupBy(col("v"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("v"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("v").as("node"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("community"))
+  }
+
+  /** Community detection over the near-dup pair graph by synchronous
+    * label propagation — the mid-resolution companion to the CC keep
+    * (CC merges everything reachable; LPA splits a chained component
+    * at its weak waists, the right granularity when boilerplate
+    * bridges otherwise-unrelated dup clusters). Five fixed rounds,
+    * most-frequent-neighbor-label updates, min-label tie-break.
+    *
+    * Scale: each round is ONE edge⋈label equi-join + two node/label
+    * aggregates (the label-count argmax folds into a single
+    * max(struct) — no per-node window, no skew beyond degree skew the
+    * orientation-free count already bounds); state is the node-sized
+    * label vector, localCheckpoint'd per round. Fixed rounds mean
+    * zero driver-side convergence jobs, like [[pageRank]].
+    */
+  val labelProp = QueryDef(
+    "graph_label_prop",
+    (s, d) => labelPropFrom(Dedup.ngramJaccard.fn(s, d)),
+    Some(Dedup.ngramJaccard.oracle.map { jaccardSql =>
+      val inner = jaccardSql.replace("ORDER BY i, j", "")
+      val iters = (1 to LpIters).map { k =>
+        s"""c$k AS (
+        SELECT e.v AS node, r${k - 1}.lbl, COUNT(*) AS cnt
+        FROM e JOIN r${k - 1} ON r${k - 1}.node = e.u GROUP BY 1, 2),
+      r$k AS (
+        SELECT node, lbl FROM c$k
+        QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY node ORDER BY cnt DESC, lbl) = 1)"""
+      }.mkString(",\n      ")
+      s"""WITH pairs AS ($inner),
+      e AS (
+        SELECT i AS u, j AS v FROM pairs
+        UNION ALL SELECT j AS u, i AS v FROM pairs),
+      r0 AS (SELECT DISTINCT u AS node, u AS lbl FROM e),
+      $iters
+    SELECT node AS doc_id, lbl AS community FROM r$LpIters ORDER BY doc_id"""
+    }.get))
+
+  val defs: Seq[QueryDef] = Seq(triangles, pageRank, keepRank, labelProp)
 }

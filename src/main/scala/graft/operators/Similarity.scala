@@ -586,8 +586,10 @@ object Similarity {
     * with their keep decision, like every *_keep operator.
     *
     * Scale: the label blocking IS the k-means cell structure SemDeDup
-    * runs at scale (the paper's clusters; `ann_ivf`'s trainer builds
-    * them when no labels exist) — cells are capped, so the per-cell
+    * runs at scale (the paper's clusters). PRECONDITION: `label` is
+    * used as-is as the cluster id — an unlabeled corpus must first
+    * assign cluster ids (e.g. nearest `ann_ivf` centroid); no
+    * implicit fallback is applied here. Cells are capped, so the per-cell
     * O(b^2) pair join is bounded and the whole query is one label
     * equi-join plus the broadcast centroid frame from [[centroidCos]].
     * Determinism: pair cosines and centroid cosines are IEEE divisions
@@ -653,9 +655,16 @@ object Similarity {
     * so it is a genuine negative, not an unlabeled positive — the
     * false-negative filter every contrastive pipeline needs).
     *
-    * Scale shape: candidates meet on the cluster label — the same
-    * k-means cell blocking [[semanticPrune]] uses (`ann_ivf`'s
-    * trainer builds the cells when no labels exist), so per-cell work
+    * PRECONDITION: `label` is a CLUSTER/CELL id (the repo-wide
+    * convention for the embeddings table), used purely as a blocking
+    * key. If `label` were a class/supervision label, "most-similar
+    * same-label" would be a hard POSITIVE and the op's meaning
+    * inverts — an unlabeled corpus must first derive cluster ids
+    * (e.g. assign each vector to its nearest `ann_ivf` centroid)
+    * before calling this; no such fallback is applied implicitly.
+    *
+    * Scale shape: candidates meet on the cluster-id label — the same
+    * blocking key [[semanticPrune]] uses — so per-cell work
     * is bounded O(b^2) and nothing is all-pairs. The top-1-per-anchor
     * is the row_number-filter idiom, which [[graft.plans.InferTopKPerKey]]
     * rewrites to the bounded-heap partial/final operator: the exchange
@@ -695,7 +704,62 @@ object Similarity {
     SELECT vec_id, label, neg_id, cosine FROM ranked WHERE rk = 1
     ORDER BY vec_id"""))
 
+  private val KnnK = 5
+
+  /** k-NN graph construction over the embedding corpus — the shared
+    * substrate under agglomerative semantic dedup, label propagation,
+    * and graph-based quality diffusion (a score computed on curated
+    * seeds spreads along k-NN edges to the uncurated mass): for every
+    * vector, its [[KnnK]] most-similar same-cluster neighbors by
+    * cosine (tie: lower neighbor id), emitted with their rank.
+    *
+    * PRECONDITION as for [[mineHardNegatives]]: `label` is a
+    * cluster/cell id used purely as the blocking key (nearest-centroid
+    * assignment supplies it for an unlabeled corpus).
+    *
+    * Scale shape: candidates meet on the cluster-id equi-join, so
+    * per-cell work is O(b^2) bounded by the cell cap and nothing is
+    * all-pairs; the top-k-per-anchor row_number filter is rewritten by
+    * [[graft.plans.InferTopKPerKey]] to the bounded-heap operator —
+    * the exchange carries at most k candidate rows per anchor per map
+    * partition instead of the full per-cell pair stream. Cosines are
+    * IEEE divisions of exact integer dot products, bit-identical
+    * cross-engine.
+    */
+  val knnGraph = QueryDef(
+    "emb_knn_graph",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = quantized(s, d)
+      val anchors = emb.select(col("vec_id"), col("label"), col("qa"), col("na"))
+      val cands = emb.select(col("vec_id").as("nbr_id"), col("label"),
+        col("qa").as("qu"), col("na").as("nu"))
+      val w = Window.partitionBy("vec_id").orderBy(desc("cosine"), asc("nbr_id"))
+      anchors.join(cands, Seq("label"))
+        .filter(col("nbr_id") =!= col("vec_id"))
+        .withColumn("cosine", cosine(dot(col("qa"), col("qu")), col("na"), col("nu")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= KnnK)
+        .select(col("vec_id"), col("nbr_id"), col("rk").cast(LongType).as("rk"),
+          col("cosine"))
+    },
+    Some(s"""WITH q0 AS ($quantizedSql),
+    q AS (
+      SELECT q0.vec_id, e.label, qa, ${normSql("qa")} AS na
+      FROM q0 JOIN embeddings e ON e.vec_id = q0.vec_id),
+    pairs AS (
+      SELECT a.vec_id, b.vec_id AS nbr_id,
+        ${cosineSql(dotSql("a.qa", "b.qa"), "a.na", "b.na")} AS cosine
+      FROM q a JOIN q b ON a.label = b.label AND b.vec_id <> a.vec_id),
+    ranked AS (
+      SELECT vec_id, nbr_id, cosine,
+        CAST(ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS BIGINT) AS rk
+      FROM pairs)
+    SELECT vec_id, nbr_id, rk, cosine FROM ranked WHERE rk <= $KnnK
+    ORDER BY vec_id, rk"""))
+
   val defs: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding, annLsh, annIvf,
     embCentroid, dedupEmbeddingKeep, dimReduce, embQuantize, semanticPrune,
-    mineHardNegatives)
+    mineHardNegatives, knnGraph)
 }

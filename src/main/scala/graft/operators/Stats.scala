@@ -415,6 +415,54 @@ object Stats {
       max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN dev END) AS mad
     FROM ranked2 GROUP BY event_type ORDER BY event_type"""))
 
+  /** Per-user hourly-count anomaly detection — the monitoring query a
+    * stream-analytics engine runs on its own event volumes: flag the
+    * hours where a user's event count deviates from that user's mean
+    * hourly count by more than 3 population standard deviations.
+    *
+    * Determinism: the z-test is done ENTIRELY in integer algebra. With
+    * per-user hour count n, S1 = Σc, S2 = Σc², hour h is anomalous iff
+    *
+    *   (n·c_h − S1)² > 9·(n·S2 − S1²)
+    *
+    * which is z² > 3² with both sides multiplied by n² — every term a
+    * product/sum of exact longs (bounded: c ≤ events-per-user, so the
+    * squares stay far below 2^63 at any per-user hour cardinality the
+    * engine would aggregate), so there is no float epsilon and the
+    * flag bit is hash-identical cross-engine.
+    *
+    * Scale shape: two map-side-combinable aggregates (events→hourly
+    * counts, counts→per-user moments) + one broadcast-sized join back
+    * on user_id — the moments table is one row per user. No window
+    * functions, no sort.
+    */
+  val anomalyHourly = QueryDef(
+    "q_anomaly_hourly",
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("user_id"), expr("ts div 3600000000000").as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+      val moments = hourly.groupBy(col("user_id").as("mu"))
+        .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s1"),
+          sum(col("cnt") * col("cnt")).as("s2"))
+      val dev = col("n") * col("cnt") - col("s1")
+      hourly.join(moments, col("user_id") === col("mu"))
+        .filter(dev * dev > lit(9L) * (col("n") * col("s2") - col("s1") * col("s1")))
+        .select(col("user_id"), col("hour"), col("cnt"))
+    },
+    Some("""WITH hourly AS (
+      SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000 AS hour,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    moments AS (
+      SELECT user_id AS mu, COUNT(*) AS n, SUM(cnt) AS s1, SUM(cnt * cnt) AS s2
+      FROM hourly GROUP BY 1)
+    SELECT user_id, hour, cnt
+    FROM hourly JOIN moments ON user_id = mu
+    WHERE (n * cnt - s1) * (n * cnt - s1) > 9 * (n * s2 - s1 * s1)
+    ORDER BY user_id, hour"""))
+
   val defs: Seq[QueryDef] = Seq(histogram, percentiles, avgQtyFilter, movingAvg,
-    approxDistinct, approxQuantiles, corrStats, rangeFrame, profile, mad)
+    approxDistinct, approxQuantiles, corrStats, rangeFrame, profile, mad,
+    anomalyHourly)
 }

@@ -403,6 +403,50 @@ object Temporal {
       v IS NOT NULL AS is_observed
     FROM anchored"""))
 
+  private val DecayHalfLifeMs = 86400000L // one day
+  private val DecayMaxExp = 50 // 2^-50 still a normal double
+
+  /** Exponentially time-decayed engagement score per user — the
+    * recency-weighted activity metric every ranking/abuse system keeps
+    * (a purchase yesterday counts double one from two days ago):
+    * score = Σ value · 2^(-age_days), age measured back from the
+    * corpus max timestamp in whole half-lives.
+    *
+    * Determinism without an ln table: the decay exponent is an
+    * INTEGER (floor-div of the ms age by the half-life, capped at
+    * [[DecayMaxExp]] so the factor stays a normal double), and
+    * 2^(-k) is EXACT in binary floating point — multiplying by it
+    * only shifts the value's exponent, no mantissa rounding. So the
+    * per-row weighted value is bit-identical cross-engine and the
+    * [[graft.Det]] decimal-sum rule makes the per-user sum
+    * order-independent.
+    *
+    * Scale shape: one broadcast of the one-row global max, one
+    * map-side-combinable aggregate on user_id — a single shuffle of
+    * 150 user rows at any corpus size.
+    */
+  val timeDecay = QueryDef(
+    "q_time_decay",
+    (s, d) => {
+      import graft.Det._
+      val ev = Tables.events(s, d).select(col("user_id"), tsMs.as("ms"), col("value"))
+      val now = ev.agg(max(col("ms")).as("now_ms"))
+      ev.crossJoin(broadcast(now))
+        .withColumn("k",
+          least(expr(s"(now_ms - ms) div $DecayHalfLifeMs"), lit(DecayMaxExp)))
+        .groupBy("user_id")
+        .agg(
+          sumd(col("value") * pow(lit(2.0), -col("k"))).as("decayed_score"),
+          count(lit(1)).as("n_events"))
+    },
+    Some(s"""WITH ev AS (
+      SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, value FROM events),
+    now AS (SELECT max(ms) AS now_ms FROM ev)
+    SELECT user_id,
+      ${graft.Det.dsum(s"value * pow(2.0, -LEAST((now_ms - ms) // $DecayHalfLifeMs, $DecayMaxExp))")} AS decayed_score,
+      COUNT(*) AS n_events
+    FROM ev, now GROUP BY user_id ORDER BY user_id"""))
+
   val defs: Seq[QueryDef] = Seq(asofJoin, asofJoinCustom, sessionize, fillForward,
-    ohlcResample, scd2, asofNearest, interpolate)
+    ohlcResample, scd2, asofNearest, interpolate, timeDecay)
 }
