@@ -34,9 +34,10 @@ object EventPipeline {
   /** Event types present in the synthetic `events` table. */
   val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
 
-  // `ts` arrives as Long nanos (spark.sql.legacy.parquet.nanosAsLong):
-  // integer `div` keeps full precision (a double division would lose
-  // sub-ms bits at 1.7e18 ns magnitudes). The DuckDB oracle's
+  // `ts` arrives as Long nanos — whatever the parquet physical
+  // encoding, Tables.events normalizes it (see EncodingSpec). Integer
+  // `div` keeps full precision (a double division would lose sub-ms
+  // bits at 1.7e18 ns magnitudes). The DuckDB oracle's
   // CAST(ts AS TIMESTAMP) + epoch_ms truncates identically
   // (floor(ns/1e6) == floor(floor(ns/1e3)/1e3) for positive ns).
   private val tsCol = timestamp_micros(expr("ts div 1000"))

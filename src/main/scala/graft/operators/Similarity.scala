@@ -759,7 +759,68 @@ object Similarity {
     SELECT vec_id, nbr_id, rk, cosine FROM ranked WHERE rk <= $KnnK
     ORDER BY vec_id, rk"""))
 
+  /** Semi-supervised quality diffusion along the k-NN graph — the
+    * label-spreading shape large-scale curation uses when trusted
+    * quality signals exist for only part of the corpus: each
+    * document's rule-based score ([[TextAnalysis.quality]]) is
+    * smoothed with its k-NN neighbors' scores, cosine-weighted —
+    * diffused = (own + Σ cos·s_nbr) / (1 + Σ cos) — so an outlier
+    * score surrounded by consistent neighbors regresses toward its
+    * semantic neighborhood (one Jacobi round of the harmonic label-
+    * spreading update with a unit self-loop).
+    *
+    * The synthetic corpus aligns `embeddings.vec_id` with
+    * `documents.doc_id` row-for-row — that identity is the bridge
+    * join (a production pipeline would carry an explicit doc_id on
+    * the embedding table).
+    *
+    * Determinism: the neighbor sums run per-term through the
+    * [[graft.Det]] decimal cast then sum exactly (≤k terms, but sum
+    * order still differs cross-engine — decimal makes it moot); the
+    * final division is one fixed-shape IEEE op on identical doubles.
+    * Scale shape: one groupBy on the anchor id over the ≤k·N edge
+    * table + one left join back to the seed scores — both shuffles
+    * are id-keyed and the edge table is k-bounded per anchor by
+    * construction.
+    */
+  val knnScoreDiffusion = QueryDef(
+    "knn_score_diffusion",
+    (s, d) => {
+      import graft.Det._
+      val seeds = TextAnalysis.quality.fn(s, d)
+        .select(col("doc_id"), col("quality_score"))
+      val contrib = knnGraph.fn(s, d)
+        .join(seeds.select(col("doc_id").as("nbr_id"),
+          col("quality_score").as("nbr_score")), Seq("nbr_id"))
+        .groupBy(col("vec_id"))
+        .agg(sum(dec(col("cosine") * col("nbr_score"))).as("wsum"),
+          sum(dec(col("cosine"))).as("wtot"))
+      seeds.join(contrib, seeds("doc_id") === contrib("vec_id"), "left")
+        .select(col("doc_id"), col("quality_score"),
+          when(col("vec_id").isNull, col("quality_score"))
+            .otherwise((dec(col("quality_score")) + col("wsum")).cast(DoubleType) /
+              (lit(1.0) + col("wtot").cast(DoubleType)))
+            .as("diffused_score"))
+    },
+    Some {
+      val knnSql = knnGraph.oracle.get.replace("ORDER BY vec_id, rk", "")
+      val qualitySql = TextAnalysis.quality.oracle.get.replace("ORDER BY doc_id", "")
+      s"""WITH knn AS ($knnSql),
+      seeds AS (SELECT doc_id, quality_score FROM ($qualitySql)),
+      contrib AS (
+        SELECT knn.vec_id,
+          SUM(CAST(cosine * s.quality_score AS DECIMAL(38,6))) AS wsum,
+          SUM(CAST(cosine AS DECIMAL(38,6))) AS wtot
+        FROM knn JOIN seeds s ON s.doc_id = knn.nbr_id GROUP BY 1)
+    SELECT seeds.doc_id, seeds.quality_score,
+      CASE WHEN c.vec_id IS NULL THEN seeds.quality_score
+        ELSE CAST(CAST(seeds.quality_score AS DECIMAL(38,6)) + c.wsum AS DOUBLE)
+          / (1.0 + CAST(c.wtot AS DOUBLE)) END AS diffused_score
+    FROM seeds LEFT JOIN contrib c ON c.vec_id = seeds.doc_id
+    ORDER BY seeds.doc_id"""
+    })
+
   val defs: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding, annLsh, annIvf,
     embCentroid, dedupEmbeddingKeep, dimReduce, embQuantize, semanticPrune,
-    mineHardNegatives, knnGraph)
+    mineHardNegatives, knnGraph, knnScoreDiffusion)
 }

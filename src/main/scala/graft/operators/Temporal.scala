@@ -297,13 +297,23 @@ object Temporal {
           col("event_id").as("purchase_id"))
       val ord = Window.partitionBy("user_id").orderBy(col("ms"), col("tag"))
       val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // "Next click" via a running frame over the REVERSED sort, not a
+      // (currentRow, unboundedFollowing) frame: Spark evaluates the
+      // unbounded-FOLLOWING frame shape by rescanning current-row..end
+      // for every row — O(n²) per partition — while the running
+      // unbounded-PRECEDING shape is incremental O(n). Same-ms ties:
+      // under (ms DESC, tag DESC) a same-ms click (tag 0) sorts after
+      // the purchase (tag 1), so it stays outside the frame, exactly
+      // as it fell outside the following-frame under (ms ASC, tag ASC).
+      val wfRev = Window.partitionBy("user_id")
+        .orderBy(col("ms").desc, col("tag").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val clickMs = when(col("tag") === 0, col("ms"))
       val unioned = clicks.unionByName(purchases)
         .withColumn("prev_id", last(col("click_event_id"), ignoreNulls = true).over(wb))
         .withColumn("prev_ms", last(clickMs, ignoreNulls = true).over(wb))
-        .withColumn("next_id", first(col("click_event_id"), ignoreNulls = true).over(wf))
-        .withColumn("next_ms", first(clickMs, ignoreNulls = true).over(wf))
+        .withColumn("next_id", last(col("click_event_id"), ignoreNulls = true).over(wfRev))
+        .withColumn("next_ms", last(clickMs, ignoreNulls = true).over(wfRev))
         .filter(col("tag") === 1)
       val takePrev = col("next_ms").isNull ||
         (col("prev_ms").isNotNull &&
@@ -360,13 +370,20 @@ object Temporal {
         .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("hour"))
       val ord = Window.partitionBy("user_id").orderBy("hour")
       val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // Next-anchor lookup via the reversed-sort running frame: the
+      // (currentRow, unboundedFollowing) shape is O(n²) per partition
+      // in Spark (full rescan per row; 26 s at sf0.1 vs fillForward's
+      // 0.8 s) while the running frame over DESC hour is incremental
+      // O(n) — one extra in-partition sort, no extra shuffle. (hour
+      // is unique per user on the grid, so no tie subtleties.)
+      val wfRev = Window.partitionBy("user_id").orderBy(col("hour").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val obsHour = when(col("v").isNotNull, col("hour"))
       grid.join(hourly, Seq("user_id", "hour"), "left")
         .withColumn("ph", last(obsHour, ignoreNulls = true).over(wb))
         .withColumn("pv", last(col("v"), ignoreNulls = true).over(wb))
-        .withColumn("nh", first(obsHour, ignoreNulls = true).over(wf))
-        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wf))
+        .withColumn("nh", last(obsHour, ignoreNulls = true).over(wfRev))
+        .withColumn("nv", last(col("v"), ignoreNulls = true).over(wfRev))
         .select(col("user_id"), col("hour"),
           when(col("v").isNotNull, col("v"))
             .otherwise(col("pv") + (col("nv") - col("pv")) *
