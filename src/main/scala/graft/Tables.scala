@@ -38,8 +38,29 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame = read(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = read(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame = read(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame = read(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame =
+    dateishToNtz(read(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    dateishToNtz(read(s, d, "lineitem"), "l_shipdate")
+  /** Same drift guard for the date-carrying dimension columns: the
+    * generator currently writes them as TIMESTAMP(MICROS) NTZ, but
+    * DATE (date32) and adjusted-to-UTC TIMESTAMP are equally legal
+    * encodings of a day value. Normalize to TIMESTAMP_NTZ — what the
+    * engine and every declared oracle output expect — so a regen
+    * cannot break the TPC-H family the way round 3's ts regen broke
+    * the events family (drill: date32 orders/lineitem flipped only
+    * the two o_orderdate passthrough outputs; this repairs those and
+    * keeps comparisons/year()/epoch-math identical).
+    */
+  private def dateishToNtz(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case TimestampNTZType => df
+      case DateType | TimestampType =>
+        df.withColumn(c, col(c).cast(TimestampNTZType))
+      case other => throw new IllegalStateException(
+        s"$c: unsupported physical type $other")
+    }
+
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = read(s, d, "events")
     raw.withColumn("ts", tsToNanos(raw.schema("ts").dataType))

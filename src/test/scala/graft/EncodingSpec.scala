@@ -51,6 +51,25 @@ class EncodingSpec extends AnyFunSuite {
     }
   }
 
+  test("Tables.orders normalizes date32 / adjusted-timestamp o_orderdate to TIMESTAMP_NTZ") {
+    val base = java.nio.file.Files.createTempDirectory("graft-enc-date").toString
+    for ((enc, tsCol) <- Seq(
+        "date" -> to_date(lit("1997-07-01")),
+        "ltz" -> lit("1997-07-01").cast(TimestampType),
+        "ntz" -> lit("1997-07-01").cast(TimestampNTZType))) {
+      val dir = s"$base/$enc"
+      Seq(1L, 2L).toDF("o_orderkey")
+        .withColumn("o_orderdate", tsCol)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val out = Tables.orders(spark, dir)
+      assert(out.schema("o_orderdate").dataType == TimestampNTZType,
+        s"$enc: o_orderdate must come out TIMESTAMP_NTZ")
+      val got = out.select(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      assert(got == Seq("1997-07-01 00:00:00"), s"$enc: wall-clock drifted: $got")
+    }
+  }
+
   test("the shipped testdata reads through the normalizer with full-precision nanos") {
     val ev = Tables.events(spark, TestSpark.sfDir)
     assert(ev.schema("ts").dataType == LongType)
