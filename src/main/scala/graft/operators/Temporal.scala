@@ -464,6 +464,57 @@ object Temporal {
       COUNT(*) AS n_events
     FROM ev, now GROUP BY user_id ORDER BY user_id"""))
 
+  /** Watermark lateness audit — the batch diagnostic that sizes a
+    * streaming deployment's watermark delay before it ships: for each
+    * candidate watermark W, how many events would arrive AFTER the
+    * per-user event-time high watermark had already passed them by
+    * more than W (i.e. would be dropped by `withWatermark(W)`), as a
+    * count and a share. Disorder of an event = (running max of
+    * earlier events' time) − (its own time), when positive.
+    *
+    * The running max uses the incremental unbounded-preceding frame
+    * ending at -1 (never the O(n²) following shape), and disorder is
+    * pure integer ms, so the audit is bit-deterministic; same-ms ties
+    * give disorder 0 under any tie order, so no tie-break subtlety
+    * crosses engines. One user_id shuffle + a 3-row broadcast of the
+    * candidate watermarks + one map-side-combinable aggregate.
+    */
+  val watermarkAudit = QueryDef(
+    "q_watermark_audit",
+    (s, d) => {
+      val wPrev = Window.partitionBy("user_id")
+        .orderBy(col("ms"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wm = s.range(1).select(explode(array(
+        lit(0L), lit(60000L), lit(600000L))).as("watermark_ms"))
+      Tables.events(s, d)
+        .select(col("user_id"), tsMs.as("ms"), col("event_id"))
+        .withColumn("disorder",
+          greatest(coalesce(max(col("ms")).over(wPrev) - col("ms"), lit(0L)), lit(0L)))
+        .crossJoin(broadcast(wm))
+        .groupBy("watermark_ms")
+        .agg(
+          sum(when(col("disorder") > col("watermark_ms"), 1L).otherwise(0L)).as("n_late"),
+          count(lit(1)).as("n_total"))
+        .select(col("watermark_ms"), col("n_late"), col("n_total"),
+          (col("n_late").cast(DoubleType) / col("n_total")).as("late_share"))
+    },
+    Some("""WITH ev AS (
+      SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_id FROM events),
+    dis AS (
+      SELECT user_id, ms,
+        GREATEST(COALESCE(MAX(ms) OVER (
+          PARTITION BY user_id ORDER BY ms, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - ms, 0), 0) AS disorder
+      FROM ev),
+    wm AS (SELECT unnest([CAST(0 AS BIGINT), 60000, 600000]) AS watermark_ms)
+    SELECT watermark_ms,
+      CAST(SUM(CASE WHEN disorder > watermark_ms THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      COUNT(*) AS n_total,
+      CAST(CAST(SUM(CASE WHEN disorder > watermark_ms THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+        / COUNT(*) AS late_share
+    FROM dis, wm GROUP BY watermark_ms ORDER BY watermark_ms"""))
+
   val defs: Seq[QueryDef] = Seq(asofJoin, asofJoinCustom, sessionize, fillForward,
-    ohlcResample, scd2, asofNearest, interpolate, timeDecay)
+    ohlcResample, scd2, asofNearest, interpolate, timeDecay, watermarkAudit)
 }

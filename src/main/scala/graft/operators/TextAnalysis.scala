@@ -814,7 +814,92 @@ object TextAnalysis {
       })
   }
 
+  /** CCNet-style perplexity bucketing: within each language, rank
+    * documents by their LM score ([[lmScore]]; higher avg log-prob =
+    * lower perplexity) and cut the ranking into head / middle / tail
+    * thirds — the standard quality-tier label used to build mixture
+    * weights ("train mostly on head+middle") without a hard filter.
+    *
+    * Tie-break (avg_logp DESC, doc_id) is total, and avg_logp is
+    * already bit-identical cross-engine (text_lm_score hash-passes),
+    * so the bucket boundary is deterministic. The thirds use integer
+    * algebra (3·rank vs n) — no float division at the cut.
+    *
+    * Scale shape: one lang-keyed window over the scored docs (lang
+    * cardinality ~ tens; per-lang partitions are corpus/|lang| sized —
+    * at 100 TB this would range-partition within language by the sort
+    * key and take per-range boundaries, the same evolution q_decile
+    * documents; the semantics stay a rank cut).
+    */
+  val pplBucket = QueryDef(
+    "text_ppl_bucket",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = lmScore.fn(s, d).select(col("doc_id"), col("avg_logp"))
+      val w = Window.partitionBy("lang").orderBy(desc("avg_logp"), col("doc_id"))
+      val wn = Window.partitionBy("lang")
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(scored, "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .select(col("doc_id"), col("lang"), col("avg_logp"),
+          when(col("rk") * 3 <= col("n"), "head")
+            .when(col("rk") * 3 <= col("n") * 2, "middle")
+            .otherwise("tail").as("bucket"))
+    },
+    Some {
+      val lmSql = lmScore.oracle.get.replace("ORDER BY doc_id", "")
+      s"""WITH lm AS ($lmSql),
+      ranked AS (
+        SELECT d.doc_id, d.lang, lm.avg_logp,
+          ROW_NUMBER() OVER (
+            PARTITION BY d.lang ORDER BY lm.avg_logp DESC, d.doc_id) AS rk,
+          COUNT(*) OVER (PARTITION BY d.lang) AS n
+        FROM documents d JOIN lm ON lm.doc_id = d.doc_id)
+    SELECT doc_id, lang, avg_logp,
+      CASE WHEN rk * 3 <= n THEN 'head'
+           WHEN rk * 3 <= n * 2 THEN 'middle'
+           ELSE 'tail' END AS bucket
+    FROM ranked ORDER BY doc_id"""
+    })
+
+  /** Normalization-then-exact-dedup — the canonicalization front line
+    * every web pipeline runs before any fuzzy matching: lowercase,
+    * strip non-alphanumerics (keeping spaces), collapse whitespace
+    * runs, trim; duplicates are groups sharing the canonical form's
+    * md5, survivor = min doc_id. Catches case/punctuation/spacing
+    * variants that byte-exact dedup ([[Dedup.exact]]) misses, at the
+    * same one-hash-shuffle cost — payloads never shuffle, only
+    * (doc_id, hash). The regexes are shared-dialect ([a-z0-9 ] and
+    * ' +' parse identically in Java regex and RE2/DuckDB).
+    */
+  val normExact = QueryDef(
+    "dedup_norm_exact",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val canon = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      val w = Window.partitionBy("canon_hash")
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(canon).as("canon_hash"))
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .withColumn("dup_count", count(lit(1)).over(w))
+        .select(col("doc_id"), col("canon_hash"), col("canonical_id"),
+          (col("doc_id") === col("canonical_id")).as("keep"),
+          col("dup_count"))
+    },
+    Some("""WITH h AS (
+      SELECT doc_id,
+        md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                ' +', ' ', 'g'))) AS canon_hash
+      FROM documents)
+    SELECT doc_id, canon_hash,
+      MIN(doc_id) OVER (PARTITION BY canon_hash) AS canonical_id,
+      doc_id = MIN(doc_id) OVER (PARTITION BY canon_hash) AS keep,
+      COUNT(*) OVER (PARTITION BY canon_hash) AS dup_count
+    FROM h ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint,
     rollingFingerprint, scrub, repetition, bigrams, entropy, chunk,
-    langConfusion, featHash, lmScore, winnow, lm3Heldout)
+    langConfusion, featHash, lmScore, winnow, lm3Heldout, pplBucket, normExact)
 }
