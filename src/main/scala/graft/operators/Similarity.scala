@@ -820,7 +820,87 @@ object Similarity {
     ORDER BY seeds.doc_id"""
     })
 
+  private val KmK = 8
+  private val KmDims = Dim
+
+  /** Distributed k-means, made hash-checkable — the IVF/SemDeDup cell
+    * trainer as a first-class verified operator instead of an opaque
+    * rows-only step: two FIXED Lloyd rounds from deterministic seeds
+    * (the first [[KmK]] vec_ids), everything in exact integer
+    * arithmetic so a 32-partition Spark run and DuckDB's sequential
+    * run agree bit-for-bit:
+    *
+    *  - assignment: argmin of squared L2 = na + nc − 2·dot, all exact
+    *    longs on the 1e-6 quantization grid (tie: lowest cell id),
+    *    computed as ONE broadcast of the K centroid rows against the
+    *    streaming corpus scan — the canonical scale shape (no shuffle
+    *    until the per-dim update aggregate);
+    *  - update: per-dimension mean floored back onto the integer grid
+    *    (floor of an exactly-representable double ratio — identical
+    *    in both engines), rebuilt into centroid arrays via a
+    *    dim-sorted collect, so round 2 is again pure integers.
+    *
+    * The per-dim update aggregate exchanges cell×dim rows (K·64 —
+    * constant), and partial aggregation does the per-partition
+    * combining map-side: corpus rows never shuffle. A cell abandoned
+    * by every vector (possible with duplicate seeds) simply drops out
+    * of the next round, as in any Lloyd implementation.
+    */
+  val kmeans = QueryDef(
+    "emb_kmeans",
+    (s, d) => {
+      val emb = quantized(s, d).select(col("vec_id"), col("qa"), col("na"))
+      def assign(cents: DataFrame): DataFrame =
+        emb.crossJoin(broadcast(cents))
+          .withColumn("dist",
+            col("na") + col("nc") - lit(2L) * dot(col("qa"), col("cvec")))
+          .groupBy("vec_id")
+          .agg(min(struct(col("dist"), col("cell"))).as("m"))
+          .select(col("vec_id"), col("m.cell").as("cell"), col("m.dist").as("dist"))
+      val c0 = emb.filter(col("vec_id") < KmK)
+        .select(col("vec_id").as("cell"), col("qa").as("cvec"), col("na").as("nc"))
+      val a1 = assign(c0)
+      val c1 = emb.join(a1.select("vec_id", "cell"), "vec_id")
+        .select(col("cell"), posexplode(col("qa")).as(Seq("dim", "v")))
+        .groupBy("cell", "dim")
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .withColumn("c",
+          floor(col("sv").cast(DoubleType) / col("n")).cast(LongType))
+        .groupBy("cell")
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
+          x => x.getField("c")).as("cvec"))
+        .withColumn("nc", dot(col("cvec"), col("cvec")))
+      assign(c1).select(col("vec_id"), col("cell"), col("dist"))
+    },
+    Some(s"""WITH q0 AS ($quantizedSql),
+    q AS (SELECT vec_id, qa, ${normSql("qa")} AS na FROM q0),
+    c0 AS (SELECT vec_id AS cell, qa AS cvec, na AS nc FROM q WHERE vec_id < $KmK),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT q.vec_id, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY q.na + c.nc - 2 * ${dotSql("q.qa", "c.cvec")}, c.cell) AS rk
+        FROM q, c0 c) WHERE rk = 1),
+    s1 AS (
+      SELECT a1.cell, r.i AS dim, SUM(q.qa[r.i]) AS sv, COUNT(*) AS n
+      FROM q JOIN a1 USING (vec_id)
+      CROSS JOIN (SELECT unnest(range(1, ${KmDims + 1})) AS i) r
+      GROUP BY a1.cell, r.i),
+    c1 AS (
+      SELECT cell,
+        list(CAST(floor(CAST(sv AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS cvec
+      FROM s1 GROUP BY cell),
+    c1n AS (SELECT cell, cvec, ${normSql("cvec")} AS nc FROM c1),
+    a2 AS (
+      SELECT vec_id, cell, dist FROM (
+        SELECT q.vec_id, c.cell,
+          q.na + c.nc - 2 * ${dotSql("q.qa", "c.cvec")} AS dist,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY q.na + c.nc - 2 * ${dotSql("q.qa", "c.cvec")}, c.cell) AS rk
+        FROM q, c1n c) WHERE rk = 1)
+    SELECT vec_id, cell, dist FROM a2 ORDER BY vec_id"""))
+
   val defs: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding, annLsh, annIvf,
     embCentroid, dedupEmbeddingKeep, dimReduce, embQuantize, semanticPrune,
-    mineHardNegatives, knnGraph, knnScoreDiffusion)
+    mineHardNegatives, knnGraph, knnScoreDiffusion, kmeans)
 }
