@@ -462,7 +462,63 @@ object Stats {
     WHERE (n * cnt - s1) * (n * cnt - s1) > 9 * (n * s2 - s1 * s1)
     ORDER BY user_id, hour"""))
 
+  /** Streaming state-store sizing audit — the capacity-planning query
+    * run against history before deploying the [[graft.streaming]]
+    * operators: projected state rows per stateful component, from the
+    * batch events table.
+    *
+    *  - keyed_state_keys: distinct users = per-key state rows of the
+    *    pattern detector / anomaly detector (constant bytes per key);
+    *  - dedup_peak_keys_10m: the max 10-minute event volume = peak
+    *    keys `dropDuplicatesWithinWatermark` holds at a 10-min
+    *    watermark (event ids are unique);
+    *  - session_peak_users_30m: max distinct users active in any
+    *    30-minute bucket = peak concurrently-open session windows;
+    *  - tumbling_windows_total_10m: distinct (user, 10-min window)
+    *    pairs = total windows the tumbling aggregate materializes
+    *    over the whole history (retention upper bound).
+    *
+    * Four global aggregates over one pruned scan each, every one
+    * map-side combinable; the unioned output is four rows. Exact
+    * integer counts — trivially deterministic.
+    */
+  val stateSizing = QueryDef(
+    "q_state_sizing",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 600000000000").as("b10"),
+          expr("ts div 1800000000000").as("b30"))
+      def row(name: String, v: org.apache.spark.sql.DataFrame) =
+        v.select(lit(name).as("component"), col("v").cast(LongType).as("projected_rows"))
+      row("dedup_peak_keys_10m",
+          ev.groupBy("b10").agg(count(lit(1)).as("c")).agg(max(col("c")).as("v")))
+        .unionByName(row("keyed_state_keys",
+          ev.agg(countDistinct(col("user_id")).as("v"))))
+        .unionByName(row("session_peak_users_30m",
+          ev.groupBy("b30").agg(countDistinct(col("user_id")).as("c"))
+            .agg(max(col("c")).as("v"))))
+        .unionByName(row("tumbling_windows_total_10m",
+          ev.agg(countDistinct(col("user_id"), col("b10")).as("v"))))
+    },
+    Some("""WITH ev AS (
+      SELECT user_id,
+        epoch_ms(CAST(ts AS TIMESTAMP)) // 600000 AS b10,
+        epoch_ms(CAST(ts AS TIMESTAMP)) // 1800000 AS b30
+      FROM events)
+    SELECT 'dedup_peak_keys_10m' AS component,
+      CAST(MAX(c) AS BIGINT) AS projected_rows
+      FROM (SELECT b10, COUNT(*) AS c FROM ev GROUP BY b10)
+    UNION ALL
+    SELECT 'keyed_state_keys', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM ev
+    UNION ALL
+    SELECT 'session_peak_users_30m', CAST(MAX(c) AS BIGINT)
+      FROM (SELECT b30, COUNT(DISTINCT user_id) AS c FROM ev GROUP BY b30)
+    UNION ALL
+    SELECT 'tumbling_windows_total_10m',
+      CAST(COUNT(DISTINCT (user_id, b10)) AS BIGINT) FROM ev
+    ORDER BY component"""))
+
   val defs: Seq[QueryDef] = Seq(histogram, percentiles, avgQtyFilter, movingAvg,
     approxDistinct, approxQuantiles, corrStats, rangeFrame, profile, mad,
-    anomalyHourly)
+    anomalyHourly, stateSizing)
 }

@@ -86,6 +86,24 @@ class NewOpsSpec extends AnyFunSuite {
     assert(spiked.init.forall(!_), "flat hours must not flag")
   }
 
+  test("kmeans: every vector assigned to a live cell with non-negative distance") {
+    val out = SparkEntry.queries("emb_kmeans")(spark, d).cache()
+    try {
+      val n = Tables.embeddings(spark, d).count()
+      assert(out.count() == n, "every vector must be assigned")
+      assert(out.filter(col("cell") < 0 || col("cell") > 7).count() == 0)
+      assert(out.filter(col("dist") < 0).count() == 0,
+        "integer squared L2 cannot be negative")
+      // the seeds' cells survive round 1 (each seed is distance 0 to
+      // its own centroid), so round 2 has at least one live cell
+      assert(out.select("cell").distinct().count() >= 1)
+      // determinism across runs
+      val again = SparkEntry.queries("emb_kmeans")(spark, d)
+        .collect().map(_.toSeq).toSet
+      assert(again == out.collect().map(_.toSeq).toSet)
+    } finally out.unpersist()
+  }
+
   test("score diffusion: scores stay within the seed score range") {
     val out = SparkEntry.queries("knn_score_diffusion")(spark, d).cache()
     try {
