@@ -518,7 +518,41 @@ object Stats {
       CAST(COUNT(DISTINCT (user_id, b10)) AS BIGINT) FROM ev
     ORDER BY component"""))
 
+  /** Incremental aggregate maintenance, proven exact: daily partial
+    * aggregates per (day, event_type) merged up to weekly totals —
+    * the two-level shape every materialized-rollup pipeline runs (the
+    * daily partials persist; each new day merges in without
+    * re-scanning history). The DuckDB oracle computes the weekly
+    * totals DIRECTLY from the raw events, so the hash match is the
+    * proof that the partial/merge decomposition loses nothing: counts
+    * are associative integers and the value sums follow the
+    * [[graft.Det]] decimal rule at BOTH levels (decimal sums
+    * re-aggregate exactly; a double sum-of-sums would not).
+    *
+    * Scale shape: level 1 is a map-side-combinable aggregate on
+    * (day, type) — the exchange carries one row per day×type per map
+    * partition; level 2 re-aggregates the day-sized partial table.
+    * At 100 TB only level 1 ever sees raw data, once per day.
+    */
+  val aggMerge = QueryDef(
+    "q_agg_merge",
+    (s, d) => {
+      import graft.Det._
+      val daily = Tables.events(s, d)
+        .groupBy(expr("ts div 86400000000000").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("pc"), sum(dec(col("value"))).as("ps"))
+      daily
+        .groupBy(expr("day div 7").as("week"), col("event_type"))
+        .agg(sum(col("pc")).as("n_events"),
+          sum(col("ps")).cast(DoubleType).as("sum_value"))
+    },
+    Some("""SELECT epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 // 7 AS week,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY week, event_type"""))
+
   val defs: Seq[QueryDef] = Seq(histogram, percentiles, avgQtyFilter, movingAvg,
     approxDistinct, approxQuantiles, corrStats, rangeFrame, profile, mad,
-    anomalyHourly, stateSizing)
+    anomalyHourly, stateSizing, aggMerge)
 }
