@@ -900,7 +900,67 @@ object Similarity {
         FROM q, c1n c) WHERE rk = 1)
     SELECT vec_id, cell, dist FROM a2 ORDER BY vec_id"""))
 
+  /** Semantic benchmark decontamination — the embedding-space eval
+    * screen modern pipelines run ON TOP of the n-gram ones
+    * ([[Contamination]]): an eval item paraphrased or translated into
+    * the training set shares no 5-gram but still sits within cosine
+    * [[SemTau]] of its source. The bench slice follows the repo-wide
+    * convention (`vec_id % 53 == 0`, mirroring Contamination's
+    * BenchMod); every train vector is emitted with its verdict and,
+    * when contaminated, the closest offending bench vector (max
+    * cosine, tie lowest bench id) — the audit row a removal decision
+    * needs.
+    *
+    * Scale shape: the bench slice is ~1/53 of the corpus and meets
+    * train vectors on the cluster-label equi-join (precondition as
+    * [[knnGraph]]); per-cell candidate volume is train_cell ×
+    * bench_cell, and the per-train argmax folds into one
+    * max(struct(cos, −bench)) aggregate — no window. At 100 TB the
+    * bench side is a broadcast-scale table scanned once.
+    */
+  val decontaminateEmbedding = QueryDef(
+    "decontaminate_embedding",
+    (s, d) => {
+      val emb = quantized(s, d)
+      val train = emb.filter(col("vec_id") % 53 =!= 0)
+        .select(col("vec_id"), col("label"), col("qa"), col("na"))
+      val bench = emb.filter(col("vec_id") % 53 === 0)
+        .select(col("vec_id").as("bench_id"), col("label"),
+          col("qa").as("qb"), col("na").as("nb"))
+      val best = train.join(bench, Seq("label"))
+        .withColumn("cos", cosine(dot(col("qa"), col("qb")), col("na"), col("nb")))
+        .filter(col("cos") >= SemTau)
+        .groupBy(col("vec_id").as("hv"))
+        .agg(max(struct(col("cos"), (-col("bench_id")).as("nb"))).as("m"))
+        .select(col("hv"), (-col("m.nb")).as("bench_id"), col("m.cos").as("max_cos"))
+      train.join(best, train("vec_id") === best("hv"), "left")
+        .select(col("vec_id"), col("label"),
+          col("hv").isNotNull.as("contaminated"),
+          col("bench_id"), col("max_cos"))
+    },
+    Some(s"""WITH q0 AS ($quantizedSql),
+    q AS (
+      SELECT q0.vec_id, e.label, qa, ${normSql("qa")} AS na
+      FROM q0 JOIN embeddings e ON e.vec_id = q0.vec_id),
+    train AS (SELECT * FROM q WHERE vec_id % 53 <> 0),
+    bench AS (SELECT vec_id AS bench_id, label, qa, na FROM q WHERE vec_id % 53 = 0),
+    hits AS (
+      SELECT t.vec_id, b.bench_id,
+        ${cosineSql(dotSql("t.qa", "b.qa"), "t.na", "b.na")} AS cos
+      FROM train t JOIN bench b ON t.label = b.label
+      WHERE ${cosineSql(dotSql("t.qa", "b.qa"), "t.na", "b.na")} >= $SemTau),
+    best AS (
+      SELECT vec_id, bench_id, cos FROM hits
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY cos DESC, bench_id) = 1)
+    SELECT t.vec_id, t.label,
+      b.bench_id IS NOT NULL AS contaminated,
+      b.bench_id, b.cos AS max_cos
+    FROM train t LEFT JOIN best b ON b.vec_id = t.vec_id
+    ORDER BY t.vec_id"""))
+
   val defs: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding, annLsh, annIvf,
     embCentroid, dedupEmbeddingKeep, dimReduce, embQuantize, semanticPrune,
-    mineHardNegatives, knnGraph, knnScoreDiffusion, kmeans)
+    mineHardNegatives, knnGraph, knnScoreDiffusion, kmeans,
+    decontaminateEmbedding)
 }
