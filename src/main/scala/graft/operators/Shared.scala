@@ -70,4 +70,44 @@ object Shared {
   /** Start a shared-pair-graph session over `sfDir`. */
   def pairGraph(spark: SparkSession, sfDir: String): PairGraphSession =
     new PairGraphSession(spark, sfDir)
+
+  /** The embedding-space analogue of [[PairGraphSession]]: the
+    * banded-LSH near-dup pair graph (`dedup_embedding`'s candidate
+    * join + exact-cosine verify — the costliest embedding branch) is
+    * computed once; the CC keep decision and any of the generic graph
+    * diagnostics (triangles, PageRank, label propagation — all of
+    * which accept an injectable pair frame) run over the cache.
+    */
+  final class EmbPairSession private[Shared] (
+      spark: SparkSession, sfDir: String) {
+
+    /** Verified near-dup pairs (i < j, cosine >= tau), persisted on
+      * first action.
+      */
+    val pairs: DataFrame = Similarity.dedupEmbedding.fn(spark, sfDir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    /** CC keep over the cached pairs — same result as the registered
+      * `dedup_embedding_keep` (spec-asserted). Lazy for the same
+      * reason as [[PairGraphSession.clusterKeep]]: the CC loop is
+      * eager at first access.
+      */
+    lazy val keep: DataFrame = Similarity.embKeepFrom(pairs)
+
+    /** Cluster-quality triangle census over the cached pairs. */
+    def triangles: DataFrame = Graph.trianglesFrom(pairs)
+
+    /** Authority ranking over the cached pairs. */
+    def pageRank: DataFrame = Graph.pageRankFrom(pairs)
+
+    /** Community detection over the cached pairs. */
+    def labelProp: DataFrame = Graph.labelPropFrom(pairs)
+
+    /** Drop the cached pairs (idempotent). */
+    def release(): Unit = pairs.unpersist()
+  }
+
+  /** Start a shared embedding-pair-graph session over `sfDir`. */
+  def embPairGraph(spark: SparkSession, sfDir: String): EmbPairSession =
+    new EmbPairSession(spark, sfDir)
 }

@@ -444,17 +444,24 @@ object Similarity {
     * over the identical pair SQL, so the keep decision — not just the
     * pair list — is hash-proven cross-engine.
     */
+  /** [[dedupEmbeddingKeep]] body over an injectable pair graph — the
+    * [[Shared]] seam, mirroring Dedup.clusterKeepFrom: a session that
+    * already holds the banded-LSH pair graph feeds it here instead of
+    * recomputing the candidate join + verify.
+    */
+  private[operators] def embKeepFrom(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.select("i", "j")
+    val edges = pairs.unionByName(
+      pairs.select(col("j").as("i"), col("i").as("j")))
+      .toDF("src", "dst")
+    Dedup.connectedComponents(edges)
+      .select(col("node").as("vec_id"), col("label").as("canonical_id"))
+      .withColumn("keep", col("vec_id") === col("canonical_id"))
+  }
+
   val dedupEmbeddingKeep = QueryDef(
     "dedup_embedding_keep",
-    (s, d) => {
-      val pairs = dedupEmbedding.fn(s, d).select("i", "j")
-      val edges = pairs.unionByName(
-        pairs.select(col("j").as("i"), col("i").as("j")))
-        .toDF("src", "dst")
-      Dedup.connectedComponents(edges)
-        .select(col("node").as("vec_id"), col("label").as("canonical_id"))
-        .withColumn("keep", col("vec_id") === col("canonical_id"))
-    },
+    (s, d) => embKeepFrom(dedupEmbedding.fn(s, d)),
     Some {
       val pairSql = dedupEmbedding.oracle.get
       s"""WITH RECURSIVE pairs AS ($pairSql),

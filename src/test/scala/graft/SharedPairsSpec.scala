@@ -59,4 +59,20 @@ class SharedPairsSpec extends AnyFunSuite {
     sh.release()
     assert(sh.pairs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
   }
+
+  test("shared embedding pair graph matches the registered keep query") {
+    val sh = Shared.embPairGraph(spark, d)
+    try {
+      assert(sh.pairs.storageLevel ==
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val keepShared = sh.keep.collect().map(_.toSeq).toSet
+      val keepFresh = SparkEntry.queries("dedup_embedding_keep")(spark, d)
+        .collect().map(_.toSeq).toSet
+      assert(keepShared == keepFresh)
+      // the generic graph diagnostics run over the same cache
+      assert(sh.triangles.count() >= 0)
+      assert(sh.labelProp.select("doc_id").distinct().count() ==
+        sh.pageRank.select("doc_id").count())
+    } finally sh.release()
+  }
 }
