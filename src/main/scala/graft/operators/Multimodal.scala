@@ -135,5 +135,68 @@ object Multimodal {
            CAST(SUM(nb) AS BIGINT) AS bytes_unique
     FROM h GROUP BY mime ORDER BY mime"""))
 
-  val defs: Seq[QueryDef] = Seq(meta, dedupMedia)
+  private val PHashGrid = 1000f
+
+  /** Doc-level perceptual feature via the decode stub: the sampled
+    * frames' features averaged, then floor-quantized onto a coarse
+    * grid — the pHash shape (small perturbations of the payload land
+    * in the same bucket; byte-exactness not required).
+    */
+  private[graft] def pHashOf(bytes: Array[Byte]): String = {
+    val nFrames = (bytes.length + FrameSize - 1) / FrameSize
+    val acc = new Array[Double](FeatDim)
+    var used = 0
+    (0 until nFrames by 2).foreach { f =>
+      val frame = bytes.slice(f * FrameSize, math.min((f + 1) * FrameSize, bytes.length))
+      val resized = frame.indices.collect { case i if i % 4 == 0 => frame(i) }.toArray
+      val feat = decodeStub(resized)
+      var j = 0
+      while (j < FeatDim) { acc(j) += feat(j); j += 1 }
+      used += 1
+    }
+    val avg = if (used == 0) acc else acc.map(_ / used)
+    avg.map(v => math.floor(v * PHashGrid).toLong).mkString(":")
+  }
+
+  /** Perceptual NEAR-dup of binary media — the second pass after
+    * [[dedupMedia]]'s byte-exact hash: payloads whose decoded
+    * doc-level features quantize to the same coarse bucket collapse
+    * to one canonical asset even when their bytes differ (re-encoded
+    * or lightly corrupted copies — spec proves a payload with a
+    * flipped trailing byte still groups with its original, and that
+    * every byte-exact dup group is subsumed). Real pipelines put a
+    * real pHash/embedding behind the same contract; the stub keeps
+    * the Spark-side plumbing — batched per-partition decode, hash
+    * grouping, min-id survivor — genuine and tested.
+    *
+    * Scale: payloads never shuffle (the per-partition map reduces
+    * each to a short hash string); the grouping exchange carries
+    * (doc_id, phash) pairs only. Rows-only at the driver (the decode
+    * path is deliberately not SQL-expressible); NearDupMediaSpec is
+    * the correctness gate.
+    */
+  val nearDupMedia = QueryDef(
+    "multimodal_near_dup",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val hashed = Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("media"),
+          concat(lit("application/x-graft-"), col("source")).as("mime"))
+        .as[(Long, Array[Byte], String)]
+        .mapPartitions { rows =>
+          rows.map { case (docId, bytes, mime) => (docId, mime, pHashOf(bytes)) }
+        }
+        .toDF("doc_id", "mime", "phash")
+      val w = Window.partitionBy("mime", "phash")
+      hashed
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .withColumn("group_size", count(lit(1)).over(w))
+        .select(col("doc_id"), col("mime"), col("phash"),
+          col("canonical_id"), (col("doc_id") === col("canonical_id")).as("keep"),
+          col("group_size"))
+    },
+    None)
+
+  val defs: Seq[QueryDef] = Seq(meta, dedupMedia, nearDupMedia)
 }
