@@ -174,5 +174,70 @@ object Sampling {
       CAST(ROUND(100000 * (w_raw / denom)) AS BIGINT) AS target_docs
     FROM scored, norm"""))
 
-  val defs: Seq[QueryDef] = Seq(hashSplit, stratified, packSequences, weighted, mixWeights)
+  private val BfdCap = 512L
+  private val BfdShards = 8
+
+  /** Whole-document best-fit-decreasing packing — the NO-SPLIT
+    * companion to [[packSequences]]: `pack_sequences` tiles the token
+    * stream and cuts documents at bin boundaries (the GPT-style
+    * concat-then-chunk); this keeps every document intact (the
+    * packing used when cross-document attention is masked and a
+    * split document would corrupt examples), minimizing padding by
+    * BFD — sort docs by descending token count, place each in the
+    * FULLEST bin it still fits (tie: lowest bin id), else open a new
+    * bin. Docs longer than the bin cap are truncated to it and sit
+    * alone. BFD guarantees ≤ (11/9)·OPT + 1 bins; PackBfdSpec
+    * measures the fill rate against the ceil(total/cap) lower bound.
+    *
+    * Scale shape: bin packing is inherently sequential, so it runs
+    * hierarchically — docs group by (lang, shard) where shard is a
+    * content-hash bucket ([[BfdShards]] here; production sizes it so
+    * one shard's (doc_id, n_tokens) pairs fit an executor), each
+    * group packs independently in one `flatMapGroups` pass over only
+    * the id+length pairs (text never enters the group), and bin ids
+    * are globally unique as (shard, local bin). The cost of
+    * hierarchy: per-shard BFD wastes at most one partial bin per
+    * shard vs global BFD — bounded, measured in the spec.
+    *
+    * Rows-only at the driver (a sequential fold is not
+    * SQL-expressible); PackBfdSpec is the correctness gate.
+    */
+  val packBfd = QueryDef(
+    "pack_bfd",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          least(size(split(col("text"), " ")).cast(LongType), lit(BfdCap))
+            .as("n_tokens"),
+          pmod(TextAnalysis.hash60(concat(lit("bfd:"), col("text"))),
+            lit(BfdShards.toLong)).as("shard"))
+        .as[(Long, String, Long, Long)]
+        .groupByKey { case (_, lang, _, shard) => (lang, shard) }
+        .flatMapGroups { (key: (String, Long), docs: Iterator[(Long, String, Long, Long)]) =>
+          val (lang, shard) = key
+          // BFD over (n_tokens DESC, doc_id) — deterministic total
+          // order; bins as (id, free) with best-fit = min free that
+          // still fits, tie lowest id.
+          val sorted = docs.map { case (id, _, n, _) => (id, n) }
+            .toIndexedSeq.sortBy { case (id, n) => (-n, id) }
+          val free = scala.collection.mutable.ArrayBuffer[Long]()
+          sorted.iterator.map { case (id, n) =>
+            var best = -1
+            var i = 0
+            while (i < free.length) {
+              if (free(i) >= n && (best == -1 || free(i) < free(best))) best = i
+              i += 1
+            }
+            if (best == -1) { free += (BfdCap - n); best = free.length - 1 }
+            else free(best) -= n
+            (id, lang, shard, best.toLong, n)
+          }
+        }
+        .toDF("doc_id", "lang", "shard", "bin_id", "n_tokens")
+    },
+    None)
+
+  val defs: Seq[QueryDef] = Seq(hashSplit, stratified, packSequences, weighted,
+    mixWeights, packBfd)
 }
