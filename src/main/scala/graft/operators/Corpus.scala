@@ -443,6 +443,69 @@ object Corpus {
       ORDER BY pmi_e9 DESC, bigram LIMIT $PmiTopK"""
     })
 
+  /** Heaps-law vocabulary growth curve — the corpus-scaling
+    * diagnostic behind "how much new data is still new": cumulative
+    * distinct-word count at ten equal doc-count checkpoints. The
+    * curve's flattening rate is the empirical Heaps exponent; a
+    * corpus whose curve has plateaued yields mostly duplicate
+    * vocabulary (and, by proxy, diminishing novel content) as it
+    * grows.
+    *
+    * Single-pass shape — the naive formulation (distinct words per
+    * prefix, ten times) rescans the corpus per checkpoint; instead
+    * each word contributes ONE row at its FIRST appearance
+    * (vocab-sized min-aggregate), first-appearances bucket by the
+    * doc's decile rank, and one 10-row running sum yields every
+    * checkpoint. The only corpus-sized exchange is the word
+    * min-aggregate (map-combinable); the decile rank at 100 TB
+    * comes from the ingest sequence id rather than the toy
+    * row_number here (same integer bucketing either way).
+    */
+  val vocabGrowth = QueryDef(
+    "corpus_vocab_growth",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val ranked = docs.select(col("doc_id"))
+        .withColumn("rk", row_number().over(Window.orderBy("doc_id")))
+        .withColumn("bucket", expr(s"((rk - 1) * 10) div $n") + 1)
+      val firstSeen = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(min(col("doc_id")).as("fd"))
+        .join(ranked.select(col("doc_id").as("fd"), col("bucket")), "fd")
+        .groupBy("bucket").agg(count(lit(1)).as("nw"))
+      val docCounts = ranked.groupBy("bucket").agg(count(lit(1)).as("nd"))
+      val wCum = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docCounts.join(firstSeen, Seq("bucket"), "left")
+        .select(col("bucket").cast(LongType).as("bucket"),
+          col("nd"), coalesce(col("nw"), lit(0L)).as("nw"))
+        .withColumn("docs_seen", sum(col("nd")).over(wCum))
+        .withColumn("vocab_size", sum(col("nw")).over(wCum))
+        .select("bucket", "docs_seen", "vocab_size")
+    },
+    Some("""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+    dr AS (
+      SELECT doc_id,
+        ((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) * 10) // n.n + 1 AS bucket
+      FROM documents CROSS JOIN n),
+    fs AS (
+      SELECT w, MIN(doc_id) AS fd FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w),
+    wb AS (
+      SELECT dr.bucket, COUNT(*) AS nw
+      FROM fs JOIN dr ON dr.doc_id = fs.fd GROUP BY 1),
+    db AS (SELECT bucket, COUNT(*) AS nd FROM dr GROUP BY 1)
+    SELECT CAST(db.bucket AS BIGINT) AS bucket,
+      CAST(SUM(db.nd) OVER (ORDER BY db.bucket
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS docs_seen,
+      CAST(SUM(COALESCE(wb.nw, 0)) OVER (ORDER BY db.bucket
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+    FROM db LEFT JOIN wb ON wb.bucket = db.bucket
+    ORDER BY bucket"""))
+
   val defs: Seq[QueryDef] = Seq(segmentDedup, vocabOov, corpusStats, heavyHitters,
-    tfidf, overlapSketch, pmi)
+    tfidf, overlapSketch, pmi, vocabGrowth)
 }
