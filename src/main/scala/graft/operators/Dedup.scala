@@ -680,6 +680,39 @@ object Dedup {
       ORDER BY i, j"""
     })
 
+  /** Sketch-calibration audit: MinHash signature-overlap estimate vs
+    * the exact shingle Jaccard, per pair surfaced by BOTH detectors —
+    * the measurement that justifies (or revokes) trusting the sketch
+    * at a given permutation count before a 100-TB run commits to it.
+    * |est − exact| across the matched pairs is the empirical
+    * estimator error at [[MinhashPerms]] permutations (expected
+    * ~1/sqrt(perms)); pairs only one side surfaces are the
+    * recall/precision story told elsewhere (LSH banding analysis in
+    * [[minhashLsh]]'s doc). Composes the two INDEPENDENTLY
+    * hash-verified queries, so a drift in either breaks this gate
+    * too. One equi-join of two pair tables on (i, j) — both sides
+    * near-dup-sized, never corpus-sized.
+    */
+  val minhashError = QueryDef(
+    "dedup_minhash_error",
+    (s, d) => {
+      import org.apache.spark.sql.types.DoubleType
+      val est = minhashLsh.fn(s, d)
+      val exact = ngramJaccard.fn(s, d).select(col("i"), col("j"), col("jaccard"))
+      est.join(exact, Seq("i", "j"))
+        .select(col("i"), col("j"), col("est_jaccard"), col("jaccard"),
+          abs(col("est_jaccard") - col("jaccard")).cast(DoubleType).as("abs_err"))
+    },
+    Some {
+      val estSql = minhashLsh.oracle.get.replace("ORDER BY i, j", "")
+      val exactSql = ngramJaccard.oracle.get.replace("ORDER BY i, j", "")
+      s"""WITH est AS ($estSql), ex AS ($exactSql)
+    SELECT est.i, est.j, est.est_jaccard, ex.jaccard,
+      CAST(abs(est.est_jaccard - ex.jaccard) AS DOUBLE) AS abs_err
+    FROM est JOIN ex ON ex.i = est.i AND ex.j = est.j
+    ORDER BY est.i, est.j"""
+    })
+
   val defs: Seq[QueryDef] = Seq(exact, ngramJaccard, prefixJaccard, minhashLsh,
-    incremental, simhash, clusterKeep, containment, winnowPairs)
+    incremental, simhash, clusterKeep, containment, winnowPairs, minhashError)
 }
