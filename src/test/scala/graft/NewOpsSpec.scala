@@ -104,6 +104,29 @@ class NewOpsSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("knn graph plans through the bounded-heap top-k rewrite") {
+    val plan = SparkEntry.queries("emb_knn_graph")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"),
+      s"the row_number filter must rewrite to the bounded-heap operator:\n$plan")
+  }
+
+  test("kmeans broadcasts the centroid frame into the corpus scan") {
+    val plan = SparkEntry.queries("emb_kmeans")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the K-row centroid side must broadcast, never shuffle the corpus:\n$plan")
+  }
+
+  test("time decay and watermark audit broadcast their tiny build sides") {
+    for (q <- Seq("q_time_decay", "q_watermark_audit")) {
+      val plan = SparkEntry.queries(q)(spark, d)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: the one-row/3-row side must broadcast:\n$plan")
+    }
+  }
+
   test("score diffusion: scores stay within the seed score range") {
     val out = SparkEntry.queries("knn_score_diffusion")(spark, d).cache()
     try {
