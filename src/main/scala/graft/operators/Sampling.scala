@@ -238,6 +238,47 @@ object Sampling {
     },
     None)
 
+  /** Mixture-drift KL audit — the QA number a mixing stage reports
+    * after reweighting: KL(observed language distribution ‖ uniform)
+    * in nats. Zero when perfectly flat ([[mixWeights]]' alpha→0
+    * target), growing as one language dominates; tracked per
+    * ingestion batch it is the drift alarm for the sampler upstream.
+    *
+    * Exact cross-engine arithmetic: with c_l docs of language l of N
+    * total over L languages, KL = Σ (c_l/N)(ln c_l − ln N + ln L) —
+    * every ln is the shared integer [[Select.ln9big]] (mantissa table
+    * + bit-shift, 1e-9 fixed point), the weighted sum stays integer,
+    * and only the final /N/1e9 touches floating point (one
+    * fixed-shape division on identical operands).
+    *
+    * Scale: one map-combinable lang count (languages-sized exchange),
+    * a broadcast one-row total, one L-row reduce.
+    */
+  val mixKl = QueryDef(
+    "mix_kl",
+    (s, d) => {
+      import graft.operators.Select.ln9big
+      val counts = Tables.documents(s, d)
+        .groupBy("lang").agg(count(lit(1)).as("c"))
+      val tot = counts.agg(sum(col("c")).as("n"), count(lit(1)).as("l"))
+      counts.crossJoin(broadcast(tot))
+        .groupBy("n", "l")
+        .agg(sum(col("c") *
+          (ln9big(col("c")) - ln9big(col("n")) + ln9big(col("l")))).as("s9"))
+        .select(col("l").as("n_langs"), col("n").as("n_docs"),
+          (col("s9").cast(DoubleType) / col("n") / 1e9).as("kl_uniform_nats"))
+    },
+    Some {
+      import graft.operators.Select.{ln9bigSql, lntCte}
+      s"""WITH $lntCte,
+    counts AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS l FROM counts)
+    SELECT l AS n_langs, n AS n_docs,
+      CAST(CAST(SUM(c * (${ln9bigSql("c")} - ${ln9bigSql("n")} + ${ln9bigSql("l")}))
+        AS BIGINT) AS DOUBLE) / n / 1e9 AS kl_uniform_nats
+    FROM counts, tot, lnt GROUP BY n, l"""
+    })
+
   val defs: Seq[QueryDef] = Seq(hashSplit, stratified, packSequences, weighted,
-    mixWeights, packBfd)
+    mixWeights, packBfd, mixKl)
 }
