@@ -247,9 +247,17 @@ object Sampling {
     * Exact cross-engine arithmetic: with c_l docs of language l of N
     * total over L languages, KL = Σ (c_l/N)(ln c_l − ln N + ln L) —
     * every ln is the shared integer [[Select.ln9big]] (mantissa table
-    * + bit-shift, 1e-9 fixed point), the weighted sum stays integer,
-    * and only the final /N/1e9 touches floating point (one
-    * fixed-shape division on identical operands).
+    * + bit-shift, 1e-9 fixed point). The weighted term c·Δln9 and its
+    * sum run in DECIMAL (c as DECIMAL(18,0) × Δln9 as DECIMAL(20,0) →
+    * exact DECIMAL(38,0) products and sum in BOTH engines — the
+    * [[graft.Det]] rule applied to integers): a Long product would
+    * wrap at c·ln(N)·1e9 ≈ 2^63 around 1e8-doc languages, far below
+    * the 100-TB regime this audit targets, and Spark's non-ANSI Long
+    * sum wraps silently while DuckDB promotes to HUGEINT. Headroom in
+    * decimal: at N = 1e14 docs the largest |product| is ~3e24 and the
+    * sum ≤ N·ln(L)·1e9 ≈ 4e23·L — 13 orders under DECIMAL(38,0).
+    * Only the final /N/1e9 touches floating point (one fixed-shape
+    * division on identical operands).
     *
     * Scale: one map-combinable lang count (languages-sized exchange),
     * a broadcast one-row total, one L-row reduce.
@@ -263,8 +271,9 @@ object Sampling {
       val tot = counts.agg(sum(col("c")).as("n"), count(lit(1)).as("l"))
       counts.crossJoin(broadcast(tot))
         .groupBy("n", "l")
-        .agg(sum(col("c") *
-          (ln9big(col("c")) - ln9big(col("n")) + ln9big(col("l")))).as("s9"))
+        .agg(sum(col("c").cast(DecimalType(18, 0)) *
+          (ln9big(col("c")) - ln9big(col("n")) + ln9big(col("l")))
+            .cast(DecimalType(20, 0))).as("s9"))
         .select(col("l").as("n_langs"), col("n").as("n_docs"),
           (col("s9").cast(DoubleType) / col("n") / 1e9).as("kl_uniform_nats"))
     },
@@ -274,8 +283,10 @@ object Sampling {
     counts AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
     tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS l FROM counts)
     SELECT l AS n_langs, n AS n_docs,
-      CAST(CAST(SUM(c * (${ln9bigSql("c")} - ${ln9bigSql("n")} + ${ln9bigSql("l")}))
-        AS BIGINT) AS DOUBLE) / n / 1e9 AS kl_uniform_nats
+      CAST(SUM(CAST(c AS DECIMAL(18,0))
+        * CAST((${ln9bigSql("c")} - ${ln9bigSql("n")} + ${ln9bigSql("l")})
+          AS DECIMAL(20,0)))
+        AS DOUBLE) / n / 1e9 AS kl_uniform_nats
     FROM counts, tot, lnt GROUP BY n, l"""
     })
 

@@ -912,8 +912,10 @@ object Similarity {
     * ([[Contamination]]): an eval item paraphrased or translated into
     * the training set shares no 5-gram but still sits within cosine
     * [[SemTau]] of its source. The bench slice follows the repo-wide
-    * convention (`vec_id % 53 == 0`, mirroring Contamination's
-    * BenchMod); every train vector is emitted with its verdict and,
+    * convention (`vec_id % Contamination.BenchMod == 0` — the one
+    * shared constant, so the n-gram and embedding decontamination
+    * slices cannot desynchronize); every train vector is emitted with
+    * its verdict and,
     * when contaminated, the closest offending bench vector (max
     * cosine, tie lowest bench id) — the audit row a removal decision
     * needs.
@@ -929,9 +931,10 @@ object Similarity {
     "decontaminate_embedding",
     (s, d) => {
       val emb = quantized(s, d)
-      val train = emb.filter(col("vec_id") % 53 =!= 0)
+      val m = Contamination.BenchMod
+      val train = emb.filter(col("vec_id") % m =!= 0)
         .select(col("vec_id"), col("label"), col("qa"), col("na"))
-      val bench = emb.filter(col("vec_id") % 53 === 0)
+      val bench = emb.filter(col("vec_id") % m === 0)
         .select(col("vec_id").as("bench_id"), col("label"),
           col("qa").as("qb"), col("na").as("nb"))
       val best = train.join(bench, Seq("label"))
@@ -949,8 +952,9 @@ object Similarity {
     q AS (
       SELECT q0.vec_id, e.label, qa, ${normSql("qa")} AS na
       FROM q0 JOIN embeddings e ON e.vec_id = q0.vec_id),
-    train AS (SELECT * FROM q WHERE vec_id % 53 <> 0),
-    bench AS (SELECT vec_id AS bench_id, label, qa, na FROM q WHERE vec_id % 53 = 0),
+    train AS (SELECT * FROM q WHERE vec_id % ${Contamination.BenchMod} <> 0),
+    bench AS (SELECT vec_id AS bench_id, label, qa, na
+      FROM q WHERE vec_id % ${Contamination.BenchMod} = 0),
     hits AS (
       SELECT t.vec_id, b.bench_id,
         ${cosineSql(dotSql("t.qa", "b.qa"), "t.na", "b.na")} AS cos

@@ -825,26 +825,50 @@ object TextAnalysis {
     * so the bucket boundary is deterministic. The thirds use integer
     * algebra (3·rank vs n) — no float division at the cut.
     *
-    * Scale shape: one lang-keyed window over the scored docs (lang
-    * cardinality ~ tens; per-lang partitions are corpus/|lang| sized —
-    * at 100 TB this would range-partition within language by the sort
-    * key and take per-range boundaries, the same evolution q_decile
-    * documents; the semantics stay a rank cut).
+    * Scale shape: the rank is computed with q_decile's two-phase
+    * distributed machinery, generalized to per-group ranking —
+    * `repartitionByRange` on (lang, avg_logp DESC, doc_id) gives each
+    * range partition a contiguous slice of the per-language order
+    * (ONE exchange, local sorts; a dominant language spreads over
+    * MANY range partitions instead of funnelling through one task);
+    * the local rank within a (partition, lang) slice falls out of
+    * `monotonically_increasing_id` minus the slice's first local row
+    * number; the global per-language rank adds a broadcast offset =
+    * running sum of earlier partitions' slice counts. The offsets
+    * aggregate is P·|lang| rows (P = shuffle partitions, |lang| ~
+    * tens), so the only window work is over that tiny table — no
+    * whole-language single-partition sort anywhere (PlanSpec locks
+    * this). Bit-identical to the per-lang ROW_NUMBER the oracle keeps
+    * as the cross-engine proof.
     */
   val pplBucket = QueryDef(
     "text_ppl_bucket",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
+      val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
       val scored = lmScore.fn(s, d).select(col("doc_id"), col("avg_logp"))
-      val w = Window.partitionBy("lang").orderBy(desc("avg_logp"), col("doc_id"))
-      val wn = Window.partitionBy("lang")
-      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val local = Tables.documents(s, d).select(col("doc_id"), col("lang"))
         .join(scored, "doc_id")
-        .withColumn("rk", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(wn))
+        .repartitionByRange(nParts, col("lang"), col("avg_logp").desc, col("doc_id"))
+        .sortWithinPartitions(col("lang"), col("avg_logp").desc, col("doc_id"))
+        .withColumn("_mid", monotonically_increasing_id())
+        .withColumn("_pid", shiftright(col("_mid"), 33))
+        .withColumn("_lrn", col("_mid").bitwiseAND((1L << 33) - 1) + 1L)
+      // One row per (range partition, lang) slice: count + first local
+      // row number. The windows below run over this P·|lang|-row
+      // aggregate, never over the documents.
+      val wLangCum = Window.partitionBy("lang").orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = local.groupBy("_pid", "lang")
+        .agg(count(lit(1)).as("_c"), min(col("_lrn")).as("_first"))
+        .withColumn("_offset", coalesce(sum("_c").over(wLangCum), lit(0L)))
+        .withColumn("_n", sum("_c").over(Window.partitionBy("lang")))
+        .select("_pid", "lang", "_first", "_offset", "_n")
+      local.join(broadcast(offsets), Seq("_pid", "lang"))
+        .withColumn("rk", col("_lrn") - col("_first") + 1L + col("_offset"))
         .select(col("doc_id"), col("lang"), col("avg_logp"),
-          when(col("rk") * 3 <= col("n"), "head")
-            .when(col("rk") * 3 <= col("n") * 2, "middle")
+          when(col("rk") * 3 <= col("_n"), "head")
+            .when(col("rk") * 3 <= col("_n") * 2, "middle")
             .otherwise("tail").as("bucket"))
     },
     Some {

@@ -34,8 +34,13 @@ final case class AnomalyState(
   * epsilon anywhere. The one semantic difference from batch is
   * inherent to streaming: each hour is judged with the PREFIX moments
   * known at close time, not the full-history moments a batch pass
-  * sees (over identical input the FINAL state moments equal the batch
-  * moments exactly — spec-asserted via the last verdict's nHours).
+  * sees. Over in-order input where no hour's events straddle a
+  * micro-batch boundary, the FINAL state moments equal the batch
+  * moments exactly (what AnomalyStreamSpec asserts via the last
+  * verdict's nHours); if one hour IS split across batches, the
+  * remainder arrives below the already-advanced open hour and is
+  * folded in as singleton hours (next paragraph), so n/S1/S2 then
+  * depend on the batch cut — a documented approximation, not a bug.
   *
   * State per key is five longs — constant regardless of stream length,
   * the property that keeps the detector runnable forever. Events are
@@ -43,8 +48,9 @@ final case class AnomalyState(
   * than the open hour (late beyond the upstream watermark's promise)
   * is folded into the moments as its own closed singleton hour rather
   * than silently dropped — detection quality degrades gracefully,
-  * counts are never lost. Replays are deterministic: state transitions
-  * depend only on the sorted event-hour sequence.
+  * counts are never lost. Replays over the SAME batch boundaries are
+  * deterministic: state transitions depend only on the per-batch
+  * sorted event-hour sequences.
   */
 object AnomalyStream {
 

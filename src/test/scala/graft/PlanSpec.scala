@@ -61,6 +61,36 @@ class PlanSpec extends AnyFunSuite {
       "q_decile must not use the single-partition NTILE window")
   }
 
+  test("text_ppl_bucket never sorts a whole language in one partition") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.plans.physical.{RangePartitioning, SinglePartition}
+    val plan = SparkEntry.queries("text_ppl_bucket")(spark, d)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.sparkPlan
+    // every window must sit on the P·|lang|-row offsets aggregate,
+    // never on the raw scored-document rows (the r4 shape was a
+    // row_number window partitioned by lang over every document)
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the offsets windows to exist")
+    windows.foreach { w =>
+      assert(w.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+        s"window sits directly on unaggregated document rows:\n$w")
+    }
+    plan.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }.foreach { e =>
+      assert(e.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+        s"single-partition exchange over unaggregated data:\n$e")
+    }
+    // the rank must ride a range exchange on (lang, avg_logp, doc_id)
+    assert(plan.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+    }.nonEmpty, "expected the repartitionByRange exchange")
+  }
+
   test("sample_stratified plans via TopKPerKey with a single exchange") {
     // executedPlan (post-EnsureRequirements): sparkPlan has no
     // exchanges yet, so the count would be vacuous there
