@@ -197,6 +197,40 @@ object Similarity {
     WHERE ${cosineSql(dotSql("qa.qa", "qb.qa"), "qa.na", "qb.na")} >= $NearDupTau"""
     })
 
+  /** Streaming-twin plumbing ([[graft.streaming.EmbStream]]): the SAME
+    * quantization, 16x4-bit banding, and verify threshold as
+    * [[dedupEmbedding]], exposed as column-level transforms over any
+    * (vec_id, embedding) relation — the live path shares these
+    * definitions, so it cannot drift from the batch oracle.
+    */
+  private[graft] def quantizeCols(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * Scale).cast(LongType)).as("qa"))
+      .withColumn("na", graft.functions.GraftFunctions.dotLong(col("qa"), col("qa")))
+
+  /** (vec_id, band_id, band_val) rows for a quantized (vec_id, qa)
+    * relation, using [[dedupEmbedding]]'s banding.
+    */
+  private[graft] def dedupBandRows(df: DataFrame): DataFrame = {
+    def bandVal(b: Int): Column =
+      (0 until DedupBits).map(k => planeBit(b * DedupBits + k) * (1L << k))
+        .reduce(_ + _)
+    df.withColumn("bands",
+      array((0 until DedupBands).map(b =>
+        struct(lit(b).as("band_id"), bandVal(b).as("band_val"))): _*))
+      .select(col("vec_id"), explode(col("bands")).as("bb"))
+      .select(col("vec_id"),
+        col("bb.band_id").as("band_id"), col("bb.band_val").as("band_val"))
+  }
+
+  private[graft] def nearDupTau: Double = NearDupTau
+
+  private[graft] def cosineCol(d: Column, na: Column, nb: Column): Column =
+    cosine(d, na, nb)
+
+  private[graft] def dotCol(a: Column, b: Column): Column = dot(a, b)
+
   /** All-pairs exact baseline for [[dedupEmbedding]] — NOT registered
     * as a query (the i<j broadcast-nested-loop is O(n^2) and dies at
     * scale); kept for the spec's recall measurement only.

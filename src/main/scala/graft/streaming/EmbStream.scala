@@ -1,0 +1,126 @@
+package graft.streaming
+
+import graft.operators.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming embedding near-dup deduplication — the LIVE SemDeDup
+  * shape: vectors arrive on a stream and are deduped against
+  * everything already accepted, the embedding-space counterpart of
+  * [[DocStream]]'s minhash index loop and the streaming twin of the
+  * batch `dedup_embedding` / `dedup_embedding_keep` queries. It shares
+  * the batch operators' quantization, hyperplane banding, and verify
+  * threshold through [[graft.operators.Similarity]]'s column helpers,
+  * so live and batch verdicts cannot drift.
+  *
+  * Architecture (same MERGE-loop shape as [[DocStream]] — state is
+  * DATA on storage, not a state store): the cross-batch memory is TWO
+  * tables, the band index (vec_id, band_id, band_val) for candidate
+  * generation and the accepted-vector store (vec_id, qa, na) for the
+  * exact verify (the one piece the minhash loop does not need: a
+  * banded candidate is only a duplicate if the EXACT quantized cosine
+  * clears tau). Each micro-batch, inside `foreachBatch`:
+  *
+  *  1. quantize the arriving vectors (per-row, no shuffle);
+  *  2. band equi-join against index ∪ batch bands, `j < i` (dups vs
+  *     the accepted corpus and within the batch, first copy wins);
+  *  3. exact cosine rerank of the candidates against the accepted
+  *     vectors ∪ batch vectors; survivors of tau get their min-id
+  *     partner;
+  *  4. verdicts appended to `verdictsDir` — every vec, with its
+  *     surviving partner + cosine or NULLs;
+  *  5. the SURVIVORS' band rows and vectors appended to the index,
+  *     so later batches dedup against them.
+  *
+  * Failure semantics mirror [[DocStream]]: a replayed batch re-reads
+  * an index that may already contain its survivors — harmless (strict
+  * `<` excludes the self-pair; duplicate index rows cannot change the
+  * min-struct partner) — so verdicts are replay-stable.
+  *
+  * At scale: the band join carries (vec_id, band_id, band_val) only —
+  * 16 rows of three longs per vector, never the vector; vectors are
+  * fetched once per VERIFIED-CANDIDATE id on the equi-join back to the
+  * stores. The index grows by survivors only. A deployment reads the
+  * stream from Kafka and keeps both tables in a table format with
+  * compaction; here they are parquet directories.
+  */
+object EmbStream {
+
+  /** Bootstrap both stores from an already-deduped corpus
+    * (vec_id, embedding). Run once; the stream appends. An empty
+    * corpus (`df.limit(0)`) is a valid bootstrap — the schema is
+    * still written.
+    */
+  def writeIndex(corpus: DataFrame, bandDir: String, vecDir: String): Unit = {
+    val q = Similarity.quantizeCols(corpus)
+    Similarity.dedupBandRows(q).write.mode("overwrite").parquet(bandDir)
+    q.write.mode("overwrite").parquet(vecDir)
+  }
+
+  /** Per-batch incremental near-dup verdicts (also usable directly on
+    * a batch). `batchQ` is quantized (vec_id, qa, na); returns
+    * (vec_id, partner_id, partner_cos) where a non-null partner is
+    * the min-id earlier vector (index or smaller-id batch vector)
+    * whose exact cosine clears `tau`.
+    */
+  def dedupBatch(
+      batchQ: DataFrame, bandIndex: DataFrame, vecs: DataFrame,
+      tau: Double = Similarity.nearDupTau): DataFrame = {
+    val bandRows = Similarity.dedupBandRows(batchQ)
+    val arriving = bandRows
+      .select(col("band_id"), col("band_val"), col("vec_id").as("i"))
+    val prior = bandIndex.unionByName(bandRows)
+      .select(col("band_id"), col("band_val"), col("vec_id").as("j"))
+    val cand = arriving.join(prior, Seq("band_id", "band_val"))
+      .filter(col("j") < col("i"))
+      .select("i", "j").dropDuplicates("i", "j")
+    val qi = batchQ
+      .select(col("vec_id").as("i"), col("qa").as("qi"), col("na").as("ni"))
+    val qj = vecs.unionByName(batchQ)
+      .select(col("vec_id").as("j"), col("qa").as("qj"), col("na").as("nj"))
+    val verified = cand.join(qi, "i").join(qj, "j")
+      .withColumn("cos",
+        Similarity.cosineCol(
+          Similarity.dotCol(col("qi"), col("qj")), col("ni"), col("nj")))
+      .filter(col("cos") >= tau)
+      .groupBy(col("i").as("vec_id"))
+      .agg(min(struct(col("j"), col("cos"))).as("m"))
+      .select(col("vec_id"),
+        col("m.j").as("partner_id"), col("m.cos").as("partner_cos"))
+    batchQ.select(col("vec_id")).join(verified, Seq("vec_id"), "left_outer")
+  }
+
+  /** Start the streaming near-dup loop. `embs` is a streaming
+    * DataFrame of (vec_id LONG, embedding ARRAY<numeric>).
+    */
+  def dedupIndexedStream(
+      embs: DataFrame, bandDir: String, vecDir: String,
+      verdictsDir: String, checkpoint: String,
+      tau: Double = Similarity.nearDupTau,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    embs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val q = Similarity.quantizeCols(batch).persist()
+        try {
+          val verdicts = dedupBatch(q,
+            spark.read.parquet(bandDir), spark.read.parquet(vecDir), tau)
+            .persist()
+          try {
+            verdicts.write.mode("append").parquet(verdictsDir)
+            val survivors = q.join(
+              verdicts.filter(col("partner_id").isNull).select("vec_id"),
+              Seq("vec_id"), "left_semi").persist()
+            try {
+              Similarity.dedupBandRows(survivors)
+                .write.mode("append").parquet(bandDir)
+              survivors.write.mode("append").parquet(vecDir)
+            } finally survivors.unpersist()
+          } finally verdicts.unpersist()
+        } finally q.unpersist()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+}

@@ -1,0 +1,113 @@
+package graft
+
+import graft.operators.Similarity
+import graft.streaming.EmbStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.streaming.EmbStream]]: streaming embedding near-dup (live
+  * SemDeDup) over a growing band index + vector store. Proves (1)
+  * BATCH PARITY — one batch over the whole test corpus yields exactly
+  * the verdicts implied by the batch `dedup_embedding` pair graph
+  * (same quantization/banding/threshold by shared code), (2)
+  * cross-batch dedup against bootstrap corpus and earlier-batch
+  * survivors with index growth by survivors only, (3) replay-stable
+  * verdicts when a batch re-runs against an index that already
+  * contains its survivors.
+  */
+class EmbStreamSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
+  private lazy val spark = TestSpark.spark
+  private val dirs = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  private def tmp(tag: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft_es_$tag").toString
+    dirs += p; p
+  }
+
+  override def afterAll(): Unit = dirs.foreach { d =>
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(d)).deleteRecursively()
+  }
+
+  test("single-batch verdicts match the batch dedup_embedding pair graph") {
+    val d = TestSpark.sfDir
+    val corpus = Tables.embeddings(spark, d).select("vec_id", "embedding")
+    val (bandDir, vecDir) = (tmp("band"), tmp("vec"))
+    EmbStream.writeIndex(corpus.limit(0), bandDir, vecDir) // empty bootstrap
+    val got = EmbStream.dedupBatch(
+      Similarity.quantizeCols(corpus),
+      spark.read.parquet(bandDir), spark.read.parquet(vecDir))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+    // expected: v is a dup iff the batch pair graph has some (i, v),
+    // partner = min such i (pairs are i < j)
+    val pairs = SparkEntry.queries("dedup_embedding")(spark, d)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = corpus.select("vec_id").collect().map(_.getLong(0)).map { v =>
+      val pred = pairs.filter(_._2 == v).map(_._1)
+      v -> (if (pred.isEmpty) None else Some(pred.min))
+    }.toMap
+    assert(got === expect,
+      s"stream/batch drift on ${got.count { case (k, p) => expect(k) != p }} vecs")
+    assert(expect.values.exists(_.nonEmpty), "corpus has no near-dups: vacuous")
+  }
+
+  test("cross-batch dedup through the growing index, replay-stable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // orthogonal by construction: disjoint support -> integer dot = 0
+    val base: Seq[Double] = Seq.tabulate(64)(i => if (i % 2 == 0) 0.5 + 0.01 * i else 0.0)
+    val orth: Seq[Double] = Seq.tabulate(64)(i => if (i % 2 == 1) 0.5 + 0.01 * i else 0.0)
+    val (bandDir, vecDir, verdictsDir, ckpt) =
+      (tmp("band2"), tmp("vec2"), tmp("out2"), tmp("ckpt2"))
+    EmbStream.writeIndex(
+      Seq((0L, base)).toDF("vec_id", "embedding"), bandDir, vecDir)
+
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = EmbStream.dedupIndexedStream(
+      input.toDF().toDF("vec_id", "embedding"),
+      bandDir, vecDir, verdictsDir, ckpt)
+    try {
+      // batch 1: 10 = corpus dup; 11 = novel direction (survivor);
+      // 12 = dup of 11 (same batch, larger id -> 11 wins)
+      input.addData((10L, base), (11L, orth), (12L, orth))
+      q.processAllAvailable()
+      // batch 2: 20 = dup of batch-1 SURVIVOR 11 via the index append;
+      // 21 = dup of corpus vec 0
+      input.addData((20L, orth), (21L, base))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(verdictsDir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got === Map(
+      10L -> Some(0L), 11L -> None, 12L -> Some(11L),
+      20L -> Some(11L), 21L -> Some(0L)), s"verdicts: $got")
+
+    // identical vectors verify at cosine ~1.0 (d/(sqrt(n)*sqrt(n)) can
+    // land one ulp above 1.0 — the threshold compare is unaffected)
+    val cosines = spark.read.parquet(verdictsDir)
+      .filter("partner_id is not null")
+      .collect().map(_.getDouble(2))
+    assert(cosines.nonEmpty && cosines.forall(c => math.abs(c - 1.0) < 1e-12),
+      s"exact-dup cosines must be ~1.0: ${cosines.toSet}")
+
+    // index grew by survivors only
+    val idxVecs = spark.read.parquet(vecDir)
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(idxVecs === Set(0L, 11L), s"vector store: $idxVecs")
+
+    // replay stability: batch 1 re-run against the grown index (which
+    // now contains survivor 11) yields identical verdicts
+    val replayed = EmbStream.dedupBatch(
+      Similarity.quantizeCols(
+        Seq((10L, base), (11L, orth), (12L, orth)).toDF("vec_id", "embedding")),
+      spark.read.parquet(bandDir), spark.read.parquet(vecDir))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(replayed === Map(10L -> Some(0L), 11L -> None, 12L -> Some(11L)),
+      s"replayed verdicts drifted: $replayed")
+  }
+}
