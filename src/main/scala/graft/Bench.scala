@@ -67,7 +67,15 @@ object Bench {
     Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().collect()
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional name filter (comma-separated) for root-causing a
+    // regression cluster without paying the full-registry wall time.
+    // The JSON contract line is only written when unfiltered.
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => filter.forall(_.contains(n)) }
+
+    val results = selected.map { case (name, fn) =>
       val runs = (1 to reps).flatMap { rep =>
         val (sh0, sp0) = settledCounters()
         val t0 = System.nanoTime()
@@ -77,6 +85,10 @@ object Bench {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val secs = (System.nanoTime() - t0) / 1e9
           val (sh1, sp1) = settledCounters()
+          // Rep-by-rep times go to stderr so a best-of-reps outlier can
+          // be attributed (rep-1 codegen vs sustained slowness) without
+          // a re-run — the min alone can't distinguish them.
+          System.err.println(f"[bench] $name rep $rep: $secs%.3f s")
           Some((secs, sh1 - sh0, sp1 - sp0))
         } catch {
           case NonFatal(e) =>
@@ -102,10 +114,14 @@ object Bench {
     println(line)
     // Also persist next to the repo: the driver captures stdout tails,
     // which has truncated the per-query map before — the file is the
-    // durable copy (BENCH analysis shouldn't need a re-run).
-    val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json"))
-    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    // durable copy (BENCH analysis shouldn't need a re-run). Filtered
+    // runs still honor an explicit SPARK_GRAFT_BENCH_OUT but never
+    // clobber the default full-registry file.
+    if (filter.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json"))
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    }
     spark.stop()
   }
 }

@@ -337,7 +337,11 @@ object Analytics {
     *  3. global rank = local rank + offset, where the offsets are the
     *     running sum of per-partition counts — a P-row aggregate (P =
     *     shuffle partitions), broadcast back (the offsets branch
-    *     shares the range exchange, reused at runtime);
+    *     shares the range exchange, reused at runtime — a CORRECTNESS
+    *     invariant, not just a saving: two independent executions of
+    *     repartitionByRange could sample different boundaries and
+    *     disagree on _pid; PlanSpec's executedPlan check locks the
+    *     ShuffleExchange + ReusedExchange shape);
     *  4. NTILE's bucket arithmetic applied to (rank, n) exactly: with
     *     q = n div 10 and r = n mod 10, buckets 1..r hold q+1 rows.
     * The only single-partition work is the running sum over P rows.

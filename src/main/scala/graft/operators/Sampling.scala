@@ -257,7 +257,14 @@ object Sampling {
     * decimal: at N = 1e14 docs the largest |product| is ~3e24 and the
     * sum ≤ N·ln(L)·1e9 ≈ 4e23·L — 13 orders under DECIMAL(38,0).
     * Only the final /N/1e9 touches floating point (one fixed-shape
-    * division on identical operands).
+    * division on identical operands). One caveat: the DECIMAL(38,0)
+    * → DOUBLE cast feeding that division is the single step whose
+    * cross-engine bit-identity is EMPIRICAL (gate-checked), not
+    * proven — Spark's BigDecimal.doubleValue rounds correctly, while
+    * DuckDB's wide-decimal→double conversion is not documented as
+    * correctly rounded, so a sum exceeding 2^63 (N ≳ 1e9 docs in one
+    * language) could in principle differ by 1 ulp before the
+    * division.
     *
     * Scale: one map-combinable lang count (languages-sized exchange),
     * a broadcast one-row total, one L-row reduce.

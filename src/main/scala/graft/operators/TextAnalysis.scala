@@ -840,6 +840,13 @@ object TextAnalysis {
     * whole-language single-partition sort anywhere (PlanSpec locks
     * this). Bit-identical to the per-lang ROW_NUMBER the oracle keeps
     * as the cross-engine proof.
+    *
+    * CORRECTNESS INVARIANT: the offsets branch and the final join both
+    * reference the nondeterministic range-partitioned subtree; they
+    * see identical partition assignments because the shuffle exchange
+    * is REUSED at execution (one ShuffleExchange + a ReusedExchange —
+    * PlanSpec's executedPlan check locks this, for q_decile too). If a
+    * future edit de-canonicalizes the branches, persist the subtree.
     */
   val pplBucket = QueryDef(
     "text_ppl_bucket",

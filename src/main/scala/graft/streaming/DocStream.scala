@@ -20,8 +20,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *  2. band equi-join against the current index (dups vs the
   *     accepted corpus) and against the batch itself restricted to
   *     smaller doc_id (dups within the batch, first copy wins);
-  *  3. verdicts appended to `verdictsDir` — every doc, with its
-  *     min-id surviving partner or NULL;
+  *  3. verdicts OVERWRITE their own `batch=<id>` partition of
+  *     `verdictsDir` — every doc, with its min-id surviving partner
+  *     or NULL;
   *  4. the SURVIVORS' band rows appended to the index, so later
   *     batches dedup against them.
   *
@@ -33,8 +34,19 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * rebuild). Failure semantics: a replayed batch re-reads an index
   * that may already contain its survivors — harmless, because the
   * self-pair is excluded by strict `<` and duplicate index rows
-  * cannot change a MIN — so verdicts are replay-stable (exactly-once
-  * effect from at-least-once execution).
+  * cannot change a MIN — so verdict VALUES are replay-stable, and
+  * verdict ROWS are exactly-once because each batch overwrites its
+  * own `batch=<id>` partition dir (the [[ScoreStream]] pattern) — a
+  * replay replaces its previous, possibly partial, output instead of
+  * appending a second copy. The index append stays at-least-once by
+  * the MIN argument above.
+  *
+  * "Deduped against everything already accepted" additionally assumes
+  * doc_ids are MONOTONICALLY INCREASING across the bootstrap corpus
+  * and the stream (the natural ingest-order id): strict `j < i` keeps
+  * the first copy as the smallest id, so a late-arriving document
+  * with an id SMALLER than an accepted near-dup's would be admitted
+  * as a second survivor.
   *
   * At scale the index join is the only shuffle and carries band keys,
   * never text; the index grows by survivors only. A deployment reads
@@ -74,6 +86,32 @@ object DocStream {
       .join(matches, Seq("doc_id"), "left_outer")
   }
 
+  /** One micro-batch of the dedup loop: verdicts overwrite their own
+    * `batch=<id>` partition dir (so calling it again with the same
+    * batchId — a replay — REPLACES the previous output, row counts
+    * included; idempotence is spec-proven by invoking this twice),
+    * survivors' band rows append to the index.
+    */
+  def processBatch(batch: DataFrame, indexDir: String,
+      verdictsDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    // one computation of the batch band rows feeds both the join
+    // and the index append
+    val cached = batch.persist()
+    try {
+      val index = spark.read.parquet(indexDir)
+      val verdicts = dedupBatch(cached, index).persist()
+      try {
+        verdicts.write.mode("overwrite")
+          .parquet(s"$verdictsDir/batch=$batchId")
+        val survivors = cached.join(
+          verdicts.filter(col("partner_id").isNull).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        bandRows(survivors).write.mode("append").parquet(indexDir)
+      } finally verdicts.unpersist()
+    } finally cached.unpersist()
+  }
+
   /** Start the streaming dedup loop. `docs` is a streaming DataFrame
     * of (doc_id LONG, text STRING).
     */
@@ -82,22 +120,8 @@ object DocStream {
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        // one computation of the batch band rows feeds both the join
-        // and the index append
-        val cached = batch.persist()
-        try {
-          val index = spark.read.parquet(indexDir)
-          val verdicts = dedupBatch(cached, index).persist()
-          try {
-            verdicts.write.mode("append").parquet(verdictsDir)
-            val survivors = cached.join(
-              verdicts.filter(col("partner_id").isNull).select("doc_id"),
-              Seq("doc_id"), "left_semi")
-            bandRows(survivors).write.mode("append").parquet(indexDir)
-          } finally verdicts.unpersist()
-        } finally cached.unpersist()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, indexDir, verdictsDir, batchId)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

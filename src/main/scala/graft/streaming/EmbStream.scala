@@ -28,15 +28,25 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *  3. exact cosine rerank of the candidates against the accepted
   *     vectors ∪ batch vectors; survivors of tau get their min-id
   *     partner;
-  *  4. verdicts appended to `verdictsDir` — every vec, with its
-  *     surviving partner + cosine or NULLs;
+  *  4. verdicts OVERWRITE their own `batch=<id>` partition of
+  *     `verdictsDir` — every vec, with its surviving partner +
+  *     cosine or NULLs;
   *  5. the SURVIVORS' band rows and vectors appended to the index,
   *     so later batches dedup against them.
   *
   * Failure semantics mirror [[DocStream]]: a replayed batch re-reads
   * an index that may already contain its survivors — harmless (strict
   * `<` excludes the self-pair; duplicate index rows cannot change the
-  * min-struct partner) — so verdicts are replay-stable.
+  * min-struct partner) — so verdict VALUES are replay-stable, and
+  * verdict ROWS are exactly-once because each batch overwrites its
+  * own `batch=<id>` partition dir; the index/vector appends stay
+  * at-least-once by the min-struct argument.
+  *
+  * "Deduped against everything already accepted" additionally assumes
+  * vec_ids are MONOTONICALLY INCREASING across the bootstrap corpus
+  * and the stream: strict `j < i` keeps the first copy as the
+  * smallest id, so a late-arriving vector with an id SMALLER than an
+  * accepted near-dup's would be admitted as a second survivor.
   *
   * At scale: the band join carries (vec_id, band_id, band_val) only —
   * 16 rows of three longs per vector, never the vector; vectors are
@@ -91,6 +101,36 @@ object EmbStream {
     batchQ.select(col("vec_id")).join(verified, Seq("vec_id"), "left_outer")
   }
 
+  /** One micro-batch of the near-dup loop: verdicts overwrite their
+    * own `batch=<id>` partition dir (so calling it again with the
+    * same batchId — a replay — REPLACES the previous output, row
+    * counts included; idempotence is spec-proven by invoking this
+    * twice), survivors' band rows and vectors append to the stores.
+    */
+  def processBatch(batch: DataFrame, bandDir: String, vecDir: String,
+      verdictsDir: String, batchId: Long,
+      tau: Double = Similarity.nearDupTau): Unit = {
+    val spark = batch.sparkSession
+    val q = Similarity.quantizeCols(batch).persist()
+    try {
+      val verdicts = dedupBatch(q,
+        spark.read.parquet(bandDir), spark.read.parquet(vecDir), tau)
+        .persist()
+      try {
+        verdicts.write.mode("overwrite")
+          .parquet(s"$verdictsDir/batch=$batchId")
+        val survivors = q.join(
+          verdicts.filter(col("partner_id").isNull).select("vec_id"),
+          Seq("vec_id"), "left_semi").persist()
+        try {
+          Similarity.dedupBandRows(survivors)
+            .write.mode("append").parquet(bandDir)
+          survivors.write.mode("append").parquet(vecDir)
+        } finally survivors.unpersist()
+      } finally verdicts.unpersist()
+    } finally q.unpersist()
+  }
+
   /** Start the streaming near-dup loop. `embs` is a streaming
     * DataFrame of (vec_id LONG, embedding ARRAY<numeric>).
     */
@@ -100,25 +140,8 @@ object EmbStream {
       tau: Double = Similarity.nearDupTau,
       trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
     embs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val q = Similarity.quantizeCols(batch).persist()
-        try {
-          val verdicts = dedupBatch(q,
-            spark.read.parquet(bandDir), spark.read.parquet(vecDir), tau)
-            .persist()
-          try {
-            verdicts.write.mode("append").parquet(verdictsDir)
-            val survivors = q.join(
-              verdicts.filter(col("partner_id").isNull).select("vec_id"),
-              Seq("vec_id"), "left_semi").persist()
-            try {
-              Similarity.dedupBandRows(survivors)
-                .write.mode("append").parquet(bandDir)
-              survivors.write.mode("append").parquet(vecDir)
-            } finally survivors.unpersist()
-          } finally verdicts.unpersist()
-        } finally q.unpersist()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, bandDir, vecDir, verdictsDir, batchId, tau)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

@@ -77,6 +77,9 @@ class CepProcessor(pattern: Seq[String], windowMs: Long)
     var stages: Seq[Long] =
       if (prefix.exists()) prefix.get().stageTs else Seq.empty
     val hadPrefix = stages.nonEmpty
+    // the armed deadline is anchored to the prefix HEAD — remember it
+    // so an unchanged head skips the delete+register state-store churn
+    val prevHead = if (hadPrefix) Some(stages.head) else None
     rows.toSeq
       .map(r => (r.getAs[Long]("timestamp"), r.getAs[String]("eventType")))
       .sorted
@@ -96,9 +99,13 @@ class CepProcessor(pattern: Seq[String], windowMs: Long)
       }
     if (stages.nonEmpty) {
       prefix.update(CepPrefix(stages))
-      // deadline anchored to the first stage; re-arm only when it moved
-      getHandle.listTimers().foreach(getHandle.deleteTimer)
-      getHandle.registerTimer(stages.head + windowMs)
+      // deadline anchored to the first stage; re-arm ONLY when the
+      // head moved (a restart) — an extended prefix keeps the same
+      // deadline and the armed timer is still correct
+      if (!prevHead.contains(stages.head)) {
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(stages.head + windowMs)
+      }
     } else if (hadPrefix || prefix.exists()) {
       prefix.clear()
       getHandle.listTimers().foreach(getHandle.deleteTimer)

@@ -109,5 +109,20 @@ class EmbStreamSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     assert(replayed === Map(10L -> Some(0L), 11L -> None, 12L -> Some(11L)),
       s"replayed verdicts drifted: $replayed")
+
+    // forced batch replay through the ACTUAL sink path: re-running
+    // micro-batch 0 with the same batchId overwrites its own
+    // `batch=0` partition, so verdict ROW COUNTS in verdictsDir are
+    // unchanged (exactly-once rows, not merely stable values)
+    val countBefore = spark.read.parquet(verdictsDir).count()
+    EmbStream.processBatch(
+      Seq((10L, base), (11L, orth), (12L, orth)).toDF("vec_id", "embedding"),
+      bandDir, vecDir, verdictsDir, batchId = 0L)
+    val after = spark.read.parquet(verdictsDir)
+    assert(after.count() === countBefore,
+      "replayed batch duplicated verdict rows")
+    val afterMap = after.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(afterMap === got, s"replay changed verdict values: $afterMap")
   }
 }

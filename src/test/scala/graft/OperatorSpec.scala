@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 /** Sanity + known-value checks for every registered operator at
   * sf0.001 (the DuckDB oracle compare at sf0.01 is the driver's
@@ -41,6 +42,79 @@ class OperatorSpec extends AnyFunSuite {
       s"SURVEY §2 / registry drift — unlisted queries: " +
         s"${(registry -- listed).toSeq.sorted.mkString(", ")}; stale rows: " +
         s"${(listed.toSet -- registry).toSeq.sorted.mkString(", ")}")
+  }
+
+  test("SURVEY §2 B rows each name code that exists") {
+    // The B (streaming) table has no query keys, so the A/C/D check
+    // above can't catch drift there — round 5 shipped two components
+    // with no §2 row before this existed. Every backticked name in a
+    // B row's component column must resolve to a real object (and, for
+    // `Object.method` forms, a real method on it) under reflection.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val bRow = """(?m)^\| B\d+b? \| ([^|]+) \|""".r
+    val tick = """`([^`]+)`""".r
+    val rows = bRow.findAllMatchIn(src).map(_.group(1)).toSeq
+    assert(rows.size >= 26, s"only ${rows.size} B rows found — table moved?")
+    def objectExists(fqcn: String): Boolean =
+      try { Class.forName(fqcn + "$"); true }
+      catch { case _: ClassNotFoundException => false }
+    def methodExists(fqcn: String, m: String): Boolean =
+      try Class.forName(fqcn + "$").getDeclaredMethods.exists(_.getName == m)
+      catch { case _: ClassNotFoundException => false }
+    val failures = rows.flatMap { cell =>
+      tick.findAllMatchIn(cell).map(_.group(1)).flatMap { name =>
+        name.split("""\s*\+\s*""").toSeq.flatMap { part =>
+          // forms: `streaming.Monitor` / `sources.Formats` (object in a
+          // graft subpackage), `EventStream.a/b/c` (methods on the
+          // streaming.EventStream object), bare `enrich` (method named
+          // by a preceding EventStream token in the same cell)
+          val p = part.trim
+          p.split('.') match {
+            case Array(pkg, obj) if pkg.head.isLower =>
+              if (objectExists(s"graft.$pkg.$obj")) Nil
+              else Seq(s"graft.$pkg.$obj (object missing)")
+            case Array(obj, methods) =>
+              methods.split('/').toSeq.collect {
+                case m if !methodExists(s"graft.streaming.$obj", m) =>
+                  s"graft.streaming.$obj.$m (method missing)"
+              }
+            case Array(m) =>
+              if (methodExists("graft.streaming.EventStream", m)) Nil
+              else Seq(s"graft.streaming.EventStream.$m (method missing)")
+            case _ => Seq(s"unparseable B-row name: $p")
+          }
+        }
+      }
+    }
+    assert(failures.isEmpty,
+      s"SURVEY §2 B rows reference missing code:\n  ${failures.mkString("\n  ")}")
+    // and the reverse direction: every top-level object in the
+    // streaming package must appear in some B row (catches the round-5
+    // drift class — built code with no coverage-contract row). The
+    // object list comes from the compiled classes on disk, not a
+    // hand-maintained list that would itself drift.
+    val cellText = rows.mkString(" ")
+    val classDir = java.nio.file.Paths.get("target/scala-2.13/classes/graft/streaming")
+    assert(java.nio.file.Files.isDirectory(classDir), s"no class dir at $classDir")
+    val streamingObjects = java.nio.file.Files.list(classDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith("$.class") && !n.contains("$$"))
+      .map(_.stripSuffix("$.class"))
+      // case-class companions and processor impls are internals; the
+      // coverage contract tracks the entry-point objects
+      .filterNot(n => n.endsWith("Processor") || n.contains("$"))
+      .toSeq.sorted
+    val entryObjects = streamingObjects.filter { o =>
+      val cls = Class.forName(s"graft.streaming.$o$$")
+      // an entry point has at least one public method returning a
+      // Dataset/DataFrame/StreamingQuery or configuring a session
+      !classOf[scala.Product].isAssignableFrom(
+        try Class.forName(s"graft.streaming.$o") catch { case _: Throwable => cls })
+    }
+    val unlisted = entryObjects.filterNot(cellText.contains)
+    assert(unlisted.isEmpty,
+      s"streaming components with no SURVEY §2 B row: ${unlisted.mkString(", ")}")
   }
 
   test("entry returns rows") {

@@ -91,6 +91,51 @@ class PlanSpec extends AnyFunSuite {
     }.nonEmpty, "expected the repartitionByRange exchange")
   }
 
+  test("two-phase ranking computes its range exchange ONCE (reused, never recomputed)") {
+    // q_decile and text_ppl_bucket reference the nondeterministic
+    // repartitionByRange + monotonically_increasing_id subtree from
+    // TWO plan branches (the offsets aggregate and the final join).
+    // The branches only see identical partition assignments because
+    // the shuffle exchange is REUSED — RangePartitioner's sample seed
+    // derives from the RDD id, so two independent executions could
+    // draw different range boundaries and silently mis-rank. This
+    // executedPlan check locks the reuse invariant the sparkPlan
+    // tests above cannot see (reuse is inserted at execution).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    // AdaptiveSparkPlanExec and QueryStageExec are leaf nodes — a bare
+    // collect stops at them; recurse through their inner plans
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val here = p.collect { case x => x }
+      here ++ here.flatMap {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case s: QueryStageExec => allNodes(s.plan)
+        case r: ReusedExchangeExec => allNodes(r.child)
+        case _ => Nil
+      }
+    }
+    for (q <- Seq("q_decile", "text_ppl_bucket")) {
+      val df = SparkEntry.queries(q)(spark, d)
+        .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      df.collect()
+      val nodes = allNodes(df.queryExecution.executedPlan)
+      val rangeExchanges = nodes.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+      }
+      assert(rangeExchanges.nonEmpty, s"$q: no range exchange found")
+      assert(rangeExchanges.map(System.identityHashCode).distinct.size == 1,
+        s"$q: the range exchange was planned ${rangeExchanges.size} separate " +
+          s"times — partition assignments can diverge between the offsets " +
+          s"and join branches:\n${df.queryExecution.executedPlan}")
+      assert(nodes.exists(_.isInstanceOf[ReusedExchangeExec]),
+        s"$q: no ReusedExchangeExec — the second branch recomputes:\n" +
+          df.queryExecution.executedPlan)
+    }
+  }
+
   test("sample_stratified plans via TopKPerKey with a single exchange") {
     // executedPlan (post-EnsureRequirements): sparkPlan has no
     // exchanges yet, so the count would be vacuous there
