@@ -33,6 +33,22 @@ object Similarity {
   private val NDedupPlanes = 64
   private val DedupBands = 16
   private val DedupBits = NDedupPlanes / DedupBands
+  // dedup_embedding_hi: the HIGH-tau operating point (SemDeDup regime)
+  // with the wider bands tau=0.8 affords — 128 planes as 16 bands x 8
+  // bits. Per the band formula, a band agrees with prob (1-theta/pi)^8:
+  // ~0.22 for a tau-boundary dup vs ~0.004 for a random pair, so 16
+  // bands keep ~98% of true dups while generating candidates for only
+  // ~6% of random pairs (both measured in SimilaritySpec).
+  private val HiTau = 0.8
+  private val HiBands = 16
+  private val HiBits = 8
+  private val HiPlanes = HiBands * HiBits
+  // deterministic augmentation for the hi-tau input: each vector gets
+  // one jittered copy at vec_id + CopyOffset (offset is a multiple of
+  // NJit so id-derived jitter choice is alias-binding-proof in SQL)
+  private val CopyOffset = 10000000L
+  private val NJit = 8
+  private val JitShrink = 4L
 
   /** Quantized embedding + its exact integer squared-norm (label
     * carried through for the centroid operator; other callers project
@@ -103,15 +119,34 @@ object Similarity {
   /** Deterministic pseudo-random hyperplanes, computed once at plan
     * build from md5 (same constants are inlined into the DuckDB
     * oracle, so no cross-engine hashing is needed at runtime).
-    * [[annLsh]] uses the first NPlanes; [[dedupEmbedding]] all
-    * NDedupPlanes.
+    * [[annLsh]] uses the first NPlanes; [[dedupEmbedding]] the first
+    * NDedupPlanes; [[dedupEmbeddingHi]] all HiPlanes.
     */
   lazy val hyperplanes: Array[Array[Long]] = {
     val mdig = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(NDedupPlanes, Dim) { (j, i) =>
+    // HiPlanes >= NDedupPlanes >= NPlanes; generation is per (j, i),
+    // so widening the array leaves the first 64 planes (and every
+    // existing query's bands) bit-identical
+    Array.tabulate(HiPlanes, Dim) { (j, i) =>
       val hex = mdig.digest(s"hp${j}_$i".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.substring(0, 15)
       java.lang.Long.parseLong(hex, 16) % (Scale + 1) - Scale / 2
+    }
+  }
+
+  /** Deterministic jitter directions for [[dedupEmbeddingHi]]'s
+    * augmentation copies — md5-derived like [[hyperplanes]] but from a
+    * DISJOINT tag space (`jit*`), so the perturbation is uncorrelated
+    * with every banding plane. Entry magnitude ~Scale/(2*JitShrink);
+    * across Dim dims the copy lands at cosine ~0.85-0.9 from its
+    * original (the unit-norm corpus makes |jit|/|qa| ~ 0.58).
+    */
+  lazy val jitters: Array[Array[Long]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(NJit, Dim) { (j, i) =>
+      val hex = mdig.digest(s"jit${j}_$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16) % (Scale + 1) - Scale / 2) / JitShrink
     }
   }
 
@@ -196,6 +231,147 @@ object Similarity {
     JOIN q qb ON qb.vec_id = c.j
     WHERE ${cosineSql(dotSql("qa.qa", "qb.qa"), "qa.na", "qb.na")} >= $NearDupTau"""
     })
+
+  /** The deterministic augmented corpus [[dedupEmbeddingHi]] dedups:
+    * every vector plus one jittered copy at `vec_id + CopyOffset`
+    * (copy i gets jitter direction `i % NJit`). The dedup-after-
+    * augmentation pipeline shape: augmentation copies ARE near-dups
+    * (cosine ~0.85-0.9 here) that a training mix must collapse, and
+    * they give this corpus — whose organic pair cosines top out near
+    * 0.5 — a real population above the SemDeDup threshold. Both
+    * engines compute the copies from the same inlined constants, so
+    * the truth set is identical by construction.
+    */
+  private def augmentedHi(s: SparkSession, d: String): DataFrame = {
+    val orig = quantized(s, d).select(col("vec_id"), col("qa"))
+    val jitCase = (1 until NJit).foldLeft(
+      when(col("vec_id") % NJit === 0, typedlit(jitters(0).toSeq))) {
+      (c, j) => c.when(col("vec_id") % NJit === j, typedlit(jitters(j).toSeq))
+    }
+    val copies = orig.select(
+      (col("vec_id") + CopyOffset).as("vec_id"),
+      zip_with(col("qa"), jitCase, (a, b) => a + b).as("qa"))
+    orig.unionByName(copies)
+      .withColumn("na", dot(col("qa"), col("qa")))
+  }
+
+  /** DuckDB spelling of [[augmentedHi]] (expects `q0` = quantizedSql
+    * in scope; yields (vec_id, qa, na)). The jitter CASE is qualified
+    * (`q0.vec_id`) so it can never bind to the shifted alias.
+    */
+  private val augmentedHiSql: String = {
+    val cases = (0 until NJit).map { j =>
+      s"WHEN $j THEN ${jitters(j).mkString("[", ", ", "]")}"
+    }.mkString(" ")
+    s"""aug0 AS (
+      SELECT vec_id, qa FROM q0
+      UNION ALL
+      SELECT q0.vec_id + $CopyOffset AS vec_id,
+        list_transform(range(1, ${Dim + 1}),
+          i -> qa[i] + (CASE q0.vec_id % $NJit $cases END)[i]) AS qa
+      FROM q0),
+    q AS (SELECT vec_id, qa, ${normSql("qa")} AS na FROM aug0)"""
+  }
+
+  /** [[dedupEmbedding]]'s cost knob at the HIGH-tau operating point
+    * (tau = HiTau, the SemDeDup near-dup regime), oracle-proven: the
+    * same band-join/exact-verify plan, but with the WIDER bands a
+    * higher threshold affords — HiBands bands of HiBits bits over
+    * HiPlanes planes. Input is [[augmentedHi]] (original + jittered
+    * copy), the dedup-after-augmentation shape, because this corpus
+    * has no organic pairs above ~0.5.
+    *
+    * The tau→bands trade, measured in SimilaritySpec rather than
+    * asserted: a band agrees with prob (1 - theta/pi)^HiBits — ~0.22
+    * at the tau boundary vs ~0.004 for a random pair — so 16 bands
+    * give ~98% recall on true dups while candidate-generating only
+    * ~6% of random pairs, against D5's ~64% candidate rate at 4-bit
+    * bands. Same scale shape as D5: the band join carries only
+    * (vec_id, band_id, band_val); exact rerank on candidate ids.
+    */
+  val dedupEmbeddingHi = QueryDef(
+    "dedup_embedding_hi",
+    (s, d) => {
+      val emb = augmentedHi(s, d)
+      def bandVal(b: Int): Column =
+        (0 until HiBits).map(k => planeBit(b * HiBits + k) * (1L << k))
+          .reduce(_ + _)
+      val banded = emb.withColumn("bands",
+        array((0 until HiBands).map(b =>
+          struct(lit(b).as("band_id"), bandVal(b).as("band_val"))): _*))
+        .select(col("vec_id"), explode(col("bands")).as("bb"))
+        .select(col("vec_id"),
+          col("bb.band_id").as("band_id"), col("bb.band_val").as("band_val"))
+      val cand = banded.select(col("band_id"), col("band_val"), col("vec_id").as("i"))
+        .join(banded.select(col("band_id"), col("band_val"), col("vec_id").as("j")),
+          Seq("band_id", "band_val"))
+        .filter(col("i") < col("j"))
+        .select("i", "j").dropDuplicates("i", "j")
+      val qi = emb.select(col("vec_id").as("i"), col("qa").as("qi"), col("na").as("ni"))
+      val qj = emb.select(col("vec_id").as("j"), col("qa").as("qj"), col("na").as("nj"))
+      cand.join(qi, "i").join(qj, "j")
+        .withColumn("cosine", cosine(dot(col("qi"), col("qj")), col("ni"), col("nj")))
+        .filter(col("cosine") >= HiTau)
+        .select("i", "j", "cosine")
+    },
+    Some {
+      def bandValSql(b: Int): String =
+        (0 until HiBits).map(k => s"${planeBitSql(b * HiBits + k)} * ${1L << k}")
+          .mkString("(", " + ", ")")
+      val bandStructs = (0 until HiBands)
+        .map(b => s"{'band_id': $b, 'band_val': ${bandValSql(b)}}")
+        .mkString("[", ", ", "]")
+      s"""WITH q0 AS ($quantizedSql),
+    $augmentedHiSql,
+    banded AS (SELECT vec_id, unnest($bandStructs) AS bb FROM q),
+    bb AS (SELECT vec_id, bb['band_id'] AS band_id, bb['band_val'] AS band_val FROM banded),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      FROM bb a JOIN bb b ON a.band_id = b.band_id AND a.band_val = b.band_val
+      WHERE a.vec_id < b.vec_id)
+    SELECT c.i, c.j,
+      ${cosineSql(dotSql("qa.qa", "qb.qa"), "qa.na", "qb.na")} AS cosine
+    FROM cand c
+    JOIN q qa ON qa.vec_id = c.i
+    JOIN q qb ON qb.vec_id = c.j
+    WHERE ${cosineSql(dotSql("qa.qa", "qb.qa"), "qa.na", "qb.na")} >= $HiTau"""
+    })
+
+  /** All-pairs exact baseline over [[augmentedHi]] at HiTau — spec-only
+    * (the O(n^2) loop dies at scale), for the recall/prune measurement.
+    */
+  private[graft] def dedupEmbeddingHiAllPairs(
+      s: SparkSession, d: String): DataFrame = {
+    val emb = augmentedHi(s, d)
+    val a = emb.select(col("vec_id").as("i"), col("qa").as("qi"), col("na").as("ni"))
+    val b = emb.select(col("vec_id").as("j"), col("qa").as("qj"), col("na").as("nj"))
+    a.join(broadcast(b), col("i") < col("j"))
+      .withColumn("cosine", cosine(dot(col("qi"), col("qj")), col("ni"), col("nj")))
+      .filter(col("cosine") >= HiTau)
+      .select("i", "j", "cosine")
+  }
+
+  /** Banded candidate PAIR COUNT for [[dedupEmbeddingHi]] before the
+    * exact verify — spec-only, for the prune-rate measurement.
+    */
+  private[graft] def dedupEmbeddingHiCandidates(
+      s: SparkSession, d: String): Long = {
+    val emb = augmentedHi(s, d)
+    def bandVal(b: Int): Column =
+      (0 until HiBits).map(k => planeBit(b * HiBits + k) * (1L << k))
+        .reduce(_ + _)
+    val banded = emb.withColumn("bands",
+      array((0 until HiBands).map(b =>
+        struct(lit(b).as("band_id"), bandVal(b).as("band_val"))): _*))
+      .select(col("vec_id"), explode(col("bands")).as("bb"))
+      .select(col("vec_id"),
+        col("bb.band_id").as("band_id"), col("bb.band_val").as("band_val"))
+    banded.select(col("band_id"), col("band_val"), col("vec_id").as("i"))
+      .join(banded.select(col("band_id"), col("band_val"), col("vec_id").as("j")),
+        Seq("band_id", "band_val"))
+      .filter(col("i") < col("j"))
+      .select("i", "j").dropDuplicates("i", "j").count()
+  }
 
   /** Streaming-twin plumbing ([[graft.streaming.EmbStream]]): the SAME
     * quantization, 16x4-bit banding, and verify threshold as
@@ -1004,7 +1180,8 @@ object Similarity {
     FROM train t LEFT JOIN best b ON b.vec_id = t.vec_id
     ORDER BY t.vec_id"""))
 
-  val defs: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding, annLsh, annIvf,
+  val defs: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding,
+    dedupEmbeddingHi, annLsh, annIvf,
     embCentroid, dedupEmbeddingKeep, dimReduce, embQuantize, semanticPrune,
     mineHardNegatives, knnGraph, knnScoreDiffusion, kmeans,
     decontaminateEmbedding)

@@ -57,6 +57,36 @@ class SimilaritySpec extends AnyFunSuite {
     banded.foreach { case (k, c) => assert(exact(k) == c, s"cosine mismatch for $k") }
   }
 
+  test("dedup_embedding_hi: wider bands keep ~all true dups and prune most random pairs") {
+    import graft.operators.Similarity
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("i", "j", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairSet(Similarity.dedupEmbeddingHiAllPairs(spark, d))
+    val banded = pairSet(SparkEntry.queries("dedup_embedding_hi")(spark, d))
+    // the augmented corpus plants one ~0.85-0.9-cosine copy per vector,
+    // so the high-tau truth set is substantial, not vacuous
+    assert(exact.size >= 400,
+      s"expected most of the 500 planted copies above tau, got ${exact.size}")
+    // recall: measured, not assumed — the 8-bit band formula predicts
+    // ~0.98 at the tau boundary and more above it
+    val recall = (exact.keySet & banded.keySet).size.toDouble / exact.size
+    assert(recall >= 0.95, s"hi-tau banding recall $recall < 0.95 " +
+      s"(missed ${(exact.keySet -- banded.keySet).size} of ${exact.size})")
+    // precision is structural (exact cosine verify)
+    assert(banded.keySet.subsetOf(exact.keySet),
+      "banded result contains pairs the exact baseline rejects")
+    banded.foreach { case (k, c) => assert(exact(k) == c, s"cosine mismatch for $k") }
+    // the cost knob itself: candidate volume AFTER banding vs all
+    // pairs — the wider 8-bit bands must prune >=90% (measured ~6%
+    // candidate rate; D5's 4-bit bands pass ~64% on this corpus)
+    val n = 1000L // 500 vectors + 500 copies
+    val allPairs = n * (n - 1) / 2
+    val cands = Similarity.dedupEmbeddingHiCandidates(spark, d)
+    assert(cands.toDouble / allPairs <= 0.10,
+      s"hi-tau bands passed $cands of $allPairs pairs — the knob is not pruning")
+  }
+
   test("dedup_semantic_prune matches a brute-force reference sweep exactly") {
     // independent Scala reimplementation of the SemDeDup rule: same
     // quantization, floor-mean centroids, IEEE cosine — the keep sets
