@@ -65,6 +65,28 @@ object Tables {
     val raw = read(s, d, "events")
     raw.withColumn("ts", tsToNanos(raw.schema("ts").dataType))
   }
-  def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
+  /** Same drift guard for the text table, the one lane of the
+    * round-3/4 failure class (a generator regen changing the physical
+    * encoding) that had no normalizer: a writer may legally emit
+    * `text`/`lang`/`source` as un-annotated BYTE_ARRAY (read by Spark
+    * as BINARY — e.g. a bytes-typed writer) or as Arrow large_string
+    * (same parquet STRING logical type, different writer layout), and
+    * the integer columns as INT32. Normalize binaries to UTF-8
+    * strings and integrals to Long — conditional per-column casts in
+    * one projection, so pruning of untouched columns still reaches
+    * the parquet scan. Dictionary-encoded vs plain pages are a
+    * page-level detail the reader handles; EncodingSpec drills all of
+    * these against the same query results.
+    */
+  def documents(s: SparkSession, d: String): DataFrame = {
+    val raw = read(s, d, "documents")
+    raw.schema.fields.foldLeft(raw) { (df, f) =>
+      (f.dataType, f.name) match {
+        case (BinaryType, n) => df.withColumn(n, col(n).cast(StringType))
+        case (IntegerType | ShortType, n) => df.withColumn(n, col(n).cast(LongType))
+        case _ => df
+      }
+    }
+  }
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 }

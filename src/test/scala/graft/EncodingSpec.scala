@@ -70,6 +70,81 @@ class EncodingSpec extends AnyFunSuite {
     }
   }
 
+  test("documents encoding drill: BINARY, large_string, plain-page and int32 variants read identically") {
+    // The one untested lane of the regen failure class (round-3 ts,
+    // round-4 dates): a generator is free to re-encode documents.text
+    // as un-annotated BYTE_ARRAY (Spark: BINARY), as Arrow
+    // large_string (committed pyarrow fixture — same STRING logical
+    // type, different writer), with dictionary pages disabled, or the
+    // integer columns as INT32. Tables.documents normalizes; the whole
+    // text family must produce IDENTICAL results on every variant.
+    val sf = TestSpark.sfDir
+    val base = java.nio.file.Files.createTempDirectory("graft-encdoc").toString
+    val others = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "embeddings")
+    def mkVariant(name: String)(writeDocs: String => Unit): String = {
+      val dir = s"$base/$name"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      others.foreach { t =>
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(s"$dir/$t.parquet"),
+          java.nio.file.Paths.get(s"$sf/$t.parquet"))
+      }
+      writeDocs(s"$dir/documents.parquet")
+      dir
+    }
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+    val binDir = mkVariant("bin") { p =>
+      raw.select(col("doc_id"), col("text").cast(BinaryType).as("text"),
+        col("lang").cast(BinaryType).as("lang"),
+        col("source").cast(BinaryType).as("source"), col("n_chars"))
+        .write.parquet(p)
+    }
+    val lsDir = mkVariant("largestring") { p =>
+      val in = getClass.getResourceAsStream("/encdrill/documents_largestring.parquet")
+      assert(in != null, "large_string fixture missing from test resources")
+      java.nio.file.Files.copy(in, java.nio.file.Paths.get(p))
+    }
+    val plainDir = mkVariant("plainpages") { p =>
+      raw.write.option("parquet.enable.dictionary", "false").parquet(p)
+    }
+    val i32Dir = mkVariant("int32") { p =>
+      raw.select(col("doc_id").cast(IntegerType).as("doc_id"), col("text"),
+        col("lang"), col("source"),
+        col("n_chars").cast(IntegerType).as("n_chars"))
+        .write.parquet(p)
+    }
+    val variants = Seq(binDir -> "binary", lsDir -> "large_string",
+      plainDir -> "plain_pages", i32Dir -> "int32")
+
+    // normalizer contract: strings come out STRING, integrals LONG
+    for ((dir, tag) <- variants) {
+      val sch = Tables.documents(spark, dir).schema
+      assert(sch("text").dataType == StringType, s"$tag: text must read as string")
+      assert(sch("lang").dataType == StringType, s"$tag: lang must read as string")
+      assert(sch("doc_id").dataType == LongType, s"$tag: doc_id must read as long")
+      assert(sch("n_chars").dataType == LongType, s"$tag: n_chars must read as long")
+    }
+
+    // the text family, end to end, must be byte-identical on every
+    // variant (the variant dirs carry the other tables via symlink, so
+    // each query runs exactly as registered)
+    val family = Seq("text_langid", "text_quality", "text_tokens",
+      "text_fingerprint", "text_scrub", "text_repetition", "text_entropy",
+      "text_bigrams", "text_chunk", "text_lm_score", "text_ppl_bucket",
+      "dedup_exact", "dedup_norm_exact", "dedup_minhash_lsh", "corpus_stats")
+    family.foreach { q =>
+      val want = SparkEntry.queries(q)(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(want.nonEmpty, s"$q produced no baseline rows — vacuous drill")
+      for ((dir, tag) <- variants) {
+        val got = SparkEntry.queries(q)(spark, dir)
+          .collect().map(_.toString).sorted.toSeq
+        assert(got == want, s"$q drifted on the $tag encoding")
+      }
+    }
+  }
+
   test("the shipped testdata reads through the normalizer with full-precision nanos") {
     val ev = Tables.events(spark, TestSpark.sfDir)
     assert(ev.schema("ts").dataType == LongType)
