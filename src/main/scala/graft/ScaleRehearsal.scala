@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only scale rehearsal (not part of the driver contract): run
+  * the heavy dedup/text/graph family on the shipped sf0.1 corpus AND
+  * on a derived 10x corpus, and report the wall-time / shuffle-bytes
+  * scaling ratios — the empirical check of SURVEY §5's "would this
+  * plan survive a 10x scale-up" claims.
+  *
+  * The 10x corpus is DERIVED deterministically from the shipped one
+  * (no synthetic distributions): `copies` replicas with disjoint id
+  * ranges, each replica DECORRELATED so cross-replica near-dups do
+  * not exist and per-replica dup density matches the original —
+  * otherwise identical replicas would inflate pair counts by
+  * copies^2 within every dup group and the measurement would conflate
+  * data volume with dup-density change:
+  *
+  *   - documents: per-replica lowercase-alphabet rotation via
+  *     `translate` (replica 0 = identity) — word shapes, lengths,
+  *     whitespace, and therefore shingle/token statistics are
+  *     preserved, but no shingle survives across replicas;
+  *   - embeddings: per-replica circular shift of the vector (norms
+  *     and pairwise geometry within a replica preserved; shifted
+  *     replicas mutually near-orthogonal on this corpus).
+  *
+  * Expected shapes, which the printed ratios verify: the hash/band
+  * blocked dedups, text statistics, and fixed-round graph loops scale
+  * ~linearly; `dedup_embedding` is the documented exception — at
+  * tau=0.45 (near the random-cosine regime of this corpus) banding
+  * prunes little, so its CANDIDATE volume grows ~quadratically; the
+  * hi-tau variant's 8-bit bands keep the candidate rate ~16x lower at
+  * the same growth law (both Scaladoc'd in Similarity).
+  *
+  * Usage: sbt "runMain graft.ScaleRehearsal" — generates the derived
+  * corpus under /tmp on first run (SPARK_GRAFT_SCALE_DIR to move it,
+  * SPARK_GRAFT_SCALE_COPIES for the factor).
+  */
+object ScaleRehearsal {
+
+  private final class ShuffleListener
+      extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (t.taskMetrics != null)
+        bytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale10")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    plans.GraftOps.install(spark)
+    val listener = new ShuffleListener
+    spark.sparkContext.addSparkListener(listener)
+    def shuffleNow(): Long = {
+      org.apache.spark.graft.SparkInternals.drainListeners(spark.sparkContext)
+      listener.bytes.get()
+    }
+
+    // ---- derive the scaled corpus (idempotent) ----
+    val outPath = java.nio.file.Paths.get(out)
+    val Step = 1000000000L
+    if (!java.nio.file.Files.exists(outPath.resolve("documents.parquet"))) {
+      java.nio.file.Files.createDirectories(outPath)
+      val abc = "abcdefghijklmnopqrstuvwxyz"
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      (0 until copies).map { k =>
+        val rot = abc.drop(k % 26) + abc.take(k % 26)
+        docs.select((col("doc_id") + lit(k * Step)).as("doc_id"),
+          translate(col("text"), abc, rot).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      val dim = 64
+      (0 until copies).map { k =>
+        val sh = k % dim
+        val shifted =
+          if (sh == 0) col("embedding")
+          else concat(slice(col("embedding"), sh + 1, dim - sh),
+            slice(col("embedding"), 1, sh))
+        emb.select((col("vec_id") + lit(k * Step)).as("vec_id"),
+          shifted.as("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      // remaining tables: symlink, so any registered query can run
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events")) {
+        val link = outPath.resolve(s"$t.parquet")
+        if (!java.nio.file.Files.exists(link))
+          java.nio.file.Files.createSymbolicLink(
+            link, java.nio.file.Paths.get(s"$src/$t.parquet"))
+      }
+      System.err.println(s"[scale] derived ${copies}x corpus at $out")
+    }
+
+    // warmup
+    Tables.documents(spark, src).groupBy("lang").count().collect()
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    val family = sys.env.get("SPARK_GRAFT_SCALE_FAMILY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("dedup_exact", "dedup_norm_exact", "dedup_minhash_lsh",
+        "dedup_ngram_jaccard", "dedup_simhash", "dedup_substring",
+        "dedup_winnow", "text_tokens", "text_tfidf", "text_lm_score",
+        "text_ppl_bucket", "corpus_stats", "dedup_cluster_keep",
+        "graph_pagerank", "dedup_embedding", "dedup_embedding_hi",
+        "emb_kmeans"))
+
+    def measure(dir: String, q: String): (Double, Long, Long) = {
+      val sh0 = shuffleNow()
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val sh = shuffleNow() - sh0
+      val rows = df.count() // untimed: result-size sanity for the density story
+      (secs, sh, rows)
+    }
+
+    val lines = family.map { q =>
+      val (tB, sB, rB) = measure(src, q)
+      val (tS, sS, rS) = measure(out, q)
+      val line =
+        f"""{"query":"$q","base_sec":$tB%.2f,"scaled_sec":$tS%.2f,"time_ratio":${tS / tB}%.1f,"base_shuffle":$sB,"scaled_shuffle":$sS,"base_rows":$rB,"scaled_rows":$rS}"""
+      System.err.println(s"[scale] $line")
+      line
+    }
+    println(lines.mkString("[", ",\n", "]"))
+    spark.stop()
+  }
+}

@@ -479,6 +479,115 @@ object Dedup {
     ORDER BY i, j"""
     })
 
+  private val SimWideBlockBits = 30
+  private val SimWideMask = (1L << SimWideBlockBits) - 1
+
+  /** 120-bit SimHash with 30-bit pigeonhole blocks — the corpus-scale
+    * fix for the candidate blow-up the 10x scale rehearsal measured in
+    * [[simhash]] (SURVEY §5): a 15-bit block has only 32k values, so
+    * block occupancy grows with n and the blocked equi-join's
+    * candidate volume grows ~n^2/2^15 (20x shuffle at 10x data). The
+    * fingerprint here is TWO independent 60-bit SimHashes (disjoint
+    * md5 halves of the same shingle stream, each staying inside a
+    * signed BIGINT for cross-engine exactness), giving 120 bits split
+    * as 4 blocks of 30 — block space 2^30, occupancy <= 1 out to
+    * ~1e9 documents, candidate volume ~n^2/2^30: linear in practice
+    * through the 100-TB regime.
+    *
+    * Same pigeonhole soundness: hamming <= 3 over the 120 bits means
+    * the 3 differing bits touch at most 3 of the 4 blocks, so every
+    * true pair agrees exactly on some block. The wider fingerprint is
+    * also a STRICTER similarity (3/120 vs 3/60 differing bits), which
+    * is the direction a production near-dup screen wants.
+    */
+  /** The (doc_id, fpl, fph) 120-bit fingerprints [[simhashWide]]
+    * blocks — also used by the spec's independent all-pairs recall
+    * proof (the blocking must be EXACT by pigeonhole, and the spec
+    * verifies that against a sweep that bypasses the blocks).
+    */
+  private[graft] def simhashWideFps(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val lo = conv(substring(md5(col("g0")), 1, 15), 16, 10).cast(LongType)
+    val hi = conv(substring(md5(col("g0")), 17, 15), 16, 10).cast(LongType)
+    shingleStrings(s, d)
+      .select(col("doc_id"), lo.as("hl"), hi.as("hh"))
+      .groupBy("doc_id")
+      .agg(graft.functions.SimHashAgg.simhash60(col("hl")).as("fpl"),
+        graft.functions.SimHashAgg.simhash60(col("hh")).as("fph"))
+  }
+
+  val simhashWide = QueryDef(
+    "dedup_simhash_wide",
+    (s, d) => {
+      val fp = simhashWideFps(s, d)
+      val blocked = fp.select(col("doc_id"), col("fpl"), col("fph"),
+        explode(array(
+          struct(lit(0).as("block_id"),
+            col("fpl").bitwiseAND(SimWideMask).as("block_val")),
+          struct(lit(1).as("block_id"),
+            shiftright(col("fpl"), SimWideBlockBits)
+              .bitwiseAND(SimWideMask).as("block_val")),
+          struct(lit(2).as("block_id"),
+            col("fph").bitwiseAND(SimWideMask).as("block_val")),
+          struct(lit(3).as("block_id"),
+            shiftright(col("fph"), SimWideBlockBits)
+              .bitwiseAND(SimWideMask).as("block_val")))).as("bb"))
+        .select(col("doc_id"), col("fpl"), col("fph"),
+          col("bb.block_id").as("block_id"), col("bb.block_val").as("block_val"))
+      val a = blocked.select(col("block_id"), col("block_val"),
+        col("doc_id").as("i"), col("fpl").as("fpli"), col("fph").as("fphi"))
+      val b = blocked.select(col("block_id"), col("block_val"),
+        col("doc_id").as("j"), col("fpl").as("fplj"), col("fph").as("fphj"))
+      a.join(b, Seq("block_id", "block_val")).filter(col("i") < col("j"))
+        .select("i", "j", "fpli", "fphi", "fplj", "fphj")
+        .dropDuplicates("i", "j")
+        .withColumn("hamming",
+          (bit_count(col("fpli").bitwiseXOR(col("fplj"))) +
+            bit_count(col("fphi").bitwiseXOR(col("fphj")))).cast(LongType))
+        .filter(col("hamming") <= SimHammingMax)
+        .select("i", "j", "hamming")
+    },
+    Some {
+      val sums = (0 until SimBits).map(bp =>
+        s"SUM(CASE WHEN (hl >> $bp) & 1 = 1 THEN 1 ELSE -1 END) AS l$bp," +
+          s" SUM(CASE WHEN (hh >> $bp) & 1 = 1 THEN 1 ELSE -1 END) AS h$bp")
+        .mkString(",\n        ")
+      val fplExpr = (0 until SimBits).map(bp =>
+        s"(CASE WHEN l$bp > 0 THEN ${1L << bp} ELSE 0 END)").mkString(" + ")
+      val fphExpr = (0 until SimBits).map(bp =>
+        s"(CASE WHEN h$bp > 0 THEN ${1L << bp} ELSE 0 END)").mkString(" + ")
+      val blockStructs = Seq(
+        s"{'block_id': 0, 'block_val': fpl & $SimWideMask}",
+        s"{'block_id': 1, 'block_val': (fpl >> $SimWideBlockBits) & $SimWideMask}",
+        s"{'block_id': 2, 'block_val': fph & $SimWideMask}",
+        s"{'block_id': 3, 'block_val': (fph >> $SimWideBlockBits) & $SimWideMask}")
+        .mkString("[", ", ", "]")
+      s"""WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(${TextAnalysis.shinglesSql("text")})) AS g0
+      FROM documents),
+    h AS (SELECT doc_id,
+        ('0x' || substr(md5(g0), 1, 15))::BIGINT AS hl,
+        ('0x' || substr(md5(g0), 17, 15))::BIGINT AS hh
+      FROM sh),
+    sums AS (SELECT doc_id,
+        $sums
+      FROM h GROUP BY doc_id),
+    fp AS (SELECT doc_id, $fplExpr AS fpl, $fphExpr AS fph FROM sums),
+    blocked AS (SELECT doc_id, fpl, fph, unnest($blockStructs) AS bb FROM fp),
+    bb AS (SELECT doc_id, fpl, fph, bb['block_id'] AS block_id, bb['block_val'] AS block_val FROM blocked),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+        a.fpl AS fpli, a.fph AS fphi, b.fpl AS fplj, b.fph AS fphj
+      FROM bb a JOIN bb b ON a.block_id = b.block_id AND a.block_val = b.block_val
+      WHERE a.doc_id < b.doc_id)
+    SELECT i, j,
+      CAST(bit_count(xor(fpli, fplj)) + bit_count(xor(fphi, fphj)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(fpli, fplj)) + bit_count(xor(fphi, fphj)) <= $SimHammingMax
+    ORDER BY i, j"""
+    })
+
   // ---------------------------------------------------------------
   // Duplicate-cluster canonicalization
   // ---------------------------------------------------------------
@@ -714,5 +823,6 @@ object Dedup {
     })
 
   val defs: Seq[QueryDef] = Seq(exact, ngramJaccard, prefixJaccard, minhashLsh,
-    incremental, simhash, clusterKeep, containment, winnowPairs, minhashError)
+    incremental, simhash, simhashWide, clusterKeep, containment, winnowPairs,
+    minhashError)
 }

@@ -143,6 +143,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"minhash recall $recall too low (found ${mh.size}, true ${exact.size})")
   }
 
+  test("dedup_simhash_wide blocking is exact and strictly refines the 60-bit pairs") {
+    import org.apache.spark.sql.functions._
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wide = pairSet(SparkEntry.queries("dedup_simhash_wide")(spark, d))
+    val narrow = pairSet(SparkEntry.queries("dedup_simhash")(spark, d))
+    assert(wide.nonEmpty, "no wide-simhash pairs at sf0.001 — vacuous")
+    // fpl IS the 60-bit fingerprint (same md5 chars), so 120-bit
+    // hamming<=3 implies 60-bit hamming<=3: wide pairs refine narrow
+    assert(wide.subsetOf(narrow),
+      s"wide pairs not a subset of 60-bit pairs: ${wide -- narrow}")
+    // pigeonhole EXACTNESS, proven against a sweep that bypasses the
+    // blocks entirely: every hamming<=3 pair must survive blocking
+    val fps = graft.operators.Dedup.simhashWideFps(spark, d)
+    val a = fps.select(col("doc_id").as("i"), col("fpl").as("li"), col("fph").as("hi"))
+    val b = fps.select(col("doc_id").as("j"), col("fpl").as("lj"), col("fph").as("hj"))
+    val exact = pairSet(a.join(broadcast(b), col("i") < col("j"))
+      .filter(bit_count(col("li").bitwiseXOR(col("lj"))) +
+        bit_count(col("hi").bitwiseXOR(col("hj"))) <= 3))
+    assert(exact == wide,
+      s"blocking dropped true pairs: ${exact -- wide}; phantom: ${wide -- exact}")
+  }
+
   test("multimodal produces sampled frames with fixed-width features") {
     val df = SparkEntry.queries("multimodal_meta")(spark, d)
     val rows = df.collect()
