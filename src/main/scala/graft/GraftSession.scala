@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Graph, Shared}
+
+/** Name-routed query facade with automatic pair-graph hoisting — the
+  * orchestrator contract SURVEY §8 calls for on top of
+  * [[graft.operators.Shared]].
+  *
+  * `SparkEntry.queries` treats every query as independent (the honest
+  * per-query bench/verify contract), which means a pipeline that runs
+  * several of the near-dup family recomputes the banded pair graph
+  * each time — measured at ~47% of the seven-query family's wall time
+  * (SURVEY §5). [[Shared]] fixes that for callers willing to program
+  * against its session objects; `GraftSession` removes even that
+  * call-site discipline: ask for queries BY NAME, exactly as the
+  * driver does, and any member of the pair-graph family is silently
+  * routed through a memoized [[Shared]] session — same rows as the
+  * registered query (SharedPairsSpec/GraftSessionSpec-asserted), the
+  * expensive blocking join computed once per session. Names outside
+  * the family fall through to `SparkEntry.queries` untouched.
+  *
+  * The facade is still OPT-IN (construct one per pipeline run);
+  * nothing here changes what Verify/Bench execute.
+  *
+  * Not thread-safe: one session per pipeline thread (the underlying
+  * caches are per-DataFrame, so two sessions coexist safely).
+  */
+final class GraftSession(val spark: SparkSession, val sfDir: String)
+    extends AutoCloseable {
+
+  private var ngramOpt: Option[Shared.PairGraphSession] = None
+  private var embOpt: Option[Shared.EmbPairSession] = None
+
+  private[graft] def ngram: Shared.PairGraphSession = {
+    if (ngramOpt.isEmpty) ngramOpt = Some(Shared.pairGraph(spark, sfDir))
+    ngramOpt.get
+  }
+
+  private def emb: Shared.EmbPairSession = {
+    if (embOpt.isEmpty) embOpt = Some(Shared.embPairGraph(spark, sfDir))
+    embOpt.get
+  }
+
+  /** The registered query `name`, with the pair-graph family served
+    * from this session's memoized graphs. Unknown names throw the
+    * same NoSuchElementException the raw registry would.
+    */
+  def query(name: String): DataFrame = name match {
+    case "dedup_cluster_keep"   => ngram.clusterKeep
+    case "pipeline_curate"      => ngram.curated
+    case "pipeline_curate_nb"   => ngram.curatedNb
+    case "graph_triangles"      => ngram.triangles
+    case "graph_pagerank"       => Graph.pageRankFrom(ngram.pairs)
+    case "graph_label_prop"     => Graph.labelPropFrom(ngram.pairs)
+    case "dedup_keep_rank"      => Graph.keepRankFrom(ngram.pairs)
+    case "dedup_embedding_keep" => emb.keep
+    case other                  => SparkEntry.queries(other)(spark, sfDir)
+  }
+
+  /** Release every pair-graph cache this session materialized. */
+  override def close(): Unit = {
+    ngramOpt.foreach(_.release())
+    embOpt.foreach(_.release())
+    ngramOpt = None
+    embOpt = None
+  }
+}
+
+object GraftSession {
+  /** Run `body` with a session, releasing its caches afterwards. */
+  def withSession[A](spark: SparkSession, sfDir: String)(
+      body: GraftSession => A): A = {
+    val s = new GraftSession(spark, sfDir)
+    try body(s) finally s.close()
+  }
+}

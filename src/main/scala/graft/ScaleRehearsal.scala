@@ -74,24 +74,43 @@ object ScaleRehearsal {
     if (!java.nio.file.Files.exists(outPath.resolve("documents.parquet"))) {
       java.nio.file.Files.createDirectories(outPath)
       val abc = "abcdefghijklmnopqrstuvwxyz"
+      // Per-replica AFFINE letter permutation i -> i*stride + rot mod
+      // 26 (stride coprime to 26): 12x26 = 312 distinct permutations,
+      // so decorrelation holds past the 26 plain rotations (replica 0
+      // = identity as before). Word shapes/lengths/whitespace — and so
+      // every shingle/token statistic — are preserved; no multi-letter
+      // word (hence effectively no shingle) survives across replicas.
+      val strides = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+      require(copies <= strides.size * 26,
+        s"affine permutation family supports <= ${strides.size * 26} replicas")
       val docs = spark.read.parquet(s"$src/documents.parquet")
       (0 until copies).map { k =>
-        val rot = abc.drop(k % 26) + abc.take(k % 26)
+        val (stride, rot) = (strides(k / 26), k % 26)
+        val img = (0 until 26).map(i => abc((i * stride + rot) % 26)).mkString
         docs.select((col("doc_id") + lit(k * Step)).as("doc_id"),
-          translate(col("text"), abc, rot).as("text"),
+          translate(col("text"), abc, img).as("text"),
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
       val emb = spark.read.parquet(s"$src/embeddings.parquet")
       val dim = 64
+      // Per-replica circular shift x sign flip: 128 decorrelated
+      // variants (negation preserves norms and within-replica pairwise
+      // cosines; a replica and its negated twin see each other at
+      // MINUS the original cosine — never a near-dup at positive tau).
+      require(copies <= 2 * dim,
+        s"shift x sign family supports <= ${2 * dim} replicas")
       (0 until copies).map { k =>
         val sh = k % dim
         val shifted =
           if (sh == 0) col("embedding")
           else concat(slice(col("embedding"), sh + 1, dim - sh),
             slice(col("embedding"), 1, sh))
+        val signed =
+          if (k < dim) shifted
+          else transform(shifted, x => -x)
         emb.select((col("vec_id") + lit(k * Step)).as("vec_id"),
-          shifted.as("embedding"), col("label"))
+          signed.as("embedding"), col("label"))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       // remaining tables: symlink, so any registered query can run

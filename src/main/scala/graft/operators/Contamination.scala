@@ -172,5 +172,54 @@ object Contamination {
     ORDER BY doc_id, span_start"""
     })
 
-  val defs: Seq[QueryDef] = Seq(decontaminate, decontaminateSubstring)
+  /** Winnowing-fingerprint decontamination — the third point on the
+    * precision/robustness axis the family spans: [[decontaminate]]
+    * flags shared exact n-grams (cheap, whitespace-fragile),
+    * [[decontaminateSubstring]] returns exact leaked spans (precise,
+    * costliest), and this screen joins on WINNOWED fingerprints
+    * ([[TextAnalysis.winnow]]'s MOSS scheme — same fingerprint
+    * builder, so the screen cannot drift from the registered
+    * `text_winnow`). The winnowing guarantee transfers directly: any
+    * train doc sharing a contiguous token run of >= w + 2 tokens with
+    * the benchmark slice shares at least one fingerprint and IS
+    * flagged, while the join touches only ~2/(w+1) of the gram table —
+    * the screen a 100-TB corpus runs continuously, with the substring
+    * pass reserved for flagged docs.
+    *
+    * Scale shape mirrors [[contaminatedDocIds]]: the eval-slice filter
+    * pushes below fingerprint extraction, the distinct bench
+    * fingerprint set broadcasts, and the train side sees zero
+    * pre-join shuffle; one doc_id exchange aggregates the hit counts.
+    */
+  val decontaminateWinnow = QueryDef(
+    "decontaminate_winnow",
+    (s, d) => {
+      val fps = TextAnalysis.winnow.fn(s, d)
+      val bench = fps.filter(col("doc_id") % BenchMod === 0)
+        .select(col("fp"), col("doc_id").as("bench_id"))
+      fps.filter(col("doc_id") % BenchMod =!= 0)
+        .join(broadcast(bench), "fp")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("fp")).as("fps_shared"),
+          countDistinct(col("bench_id")).as("benchmark_docs"))
+    },
+    Some {
+      // text_winnow's oracle, stripped of its ORDER BY, as the
+      // fingerprint CTE — the same reuse seam Dedup.clusterKeep uses
+      val fpsSql = TextAnalysis.winnow.oracle.get
+        .replace("ORDER BY doc_id, fp", "")
+      s"""WITH fps0 AS ($fpsSql),
+    bench AS (SELECT DISTINCT fp, doc_id AS bench_id FROM fps0
+              WHERE doc_id % $BenchMod = 0)
+    SELECT t.doc_id,
+           CAST(COUNT(DISTINCT t.fp) AS BIGINT) AS fps_shared,
+           CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS benchmark_docs
+    FROM fps0 t JOIN bench b ON t.fp = b.fp
+    WHERE t.doc_id % $BenchMod <> 0
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id"""
+    })
+
+  val defs: Seq[QueryDef] = Seq(decontaminate, decontaminateSubstring,
+    decontaminateWinnow)
 }

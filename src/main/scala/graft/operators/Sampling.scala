@@ -297,6 +297,70 @@ object Sampling {
     FROM counts, tot, lnt GROUP BY n, l"""
     })
 
+  /** Greedy token-budget fill per source at sampling temperature
+    * alpha = 0.5 — the step that turns [[mixWeights]]' SHARES into an
+    * actual document selection: a training run wants "the first T
+    * tokens of each source, apportioned by the temperature mix", not
+    * a per-document probability. Each source gets
+    * budget_s = floor(T · sqrt(mass_s)/Σ sqrt(mass)), its documents
+    * are ordered by a content-derived hash (stable under
+    * re-partitioning and appends, like every sampler here), and the
+    * greedy fill keeps documents until the budget is crossed — the
+    * crossing document is kept, so every non-empty source reaches its
+    * budget exactly once.
+    *
+    * Cross-engine exactness: sqrt is IEEE-bit-identical, the
+    * L-row normalizer goes through [[Det]]'s order-independent
+    * decimal sum, and everything after the one floor() is integer
+    * window arithmetic.
+    *
+    * Scale shape: one count aggregate for the masses (L rows
+    * broadcast back), then a single (source)-partitioned window
+    * cumulative sum — the same one-exchange shape as
+    * [[stratified]]; no driver loops, no per-doc state.
+    */
+  val tokenBudget = QueryDef(
+    "sample_token_budget",
+    (s, d) => {
+      val T = 10000L
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+          TextAnalysis.hash60(concat(lit("budget:"), col("text"))).as("h"))
+      val bySrc = docs.groupBy("source").agg(sum("n_tokens").as("mass"))
+        .withColumn("w_raw", sqrt(col("mass").cast(DoubleType)))
+      val denom = bySrc.agg(Det.sumd(col("w_raw")).as("denom"))
+      val budgets = bySrc.crossJoin(broadcast(denom))
+        .select(col("source"),
+          floor(lit(T) * (col("w_raw") / col("denom")))
+            .cast(LongType).as("budget"))
+      val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.join(broadcast(budgets), "source")
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") - col("n_tokens") < col("budget"))
+        .select("source", "doc_id", "n_tokens", "cum_tokens")
+    },
+    Some(s"""WITH docs AS (
+      SELECT doc_id, source,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        ${TextAnalysis.hash60Sql("'budget:' || text")} AS h
+      FROM documents),
+    mass AS (SELECT source, SUM(n_tokens) AS mass FROM docs GROUP BY source),
+    scored AS (SELECT source, SQRT(CAST(mass AS DOUBLE)) AS w_raw FROM mass),
+    norm AS (SELECT ${Det.dsum("w_raw")} AS denom FROM scored),
+    budgets AS (
+      SELECT source, CAST(FLOOR(10000 * (w_raw / denom)) AS BIGINT) AS budget
+      FROM scored, norm),
+    cum AS (
+      SELECT d.source, d.doc_id, d.n_tokens, b.budget,
+        CAST(SUM(d.n_tokens) OVER (PARTITION BY d.source ORDER BY d.h, d.doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      FROM docs d JOIN budgets b ON d.source = b.source)
+    SELECT source, doc_id, n_tokens, cum_tokens
+    FROM cum WHERE cum_tokens - n_tokens < budget
+    ORDER BY source, doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(hashSplit, stratified, packSequences, weighted,
-    mixWeights, packBfd, mixKl)
+    mixWeights, packBfd, mixKl, tokenBudget)
 }

@@ -255,6 +255,28 @@ object Similarity {
       .withColumn("na", dot(col("qa"), col("qa")))
   }
 
+  /** (vec_id, band_id, band_val) banding of [[augmentedHi]] under an
+    * ARBITRARY (bands × bits) split of the [[HiPlanes]] hyperplanes —
+    * the probe seam ScaleProbe uses to measure the band-width scaling
+    * law directly (candidate volume per band follows Σ_buckets c²/2 ≈
+    * rate·n²/2, rate ∝ 2^-bits on random pairs, so bits must grow
+    * ~2·log2 n to keep candidates linear — the rule the
+    * [[dedupEmbeddingHi]] Scaladoc states, here measurable).
+    */
+  private[graft] def hiBandRows(
+      s: SparkSession, d: String, bands: Int, bits: Int): DataFrame = {
+    require(bands * bits <= HiPlanes,
+      s"$bands x $bits exceeds the $HiPlanes hyperplanes")
+    def bandVal(b: Int): Column =
+      (0 until bits).map(k => planeBit(b * bits + k) * (1L << k)).reduce(_ + _)
+    augmentedHi(s, d)
+      .withColumn("bands", array((0 until bands).map(b =>
+        struct(lit(b).as("band_id"), bandVal(b).as("band_val"))): _*))
+      .select(col("vec_id"), explode(col("bands")).as("bb"))
+      .select(col("vec_id"),
+        col("bb.band_id").as("band_id"), col("bb.band_val").as("band_val"))
+  }
+
   /** DuckDB spelling of [[augmentedHi]] (expects `q0` = quantizedSql
     * in scope; yields (vec_id, qa, na)). The jitter CASE is qualified
     * (`q0.vec_id`) so it can never bind to the shifted alias.
@@ -288,6 +310,15 @@ object Similarity {
     * ~6% of random pairs, against D5's ~64% candidate rate at 4-bit
     * bands. Same scale shape as D5: the band join carries only
     * (vec_id, band_id, band_val); exact rerank on candidate ids.
+    *
+    * Measured scale law (10x rehearsal, SURVEY §5): the TRUE-pair
+    * population here is linear (10.0x at 10x data) but any FIXED band
+    * width passes ~rate·n² random-pair candidates — at corpus scale
+    * either grow the band width with the corpus (bits ~ 2·log2 n
+    * keeps candidates linear; the tau→bits recall formula above
+    * prices the recall cost) or block SEMANTICALLY first
+    * ([[semanticPrune]]: cluster-then-pair, rehearsed linear), which
+    * is the recommended 100-TB shape.
     */
   val dedupEmbeddingHi = QueryDef(
     "dedup_embedding_hi",
@@ -572,6 +603,183 @@ object Similarity {
         .filter(col("rank") <= TopK)
         .select("qid", "rank", "vec_id", "cosine")
     }
+  }
+
+  // ---------------------------------------------------------------
+  // IVF-PQ: compressed-code ANN (the memory path at corpus scale)
+  // ---------------------------------------------------------------
+
+  private val PqM = 8 // subspaces
+  private val PqSubDim = Dim / PqM // 8 dims each
+  private val PqK = 16 // codewords per subspace -> 4-bit codes
+  private val PqShortlist = 50
+
+  /** IVF-PQ ANN: the coarse IVF quantizer of [[annIvf]] plus product
+    * quantization of the RESIDUAL (x − coarse centroid) — each vector
+    * is stored as nothing but a cell id and 8 four-bit codes, and the
+    * scan ranks candidates from those codes alone (asymmetric distance
+    * computation), exact-reranking only a bounded shortlist.
+    *
+    * Why this exists next to [[annIvf]]: IVF-Flat still reads the full
+    * float vector of every candidate at scan time — at 10^10 vectors ×
+    * 64 dims × 4 B that is a 2.5 TB scan per probe wave, which no
+    * executor cache holds. The PQ code table is 64× smaller (4 B of
+    * codes + cell id vs 256 B of floats): the entire corpus's scan
+    * state fits where 1/64th of the raw vectors would, and the ADC
+    * inner loop is 8 table lookups + adds per candidate instead of a
+    * 64-dim float dot.
+    *
+    * Plan shape, scan side: one corpus pass assigns cells + residuals
+    * and encodes codes (broadcast codebooks as literal arrays — the
+    * argmin is a codegen'd higher-order-function chain, no UDF); the
+    * probe join is an equi-join of the code table against a broadcast
+    * (qid, cell, LUT) table (nqueries × nprobe rows); ADC cost per
+    * candidate is `aggregate(zip_with(codes, lut, ...))` over 8
+    * entries. The per-query ADC shortlist and the final exact top-k
+    * go through rank-≤-k windows, which [[graft.plans.InferTopKPerKey]]
+    * rewrites to bounded heaps — exchanges carry ≤ shortlist rows per
+    * query per map partition, never the probed cells' full contents.
+    *
+    * Training is bounded like [[ivfTopK]]: coarse quantizer and the 8
+    * subspace codebooks fit on seeded Bernoulli samples capped at 100k
+    * rows, so training cost is O(cap) regardless of corpus size.
+    * Rows-only check (MLlib k-means|| init is not reproducible in
+    * SQL); correctness evidence is AnnPqSpec: exact-cosine agreement
+    * with brute force on returned pairs, recall@5 floor vs brute
+    * force at sf0.01, 4-bit code-range and shortlist bounds, and
+    * ADC-vs-true-distance rank correlation on the probed cells.
+    */
+  val annIvfPq = QueryDef(
+    "ann_ivf_pq",
+    (s, d) => ivfPqTopK(s, d, nList = 16, nProbe = 4),
+    None)
+
+  /** The trained IVF-PQ index: the (vec_id, cell, codes) code table —
+    * the ONLY per-vector state the scan reads — plus the coarse
+    * centroids and per-subspace codebooks (tiny, driver-held).
+    * Factored out so AnnPqSpec can assert the 4-bit code invariants
+    * against the exact table the registered query scans.
+    */
+  private[graft] def pqIndex(s: SparkSession, d: String, nList: Int)
+      : (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val QuantizerTrainCap = 100000L
+    val featured = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        array_to_vector(col("embedding")).as("features"))
+    val corpusSize = featured.count()
+    def capped(df: DataFrame, seed: Long): DataFrame =
+      if (corpusSize <= QuantizerTrainCap) df
+      else df.sample(withReplacement = false,
+        QuantizerTrainCap.toDouble / corpusSize, seed)
+    val coarse = new KMeans().setK(nList).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(capped(featured, 42L))
+    val centroids: Array[Array[Double]] = coarse.clusterCenters.map(_.toArray)
+    val centroidLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+
+    // one corpus pass: cell assignment + residual vs the cell centroid
+    val assigned = coarse.transform(featured)
+      .select(col("vec_id"), col("cell"),
+        zip_with(transform(col("embedding"), x => x.cast(DoubleType)),
+          element_at(centroidLit, col("cell") + 1),
+          (a, b) => a - b).as("resid"))
+
+    // per-subspace codebooks, trained on capped residual samples; the
+    // 8 fits are independent Spark jobs, so submit them concurrently
+    // (results keyed by subspace — determinism is per-fit seed, not
+    // submission order)
+    val residTrain = capped(assigned, 43L).localCheckpoint()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val books: Array[Array[Array[Double]]] =
+      Await.result(Future.sequence((0 until PqM).toList.map { m =>
+        Future {
+          new KMeans().setK(PqK).setSeed(44L + m).setMaxIter(10)
+            .setFeaturesCol("features").setPredictionCol("cw")
+            .fit(residTrain.select(array_to_vector(
+              slice(col("resid"), m * PqSubDim + 1, PqSubDim)).as("features")))
+            .clusterCenters.map(_.toArray)
+        }
+      }), Duration.Inf).toArray
+    val bookLits = books.map(b => array(b.map(cw => array(cw.map(lit): _*)): _*))
+
+    // encode: nearest codeword per subspace (ties -> lowest index via
+    // array_position-of-min, which scans left to right)
+    def subDists(m: Int): Column = transform(bookLits(m), cw =>
+      aggregate(zip_with(slice(col("resid"), m * PqSubDim + 1, PqSubDim), cw,
+        (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x))
+    val dists = assigned.select(
+      col("vec_id") +: col("cell") +:
+        (0 until PqM).map(m => subDists(m).as(s"d$m")): _*)
+    val encoded = dists.select(col("vec_id"), col("cell"),
+      array((0 until PqM).map(m =>
+        (array_position(col(s"d$m"), array_min(col(s"d$m"))) - 1)
+          .cast("int")): _*).as("codes"))
+    (encoded, centroids, books)
+  }
+
+  /** Parameterized IVF-PQ search — see [[annIvfPq]]. Returns the same
+    * (qid, rank, vec_id, cosine) shape as [[ivfTopK]]; `cosine` is the
+    * EXACT quantized cosine (ADC orders only the shortlist cut).
+    */
+  def ivfPqTopK(s: SparkSession, d: String, nList: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (encoded, centroids, books) = pqIndex(s, d, nList)
+
+    // query side: nprobe nearest cells + the 8x16 ADC lookup table of
+    // ||q_resid_sub - codeword||^2 per probed cell — nqueries x nprobe
+    // tiny rows, computed on the driver and broadcast
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s0 = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s0 += t * t; i += 1 }
+      s0
+    }
+    val queries = Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val probeRows = queries.toSeq.flatMap { case (qid, q) =>
+      centroids.zipWithIndex
+        .sortBy { case (c, i) => (dist2(q, c), i) }
+        .take(nProbe)
+        .map { case (cvec, cellId) =>
+          val resid = q.indices.map(i => q(i) - cvec(i)).toArray
+          val lut: Seq[Seq[Double]] = (0 until PqM).map { m =>
+            val sub = resid.slice(m * PqSubDim, (m + 1) * PqSubDim)
+            books(m).toSeq.map(cw => dist2(sub, cw))
+          }
+          (qid, cellId, lut)
+        }
+    }
+    import s.implicits._
+    val probes = probeRows.toDF("qid", "cell", "lut")
+
+    // ADC scan over probed cells: 8 lookups + adds per candidate
+    val cand = encoded.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), col("lut"),
+          (c, row) => element_at(row, c + 1)),
+        lit(0.0d), (acc, x) => acc + x))
+    val wAdc = Window.partitionBy("qid").orderBy(asc("adc"), asc("vec_id"))
+    val shortlist = cand
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= PqShortlist)
+      .select("qid", "vec_id")
+
+    // exact rerank of the shortlist only
+    val emb = quantized(s, d)
+    val qvecs = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("qa").as("qq"), col("na").as("qna"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("vec_id"))
+    shortlist.join(emb.select("vec_id", "qa", "na"), "vec_id")
+      .join(broadcast(qvecs), "qid")
+      .withColumn("cosine", cosine(dot(col("qq"), col("qa")), col("qna"), col("na")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= TopK)
+      .select("qid", "rank", "vec_id", "cosine")
   }
 
   /** Per-label centroid + per-vector centroid-cosine — the embedding
@@ -1181,7 +1389,7 @@ object Similarity {
     ORDER BY t.vec_id"""))
 
   val defs: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding,
-    dedupEmbeddingHi, annLsh, annIvf,
+    dedupEmbeddingHi, annLsh, annIvf, annIvfPq,
     embCentroid, dedupEmbeddingKeep, dimReduce, embQuantize, semanticPrune,
     mineHardNegatives, knnGraph, knnScoreDiffusion, kmeans,
     decontaminateEmbedding)

@@ -33,7 +33,7 @@ class OperatorSpec extends AnyFunSuite {
     // filter excludes them anyway).
     val src = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
-    val row = """(?m)^\| [ACD]\d+b? \| `(\w+)` \|""".r
+    val row = """(?m)^\| [ACD]\d+[a-z]? \| `(\w+)` \|""".r
     val listed = row.findAllMatchIn(src).map(_.group(1)).toSeq
     assert(listed.distinct.size == listed.size,
       s"duplicate SURVEY §2 rows: ${listed.diff(listed.distinct).mkString(", ")}")
@@ -52,7 +52,7 @@ class OperatorSpec extends AnyFunSuite {
     // `Object.method` forms, a real method on it) under reflection.
     val src = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
-    val bRow = """(?m)^\| B\d+b? \| ([^|]+) \|""".r
+    val bRow = """(?m)^\| B\d+[a-z]? \| ([^|]+) \|""".r
     val tick = """`([^`]+)`""".r
     val rows = bRow.findAllMatchIn(src).map(_.group(1)).toSeq
     assert(rows.size >= 26, s"only ${rows.size} B rows found — table moved?")
