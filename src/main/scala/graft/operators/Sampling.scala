@@ -314,10 +314,19 @@ object Sampling {
     * decimal sum, and everything after the one floor() is integer
     * window arithmetic.
     *
-    * Scale shape: one count aggregate for the masses (L rows
-    * broadcast back), then a single (source)-partitioned window
-    * cumulative sum — the same one-exchange shape as
-    * [[stratified]]; no driver loops, no per-doc state.
+    * Scale shape — the running sum is TWO-PHASE, never a whole-source
+    * window: source cardinality is a handful, so a plain
+    * (source)-partitioned window would sort an entire source in one
+    * task (the same trap text_ppl_bucket's per-language ranking
+    * escaped in round 5). The hash h is uniform on [0, 2^60) and the
+    * shard is its TOP 8 bits, so ordering by (shard, h, doc_id) IS
+    * ordering by (h, doc_id): per-(source, shard) windows are bounded
+    * at ~1/256 of a source at any corpus size, the per-shard token
+    * totals aggregate to sources×256 tiny rows whose exclusive prefix
+    * is the shard offset, and global cum = offset + local cum —
+    * bit-identical to the naive single window (the oracle keeps the
+    * naive SQL form). Production sizes the shard width to its
+    * executors; the plan shape is unchanged.
     */
   val tokenBudget = QueryDef(
     "sample_token_budget",
@@ -334,10 +343,22 @@ object Sampling {
         .select(col("source"),
           floor(lit(T) * (col("w_raw") / col("denom")))
             .cast(LongType).as("budget"))
-      val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      val withShard = docs.withColumn("shard", shiftright(col("h"), 52))
+      val offsets = withShard.groupBy("source", "shard")
+        .agg(sum("n_tokens").as("shard_tokens"))
+        .withColumn("offset", coalesce(
+          sum(col("shard_tokens")).over(
+            Window.partitionBy("source").orderBy("shard")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("source", "shard", "offset")
+      val wLocal = Window.partitionBy("source", "shard")
+        .orderBy(col("h"), col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs.join(broadcast(budgets), "source")
-        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      withShard
+        .withColumn("cum_local", sum(col("n_tokens")).over(wLocal))
+        .join(broadcast(offsets), Seq("source", "shard"))
+        .join(broadcast(budgets), "source")
+        .withColumn("cum_tokens", col("offset") + col("cum_local"))
         .filter(col("cum_tokens") - col("n_tokens") < col("budget"))
         .select("source", "doc_id", "n_tokens", "cum_tokens")
     },

@@ -91,6 +91,27 @@ class PlanSpec extends AnyFunSuite {
     }.nonEmpty, "expected the repartitionByRange exchange")
   }
 
+  test("sample_token_budget never runs its cumsum over a whole source") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // source cardinality is a handful: a window partitioned by source
+    // alone is one task per source at any corpus size. The two-phase
+    // shape requires every document-row window to carry the hash
+    // shard in its partition spec; the source-only prefix window may
+    // exist but only over the sources×256 offsets AGGREGATE.
+    val plan = SparkEntry.queries("sample_token_budget")(spark, d)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.sparkPlan
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the cumsum windows to exist")
+    windows.foreach { w =>
+      val overAgg = w.collectFirst { case a: BaseAggregateExec => a }.nonEmpty
+      val sharded = w.partitionSpec.size >= 2
+      assert(sharded || overAgg,
+        s"whole-source window over unaggregated document rows:\n$w")
+    }
+  }
+
   test("two-phase ranking computes its range exchange ONCE (reused, never recomputed)") {
     // q_decile and text_ppl_bucket reference the nondeterministic
     // repartitionByRange + monotonically_increasing_id subtree from
