@@ -74,22 +74,36 @@ object Sampling {
     * Downstream, one bin = one training sequence (docs straddle bin
     * boundaries exactly as a real packed dataloader lets them).
     *
-    * Scale shape: one shuffle on the stream key (lang) + a running-sum
-    * window per stream — no global sort; at 100 TB the stream key
-    * would be (lang, shard) to bound partition size, same plan.
-    * Token counts reuse text_tokens' whitespace tokenizer.
+    * Scale shape: the running sum is two-phase over (lang, hash-top-8
+    * shard) windows — the shard is the top bits of the ordering hash,
+    * so shard-major order IS hash order and global cum = broadcast
+    * shard-prefix offset + local cum; no window ever spans a whole
+    * language (see [[tokenBudget]] for the full argument — identical
+    * machinery, and the PlanSpec guard covers both). Token counts
+    * reuse text_tokens' whitespace tokenizer.
     */
   val packSequences = QueryDef(
     "pack_sequences",
     (s, d) => {
       val BinTokens = 512L
-      val wOrder = Window.partitionBy("lang")
-        .orderBy(TextAnalysis.hash60(concat(lit("pack:"), col("text"))), col("doc_id"))
-      val wRun = wOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("text"),
-          size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
-        .withColumn("cum_tokens", sum(col("n_tokens")).over(wRun))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+          TextAnalysis.hash60(concat(lit("pack:"), col("text"))).as("h"))
+        .withColumn("shard", shiftright(col("h"), 52))
+      val offsets = docs.groupBy("lang", "shard")
+        .agg(sum("n_tokens").as("shard_tokens"))
+        .withColumn("offset", coalesce(
+          sum(col("shard_tokens")).over(
+            Window.partitionBy("lang").orderBy("shard")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("lang", "shard", "offset")
+      val wLocal = Window.partitionBy("lang", "shard")
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.withColumn("cum_local", sum(col("n_tokens")).over(wLocal))
+        .join(broadcast(offsets), Seq("lang", "shard"))
+        .withColumn("cum_tokens", col("offset") + col("cum_local"))
         .withColumn("start_offset", (col("cum_tokens") - col("n_tokens")) % BinTokens)
         .withColumn("bin_id", expr(s"(cum_tokens - n_tokens) div $BinTokens"))
         .select("doc_id", "lang", "n_tokens", "bin_id", "start_offset")

@@ -91,24 +91,26 @@ class PlanSpec extends AnyFunSuite {
     }.nonEmpty, "expected the repartitionByRange exchange")
   }
 
-  test("sample_token_budget never runs its cumsum over a whole source") {
+  test("token-budget/pack cumsums never run over a whole source or language") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    // source cardinality is a handful: a window partitioned by source
-    // alone is one task per source at any corpus size. The two-phase
-    // shape requires every document-row window to carry the hash
-    // shard in its partition spec; the source-only prefix window may
-    // exist but only over the sources×256 offsets AGGREGATE.
-    val plan = SparkEntry.queries("sample_token_budget")(spark, d)
-      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-      .queryExecution.sparkPlan
-    val windows = plan.collect { case w: WindowExec => w }
-    assert(windows.nonEmpty, "expected the cumsum windows to exist")
-    windows.foreach { w =>
-      val overAgg = w.collectFirst { case a: BaseAggregateExec => a }.nonEmpty
-      val sharded = w.partitionSpec.size >= 2
-      assert(sharded || overAgg,
-        s"whole-source window over unaggregated document rows:\n$w")
+    // source/lang cardinality is a handful: a window partitioned by
+    // that key alone is one task per key at any corpus size. The
+    // two-phase shape requires every document-row window to carry the
+    // hash shard in its partition spec; the key-only prefix window may
+    // exist but only over the keys×256 offsets AGGREGATE.
+    for (q <- Seq("sample_token_budget", "pack_sequences")) {
+      val plan = SparkEntry.queries(q)(spark, d)
+        .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.sparkPlan
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"$q: expected the cumsum windows to exist")
+      windows.foreach { w =>
+        val overAgg = w.collectFirst { case a: BaseAggregateExec => a }.nonEmpty
+        val sharded = w.partitionSpec.size >= 2
+        assert(sharded || overAgg,
+          s"$q: whole-key window over unaggregated document rows:\n$w")
+      }
     }
   }
 
