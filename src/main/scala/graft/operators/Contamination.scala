@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   */
 object Contamination {
 
-  private[operators] val BenchMod = 53
+  private[graft] val BenchMod = 53
 
   /** Distinct word n-grams per doc as (doc_id, g) hash rows — the
     * shared [[Dedup.ngramStrings]] builder without the short-doc

@@ -628,6 +628,26 @@ object TextAnalysis {
     * min of what they have; docs under 3 words fall back to the
     * whole-text hash, as everywhere in the dedup family.
     */
+  /** Per-row COLUMN form of [[winnow]]'s fingerprint set (distinct
+    * winnowed hashes as an array) — the oracle's list formulation as
+    * a codegen'd higher-order-function chain, no window functions, so
+    * a STREAMING consumer can fingerprint arriving documents row by
+    * row ([[graft.streaming.ScreenStream]]). Shares [[shingles]] and
+    * the same 32-bit md5 hash as the batch query, and
+    * ScreenStreamSpec's parity test pins this expression to
+    * `text_winnow`'s rows, so live and batch fingerprints cannot
+    * drift.
+    */
+  private[graft] def winnowFpsExpr(text: Column): Column = {
+    val h32 = (c: Column) => conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+    val hs = transform(shingles(text), g => h32(g))
+    array_distinct(
+      when(size(hs) >= 4,
+        transform(sequence(lit(1), size(hs) - 3),
+          i => array_min(slice(hs, i, lit(4)))))
+        .otherwise(array(array_min(hs))))
+  }
+
   val winnow = {
     val WinnowW = 4
     QueryDef(
