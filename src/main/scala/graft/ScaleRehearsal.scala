@@ -140,11 +140,14 @@ object ScaleRehearsal {
     def measure(dir: String, q: String): (Double, Long, Long) = {
       val sh0 = shuffleNow()
       val t0 = System.nanoTime()
-      val df = SparkEntry.queries(q)(spark, dir)
+      // persist so the untimed row count reads the cached result
+      // instead of re-running the whole (possibly quadratic) query
+      val df = SparkEntry.queries(q)(spark, dir).persist()
       df.write.format("noop").mode("overwrite").save()
       val secs = (System.nanoTime() - t0) / 1e9
       val sh = shuffleNow() - sh0
       val rows = df.count() // untimed: result-size sanity for the density story
+      df.unpersist()
       (secs, sh, rows)
     }
 

@@ -191,17 +191,27 @@ object Contamination {
     * fingerprint set broadcasts, and the train side sees zero
     * pre-join shuffle; one doc_id exchange aggregates the hit counts.
     */
+  /** Hit counts of (doc_id, fp) rows against a (fp, bench_id) bench
+    * fingerprint table — the verdict aggregation SHARED by
+    * [[decontaminateWinnow]] and the live screen
+    * ([[graft.streaming.ScreenStream]]), so batch and streaming
+    * counting semantics cannot drift. Returns flagged docs only; the
+    * live screen left-joins it back to add explicit zeros.
+    */
+  private[graft] def winnowFpHits(
+      trainFps: DataFrame, bench: DataFrame): DataFrame =
+    trainFps.join(broadcast(bench), "fp")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("fp")).as("fps_shared"),
+        countDistinct(col("bench_id")).as("benchmark_docs"))
+
   val decontaminateWinnow = QueryDef(
     "decontaminate_winnow",
     (s, d) => {
       val fps = TextAnalysis.winnow.fn(s, d)
       val bench = fps.filter(col("doc_id") % BenchMod === 0)
         .select(col("fp"), col("doc_id").as("bench_id"))
-      fps.filter(col("doc_id") % BenchMod =!= 0)
-        .join(broadcast(bench), "fp")
-        .groupBy("doc_id")
-        .agg(countDistinct(col("fp")).as("fps_shared"),
-          countDistinct(col("bench_id")).as("benchmark_docs"))
+      winnowFpHits(fps.filter(col("doc_id") % BenchMod =!= 0), bench)
     },
     Some {
       // text_winnow's oracle, stripped of its ORDER BY, as the

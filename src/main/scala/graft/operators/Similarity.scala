@@ -324,15 +324,7 @@ object Similarity {
     "dedup_embedding_hi",
     (s, d) => {
       val emb = augmentedHi(s, d)
-      def bandVal(b: Int): Column =
-        (0 until HiBits).map(k => planeBit(b * HiBits + k) * (1L << k))
-          .reduce(_ + _)
-      val banded = emb.withColumn("bands",
-        array((0 until HiBands).map(b =>
-          struct(lit(b).as("band_id"), bandVal(b).as("band_val"))): _*))
-        .select(col("vec_id"), explode(col("bands")).as("bb"))
-        .select(col("vec_id"),
-          col("bb.band_id").as("band_id"), col("bb.band_val").as("band_val"))
+      val banded = hiBandRows(s, d, HiBands, HiBits)
       val cand = banded.select(col("band_id"), col("band_val"), col("vec_id").as("i"))
         .join(banded.select(col("band_id"), col("band_val"), col("vec_id").as("j")),
           Seq("band_id", "band_val"))
@@ -387,16 +379,7 @@ object Similarity {
     */
   private[graft] def dedupEmbeddingHiCandidates(
       s: SparkSession, d: String): Long = {
-    val emb = augmentedHi(s, d)
-    def bandVal(b: Int): Column =
-      (0 until HiBits).map(k => planeBit(b * HiBits + k) * (1L << k))
-        .reduce(_ + _)
-    val banded = emb.withColumn("bands",
-      array((0 until HiBands).map(b =>
-        struct(lit(b).as("band_id"), bandVal(b).as("band_val"))): _*))
-      .select(col("vec_id"), explode(col("bands")).as("bb"))
-      .select(col("vec_id"),
-        col("bb.band_id").as("band_id"), col("bb.band_val").as("band_val"))
+    val banded = hiBandRows(s, d, HiBands, HiBits)
     banded.select(col("band_id"), col("band_val"), col("vec_id").as("i"))
       .join(banded.select(col("band_id"), col("band_val"), col("vec_id").as("j")),
         Seq("band_id", "band_val"))
@@ -689,13 +672,16 @@ object Similarity {
     // per-subspace codebooks, trained on capped residual samples; the
     // 8 fits are independent Spark jobs, so submit them concurrently
     // (results keyed by subspace — determinism is per-fit seed, not
-    // submission order)
-    val residTrain = capped(assigned, 43L).localCheckpoint()
+    // submission order). persist (not localCheckpoint) so the blocks
+    // are explicitly released once training is done — repeated
+    // invocations (bench reps) must not accumulate storage.
+    val residTrain = capped(assigned, 43L).persist()
+    residTrain.count() // materialize once before the concurrent fits race the cache
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val books: Array[Array[Array[Double]]] =
-      Await.result(Future.sequence((0 until PqM).toList.map { m =>
+      try Await.result(Future.sequence((0 until PqM).toList.map { m =>
         Future {
           new KMeans().setK(PqK).setSeed(44L + m).setMaxIter(10)
             .setFeaturesCol("features").setPredictionCol("cw")
@@ -704,6 +690,7 @@ object Similarity {
             .clusterCenters.map(_.toArray)
         }
       }), Duration.Inf).toArray
+      finally residTrain.unpersist()
     val bookLits = books.map(b => array(b.map(cw => array(cw.map(lit): _*)): _*))
 
     // encode: nearest codeword per subspace (ties -> lowest index via

@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming._
 
 /** One periodic per-key metrics emission: the event counts (total and
-  * per type) inside the sliding window `(windowEnd - windowMs,
-  * windowEnd]` at an interval-aligned `windowEnd`. `totalCount == 0`
-  * rows are EMITTED ON PURPOSE — the explicit "went to zero" signal
-  * the reference's timer loop guarantees downstream.
+  * per type) inside the sliding window `[windowStart, windowEnd)` at
+  * an interval-aligned `windowEnd` (both boundaries bucket-aligned:
+  * an event at exactly `windowEnd` belongs to the NEXT window).
+  * `totalCount == 0` rows are EMITTED ON PURPOSE — the explicit
+  * "went to zero" signal the reference's timer loop guarantees
+  * downstream.
   */
 final case class PeriodicMetrics(
     userId: String,
@@ -71,11 +73,17 @@ class PeriodicAggProcessor(windowMs: Long, intervalMs: Long)
   // (bucketStart, eventType) -> count; bucketStart = ts floor-aligned
   // to intervalMs
   @transient private var buckets: MapState[(Long, String), Long] = _
+  // last deadline this key emitted a row for — the floor below which
+  // a re-arm must never land (each interval is emitted exactly once)
+  @transient private var lastEmitted: ValueState[Long] = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     buckets = getHandle.getMapState[(Long, String), Long](
       "buckets", Encoders.product[(Long, String)],
       Encoders.scalaLong, TTLConfig.NONE)
+    lastEmitted = getHandle.getValueState[Long](
+      "lastEmitted", Encoders.scalaLong, TTLConfig.NONE)
+  }
 
   private def bucketOf(ts: Long): Long =
     Math.floorDiv(ts, intervalMs) * intervalMs
@@ -92,12 +100,25 @@ class PeriodicAggProcessor(windowMs: Long, intervalMs: Long)
       buckets.updateValue(k,
         (if (buckets.containsKey(k)) buckets.getValue(k) else 0L) + 1L)
     }
-    // bootstrap only when unarmed (reference :146-157): first deadline
-    // is the end of the earliest new event's bucket — anchored to the
-    // DATA, so a restart after a drain does not back-fill zero rows
-    // for the silent gap
-    if (minTs != Long.MaxValue && !getHandle.listTimers().hasNext)
-      getHandle.registerTimer(bucketOf(minTs) + intervalMs)
+    // arm (or re-arm) toward the earliest new bucket's deadline,
+    // clamped above the last emitted interval so no deadline is ever
+    // emitted twice. Bootstrap-only-if-unarmed (reference :146-157)
+    // is the common case; the EARLIER-re-arm case matters after a
+    // gap-jump armed a far-future timer and an event then lands in an
+    // older (still above-watermark) bucket — without it, that bucket
+    // would be pruned before the far deadline ever counts it.
+    if (minTs != Long.MaxValue) {
+      val floor =
+        if (lastEmitted.exists()) lastEmitted.get() + intervalMs
+        else Long.MinValue
+      val d0 = math.max(bucketOf(minTs) + intervalMs, floor)
+      val armed = getHandle.listTimers().toSeq
+      if (armed.isEmpty) getHandle.registerTimer(d0)
+      else if (d0 < armed.min) {
+        armed.foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(d0)
+      }
+    }
     Iterator.empty
   }
 
@@ -119,6 +140,7 @@ class PeriodicAggProcessor(windowMs: Long, intervalMs: Long)
         .map { case (tpe, es) => tpe -> es.map(_._2).sum }
       out += PeriodicMetrics(key, windowStart, deadline,
         typeCounts.valuesIterator.sum, typeCounts)
+      lastEmitted.update(deadline)
       val remaining = buckets.keys().toSeq
       if (remaining.isEmpty) {
         // drained: the zero row just emitted IS the went-to-zero

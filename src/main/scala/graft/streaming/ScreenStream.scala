@@ -57,12 +57,11 @@ object ScreenStream {
   def screenBatch(batch: DataFrame, bench: DataFrame): DataFrame = {
     val fps = batch.select(col("doc_id"),
       explode(TextAnalysis.winnowFpsExpr(col("text"))).as("fp"))
-    val hits = fps.join(broadcast(bench), "fp")
-      .groupBy("doc_id")
-      .agg(countDistinct(col("fp")).as("fps_shared"),
-        countDistinct(col("bench_id")).as("benchmark_docs"))
+    // the hit counting is Contamination's — batch and live verdicts
+    // share one aggregation definition
     batch.select("doc_id")
-      .join(hits, Seq("doc_id"), "left_outer")
+      .join(graft.operators.Contamination.winnowFpHits(fps, bench),
+        Seq("doc_id"), "left_outer")
       .na.fill(0L, Seq("fps_shared", "benchmark_docs"))
   }
 

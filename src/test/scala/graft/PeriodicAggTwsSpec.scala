@@ -114,6 +114,58 @@ class PeriodicAggTwsSpec extends AnyFunSuite {
     }
   }
 
+  test("event landing behind a gap-jumped timer re-arms earlier and is never lost") {
+    // Regression: after a gap-jump arms a far-future timer, an event
+    // arriving in an older (still above-watermark) bucket used to be
+    // pruned before the far deadline ever counted it — no row anywhere
+    // contained it, and the intermediate cadence rows were missing.
+    // handleInputRows must re-arm the EARLIER deadline (clamped above
+    // the last emitted interval, so nothing is emitted twice).
+    implicit val sqlCtx = spark.sqlContext
+    StateConfig.withRocksDB(spark) {
+      val input = MemoryStream[ParsedEvent]
+      val q = PeriodicAggTws.metrics(input.toDS(), W, I,
+        watermarkDelay = "10 seconds")
+        .writeStream.format("memory").queryName("pagg_rearm")
+        .outputMode("append").start()
+      try {
+        // one batch, 99s apart: catch-up emits through the zero row at
+        // 15000, then jumps the heartbeat to 105000
+        input.addData(ev("u1", "click", 1000), ev("u1", "view", 100000))
+        q.processAllAvailable()
+        input.addData(ev("w", "view", 101000))
+        q.processAllAvailable()
+        // the straggler: bucket 90000 — older than the armed 105000
+        // deadline's window start (95000), yet above the watermark
+        input.addData(ev("u1", "click", 92000))
+        q.processAllAvailable()
+        input.addData(ev("w", "view", 120000))
+        q.processAllAvailable()
+        input.addData(ev("w", "view", 121000))
+        q.processAllAvailable()
+        val got = spark.table("pagg_rearm").as[PeriodicMetrics]
+          .collect().filter(_.userId == "u1").sortBy(_.windowEnd).toSeq
+        // the straggler is counted in BOTH windows that contain it,
+        // and the cadence resumes from the re-armed deadline
+        assert(got.exists(m => m.windowEnd == 95000 && m.totalCount == 1 &&
+          m.typeCounts == Map("click" -> 1L)),
+          s"straggler's first window row missing: $got")
+        // ts=100000 sits at exactly windowEnd=100000 and so belongs to
+        // the NEXT window ([windowStart, windowEnd) semantics): the
+        // 100000 row still holds only the straggler
+        assert(got.exists(m => m.windowEnd == 100000 && m.totalCount == 1 &&
+          m.typeCounts == Map("click" -> 1L)),
+          s"straggler's second window row missing: $got")
+        assert(got.exists(m => m.windowEnd == 105000 && m.totalCount == 1 &&
+          m.typeCounts == Map("view" -> 1L)),
+          s"gap event's window row missing: $got")
+        // no deadline emitted twice (the lastEmitted clamp)
+        val ends = got.map(_.windowEnd)
+        assert(ends == ends.distinct, s"duplicate deadlines: $ends")
+      } finally q.stop()
+    }
+  }
+
   test("bucket state AND armed timer survive a restart via changelog checkpointing") {
     implicit val sqlCtx = spark.sqlContext
     StateConfig.withRocksDB(spark) {
