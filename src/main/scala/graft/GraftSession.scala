@@ -49,6 +49,8 @@ final class GraftSession(val spark: SparkSession, val sfDir: String)
     */
   def query(name: String): DataFrame = name match {
     case "dedup_cluster_keep"   => ngram.clusterKeep
+    case "corpus_dup_profile" =>
+      operators.Dedup.dupProfileFrom(spark, sfDir, ngram.clusterKeep)
     case "pipeline_curate"      => ngram.curated
     case "pipeline_curate_nb"   => ngram.curatedNb
     case "graph_triangles"      => ngram.triangles

@@ -692,6 +692,73 @@ object Dedup {
     FROM reach GROUP BY node ORDER BY doc_id"""
     })
 
+  /** [[dupProfile]] body over an injectable keep frame — the seam
+    * that lets [[graft.GraftSession]] serve the profile from its
+    * cached pair graph's CC result instead of recomputing it.
+    */
+  private[graft] def dupProfileFrom(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      keep: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sizes = keep.groupBy("canonical_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    val multi = sizes.groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+    val total = Tables.documents(s, d).agg(count(lit(1)).as("t"))
+    val clustered = keep.agg(count(lit(1)).as("c"))
+    val singles = total.crossJoin(clustered)
+      .select(lit(1L).as("cluster_size"),
+        (col("t") - col("c")).as("n_clusters"),
+        (col("t") - col("c")).as("n_docs"))
+    multi.unionByName(singles)
+  }
+
+  /** Duplicate-multiplicity profile — the corpus-health report the
+    * keep decision implies: for each near-dup cluster size, how many
+    * clusters exist and how many documents they hold, with the
+    * unclustered rest reported as the `cluster_size = 1` row (CC
+    * components always have >= 2 nodes, so the singleton row cannot
+    * collide with a computed size). The headline numbers a curation
+    * run reads off this: duplicated-document fraction and the size of
+    * the largest clone family (a spike there usually means template
+    * text, not organic duplication).
+    *
+    * Scale shape: everything after the pair graph + CC (shared with
+    * `dedup_cluster_keep`, and served from the session cache under
+    * [[graft.GraftSession]]) is aggregation over cluster ids — output
+    * is O(distinct sizes) rows; the two scalar counts broadcast into
+    * a one-row cross join.
+    */
+  val dupProfile = QueryDef(
+    "corpus_dup_profile",
+    (s, d) => dupProfileFrom(s, d,
+      clusterKeepFrom(ngramJaccard.fn(s, d).select("i", "j"))),
+    Some {
+      val pairSql = ngramJaccard.oracle.get.replace("ORDER BY i, j", "")
+      s"""WITH RECURSIVE pairs AS ($pairSql),
+    edges AS (SELECT i AS src, j AS dst FROM pairs
+              UNION ALL SELECT j, i FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+      SELECT node, node AS root FROM nodes
+      UNION
+      SELECT e.dst AS node, r.root FROM reach r JOIN edges e ON e.src = r.node),
+    keep AS (SELECT node AS doc_id, min(root) AS canonical_id
+             FROM reach GROUP BY node),
+    sizes AS (SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM keep GROUP BY canonical_id),
+    multi AS (SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+              FROM sizes GROUP BY cluster_size),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM documents),
+    clus AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM keep)
+    SELECT cluster_size, n_clusters, n_docs FROM multi
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), t - c, t - c FROM tot, clus
+    ORDER BY cluster_size"""
+    })
+
   private val ContainTau = 0.8
 
   /** Asymmetric near-CONTAINMENT detection — the dedup case Jaccard
@@ -823,6 +890,6 @@ object Dedup {
     })
 
   val defs: Seq[QueryDef] = Seq(exact, ngramJaccard, prefixJaccard, minhashLsh,
-    incremental, simhash, simhashWide, clusterKeep, containment, winnowPairs,
-    minhashError)
+    incremental, simhash, simhashWide, clusterKeep, dupProfile, containment,
+    winnowPairs, minhashError)
 }

@@ -18,7 +18,7 @@ class GraftSessionSpec extends AnyFunSuite {
   test("routed pair-graph queries match the registered registry rows") {
     GraftSession.withSession(spark, d) { s =>
       for (name <- Seq("graph_pagerank", "graph_label_prop", "dedup_keep_rank",
-          "dedup_cluster_keep")) {
+          "dedup_cluster_keep", "corpus_dup_profile")) {
         assert(rows(s.query(name)) ==
           rows(SparkEntry.queries(name)(spark, d)),
           s"facade drifted from registry for $name")
