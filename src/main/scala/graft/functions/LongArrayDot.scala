@@ -81,6 +81,13 @@ object GraftFunctions {
   def dotLong(a: Column, b: Column): Column =
     Bridge.column(LongArrayDot(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Sign-LSH band values from the JVM-static hyperplane cache — see
+    * [[HyperplaneBandVals]]. bands/bits ride in the node as two ints;
+    * no plane constant enters the expression tree.
+    */
+  def hyperplaneBands(qa: Column, bands: Int, bits: Int): Column =
+    Bridge.column(HyperplaneBandVals(Bridge.expression(qa), bands, bits))
+
   /** Builder with a proper arity error instead of an index exception. */
   def dotBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2,

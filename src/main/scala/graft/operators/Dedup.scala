@@ -422,6 +422,12 @@ object Dedup {
     * (block_id, block_val) and are verified with bit_count(xor).
     * 60 bits (not 64) keeps the fingerprint in a signed BIGINT for
     * both engines.
+    *
+    * BASELINE — SUPERSEDED AT SCALE by [[simhashWide]]: a 15-bit
+    * block has only 32k values, so candidate volume follows n²/2^15
+    * (measured 79x at 10x data, SURVEY §5). Use `dedup_simhash_wide`
+    * beyond ~100k documents; this variant stays registered as the
+    * small-corpus/pedagogical baseline.
     */
   val simhash = QueryDef(
     "dedup_simhash",

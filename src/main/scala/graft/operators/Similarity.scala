@@ -150,13 +150,11 @@ object Similarity {
     }
   }
 
-  /** Hyperplane sign bit j of the quantized vector column `qa` —
-    * shared by [[annLsh]] and [[dedupEmbedding]].
+  /** DuckDB spelling of one hyperplane sign bit of `qa` (the Spark
+    * side computes bands via [[graft.functions.HyperplaneBandVals]];
+    * the oracle keeps per-plane inlined constants for the fixed-width
+    * queries and derives planes from md5 in SQL for the wide one).
     */
-  private def planeBit(j: Int): Column =
-    (dot(col("qa"), typedlit(hyperplanes(j).toSeq)) > 0).cast(LongType)
-
-  /** DuckDB spelling of [[planeBit]]. */
   private def planeBitSql(j: Int): String = {
     val planeList = hyperplanes(j).mkString("[", ", ", "]")
     s"(CASE WHEN ${dotSql("qa", planeList)} > 0 THEN 1 ELSE 0 END)"
@@ -183,20 +181,24 @@ object Similarity {
     * operating point) the same 4-bit bands agree with probability
     * (1 - angle/pi)^4 ~ 0.66 for dups vs 0.06 for random pairs and the
     * join prunes >99%; band width maps to tau by that formula.
+    *
+    * BASELINE — SUPERSEDED AT SCALE: tau = 0.45 makes the PAIR
+    * POPULATION itself quadratic on random-cosine corpora (measured
+    * 116x at 10x data, SURVEY §5) — no banding fixes a threshold that
+    * admits random pairs. At corpus scale use the tau = 0.8 regime
+    * with log-scaled bands ([[dedupEmbeddingWide]]) or block
+    * semantically first ([[semanticPrune]]).
     */
   val dedupEmbedding = QueryDef(
     "dedup_embedding",
     (s, d) => {
       val emb = quantized(s, d)
-      def bandVal(b: Int): Column =
-        (0 until DedupBits).map(k => planeBit(b * DedupBits + k) * (1L << k))
-          .reduce(_ + _)
-      val banded = emb.withColumn("bands",
-        array((0 until DedupBands).map(b =>
-          struct(lit(b).as("band_id"), bandVal(b).as("band_val"))): _*))
-        .select(col("vec_id"), explode(col("bands")).as("bb"))
-        .select(col("vec_id"),
-          col("bb.band_id").as("band_id"), col("bb.band_val").as("band_val"))
+      // bands via the JVM-static plane cache — same values as the
+      // former per-plane typedlit form, KB-sized plan (r6 item 5)
+      val banded = emb.select(col("vec_id"),
+        posexplode(graft.functions.GraftFunctions
+          .hyperplaneBands(col("qa"), DedupBands, DedupBits)))
+        .select(col("vec_id"), col("pos").as("band_id"), col("col").as("band_val"))
       val cand = banded.select(col("band_id"), col("band_val"), col("vec_id").as("i"))
         .join(banded.select(col("band_id"), col("band_val"), col("vec_id").as("j")),
           Seq("band_id", "band_val"))
@@ -264,18 +266,14 @@ object Similarity {
     * [[dedupEmbeddingHi]] Scaladoc states, here measurable).
     */
   private[graft] def hiBandRows(
-      s: SparkSession, d: String, bands: Int, bits: Int): DataFrame = {
-    require(bands * bits <= HiPlanes,
-      s"$bands x $bits exceeds the $HiPlanes hyperplanes")
-    def bandVal(b: Int): Column =
-      (0 until bits).map(k => planeBit(b * bits + k) * (1L << k)).reduce(_ + _)
-    augmentedHi(s, d)
-      .withColumn("bands", array((0 until bands).map(b =>
-        struct(lit(b).as("band_id"), bandVal(b).as("band_val"))): _*))
-      .select(col("vec_id"), explode(col("bands")).as("bb"))
-      .select(col("vec_id"),
-        col("bb.band_id").as("band_id"), col("bb.band_val").as("band_val"))
-  }
+      s: SparkSession, d: String, bands: Int, bits: Int): DataFrame =
+    // band values via the JVM-static plane cache (HyperplaneBandVals)
+    // instead of per-plane typedlit literals: bit-identical bands
+    // (HyperplanesSpec pins the equivalence), but the plan carries two
+    // ints instead of ~1.6 MB of constants — What's-wrong 5 of r6.
+    augmentedHi(s, d).select(col("vec_id"),
+      posexplode(graft.functions.GraftFunctions.hyperplaneBands(col("qa"), bands, bits)))
+      .select(col("vec_id"), col("pos").as("band_id"), col("col").as("band_val"))
 
   /** DuckDB spelling of [[augmentedHi]] (expects `q0` = quantizedSql
     * in scope; yields (vec_id, qa, na)). The jitter CASE is qualified
@@ -387,6 +385,127 @@ object Similarity {
       .select("i", "j").dropDuplicates("i", "j").count()
   }
 
+  // ---------------------------------------------------------------
+  // dedup_embedding_wide: log-scaled band widths — the 100-TB default
+  // ---------------------------------------------------------------
+
+  /** Oracle-side cap on generated planes (the SQL derives planes from
+    * md5 in a bounded CTE). bands*bits <= 2048 covers bits <= 17, i.e.
+    * augmented corpora to 2^17 vectors — far past the sf0.01 tier the
+    * driver oracles at (augN = 1000 -> 260 planes). The Spark side has
+    * no cap (the JVM-static cache sizes to the corpus).
+    */
+  private val WidePlaneCapSql = 2048
+
+  /** [[dedupEmbeddingHi]] with LOG-SCALED band widths — the fix for
+    * the one measured-quadratic operator left after round 6: a FIXED
+    * (bands x bits) split passes ~bands·n²/2^bits random-pair
+    * candidates (SCALE100_r06 measured 6.19e9 candidates at 400k
+    * vectors through 16x8-bit bands), because the band-value space
+    * stops growing while the corpus doesn't. Here the width tracks the
+    * corpus: bits = ceil(log2 n) pins expected random collisions per
+    * band at <= 1 per vector, and the band count rises by the LSH
+    * OR-amplification rule ([[graft.functions.Hyperplanes.bandsFor]]:
+    * >= 98% recall at the cosine-0.85 design point) — total candidate
+    * work n·bands(n) ~ n^(1+rho), rho ~ 0.28, vs the fixed-width n².
+    * The honest trade, measured per-tier in ScaleProbe: recall HOLDS
+    * at every corpus size (a fixed 60-bit band would be linear but
+    * misses ~all true pairs: per-pair hit rate p1^60 ~ 1e-5), while
+    * candidates/vector grow only as the sublinear LSH exponent.
+    *
+    * Plan-size fix rides along: band values come from
+    * [[graft.functions.HyperplaneBandVals]] — plane constants live in
+    * a JVM-static cache, NOT the expression tree, so this plan stays
+    * KB-sized at hundreds of planes where [[dedupEmbeddingHi]]'s
+    * literal banding costs ~1.6 MB of plan at 128.
+    *
+    * The (bands, bits) choice is corpus-driven (one eager count at
+    * build — the same eager pattern as the graph loops); the DuckDB
+    * oracle derives the IDENTICAL split from count(*) with
+    * integer-exact bit-length arithmetic and the same inlined
+    * bands-lookup table, and generates the IDENTICAL md5 planes in
+    * SQL, so the candidate set matches by construction at any SF.
+    * Same contract as [[dedupEmbeddingHi]]: (i, j, cosine >= HiTau)
+    * over the augmented corpus, exact quantized-cosine verify.
+    */
+  val dedupEmbeddingWide = QueryDef(
+    "dedup_embedding_wide",
+    (s, d) => {
+      import graft.functions.{GraftFunctions, Hyperplanes}
+      val augN = Tables.embeddings(s, d).count() * 2
+      val (bands, bits) = Hyperplanes.wideBandPlan(augN)
+      val emb = augmentedHi(s, d)
+      val banded = emb.select(col("vec_id"),
+        posexplode(GraftFunctions.hyperplaneBands(col("qa"), bands, bits)))
+        .select(col("vec_id"), col("pos").as("band_id"), col("col").as("band_val"))
+      val cand = banded.select(col("band_id"), col("band_val"), col("vec_id").as("i"))
+        .join(banded.select(col("band_id"), col("band_val"), col("vec_id").as("j")),
+          Seq("band_id", "band_val"))
+        .filter(col("i") < col("j"))
+        .select("i", "j").dropDuplicates("i", "j")
+      val qi = emb.select(col("vec_id").as("i"), col("qa").as("qi"), col("na").as("ni"))
+      val qj = emb.select(col("vec_id").as("j"), col("qa").as("qj"), col("na").as("nj"))
+      cand.join(qi, "i").join(qj, "j")
+        .withColumn("cosine", cosine(dot(col("qi"), col("qj")), col("ni"), col("nj")))
+        .filter(col("cosine") >= HiTau)
+        .select("i", "j", "cosine")
+    },
+    Some {
+      // the bands-per-bits lookup, computed once in Scala and inlined
+      // as integers — both engines then share the exact same table
+      val bandsTable = (1 to 32)
+        .map(graft.functions.Hyperplanes.bandsFor)
+        .mkString("[", ", ", "]")
+      val bitsExpr = "length(ltrim(bin(count(*) * 2 - 1), '0'))"
+      s"""WITH q0 AS ($quantizedSql),
+    $augmentedHiSql,
+    cfg AS (
+      SELECT $bitsExpr AS bits, $bandsTable[$bitsExpr] AS bands
+      FROM embeddings),
+    planes AS (
+      SELECT j, list_transform(range(0, $Dim), i ->
+          ('0x' || substr(md5('hp' || j || '_' || i), 1, 15))::BIGINT % ${Scale + 1} - ${Scale / 2}) AS p
+      FROM (SELECT unnest(range(0, $WidePlaneCapSql)) AS j)
+      WHERE j < (SELECT bands * bits FROM cfg)),
+    pbits AS (
+      SELECT q.vec_id, pl.j,
+        CASE WHEN CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+            i -> q.qa[i] * pl.p[i])) AS BIGINT) > 0 THEN 1 ELSE 0 END AS bit
+      FROM q CROSS JOIN planes pl),
+    bands_rel AS (
+      SELECT vec_id, j // (SELECT bits FROM cfg) AS band_id,
+        SUM(CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << (j % (SELECT bits FROM cfg)))) AS band_val
+      FROM pbits GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      FROM bands_rel a JOIN bands_rel b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+      WHERE a.vec_id < b.vec_id)
+    SELECT c.i, c.j,
+      ${cosineSql(dotSql("qa.qa", "qb.qa"), "qa.na", "qb.na")} AS cosine
+    FROM cand c
+    JOIN q qa ON qa.vec_id = c.i
+    JOIN q qb ON qb.vec_id = c.j
+    WHERE ${cosineSql(dotSql("qa.qa", "qb.qa"), "qa.na", "qb.na")} >= $HiTau"""
+    })
+
+  /** Banded candidate PAIR COUNT for [[dedupEmbeddingWide]] at an
+    * explicit (bands, bits) — ScaleProbe's seam for the per-tier
+    * candidate-law measurement.
+    */
+  private[graft] def wideCandidates(
+      s: SparkSession, d: String, bands: Int, bits: Int): Long = {
+    import graft.functions.GraftFunctions
+    val banded = augmentedHi(s, d).select(col("vec_id"),
+      posexplode(GraftFunctions.hyperplaneBands(col("qa"), bands, bits)))
+      .select(col("vec_id"), col("pos").as("band_id"), col("col").as("band_val"))
+    banded.select(col("band_id"), col("band_val"), col("vec_id").as("i"))
+      .join(banded.select(col("band_id"), col("band_val"), col("vec_id").as("j")),
+        Seq("band_id", "band_val"))
+      .filter(col("i") < col("j"))
+      .select("i", "j").dropDuplicates("i", "j").count()
+  }
+
   /** Streaming-twin plumbing ([[graft.streaming.EmbStream]]): the SAME
     * quantization, 16x4-bit banding, and verify threshold as
     * [[dedupEmbedding]], exposed as column-level transforms over any
@@ -402,17 +521,11 @@ object Similarity {
   /** (vec_id, band_id, band_val) rows for a quantized (vec_id, qa)
     * relation, using [[dedupEmbedding]]'s banding.
     */
-  private[graft] def dedupBandRows(df: DataFrame): DataFrame = {
-    def bandVal(b: Int): Column =
-      (0 until DedupBits).map(k => planeBit(b * DedupBits + k) * (1L << k))
-        .reduce(_ + _)
-    df.withColumn("bands",
-      array((0 until DedupBands).map(b =>
-        struct(lit(b).as("band_id"), bandVal(b).as("band_val"))): _*))
-      .select(col("vec_id"), explode(col("bands")).as("bb"))
-      .select(col("vec_id"),
-        col("bb.band_id").as("band_id"), col("bb.band_val").as("band_val"))
-  }
+  private[graft] def dedupBandRows(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+      posexplode(graft.functions.GraftFunctions
+        .hyperplaneBands(col("qa"), DedupBands, DedupBits)))
+      .select(col("vec_id"), col("pos").as("band_id"), col("col").as("band_val"))
 
   private[graft] def nearDupTau: Double = NearDupTau
 
@@ -450,15 +563,11 @@ object Similarity {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val emb = quantized(s, d)
-      def bandVal(b: Int): Column =
-        (0 until BitsPerBand).map(k => planeBit(b * BitsPerBand + k) * (1L << k))
-          .reduce(_ + _)
-      val banded = emb.withColumn("bands",
-        array((0 until NBands).map(b =>
-          struct(lit(b).as("band_id"), bandVal(b).as("band_val"))): _*))
-        .select(col("vec_id"), col("qa"), col("na"), explode(col("bands")).as("bb"))
+      val banded = emb.select(col("vec_id"), col("qa"), col("na"),
+        posexplode(graft.functions.GraftFunctions
+          .hyperplaneBands(col("qa"), NBands, BitsPerBand)))
         .select(col("vec_id"), col("qa"), col("na"),
-          col("bb.band_id").as("band_id"), col("bb.band_val").as("band_val"))
+          col("pos").as("band_id"), col("col").as("band_val"))
       val qside = banded.filter(col("vec_id") < NQueries)
         .select(col("band_id"), col("band_val"),
           col("vec_id").as("qid"), col("qa").as("qq"), col("na").as("qna"))
@@ -1376,7 +1485,7 @@ object Similarity {
     ORDER BY t.vec_id"""))
 
   val defs: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding,
-    dedupEmbeddingHi, annLsh, annIvf, annIvfPq,
+    dedupEmbeddingHi, dedupEmbeddingWide, annLsh, annIvf, annIvfPq,
     embCentroid, dedupEmbeddingKeep, dimReduce, embQuantize, semanticPrune,
     mineHardNegatives, knnGraph, knnScoreDiffusion, kmeans,
     decontaminateEmbedding)
