@@ -72,6 +72,13 @@ object Bench {
     // The JSON contract line is only written when unfiltered.
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A typo'd filter name must fail loudly, not silently run an empty
+    // (or partial) benchmark and write a near-empty artifact.
+    filter.foreach { f =>
+      val unknown = f -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_FILTER names not in the registry: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => filter.forall(_.contains(n)) }
 

@@ -56,17 +56,36 @@ object ScaleProbe {
         s"narrow(15b): buckets=$nb maxBucket=$nm candPairs=$nc | " +
         s"wide(30b): buckets=$wb maxBucket=$wm candPairs=$wc")
 
-      // --- embedding LSH bands: the hi-tau corpus under 16x8-bit
-      //     (the registered dedup_embedding_hi banding) vs 8x16-bit
-      //     (the bits ~ 2·log2 n widening the Scaladoc prescribes) ---
+      // --- embedding LSH bands: the registered fixed widths (16x8 =
+      //     dedup_embedding_hi, 8x16 = the same planes re-split) vs
+      //     the LOG-SCALED plan dedup_embedding_wide derives from the
+      //     tier's corpus size. Alongside the candidate law, measure
+      //     RECALL on the known true pairs — the augmentation copies
+      //     (i, i + copyOffset) — via a band-match equi-join (linear),
+      //     since all-pairs truth is unreachable at the 100x tier:
+      //     a fixed width stays recall-perfect but goes quadratic in
+      //     candidates; the log-scaled width must hold >= ~0.98 recall
+      //     while candidates stay ~n·bands(n).
       if (java.nio.file.Files.exists(
           java.nio.file.Paths.get(s"$d/embeddings.parquet"))) {
-        for ((bands, bits) <- Seq((16, 8), (8, 16))) {
+        val nVec = spark.read.parquet(s"$d/embeddings.parquet").count()
+        val widePlan = graft.functions.Hyperplanes.wideBandPlan(2L * nVec)
+        val off = operators.Similarity.copyOffset
+        for ((tag, (bands, bits)) <- Seq(
+            "fixed16x8" -> ((16, 8)), "fixed8x16" -> ((8, 16)),
+            s"wide${widePlan._1}x${widePlan._2}" -> widePlan)) {
           val br = operators.Similarity.hiBandRows(spark, d, bands, bits)
+            .localCheckpoint()
           val (eb, em, ec) = bucketLaw(br, Seq("band_id", "band_val"))
-          val nVec = spark.read.parquet(s"$d/embeddings.parquet").count()
-          System.err.println(s"[probe] $d vecs=$nVec EMB bands=${bands}x${bits}b: " +
-            s"buckets=$eb maxBucket=$em candPairs=$ec")
+          val orig = br.filter(col("vec_id") < off)
+          val cop = br.filter(col("vec_id") >= off)
+            .select(col("band_id"), col("band_val"),
+              (col("vec_id") - off).as("vec_id"))
+          val hit = orig.join(cop, Seq("band_id", "band_val", "vec_id"))
+            .select("vec_id").distinct().count()
+          System.err.println(s"[probe] $d vecs=$nVec EMB $tag bands=${bands}x${bits}b: " +
+            s"buckets=$eb maxBucket=$em candPairs=$ec " +
+            f"copyPairBandRecall=${hit.toDouble / nVec}%.4f")
         }
       }
     }

@@ -84,6 +84,16 @@ object ScaleRehearsal {
       require(copies <= strides.size * 26,
         s"affine permutation family supports <= ${strides.size * 26} replicas")
       val docs = spark.read.parquet(s"$src/documents.parquet")
+      // The decorrelation argument needs EVERY content character to be
+      // permuted: an uppercase/digit/punctuation token would survive
+      // verbatim across replicas and reintroduce exactly the
+      // cross-replica near-dups the derivation exists to exclude.
+      // Fail fast rather than silently measure a confounded corpus.
+      val nonAlpha = docs.filter(col("text").rlike("[^a-z ]")).count()
+      require(nonAlpha == 0,
+        s"$nonAlpha documents contain characters outside [a-z ] — the " +
+          "affine a-z permutation cannot decorrelate them; extend the " +
+          "permutation alphabet before deriving")
       (0 until copies).map { k =>
         val (stride, rot) = (strides(k / 26), k % 26)
         val img = (0 until 26).map(i => abc((i * stride + rot) % 26)).mkString
@@ -135,6 +145,7 @@ object ScaleRehearsal {
         "dedup_winnow", "text_tokens", "text_tfidf", "text_lm_score",
         "text_ppl_bucket", "corpus_stats", "dedup_cluster_keep",
         "graph_pagerank", "dedup_embedding", "dedup_embedding_hi",
+        "dedup_embedding_wide", "dedup_semantic_prune", "ann_ivf_pq",
         "emb_kmeans"))
 
     def measure(dir: String, q: String): (Double, Long, Long) = {

@@ -50,6 +50,21 @@ object Similarity {
   private val NJit = 8
   private val JitShrink = 4L
 
+  /** One-time-per-dataset corpus row count for sizing the seeded
+    * Bernoulli training samples of [[ivfTopK]]/[[pqIndex]] — cached
+    * per JVM so repeated index builds (each registered-query
+    * invocation, every AnnPqSpec assertion) don't re-scan the corpus
+    * for a number that cannot change (the test datasets are
+    * immutable). A production deployment reads this from table
+    * statistics (metastore row counts / manifest totals) instead of
+    * any scan; the cache is the sandbox stand-in for that.
+    */
+  private val corpusCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def corpusCount(d: String, df: => DataFrame): Long =
+    corpusCountCache.computeIfAbsent(d, _ => df.count()).longValue()
+
   /** Quantized embedding + its exact integer squared-norm (label
     * carried through for the centroid operator; other callers project
     * it away).
@@ -432,7 +447,7 @@ object Similarity {
     "dedup_embedding_wide",
     (s, d) => {
       import graft.functions.{GraftFunctions, Hyperplanes}
-      val augN = Tables.embeddings(s, d).count() * 2
+      val augN = corpusCount(d, Tables.embeddings(s, d)) * 2
       val (bands, bits) = Hyperplanes.wideBandPlan(augN)
       val emb = augmentedHi(s, d)
       val banded = emb.select(col("vec_id"),
@@ -528,6 +543,12 @@ object Similarity {
       .select(col("vec_id"), col("pos").as("band_id"), col("col").as("band_val"))
 
   private[graft] def nearDupTau: Double = NearDupTau
+
+  /** Augmentation copy-id offset — ScaleProbe keys the known true
+    * pairs (i, i + copyOffset) off this for its per-tier band-recall
+    * measurement.
+    */
+  private[graft] def copyOffset: Long = CopyOffset
 
   private[graft] def cosineCol(d: Column, na: Column, nb: Column): Column =
     cosine(d, na, nb)
@@ -655,7 +676,7 @@ object Similarity {
       val emb = quantized(s, d)
       val featured = Tables.embeddings(s, d)
         .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
-      val corpusSize = featured.count()
+      val corpusSize = corpusCount(d, featured)
       val trainSet =
         if (corpusSize <= QuantizerTrainCap) featured
         else featured.sample(withReplacement = false,
@@ -760,7 +781,7 @@ object Similarity {
     val featured = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         array_to_vector(col("embedding")).as("features"))
-    val corpusSize = featured.count()
+    val corpusSize = corpusCount(d, featured)
     def capped(df: DataFrame, seed: Long): DataFrame =
       if (corpusSize <= QuantizerTrainCap) df
       else df.sample(withReplacement = false,

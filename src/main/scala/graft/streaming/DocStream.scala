@@ -46,7 +46,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * and the stream (the natural ingest-order id): strict `j < i` keeps
   * the first copy as the smallest id, so a late-arriving document
   * with an id SMALLER than an accepted near-dup's would be admitted
-  * as a second survivor.
+  * as a second survivor. [[IdWatermark]] enforces this loudly: a
+  * max-id watermark beside the index flags any new batch whose min id
+  * falls at or below the already-admitted max.
   *
   * At scale the index join is the only shuffle and carries band keys,
   * never text; the index grows by survivors only. A deployment reads
@@ -99,6 +101,7 @@ object DocStream {
     // and the index append
     val cached = batch.persist()
     try {
+      IdWatermark.checkAndAdvance(cached, "doc_id", indexDir, batchId, "docstream")
       val index = spark.read.parquet(indexDir)
       val verdicts = dedupBatch(cached, index).persist()
       try {

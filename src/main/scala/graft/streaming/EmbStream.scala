@@ -113,6 +113,7 @@ object EmbStream {
     val spark = batch.sparkSession
     val q = Similarity.quantizeCols(batch).persist()
     try {
+      IdWatermark.checkAndAdvance(q, "vec_id", bandDir, batchId, "embstream")
       val verdicts = dedupBatch(q,
         spark.read.parquet(bandDir), spark.read.parquet(vecDir), tau)
         .persist()

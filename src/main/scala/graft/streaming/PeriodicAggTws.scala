@@ -130,19 +130,28 @@ class PeriodicAggProcessor(windowMs: Long, intervalMs: Long)
     val wm = timerValues.getCurrentWatermarkInMs()
     var deadline = expiredTimerInfo.getExpiryTimeInMs()
     var live = true
+    // ONE state-store scan for the whole catch-up, however many
+    // intervals the watermark jumped: the loop folds deadlines over an
+    // in-memory copy and the prunes are written back once at the end.
+    // (The former per-iteration keys()/iterator() scans cost
+    // O(gap/interval x buckets) RocksDB reads on a large jump.)
+    val all = scala.collection.mutable.Map.empty[(Long, String), Long]
+    buckets.iterator().foreach(kv => all.update(kv._1, kv._2))
+    val pruned = scala.collection.mutable.ListBuffer[(Long, String)]()
     while (live && deadline <= wm) {
       val windowStart = deadline - windowMs
       // prune buckets that fell out of the window (exact: deadlines
       // and bucket starts are both intervalMs-aligned)
-      buckets.keys().toSeq.filter(_._1 < windowStart).foreach(buckets.removeKey)
-      val inWindow = buckets.iterator().toSeq.filter(_._1._1 < deadline)
+      val toPrune = all.keysIterator.filter(_._1 < windowStart).toList
+      toPrune.foreach(all.remove)
+      pruned ++= toPrune
+      val inWindow = all.toSeq.filter(_._1._1 < deadline)
       val typeCounts = inWindow.groupBy(_._1._2)
         .map { case (tpe, es) => tpe -> es.map(_._2).sum }
       out += PeriodicMetrics(key, windowStart, deadline,
         typeCounts.valuesIterator.sum, typeCounts)
       lastEmitted.update(deadline)
-      val remaining = buckets.keys().toSeq
-      if (remaining.isEmpty) {
+      if (all.isEmpty) {
         // drained: the zero row just emitted IS the went-to-zero
         // signal; stop the heartbeat (next event re-bootstraps)
         live = false
@@ -152,9 +161,10 @@ class PeriodicAggProcessor(windowMs: Long, intervalMs: Long)
         // whose window reaches that data — one zero signal, then
         // silence until the data re-enters, like the reference's
         // stop-then-bootstrap under a wall-clock gap
-        deadline = remaining.map(_._1).min + intervalMs
+        deadline = all.keysIterator.map(_._1).min + intervalMs
       } else deadline += intervalMs
     }
+    pruned.foreach(buckets.removeKey)
     if (live) getHandle.registerTimer(deadline)
     out.iterator
   }

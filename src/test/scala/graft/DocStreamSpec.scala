@@ -27,6 +27,27 @@ class DocStreamSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   private val dupText = "the quick brown fox jumps over the lazy dog again and again today"
   private val otherText = "completely different corpus text about streaming query engines"
 
+  test("monotone-id watermark flags an out-of-order batch, skips replays") {
+    import spark.implicits._
+    val indexDir = tmp("wm")
+    def batch(ids: Long*) = ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // batch 0 admits ids up to 100
+    assert(graft.streaming.IdWatermark.checkAndAdvance(
+      batch(10L, 100L), "doc_id", indexDir, 0L, "spec"))
+    // batch 1 starting above 100 is fine
+    assert(graft.streaming.IdWatermark.checkAndAdvance(
+      batch(101L, 150L), "doc_id", indexDir, 1L, "spec"))
+    // batch 2 dipping back to 120 violates first-copy-wins
+    assert(!graft.streaming.IdWatermark.checkAndAdvance(
+      batch(120L, 200L), "doc_id", indexDir, 2L, "spec"))
+    // a REPLAY of batch 2 (same id) is not a violation
+    assert(graft.streaming.IdWatermark.checkAndAdvance(
+      batch(120L, 200L), "doc_id", indexDir, 2L, "spec"))
+    // empty batches are ignored
+    assert(graft.streaming.IdWatermark.checkAndAdvance(
+      batch(), "doc_id", indexDir, 3L, "spec"))
+  }
+
   test("cross-batch dedup through the index, survivors extend it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
