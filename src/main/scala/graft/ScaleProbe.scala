@@ -77,10 +77,16 @@ object ScaleProbe {
           val br = operators.Similarity.hiBandRows(spark, d, bands, bits)
             .localCheckpoint()
           val (eb, em, ec) = bucketLaw(br, Seq("band_id", "band_val"))
-          val orig = br.filter(col("vec_id") < off)
-          val cop = br.filter(col("vec_id") >= off)
-            .select(col("band_id"), col("band_val"),
+          // original ids come from the source table (the derived
+          // replica tiers shift ids by k·1e9, so a `< copyOffset`
+          // filter would keep only replica 0); a copy's id is always
+          // original + copyOffset, disjoint from every original range
+          val origIds = spark.read.parquet(s"$d/embeddings.parquet")
+            .select("vec_id")
+          val orig = br.join(origIds, Seq("vec_id"))
+          val cop = br.select(col("band_id"), col("band_val"),
               (col("vec_id") - off).as("vec_id"))
+            .join(origIds, Seq("vec_id"))
           val hit = orig.join(cop, Seq("band_id", "band_val", "vec_id"))
             .select("vec_id").distinct().count()
           System.err.println(s"[probe] $d vecs=$nVec EMB $tag bands=${bands}x${bits}b: " +

@@ -686,24 +686,29 @@ object Similarity {
         .fit(trainSet)
       val assigned = model.transform(featured).select("vec_id", "cell")
         .join(emb, "vec_id")
-      // nprobe nearest cells per query vector (centroid matrix is tiny
-      // and lives on the driver — the standard IVF probe step)
+      // nprobe nearest cells per query vector, computed DISTRIBUTED:
+      // the tiny centroid matrix broadcasts as a literal and each
+      // query row takes its own argmin-nProbe in a projection
+      // (array_sort over (d2, cell) structs — dist arithmetic is the
+      // same left-to-right double fold the former driver loop ran, so
+      // probe choices are bit-identical). The former `.collect()` of
+      // the query vectors inverted at production query volume: the
+      // driver became the probe bottleneck.
       val centroids = model.clusterCenters.map(_.toArray)
-      def dist2(q: Array[Double], c: Array[Double]): Double =
-        q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
-      val queryCells = Tables.embeddings(s, d)
+      val centroidLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+      val cellStructs = array((0 until NList).map { c =>
+        struct(
+          aggregate(zip_with(col("qv"), element_at(centroidLit, c + 1),
+            (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x).as("d2"),
+          lit(c).as("cell"))
+      }: _*)
+      val probes = Tables.embeddings(s, d)
         .filter(col("vec_id") < NQueries)
-        .collect()
-        .flatMap { r =>
-          val qid = r.getLong(0)
-          val q = r.getSeq[Float](1).map(_.toDouble).toArray
-          centroids.zipWithIndex
-            .sortBy { case (c, i) => (dist2(q, c), i) }
-            .take(NProbe)
-            .map { case (_, cellId) => (qid, cellId) }
-        }.toSeq
-      import s.implicits._
-      val probes = queryCells.toDF("qid", "cell")
+        .select(col("vec_id").as("qid"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("qv"))
+        .select(col("qid"),
+          explode(slice(array_sort(cellStructs), 1, NProbe)).as("pc"))
+        .select(col("qid"), col("pc.cell").as("cell"))
       val qvecs = emb.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("qa").as("qq"), col("na").as("qna"))
       val cand = assigned.join(broadcast(probes), "cell")
@@ -848,30 +853,32 @@ object Similarity {
 
     // query side: nprobe nearest cells + the 8x16 ADC lookup table of
     // ||q_resid_sub - codeword||^2 per probed cell — nqueries x nprobe
-    // tiny rows, computed on the driver and broadcast
-    def dist2(a: Array[Double], b: Array[Double]): Double = {
-      var s0 = 0.0; var i = 0
-      while (i < a.length) { val t = a(i) - b(i); s0 += t * t; i += 1 }
-      s0
-    }
-    val queries = Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
-      .select("vec_id", "embedding").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
-    val probeRows = queries.toSeq.flatMap { case (qid, q) =>
-      centroids.zipWithIndex
-        .sortBy { case (c, i) => (dist2(q, c), i) }
-        .take(nProbe)
-        .map { case (cvec, cellId) =>
-          val resid = q.indices.map(i => q(i) - cvec(i)).toArray
-          val lut: Seq[Seq[Double]] = (0 until PqM).map { m =>
-            val sub = resid.slice(m * PqSubDim, (m + 1) * PqSubDim)
-            books(m).toSeq.map(cw => dist2(sub, cw))
-          }
-          (qid, cellId, lut)
-        }
-    }
-    import s.implicits._
-    val probes = probeRows.toDF("qid", "cell", "lut")
+    // tiny rows, computed DISTRIBUTED (broadcast centroid/codebook
+    // literals, per-row HOF chains) so no query vector ever rides to
+    // the driver; every double fold runs left-to-right exactly like
+    // the former driver loops, so probe cells and LUT entries are
+    // bit-identical and AnnPqSpec's recall numbers are unchanged.
+    val centroidLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    val bookLits = books.map(b => array(b.map(cw => array(cw.map(lit): _*)): _*))
+    val cellStructs = array((0 until nList).map { c =>
+      struct(
+        aggregate(zip_with(col("qv"), element_at(centroidLit, c + 1),
+          (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x).as("d2"),
+        lit(c).as("cell"))
+    }: _*)
+    val probes = Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("qv"))
+      .select(col("qid"), col("qv"),
+        explode(slice(array_sort(cellStructs), 1, nProbe)).as("pc"))
+      .select(col("qid"), col("pc.cell").as("cell"),
+        zip_with(col("qv"), element_at(centroidLit, col("pc.cell") + 1),
+          (a, b) => a - b).as("resid"))
+      .select(col("qid"), col("cell"),
+        array((0 until PqM).map(m => transform(bookLits(m), cw =>
+          aggregate(zip_with(slice(col("resid"), m * PqSubDim + 1, PqSubDim),
+            cw, (a, b) => (a - b) * (a - b)),
+            lit(0.0d), (acc, x) => acc + x))): _*).as("lut"))
 
     // ADC scan over probed cells: 8 lookups + adds per candidate
     val cand = encoded.join(broadcast(probes), "cell")
