@@ -32,6 +32,7 @@ final class GraftSession(val spark: SparkSession, val sfDir: String)
 
   private var ngramOpt: Option[Shared.PairGraphSession] = None
   private var embOpt: Option[Shared.EmbPairSession] = None
+  private var embFamOpt: Option[Shared.EmbFamilySession] = None
 
   private[graft] def ngram: Shared.PairGraphSession = {
     if (ngramOpt.isEmpty) ngramOpt = Some(Shared.pairGraph(spark, sfDir))
@@ -41,6 +42,11 @@ final class GraftSession(val spark: SparkSession, val sfDir: String)
   private def emb: Shared.EmbPairSession = {
     if (embOpt.isEmpty) embOpt = Some(Shared.embPairGraph(spark, sfDir))
     embOpt.get
+  }
+
+  private def embFam: Shared.EmbFamilySession = {
+    if (embFamOpt.isEmpty) embFamOpt = Some(Shared.embFamily(spark, sfDir))
+    embFamOpt.get
   }
 
   /** The registered query `name`, with the pair-graph family served
@@ -58,6 +64,12 @@ final class GraftSession(val spark: SparkSession, val sfDir: String)
     case "graph_label_prop"     => Graph.labelPropFrom(ngram.pairs)
     case "dedup_keep_rank"      => Graph.keepRankFrom(ngram.pairs)
     case "dedup_embedding_keep" => emb.keep
+    case "dedup_semantic_prune"     => embFam.semanticPrune
+    case "emb_centroid"             => embFam.centroid
+    case "emb_knn_graph"            => embFam.knn
+    case "mine_hard_negatives"      => embFam.hardNegatives
+    case "knn_score_diffusion"      => embFam.diffusion
+    case "decontaminate_embedding"  => embFam.decontaminate
     case other                  => SparkEntry.queries(other)(spark, sfDir)
   }
 
@@ -65,8 +77,10 @@ final class GraftSession(val spark: SparkSession, val sfDir: String)
   override def close(): Unit = {
     ngramOpt.foreach(_.release())
     embOpt.foreach(_.release())
+    embFamOpt.foreach(_.release())
     ngramOpt = None
     embOpt = None
+    embFamOpt = None
   }
 }
 

@@ -73,7 +73,32 @@ object ReuseBench {
 
     val a = standalone.min
     val t = shared.min
-    println(f"""{"metric":"pair_graph_reuse","standalone_sec":$a%.2f,"session_sec":$t%.2f,"saving_pct":${100 * (a - t) / a}%.1f,"queries":${family.size},"sf":"$sfDir"}""")
+
+    // ---- the label-blocked embedding family (r7): five queries
+    // sharing one quantized scan + one within-cluster pair stream ----
+    val embFamily = Seq("dedup_semantic_prune", "emb_knn_graph",
+      "mine_hard_negatives", "knn_score_diffusion", "decontaminate_embedding")
+    val (embAlone, embShared) = (1 to reps).map { _ =>
+      val ta0 = System.nanoTime()
+      embFamily.foreach(q => run(s"alone:$q")(SparkEntry.queries(q)(spark, sfDir)))
+      val alone = (System.nanoTime() - ta0) / 1e9
+      val t0 = System.nanoTime()
+      val sh = operators.Shared.embFamily(spark, sfDir)
+      try {
+        run("shared:semantic_prune")(sh.semanticPrune)
+        run("shared:knn")(sh.knn)
+        run("shared:hard_negatives")(sh.hardNegatives)
+        run("shared:diffusion")(sh.diffusion)
+        run("shared:decontaminate")(sh.decontaminate)
+      } finally sh.release()
+      val together = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[reuse] emb standalone $alone%.1f s vs session $together%.1f s")
+      (alone, together)
+    }.unzip
+    val ea = embAlone.min
+    val et = embShared.min
+
+    println(f"""{"metric":"pair_graph_reuse","standalone_sec":$a%.2f,"session_sec":$t%.2f,"saving_pct":${100 * (a - t) / a}%.1f,"queries":${family.size},"emb_standalone_sec":$ea%.2f,"emb_session_sec":$et%.2f,"emb_saving_pct":${100 * (ea - et) / ea}%.1f,"emb_queries":${embFamily.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

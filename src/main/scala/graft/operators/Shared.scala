@@ -110,4 +110,65 @@ object Shared {
   /** Start a shared embedding-pair-graph session over `sfDir`. */
   def embPairGraph(spark: SparkSession, sfDir: String): EmbPairSession =
     new EmbPairSession(spark, sfDir)
+
+  /** The label-blocked embedding family's shared state: five
+    * registered queries (`dedup_semantic_prune`, `emb_knn_graph`,
+    * `mine_hard_negatives`, `knn_score_diffusion`,
+    * `decontaminate_embedding`) each standalone re-derive the same
+    * quantized corpus scan and the same within-cluster scored pair
+    * stream (the O(b²)-per-cell label equi-join — their dominant
+    * cost). A session computes both ONCE; every member is the exact
+    * registered query body over the cache
+    * ([[Similarity.labelPairsFrom]] is the single source of truth for
+    * both paths, so parity is by construction and
+    * GraftSessionSpec-asserted).
+    */
+  final class EmbFamilySession private[Shared] (
+      spark: SparkSession, sfDir: String) {
+
+    /** Quantized (vec_id, label, qa, na) — every member's base scan. */
+    val emb: DataFrame = Similarity.quantized(spark, sfDir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    /** The within-cluster scored pair stream, computed once. */
+    val pairs: DataFrame = Similarity.labelPairsFrom(emb)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    /** Per-vector centroid cosines (only [[semanticPrune]] and
+      * `emb_centroid` need them — lazy so the other members never pay
+      * the centroid aggregate).
+      */
+    lazy val cc: DataFrame = Similarity.centroidCosFrom(emb)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    /** Same rows as registered `dedup_semantic_prune`. */
+    def semanticPrune: DataFrame = Similarity.semanticPruneFrom(cc, pairs)
+
+    /** Same rows as registered `emb_centroid`. */
+    def centroid: DataFrame = cc.select("vec_id", "label", "cos_centroid")
+
+    /** Same rows as registered `mine_hard_negatives`. */
+    def hardNegatives: DataFrame = Similarity.hardNegativesFrom(pairs)
+
+    /** Same rows as registered `emb_knn_graph`. */
+    def knn: DataFrame = Similarity.knnFrom(pairs)
+
+    /** Same rows as registered `knn_score_diffusion`. */
+    def diffusion: DataFrame = Similarity.diffusionFrom(spark, sfDir, knn)
+
+    /** Same rows as registered `decontaminate_embedding`. */
+    def decontaminate: DataFrame =
+      Similarity.decontaminateEmbeddingFrom(emb, pairs)
+
+    /** Drop every cache this session materialized (idempotent). */
+    def release(): Unit = {
+      pairs.unpersist()
+      cc.unpersist()
+      emb.unpersist()
+    }
+  }
+
+  /** Start a shared label-blocked embedding-family session. */
+  def embFamily(spark: SparkSession, sfDir: String): EmbFamilySession =
+    new EmbFamilySession(spark, sfDir)
 }

@@ -69,7 +69,7 @@ object Similarity {
     * carried through for the centroid operator; other callers project
     * it away).
     */
-  private def quantized(s: SparkSession, d: String): DataFrame =
+  private[operators] def quantized(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
       col("vec_id"), col("label"),
       transform(col("embedding"),
@@ -933,8 +933,12 @@ object Similarity {
     * registered emb_centroid plan identical to its pre-refactor shape.
     */
   private def centroidCos(
-      s: SparkSession, d: String): DataFrame = {
-    val emb = quantized(s, d)
+      s: SparkSession, d: String): DataFrame = centroidCosFrom(quantized(s, d))
+
+  /** [[centroidCos]] over an injectable quantized frame — the
+    * [[Shared.EmbFamilySession]] seam.
+    */
+  private[operators] def centroidCosFrom(emb: DataFrame): DataFrame = {
     val sums = emb
       .select(col("label"), posexplode(col("qa")).as(Seq("pos", "v")))
       .groupBy("label", "pos")
@@ -1146,24 +1150,50 @@ object Similarity {
     * the keep decision (a comparison of identical doubles) hash-
     * matches.
     */
+  /** Within-cluster scored pair stream (vec_id, label, other_id,
+    * cosine) — the O(b²)-per-cell label equi-join EVERY label-blocked
+    * family member re-derives standalone ([[semanticPrune]],
+    * [[mineHardNegatives]], [[knnGraph]], [[knnScoreDiffusion]] via
+    * knn, [[decontaminateEmbedding]]). Factored out as the single
+    * source of truth so [[Shared.EmbFamilySession]] can compute it
+    * once per session and feed all five consumers from the cache —
+    * the registered queries call it fresh (the honest per-query bench
+    * shape), and Catalyst pushes each consumer's id filters below the
+    * cosine projection, so their standalone plans stay lean.
+    */
+  private[operators] def labelPairsFrom(emb: DataFrame): DataFrame = {
+    val anchors = emb.select(col("vec_id"), col("label"), col("qa"), col("na"))
+    val cands = emb.select(col("vec_id").as("other_id"), col("label"),
+      col("qa").as("qu"), col("na").as("nu"))
+    anchors.join(cands, Seq("label"))
+      .filter(col("other_id") =!= col("vec_id"))
+      .withColumn("cosine", cosine(dot(col("qa"), col("qu")), col("na"), col("nu")))
+      .select("vec_id", "label", "other_id", "cosine")
+  }
+
+  /** [[semanticPrune]] over injectable centroid-cosine + pair frames
+    * — the [[Shared.EmbFamilySession]] seam.
+    */
+  private[operators] def semanticPruneFrom(
+      cc: DataFrame, pairs: DataFrame): DataFrame = {
+    val mine = cc.select(col("vec_id"), col("label"), col("cos_centroid"))
+    val pruned = pairs.filter(col("cosine") >= SemTau)
+      .join(cc.select(col("vec_id"), col("cos_centroid")), Seq("vec_id"))
+      .join(cc.select(col("vec_id").as("other_id"),
+        col("cos_centroid").as("ccu")), Seq("other_id"))
+      .filter(col("ccu") < col("cos_centroid") ||
+        (col("ccu") === col("cos_centroid") && col("other_id") < col("vec_id")))
+      .select(col("vec_id").as("p")).distinct()
+    mine.join(pruned, col("vec_id") === col("p"), "left")
+      .select(col("vec_id"), col("label"), col("cos_centroid"),
+        col("p").isNull.as("keep"))
+  }
+
   val semanticPrune = QueryDef(
     "dedup_semantic_prune",
     (s, d) => {
-      val cc = centroidCos(s, d)
-      val mine = cc.select(col("vec_id"), col("label"), col("qa").as("qv"),
-        col("na").as("nv"), col("cos_centroid"))
-      val nbr = cc.select(col("vec_id").as("u"), col("label"),
-        col("qa").as("qu"), col("na").as("nu"), col("cos_centroid").as("ccu"))
-      val pruned = mine.join(nbr, Seq("label"))
-        .filter(col("u") =!= col("vec_id"))
-        .withColumn("cos", cosine(dot(col("qv"), col("qu")), col("nv"), col("nu")))
-        .filter(col("cos") >= SemTau &&
-          (col("ccu") < col("cos_centroid") ||
-            (col("ccu") === col("cos_centroid") && col("u") < col("vec_id"))))
-        .select(col("vec_id").as("p")).distinct()
-      mine.join(pruned, col("vec_id") === col("p"), "left")
-        .select(col("vec_id"), col("label"), col("cos_centroid"),
-          col("p").isNull.as("keep"))
+      val emb = quantized(s, d)
+      semanticPruneFrom(centroidCosFrom(emb), labelPairsFrom(emb))
     },
     Some(s"""WITH q AS (
       SELECT vec_id, label,
@@ -1221,23 +1251,23 @@ object Similarity {
     * never the full pair stream. Cosines are IEEE divisions of exact
     * integer dot products — bit-identical cross-engine.
     */
+  /** [[mineHardNegatives]] over an injectable pair frame — the
+    * [[Shared.EmbFamilySession]] seam.
+    */
+  private[operators] def hardNegativesFrom(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("vec_id").orderBy(desc("cosine"), asc("other_id"))
+    pairs
+      .filter(col("cosine") >= HardNegLo && col("cosine") < NearDupTau)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("other_id").as("neg_id"),
+        col("cosine"))
+  }
+
   val mineHardNegatives = QueryDef(
     "mine_hard_negatives",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val emb = quantized(s, d)
-      val anchors = emb.select(col("vec_id"), col("label"), col("qa"), col("na"))
-      val cands = emb.select(col("vec_id").as("neg_id"), col("label"),
-        col("qa").as("qu"), col("na").as("nu"))
-      val w = Window.partitionBy("vec_id").orderBy(desc("cosine"), asc("neg_id"))
-      anchors.join(cands, Seq("label"))
-        .filter(col("neg_id") =!= col("vec_id"))
-        .withColumn("cosine", cosine(dot(col("qa"), col("qu")), col("na"), col("nu")))
-        .filter(col("cosine") >= HardNegLo && col("cosine") < NearDupTau)
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select("vec_id", "label", "neg_id", "cosine")
-    },
+    (s, d) => hardNegativesFrom(labelPairsFrom(quantized(s, d))),
     Some(s"""WITH q0 AS ($quantizedSql),
     q AS (
       SELECT q0.vec_id, e.label, qa, ${normSql("qa")} AS na
@@ -1275,23 +1305,22 @@ object Similarity {
     * IEEE divisions of exact integer dot products, bit-identical
     * cross-engine.
     */
+  /** [[knnGraph]] over an injectable pair frame — the
+    * [[Shared.EmbFamilySession]] seam.
+    */
+  private[operators] def knnFrom(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("vec_id").orderBy(desc("cosine"), asc("other_id"))
+    pairs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KnnK)
+      .select(col("vec_id"), col("other_id").as("nbr_id"),
+        col("rk").cast(LongType).as("rk"), col("cosine"))
+  }
+
   val knnGraph = QueryDef(
     "emb_knn_graph",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val emb = quantized(s, d)
-      val anchors = emb.select(col("vec_id"), col("label"), col("qa"), col("na"))
-      val cands = emb.select(col("vec_id").as("nbr_id"), col("label"),
-        col("qa").as("qu"), col("na").as("nu"))
-      val w = Window.partitionBy("vec_id").orderBy(desc("cosine"), asc("nbr_id"))
-      anchors.join(cands, Seq("label"))
-        .filter(col("nbr_id") =!= col("vec_id"))
-        .withColumn("cosine", cosine(dot(col("qa"), col("qu")), col("na"), col("nu")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= KnnK)
-        .select(col("vec_id"), col("nbr_id"), col("rk").cast(LongType).as("rk"),
-          col("cosine"))
-    },
+    (s, d) => knnFrom(labelPairsFrom(quantized(s, d))),
     Some(s"""WITH q0 AS ($quantizedSql),
     q AS (
       SELECT q0.vec_id, e.label, qa, ${normSql("qa")} AS na
@@ -1332,25 +1361,31 @@ object Similarity {
     * are id-keyed and the edge table is k-bounded per anchor by
     * construction.
     */
+  /** [[knnScoreDiffusion]] over an injectable k-NN frame — the
+    * [[Shared.EmbFamilySession]] seam.
+    */
+  private[operators] def diffusionFrom(
+      s: SparkSession, d: String, knn: DataFrame): DataFrame = {
+    import graft.Det._
+    val seeds = TextAnalysis.quality.fn(s, d)
+      .select(col("doc_id"), col("quality_score"))
+    val contrib = knn
+      .join(seeds.select(col("doc_id").as("nbr_id"),
+        col("quality_score").as("nbr_score")), Seq("nbr_id"))
+      .groupBy(col("vec_id"))
+      .agg(sum(dec(col("cosine") * col("nbr_score"))).as("wsum"),
+        sum(dec(col("cosine"))).as("wtot"))
+    seeds.join(contrib, seeds("doc_id") === contrib("vec_id"), "left")
+      .select(col("doc_id"), col("quality_score"),
+        when(col("vec_id").isNull, col("quality_score"))
+          .otherwise((dec(col("quality_score")) + col("wsum")).cast(DoubleType) /
+            (lit(1.0) + col("wtot").cast(DoubleType)))
+          .as("diffused_score"))
+  }
+
   val knnScoreDiffusion = QueryDef(
     "knn_score_diffusion",
-    (s, d) => {
-      import graft.Det._
-      val seeds = TextAnalysis.quality.fn(s, d)
-        .select(col("doc_id"), col("quality_score"))
-      val contrib = knnGraph.fn(s, d)
-        .join(seeds.select(col("doc_id").as("nbr_id"),
-          col("quality_score").as("nbr_score")), Seq("nbr_id"))
-        .groupBy(col("vec_id"))
-        .agg(sum(dec(col("cosine") * col("nbr_score"))).as("wsum"),
-          sum(dec(col("cosine"))).as("wtot"))
-      seeds.join(contrib, seeds("doc_id") === contrib("vec_id"), "left")
-        .select(col("doc_id"), col("quality_score"),
-          when(col("vec_id").isNull, col("quality_score"))
-            .otherwise((dec(col("quality_score")) + col("wsum")).cast(DoubleType) /
-              (lit(1.0) + col("wtot").cast(DoubleType)))
-            .as("diffused_score"))
-    },
+    (s, d) => diffusionFrom(s, d, knnFrom(labelPairsFrom(quantized(s, d)))),
     Some {
       val knnSql = knnGraph.oracle.get.replace("ORDER BY vec_id, rk", "")
       val qualitySql = TextAnalysis.quality.oracle.get.replace("ORDER BY doc_id", "")
@@ -1469,26 +1504,35 @@ object Similarity {
     * max(struct(cos, −bench)) aggregate — no window. At 100 TB the
     * bench side is a broadcast-scale table scanned once.
     */
+  /** [[decontaminateEmbedding]] over injectable quantized + pair
+    * frames — the [[Shared.EmbFamilySession]] seam. The train/bench
+    * id filters reference only ids, so Catalyst pushes them below the
+    * pair cosine projection: the standalone plan computes exactly the
+    * train×bench cosines it always did.
+    */
+  private[operators] def decontaminateEmbeddingFrom(
+      emb: DataFrame, pairs: DataFrame): DataFrame = {
+    val m = Contamination.BenchMod
+    val train = emb.filter(col("vec_id") % m =!= 0)
+      .select(col("vec_id"), col("label"))
+    val best = pairs
+      .filter(col("vec_id") % m =!= 0 && col("other_id") % m === 0)
+      .withColumnRenamed("cosine", "cos")
+      .filter(col("cos") >= SemTau)
+      .groupBy(col("vec_id").as("hv"))
+      .agg(max(struct(col("cos"), (-col("other_id")).as("nb"))).as("m"))
+      .select(col("hv"), (-col("m.nb")).as("bench_id"), col("m.cos").as("max_cos"))
+    train.join(best, train("vec_id") === best("hv"), "left")
+      .select(col("vec_id"), col("label"),
+        col("hv").isNotNull.as("contaminated"),
+        col("bench_id"), col("max_cos"))
+  }
+
   val decontaminateEmbedding = QueryDef(
     "decontaminate_embedding",
     (s, d) => {
       val emb = quantized(s, d)
-      val m = Contamination.BenchMod
-      val train = emb.filter(col("vec_id") % m =!= 0)
-        .select(col("vec_id"), col("label"), col("qa"), col("na"))
-      val bench = emb.filter(col("vec_id") % m === 0)
-        .select(col("vec_id").as("bench_id"), col("label"),
-          col("qa").as("qb"), col("na").as("nb"))
-      val best = train.join(bench, Seq("label"))
-        .withColumn("cos", cosine(dot(col("qa"), col("qb")), col("na"), col("nb")))
-        .filter(col("cos") >= SemTau)
-        .groupBy(col("vec_id").as("hv"))
-        .agg(max(struct(col("cos"), (-col("bench_id")).as("nb"))).as("m"))
-        .select(col("hv"), (-col("m.nb")).as("bench_id"), col("m.cos").as("max_cos"))
-      train.join(best, train("vec_id") === best("hv"), "left")
-        .select(col("vec_id"), col("label"),
-          col("hv").isNotNull.as("contaminated"),
-          col("bench_id"), col("max_cos"))
+      decontaminateEmbeddingFrom(emb, labelPairsFrom(emb))
     },
     Some(s"""WITH q0 AS ($quantizedSql),
     q AS (

@@ -26,6 +26,23 @@ class GraftSessionSpec extends AnyFunSuite {
     }
   }
 
+  test("routed embedding-family queries match the registered registry rows") {
+    GraftSession.withSession(spark, d) { s =>
+      for (name <- Seq("dedup_semantic_prune", "emb_centroid",
+          "emb_knn_graph", "mine_hard_negatives", "knn_score_diffusion",
+          "decontaminate_embedding")) {
+        assert(rows(s.query(name)) ==
+          rows(SparkEntry.queries(name)(spark, d)),
+          s"facade drifted from registry for $name")
+      }
+      // the shared pair stream must actually be the cache under the
+      // routed members (not a silent recompute)
+      assert(s.query("emb_knn_graph").queryExecution.executedPlan.toString
+        .contains("InMemoryTableScan"),
+        "routed knn must read the persisted pair stream")
+    }
+  }
+
   test("non-family names fall through to the registry untouched") {
     GraftSession.withSession(spark, d) { s =>
       assert(rows(s.query("dedup_exact")) ==
