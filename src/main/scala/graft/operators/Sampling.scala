@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Det, QueryDef, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -342,21 +342,39 @@ object Sampling {
     * naive SQL form). Production sizes the shard width to its
     * executors; the plan shape is unchanged.
     */
+  /** (doc_id, source, n_tokens, h) from a (doc_id, source, text)
+    * relation — the token/ordering-hash projection [[tokenBudget]] and
+    * its streaming twin ([[graft.streaming.BudgetStream]]) share, so
+    * the live path cannot drift from the batch oracle.
+    */
+  private[graft] def budgetTokenCols(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+      TextAnalysis.hash60(concat(lit("budget:"), col("text"))).as("h"))
+
+  /** Per-source token budgets at temperature alpha = 0.5 over a
+    * [[budgetTokenCols]] relation — shared with the streaming twin's
+    * bootstrap (a stream cannot derive budgets from unseen mass, so a
+    * deployment computes them on the bootstrap corpus or passes
+    * explicit ones).
+    */
+  private[graft] def sourceBudgets(docs: DataFrame, T: Long): DataFrame = {
+    val bySrc = docs.groupBy("source").agg(sum("n_tokens").as("mass"))
+      .withColumn("w_raw", sqrt(col("mass").cast(DoubleType)))
+    val denom = bySrc.agg(Det.sumd(col("w_raw")).as("denom"))
+    bySrc.crossJoin(broadcast(denom))
+      .select(col("source"),
+        floor(lit(T) * (col("w_raw") / col("denom")))
+          .cast(LongType).as("budget"))
+  }
+
   val tokenBudget = QueryDef(
     "sample_token_budget",
     (s, d) => {
       val T = 10000L
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
-          TextAnalysis.hash60(concat(lit("budget:"), col("text"))).as("h"))
-      val bySrc = docs.groupBy("source").agg(sum("n_tokens").as("mass"))
-        .withColumn("w_raw", sqrt(col("mass").cast(DoubleType)))
-      val denom = bySrc.agg(Det.sumd(col("w_raw")).as("denom"))
-      val budgets = bySrc.crossJoin(broadcast(denom))
-        .select(col("source"),
-          floor(lit(T) * (col("w_raw") / col("denom")))
-            .cast(LongType).as("budget"))
+      val docs = budgetTokenCols(Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text")))
+      val budgets = sourceBudgets(docs, T)
       val withShard = docs.withColumn("shard", shiftright(col("h"), 52))
       val offsets = withShard.groupBy("source", "shard")
         .agg(sum("n_tokens").as("shard_tokens"))

@@ -595,6 +595,57 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("two interleaved upsert writers on one snapshot dir: last writer wins per key, nothing lost") {
+    // The documented concurrency contract, machine-checked (r6 task 8):
+    // upsertSink's materialize-then-atomic-swap emulates MERGE on
+    // plain parquet, which is safe when writer BODIES are serialized —
+    // each merge reads the snapshot the previous swap produced, so two
+    // writers interleaving complete batches converge to per-key
+    // last-writer-wins with no lost keys. The limitation stays real
+    // and documented: bodies OVERLAPPING in time (two drivers, or an
+    // object store without atomic rename) can both read the same prior
+    // and the second swap silently drops the first's rows — that is
+    // the gap a transactional table format's MERGE closes, and why the
+    // Scaladoc names it the production answer. This spec pins the
+    // serialized-interleaving semantics the plain-parquet analog DOES
+    // guarantee.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_dual").toString
+    val inA = MemoryStream[(String, Long, String)]
+    val inB = MemoryStream[(String, Long, String)]
+    val qA = EventStream.upsertSink(inA.toDF().toDF("userId", "ver", "state"),
+      Seq("userId"), "ver", s"$dir/view", s"$dir/ckptA").start()
+    val qB = EventStream.upsertSink(inB.toDF().toDF("userId", "ver", "state"),
+      Seq("userId"), "ver", s"$dir/view", s"$dir/ckptB").start()
+    try {
+      inA.addData(("u1", 1L, "a1"), ("shared", 1L, "a1"))
+      qA.processAllAvailable()
+      // B lands later and overwrites the shared key (higher ver) while
+      // adding its own — and must RETAIN A's u1
+      inB.addData(("u2", 1L, "b1"), ("shared", 2L, "b2"))
+      qB.processAllAvailable()
+      // A again: overwrites its own key; must retain everything B wrote
+      inA.addData(("u1", 2L, "a2"))
+      qA.processAllAvailable()
+      val view = spark.read.parquet(s"$dir/view")
+        .as[(String, Long, String)].collect().sortBy(_._1)
+      assert(view.toSeq == Seq(
+        ("shared", 2L, "b2"), ("u1", 2L, "a2"), ("u2", 1L, "b1")),
+        s"interleaved writers diverged: ${view.toSeq}")
+      // the swap left no tmp/backup litter behind
+      val fs = new org.apache.hadoop.fs.Path(s"$dir/view")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/view.old-*")).isEmpty
+        && fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/view.tmp-*")).isEmpty,
+        "swap litter survived the interleaving")
+    } finally {
+      qA.stop(); qB.stop()
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("stream-static join enriches from the batch dimension and flags misses") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
