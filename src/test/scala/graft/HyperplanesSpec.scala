@@ -92,6 +92,20 @@ class HyperplanesSpec extends AnyFunSuite {
     assert((wide -- truth).isEmpty, "wide emitted a below-threshold pair")
   }
 
+  test("banding plans carry no plane literals: explain stays KB-sized") {
+    // pre-r7, dedup_embedding_hi's formatted plan was ~1.6 MB of
+    // inlined plane constants (r6 What's-wrong 5); with the JVM-cached
+    // expression the whole explain must stay small at ANY plane count
+    for (name <- Seq("dedup_embedding_hi", "dedup_embedding_wide", "ann_lsh")) {
+      val plan = SparkEntry.queries(name)(spark, d)
+        .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.length < 100000,
+        s"$name explain is ${plan.length} chars — plane literals are back?")
+    }
+  }
+
   test("wide candidate volume is corpus-linear, not quadratic") {
     val n = Tables.embeddings(spark, d).count() * 2
     val (bands, bits) = Hyperplanes.wideBandPlan(n)
