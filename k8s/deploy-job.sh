@@ -1,0 +1,74 @@
+#!/bin/bash
+# graft deploy script — mirrors the reference's deploy-job.sh
+# (topics -> jobs -> wait), for Spark-on-K8s via the Kubeflow Spark
+# Operator instead of the Flink operator.
+#
+# Prereqs (the create-infra.sh analog):
+#   kubectl create namespace graft kafka || true
+#   helm install spark-operator spark-operator/spark-operator -n graft
+#   kubectl apply -f https://strimzi.io/install/latest?namespace=kafka -n kafka
+#   kubectl apply -f <a Strimzi Kafka CR>  # e.g. kafka-single-node
+#   kubectl create serviceaccount graft-spark -n graft  # + RBAC per operator docs
+#
+# With no cluster reachable (CI, the build sandbox), runs the config
+# SMOKE instead: client-side dry-run when kubectl exists, else a pure
+# YAML parse/shape lint — so the manifests stay machine-checked even
+# where nothing can be applied.
+set -e
+cd "$(dirname "$0")"
+
+lint() {
+  echo "-- config smoke (no cluster): linting manifests --"
+  # --validate=false: schema validation needs an apiserver; the
+  # client-side dry-run still parses and shapes every document
+  if command -v kubectl >/dev/null 2>&1 &&
+      kubectl apply --dry-run=client --validate=false \
+        -f topics/graft-topics.yaml -f graft-job.yaml 2>/dev/null; then
+    :
+  else
+    python3 - <<'EOF'
+import sys, yaml
+ok = True
+for path in ["topics/graft-topics.yaml", "graft-job.yaml"]:
+    for i, doc in enumerate(yaml.safe_load_all(open(path))):
+        if doc is None:
+            continue
+        for key in ("apiVersion", "kind", "metadata", "spec"):
+            if key not in doc:
+                print(f"FAIL {path}[{i}]: missing {key}"); ok = False
+        name = doc.get("metadata", {}).get("name", "?")
+        if doc.get("kind") == "SparkApplication":
+            spec = doc["spec"]
+            for key in ("mainClass", "mainApplicationFile", "sparkVersion",
+                        "driver", "executor", "restartPolicy"):
+                if key not in spec:
+                    print(f"FAIL {path}[{i}] {name}: missing spec.{key}"); ok = False
+            ckpt = spec.get("sparkConf", {}).get(
+                "spark.sql.streaming.checkpointLocation", "")
+            if not (ckpt.startswith("s3a://") or ckpt.startswith("hdfs://")):
+                print(f"FAIL {path}[{i}] {name}: checkpoint must be durable "
+                      f"shared storage, got '{ckpt}'"); ok = False
+        print(f"ok {path}[{i}]: {doc.get('kind')}/{name}")
+sys.exit(0 if ok else 1)
+EOF
+  fi
+  echo "-- smoke OK --"
+}
+
+if ! command -v kubectl >/dev/null 2>&1 || ! kubectl cluster-info >/dev/null 2>&1; then
+  lint
+  exit 0
+fi
+
+echo "Ensuring topics exist..."
+kubectl apply -f topics/graft-topics.yaml
+
+echo "(Re-)creating graft streaming jobs..."
+kubectl apply -f graft-job.yaml
+
+echo "Waiting for drivers..."
+for job in graft-event-processor graft-aggregation graft-event-producer; do
+  kubectl wait --for=jsonpath='{.status.applicationState.state}'=RUNNING \
+    --timeout=180s "sparkapplication/$job" -n graft
+done
+echo "All graft jobs running."

@@ -6,11 +6,21 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** One engine operator exposed through the driver contract: a Spark
   * query plus (when SQL-expressible) an equivalent DuckDB oracle.
+  *
+  * `supersededBy`: MACHINE-READABLE scale steering — when set, this
+  * query is a correct, registered baseline whose cost law is known to
+  * break down at corpus scale (measured in SCALE_r06/SCALE100_r07),
+  * and the named registry key is the linear(ish) replacement to use
+  * there. Prose steering lived in SURVEY §2 and Scaladocs since r7;
+  * this field makes it programmatic, so a registry consumer picking
+  * operators cannot miss it (OperatorSpec cross-checks the field
+  * against §2's SUPERSEDED markers in both directions).
   */
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None)
+    oracle: Option[String] = None,
+    supersededBy: Option[String] = None)
 
 /** Cross-engine determinism helpers.
   *

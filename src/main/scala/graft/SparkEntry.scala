@@ -42,6 +42,15 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allDefs.map(q => q.name -> q.fn).toMap
 
+  /** Full definitions, keyed by name — the machine-readable registry a
+    * consumer should steer by: a def with `supersededBy = Some(k)` is
+    * a correct baseline whose cost law breaks down at corpus scale;
+    * `k` names the registered replacement (OperatorSpec asserts the
+    * pointers resolve and mirror SURVEY §2's SUPERSEDED markers).
+    */
+  def defsByName: Map[String, QueryDef] =
+    allDefs.map(q => q.name -> q).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */

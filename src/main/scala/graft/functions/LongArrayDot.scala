@@ -181,16 +181,16 @@ object GraftFunctions {
     */
   def ln9(n: Column): Column = graft.operators.Select.ln9big(n)
 
-  /** `graft_ln9(n)` — SQL registration of [[ln9]]. Composed from
-    * builtin codegen expressions (bin/length/shiftright/element_at);
-    * the conversion must be EAGER — a FunctionRegistry builder's
-    * return value is spliced into the plan directly, where the lazy
-    * ColumnNodeExpression placeholder never gets rewritten.
+  /** `graft_ln9(n)` — SQL registration of [[ln9]]: the [[Ln9Big]]
+    * codegen node over a LongType cast, built directly (a
+    * FunctionRegistry builder's return value is spliced into the plan,
+    * so no Column round-trip is needed or wanted).
     */
   def ln9Builder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 1,
       s"graft_ln9 requires exactly 1 argument, got ${exprs.length}")
-    Bridge.eagerExpression(ln9(Bridge.column(exprs.head)))
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    Ln9Big(Cast(exprs.head, org.apache.spark.sql.types.LongType))
   }
 
   /** Idempotent per-session SQL registration of all graft functions. */

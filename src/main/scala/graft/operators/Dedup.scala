@@ -483,7 +483,8 @@ object Dedup {
     SELECT i, j, CAST(bit_count(xor(fpi, fpj)) AS BIGINT) AS hamming
     FROM cand WHERE bit_count(xor(fpi, fpj)) <= $SimHammingMax
     ORDER BY i, j"""
-    })
+    },
+    supersededBy = Some("dedup_simhash_wide"))
 
   private val SimWideBlockBits = 30
   private val SimWideMask = (1L << SimWideBlockBits) - 1

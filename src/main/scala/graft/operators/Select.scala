@@ -46,19 +46,19 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   */
 object Select {
 
-  private val LnM = 4096 // 12-bit mantissa table
-  private val Ln2_9 = math.floor(math.log(2.0) * 1e9).toLong
-  private val lnTable: IndexedSeq[Long] = IndexedSeq.tabulate(LnM)(i =>
-    if (i < 1) 0L else math.floor(math.log(i.toDouble) * 1e9).toLong)
+  private val Ln2_9 = graft.functions.Ln9.Ln2_9
+  private val lnTable: IndexedSeq[Long] =
+    graft.functions.Ln9.table(graft.functions.Ln9.BigMaxC).toIndexedSeq
 
-  /** floor-scaled ln of a positive integral column, any magnitude. */
-  private[graft] def ln9big(n: Column): Column = {
-    val bits = length(bin(n.cast(LongType)))
-    val shift = greatest(bits - lit(12), lit(0)).cast(IntegerType)
-    val m = call_function("shiftright", n.cast(LongType), shift)
-    element_at(typedlit(lnTable), (m + 1).cast(IntegerType)) +
-      shift.cast(LongType) * Ln2_9
-  }
+  /** floor-scaled ln of a positive integral column, any magnitude —
+    * the [[graft.functions.Ln9Big]] codegen expression (table in a
+    * JVM-static cache; the former per-call-site 4096-entry `typedlit`
+    * put 270-530 KB of literals in every consumer plan, the exact
+    * disease round 7 measured at 6x wall-clock on the embedding
+    * family). Bit-identical to the literal chain on all n >= 0
+    * (Ln9Spec).
+    */
+  private[graft] def ln9big(n: Column): Column = graft.functions.Ln9.big(n)
 
   /** DuckDB spelling of [[ln9big]]; expects a CTE `lnt(v)` holding the
     * table literal in scope (CROSS JOIN lnt).

@@ -247,7 +247,8 @@ object Similarity {
     JOIN q qa ON qa.vec_id = c.i
     JOIN q qb ON qb.vec_id = c.j
     WHERE ${cosineSql(dotSql("qa.qa", "qb.qa"), "qa.na", "qb.na")} >= $NearDupTau"""
-    })
+    },
+    supersededBy = Some("dedup_embedding_wide"))
 
   /** The deterministic augmented corpus [[dedupEmbeddingHi]] dedups:
     * every vector plus one jittered copy at `vec_id + CopyOffset`
@@ -371,7 +372,8 @@ object Similarity {
     JOIN q qa ON qa.vec_id = c.i
     JOIN q qb ON qb.vec_id = c.j
     WHERE ${cosineSql(dotSql("qa.qa", "qb.qa"), "qa.na", "qb.na")} >= $HiTau"""
-    })
+    },
+    supersededBy = Some("dedup_embedding_wide"))
 
   /** All-pairs exact baseline over [[augmentedHi]] at HiTau — spec-only
     * (the O(n^2) loop dies at scale), for the recall/prune measurement.
@@ -408,7 +410,10 @@ object Similarity {
     * md5 in a bounded CTE). bands*bits <= 2048 covers bits <= 17, i.e.
     * augmented corpora to 2^17 vectors — far past the sf0.01 tier the
     * driver oracles at (augN = 1000 -> 260 planes). The Spark side has
-    * no cap (the JVM-static cache sizes to the corpus).
+    * no cap (the JVM-static cache sizes to the corpus). A corpus whose
+    * band plan EXCEEDS the cap makes the oracle's cfg CTE raise
+    * (`error(...)`) rather than silently truncate the high bands into
+    * an opaque verify mismatch (r7 ADVICE).
     */
   private val WidePlaneCapSql = 2048
 
@@ -474,9 +479,17 @@ object Similarity {
       val bitsExpr = "length(ltrim(bin(count(*) * 2 - 1), '0'))"
       s"""WITH q0 AS ($quantizedSql),
     $augmentedHiSql,
-    cfg AS (
+    cfg0 AS (
       SELECT $bitsExpr AS bits, $bandsTable[$bitsExpr] AS bands
       FROM embeddings),
+    cfg AS (
+      -- beyond-cap band plans ERROR instead of silently truncating
+      -- the high bands (which would surface as an opaque mismatch)
+      SELECT CASE WHEN bands * bits > $WidePlaneCapSql
+          THEN error('dedup_embedding_wide oracle: plane cap $WidePlaneCapSql exceeded — corpus too large for the SQL oracle tier')
+          ELSE bits END AS bits,
+        bands
+      FROM cfg0),
     planes AS (
       SELECT j, list_transform(range(0, $Dim), i ->
           ('0x' || substr(md5('hp' || j || '_' || i), 1, 15))::BIGINT % ${Scale + 1} - ${Scale / 2}) AS p

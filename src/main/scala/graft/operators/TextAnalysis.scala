@@ -383,11 +383,11 @@ object TextAnalysis {
     QueryDef(
       "text_entropy",
       (s, d) => {
-        val lt = typedlit(lnTable)
-        // try_element_at: NULL (not an ANSI INVALID_ARRAY_INDEX error)
-        // for docs beyond the table bound
+        // NULL (not an ANSI INVALID_ARRAY_INDEX error) for docs
+        // beyond the table bound; table in the Ln9 JVM-static cache,
+        // not a per-call plan literal
         def ln9(c: Column): Column =
-          try_element_at(lt, (c + 1).cast(IntegerType))
+          graft.functions.Ln9.bounded(c, EntropyMaxN)
         val counts = Tables.documents(s, d)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .groupBy("doc_id", "tok")
@@ -562,9 +562,9 @@ object TextAnalysis {
     QueryDef(
       "text_lm_score",
       (s, d) => {
-        val lt = typedlit(lnTable)
-        def ln9(c: Column): Column =
-          element_at(lt, (least(c, lit(LmMaxC)) + 1).cast(IntegerType))
+        // saturating table ln via the Ln9 JVM-static cache, not a
+        // per-call 4097-entry plan literal
+        def ln9(c: Column): Column = graft.functions.Ln9.sat(c, LmMaxC)
         val toks = split(col("text"), " ")
         val bi = Tables.documents(s, d)
           .select(col("doc_id"), explode(arrays_zip(

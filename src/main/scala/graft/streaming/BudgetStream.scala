@@ -39,26 +39,35 @@ import graft.operators.Sampling
   *
   * Scale shape: the per-batch window partitions by source but a
   * micro-batch is bounded by the trigger, so no window ever spans a
-  * whole source history; the carried state is |sources| rows read and
-  * broadcast per batch; the verdict write is append-free partition
-  * overwrite. Nothing shuffles the text payload — the projection
-  * drops it before the window.
+  * whole source history; the carried state is EXACTLY |distinct
+  * sources seen so far| rows (machine-checked in BudgetStreamSpec) —
+  * read, driver-materialized, and broadcast per batch; the verdict
+  * write is append-free partition overwrite. Nothing shuffles the
+  * text payload — the projection drops it before the window.
   */
 object BudgetStream {
 
   /** Latest persisted state snapshot with batch id < `batchId` —
     * (source, carried). Empty relation when none exists (bootstrap or
-    * a replay of the very first batch).
+    * a replay of the very first batch). Snapshot partitions are listed
+    * through the Hadoop FileSystem API (the same resolution the
+    * parquet reads use), so the carried state survives on HDFS/S3
+    * state dirs too — a local-only java.io listing would silently
+    * return empty there and reset the cumulative every batch.
     */
   private def preState(
       spark: SparkSession, stateDir: String, batchId: Long): DataFrame = {
-    val base = new java.io.File(stateDir)
-    val prior = Option(base.listFiles()).toSeq.flatten
-      .flatMap { f =>
-        val n = f.getName
-        if (n.startsWith("batch=")) Some(n.stripPrefix("batch=").toLong) else None
-      }
-      .filter(_ < batchId)
+    val hconf = org.apache.spark.sql.graft.Bridge.newHadoopConf(spark)
+    val base = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = base.getFileSystem(hconf)
+    val prior =
+      (if (fs.exists(base)) fs.listStatus(base).toSeq else Seq.empty)
+        .flatMap { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("batch=")) Some(n.stripPrefix("batch=").toLong)
+          else None
+        }
+        .filter(_ < batchId)
     if (prior.isEmpty)
       spark.range(0).select(lit("").as("source"), lit(0L).as("carried")).limit(0)
     else spark.read.parquet(s"$stateDir/batch=${prior.max}")
@@ -88,10 +97,15 @@ object BudgetStream {
         .join(broadcast(pre), Seq("source"), "left_outer")
         .withColumn("cum_tokens",
           coalesce(col("carried"), lit(0L)) + col("cum_local"))
-        .join(broadcast(budgets), Seq("source"))
+        // LEFT join: a source absent from the budgets relation gets an
+        // explicit kept=false verdict for every document (budget 0),
+        // not a silent drop while its tokens still advance the carried
+        // state — every streamed document appears in the verdict log.
+        .join(broadcast(budgets), Seq("source"), "left_outer")
         .select(col("source"), col("doc_id"), col("n_tokens"),
           col("cum_tokens"),
-          (col("cum_tokens") - col("n_tokens") < col("budget")).as("kept"))
+          (col("cum_tokens") - col("n_tokens") <
+            coalesce(col("budget"), lit(0L))).as("kept"))
       verdicts.write.mode("overwrite").parquet(s"$verdictsDir/batch=$batchId")
       // post-state: carried + this batch's per-source totals (sources
       // absent from the batch keep their carried value)
@@ -103,7 +117,10 @@ object BudgetStream {
           (coalesce(col("carried"), lit(0L)) +
             coalesce(col("batch_tokens"), lit(0L))).as("carried"))
       // materialize before writing: post reads the previous snapshot
-      // directory tree listing, never the one being written
+      // directory tree listing, never the one being written. The
+      // collect is bounded by |distinct sources ever seen| — the
+      // full_outer of two source-keyed relations — a few hundred rows
+      // in any realistic mixture (BudgetStreamSpec asserts the bound).
       val rows = post.collect().toSeq
       import spark.implicits._
       rows.map(r => (r.getString(0), r.getLong(1)))

@@ -436,6 +436,17 @@ object EventStream {
     * object stores, and for concurrent readers generally, the
     * production answer is a transactional table format's MERGE — this
     * body is the plain-parquet analog.
+    *
+    * Concurrency contract, machine-checked both ways: writer bodies
+    * SERIALIZED in time converge to per-key last-writer-wins with no
+    * lost keys (EventStreamSpec "two interleaved upsert writers");
+    * bodies OVERLAPPING in time lose the first writer's update — a
+    * real hazard UpsertOverlapSpec DEMONSTRATES, along with the
+    * invariant that bounds it: the swap is atomic, so the view after
+    * any interleaving is some single writer's complete consistent
+    * merge (lost update, never a torn/corrupt mix). Closing the lost-
+    * update case needs a table format's optimistic commit; jar-blocked
+    * here.
     */
   def upsertSink[T](
       ds: Dataset[T],
@@ -444,65 +455,95 @@ object EventStream {
       path: String,
       checkpoint: String): DataStreamWriter[T] =
     foreachBatchSink(ds, checkpoint) { (batch, batchId) =>
-      val spark = batch.sparkSession
-      val target = new org.apache.hadoop.fs.Path(path)
-      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // backups carry a strictly increasing suffix; the newest one is
-      // the recovery source for a swap torn between its two renames.
-      // Nothing that could still serve as a recovery source is ever
-      // deleted before the new target is in place.
-      // suffix = <batchId>-<millis>: batchId is replay-stable and
-      // strictly increasing ACROSS restarts (nanoTime's origin is
-      // arbitrary per JVM and could order a restart's backup older);
-      // millis breaks the tie between replayed attempts of one batch,
-      // and also keeps the rename target fresh if the same batch
-      // replays after a crash between swap and prune.
-      def backups(): Seq[org.apache.hadoop.fs.Path] =
-        fs.globStatus(new org.apache.hadoop.fs.Path(s"$path.old-*"))
-          .toSeq.map(_.getPath)
-          .sortBy { p =>
-            val suffix = p.getName.substring(p.getName.indexOf(".old-") + 5)
-            suffix.split('-') match {
-              case Array(b, t) => (b.toLong, t.toLong)
-              // legacy single-number (nanoTime) suffix: its magnitude
-              // (~1e12) would outsort every (batchId, millis) tuple and
-              // recovery would prefer the STALE pre-upgrade snapshot —
-              // pin legacy backups below all new-format ones instead
-              // (among themselves they keep their original order)
-              case _ => (Long.MinValue, suffix.toLong)
-            }
-          }
-      val prior: Option[String] =
-        if (fs.exists(target)) Some(path)
-        else backups().lastOption.map(_.toString) // recover a torn swap
-      val candidates = prior match {
-        case Some(p) => batch.toDF().unionByName(spark.read.parquet(p))
-        case None => batch.toDF()
-      }
-      val merged = candidates
-        .withColumn("_rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(keyCols.map(col): _*).orderBy(col(orderCol).desc)))
-        .filter(col("_rn") === 1).drop("_rn")
-      val tmp = new org.apache.hadoop.fs.Path(s"$path.tmp-$batchId")
-      merged.write.mode("overwrite").parquet(tmp.toString) // reads prior here
-      val backup = new org.apache.hadoop.fs.Path(
-        s"$path.old-$batchId-${System.currentTimeMillis()}")
-      if (fs.exists(target) && !fs.rename(target, backup)) {
-        throw new java.io.IOException(
-          s"upsertSink: backup rename $target -> $backup failed")
-      }
-      if (!fs.rename(tmp, target)) {
-        // first-ever batch has no backup — don't mask the IOException
-        // with a NoSuchElementException from .last
-        throw new java.io.IOException(
-          s"upsertSink: swap rename $tmp -> $target failed; " +
-            s"current snapshot preserved at " +
-            backups().lastOption.map(_.toString).getOrElse("<none>"))
-      }
-      // only now are ALL backups stale (the target supersedes them)
-      backups().foreach(fs.delete(_, true))
+      upsertBatch(batch.toDF(), keyCols, orderCol, path, batchId)
     }
+
+  /** Backup snapshots of an upsert target, oldest to newest; the
+    * newest is the recovery source for a swap torn between its two
+    * renames. Nothing that could still serve as a recovery source is
+    * ever deleted before the new target is in place.
+    * Suffix = `<batchId>-<millis>`: batchId is replay-stable and
+    * strictly increasing ACROSS restarts (nanoTime's origin is
+    * arbitrary per JVM and could order a restart's backup older);
+    * millis breaks the tie between replayed attempts of one batch,
+    * and also keeps the rename target fresh if the same batch
+    * replays after a crash between swap and prune.
+    */
+  private def upsertBackups(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[org.apache.hadoop.fs.Path] =
+    fs.globStatus(new org.apache.hadoop.fs.Path(s"$path.old-*"))
+      .toSeq.map(_.getPath)
+      .sortBy { p =>
+        val suffix = p.getName.substring(p.getName.indexOf(".old-") + 5)
+        suffix.split('-') match {
+          case Array(b, t) => (b.toLong, t.toLong)
+          // legacy single-number (nanoTime) suffix: its magnitude
+          // (~1e12) would outsort every (batchId, millis) tuple and
+          // recovery would prefer the STALE pre-upgrade snapshot —
+          // pin legacy backups below all new-format ones instead
+          // (among themselves they keep their original order)
+          case _ => (Long.MinValue, suffix.toLong)
+        }
+      }
+
+  /** One upsert merge, callable from a batch job too (the MERGE-into-
+    * materialized-view emulation without a table-format jar): resolve
+    * the prior snapshot (target, else newest backup), merge, swap.
+    */
+  def upsertBatch(batch: DataFrame, keyCols: Seq[String], orderCol: String,
+      path: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior: Option[String] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(path))) Some(path)
+      else upsertBackups(fs, path).lastOption.map(_.toString) // torn swap
+    upsertMergeSwap(batch, keyCols, orderCol, path, batchId,
+      prior.map(spark.read.parquet(_)))
+  }
+
+  /** The merge/swap body with the PRIOR SNAPSHOT as an explicit
+    * argument — the seam UpsertOverlapSpec uses to demonstrate the
+    * overlapping-writer hazard deterministically (two bodies pinned to
+    * the same prior). Production callers go through [[upsertBatch]],
+    * which resolves the prior from disk at body start — the read point
+    * whose serialization the safety contract requires.
+    */
+  private[graft] def upsertMergeSwap(batch: DataFrame,
+      keyCols: Seq[String], orderCol: String, path: String, batchId: Long,
+      prior: Option[DataFrame]): Unit = {
+    val spark = batch.sparkSession
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val candidates = prior match {
+      case Some(p) => batch.unionByName(p)
+      case None => batch
+    }
+    val merged = candidates
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*).orderBy(col(orderCol).desc)))
+      .filter(col("_rn") === 1).drop("_rn")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.tmp-$batchId")
+    merged.write.mode("overwrite").parquet(tmp.toString) // reads prior here
+    val backup = new org.apache.hadoop.fs.Path(
+      s"$path.old-$batchId-${System.currentTimeMillis()}")
+    if (fs.exists(target) && !fs.rename(target, backup)) {
+      throw new java.io.IOException(
+        s"upsertSink: backup rename $target -> $backup failed")
+    }
+    if (!fs.rename(tmp, target)) {
+      // first-ever batch has no backup — don't mask the IOException
+      // with a NoSuchElementException from .last
+      throw new java.io.IOException(
+        s"upsertSink: swap rename $tmp -> $target failed; " +
+          s"current snapshot preserved at " +
+          upsertBackups(fs, path).lastOption.map(_.toString).getOrElse("<none>"))
+    }
+    // only now are ALL backups stale (the target supersedes them)
+    upsertBackups(fs, path).foreach(fs.delete(_, true))
+  }
 
   /** foreachBatch sink: hands each micro-batch to an arbitrary batch
     * writer (e.g. [[graft.sources.Formats]]) — the escape hatch for

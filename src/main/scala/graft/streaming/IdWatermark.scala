@@ -17,20 +17,83 @@ import org.apache.spark.sql.functions.{max, min}
   * Replays (batchId <= lastBatchId) skip the comparison — their ids
   * were already admitted once, so re-seeing them is not a violation.
   *
+  * Durability (r7 ADVICE, both items):
+  *  - When the watermark file is ABSENT (first stream batch over a
+  *    pre-existing bootstrap index), maxSeen seeds from `max(id)` of
+  *    the index parquet itself — one scan, once — so the very first
+  *    batch is checked against the bootstrap ids too, not waved
+  *    through against Long.MinValue.
+  *  - The file is written to a temp sibling and atomically MOVEd into
+  *    place, and a malformed file (torn write from a crash mid-write)
+  *    logs + falls back to the reinitialization path instead of
+  *    throwing NumberFormatException forever and wedging the stream.
+  *
   * Cost: one min/max aggregate over the (already-persisted) micro
-  * batch and a tiny file read/write — no index scan.
+  * batch and a tiny file read/write — no index scan after the first
+  * batch.
   */
 private[graft] object IdWatermark {
+
+  /** (lastBatchId, maxSeen) from the watermark file; None when the
+    * file is absent OR unreadable (malformed content falls back to
+    * reinitialization, loudly).
+    */
+  private def readWatermark(wmPath: java.nio.file.Path, tag: String)
+      : Option[(Long, Long)] = {
+    if (!java.nio.file.Files.exists(wmPath)) None
+    else {
+      try {
+        val parts = new String(
+          java.nio.file.Files.readAllBytes(wmPath), "UTF-8").trim.split(",")
+        Some((parts(0).toLong, parts(1).toLong))
+      } catch {
+        case _: NumberFormatException | _: ArrayIndexOutOfBoundsException =>
+          System.err.println(
+            s"[$tag] malformed watermark file $wmPath — reinitializing " +
+              "from the index (a crash mid-write left a torn line)")
+          None
+      }
+    }
+  }
+
+  /** One-time bootstrap of maxSeen from the index parquet when no
+    * watermark file exists yet: without it, ids already admitted by
+    * the bootstrap index would never be compared against the first
+    * stream batch — the exact monotonicity gap the guard exists for.
+    */
+  private def bootstrapMaxSeen(batch: DataFrame, idCol: String,
+      indexDir: String): Long = {
+    val spark = batch.sparkSession
+    val hconf = org.apache.spark.sql.graft.Bridge.newHadoopConf(spark)
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val exists = try p.getFileSystem(hconf).exists(p) catch {
+      case _: Exception => false
+    }
+    if (!exists) Long.MinValue
+    else try {
+      val r = spark.read.parquet(indexDir).agg(max(idCol)).collect()(0)
+      if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+    } catch {
+      // a dir with no parquet yet (schema inference fails) is an
+      // empty index — nothing admitted, nothing to guard against
+      case _: org.apache.spark.sql.AnalysisException => Long.MinValue
+    }
+  }
+
+  private def writeWatermark(wmPath: java.nio.file.Path, batchId: Long,
+      maxId: Long): Unit = {
+    val tmp = wmPath.resolveSibling(wmPath.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp, s"$batchId,$maxId".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, wmPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 
   def checkAndAdvance(batch: DataFrame, idCol: String, indexDir: String,
       batchId: Long, tag: String): Boolean = {
     val wmPath = java.nio.file.Paths.get(s"$indexDir.maxid")
-    val (lastBatch, maxSeen) =
-      if (java.nio.file.Files.exists(wmPath)) {
-        val parts = new String(
-          java.nio.file.Files.readAllBytes(wmPath), "UTF-8").trim.split(",")
-        (parts(0).toLong, parts(1).toLong)
-      } else (-1L, Long.MinValue)
+    val (lastBatch, maxSeen) = readWatermark(wmPath, tag).getOrElse(
+      (-1L, bootstrapMaxSeen(batch, idCol, indexDir)))
     val r = batch.agg(min(idCol), max(idCol)).collect()(0)
     if (r.isNullAt(0) || batchId <= lastBatch) true
     else {
@@ -40,8 +103,7 @@ private[graft] object IdWatermark {
         s"[$tag] batch $batchId violates the monotone-id assumption: " +
           s"min $idCol=$bMin <= already-admitted max $maxSeen — " +
           "first-copy-wins may admit a second survivor of a near-dup cluster")
-      java.nio.file.Files.write(wmPath,
-        s"$batchId,${math.max(maxSeen, bMax)}".getBytes("UTF-8"))
+      writeWatermark(wmPath, batchId, math.max(maxSeen, bMax))
       ok
     }
   }

@@ -106,6 +106,49 @@ class BudgetStreamSpec extends AnyFunSuite
     assert(st("web") == 8L, s"state double-advanced: $st")
   }
 
+  test("unbudgeted source: explicit kept=false verdicts, state still advances") {
+    import spark.implicits._
+    val (stateDir, verdictsDir) = (tmp("st5"), tmp("out5"))
+    // budgets only covers "web" — "ghost" streams documents anyway
+    val budgets = Seq(("web", 10L)).toDF("source", "budget")
+    BudgetStream.processBatch(
+      Seq((1L, "web", "a b"), (2L, "ghost", "x y z"))
+        .toDF("doc_id", "source", "text"),
+      budgets, stateDir, verdictsDir, 0L)
+    val v = spark.read.parquet(verdictsDir)
+      .select("source", "doc_id", "kept").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+    // the ghost doc is PRESENT in the verdict log with kept=false
+    // (budget coalesced to 0), not silently dropped while its tokens
+    // advance the carried state
+    assert(v == Map(("web", 1L) -> true, ("ghost", 2L) -> false), s"$v")
+    val st = spark.read.parquet(s"$stateDir/batch=0").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st == Map("web" -> 2L, "ghost" -> 3L), s"$st")
+  }
+
+  test("state snapshot holds exactly one row per distinct source seen (driver bound)") {
+    import spark.implicits._
+    val (stateDir, verdictsDir) = (tmp("st6"), tmp("out6"))
+    val budgets = Seq(("s0", 100L), ("s1", 100L), ("s2", 100L))
+      .toDF("source", "budget")
+    // batch 0 sees s0/s1 (many docs each); batch 1 adds s2
+    BudgetStream.processBatch(
+      (1L to 40L).map(i => (i, s"s${i % 2}", "a b c")).toDF("doc_id", "source", "text"),
+      budgets, stateDir, verdictsDir, 0L)
+    BudgetStream.processBatch(
+      Seq((100L, "s2", "d e")).toDF("doc_id", "source", "text"),
+      budgets, stateDir, verdictsDir, 1L)
+    // the driver-materialized state is bounded by |distinct sources
+    // seen|, never by document count — the Scaladoc'd collect bound
+    val st0 = spark.read.parquet(s"$stateDir/batch=0").collect()
+    assert(st0.map(_.getString(0)).sorted.toSeq == Seq("s0", "s1"),
+      s"batch-0 state must be one row per seen source: ${st0.toSeq}")
+    val st1 = spark.read.parquet(s"$stateDir/batch=1").collect()
+    assert(st1.map(_.getString(0)).sorted.toSeq == Seq("s0", "s1", "s2"),
+      s"batch-1 state must carry forward + add s2: ${st1.toSeq}")
+  }
+
   test("streaming wiring end-to-end via MemoryStream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

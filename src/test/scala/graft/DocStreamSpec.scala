@@ -48,6 +48,44 @@ class DocStreamSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       batch(), "doc_id", indexDir, 3L, "spec"))
   }
 
+  test("absent watermark file seeds from the bootstrap index, not Long.MinValue") {
+    import spark.implicits._
+    val indexDir = tmp("wmboot") + "/idx"
+    // bootstrap index admitted ids up to 500 — but NO watermark file
+    // exists (the index predates the guard)
+    DocStream.writeSignatureIndex(
+      Seq((100L, dupText), (500L, otherText)).toDF("doc_id", "text"), indexDir)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexDir.maxid")))
+    // the FIRST stream batch dips below the bootstrap max -> flagged
+    // (pre-fix this was waved through against Long.MinValue)
+    assert(!graft.streaming.IdWatermark.checkAndAdvance(
+      Seq((200L, "x")).toDF("doc_id", "text"), "doc_id", indexDir, 0L, "spec"),
+      "first batch below bootstrap max(id) must be flagged")
+    // and a batch strictly above the bootstrap max passes
+    val indexDir2 = tmp("wmboot2") + "/idx"
+    DocStream.writeSignatureIndex(
+      Seq((100L, dupText), (500L, otherText)).toDF("doc_id", "text"), indexDir2)
+    assert(graft.streaming.IdWatermark.checkAndAdvance(
+      Seq((501L, "x")).toDF("doc_id", "text"), "doc_id", indexDir2, 0L, "spec"))
+  }
+
+  test("torn watermark file reinitializes instead of wedging the stream") {
+    import spark.implicits._
+    val indexDir = tmp("wmtorn") + "/idx"
+    DocStream.writeSignatureIndex(
+      Seq((50L, dupText)).toDF("doc_id", "text"), indexDir)
+    // simulate a crash mid-write: garbage content
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$indexDir.maxid"), "3,garb".getBytes("UTF-8"))
+    // does not throw; falls back to the index-seeded bootstrap (max 50)
+    assert(graft.streaming.IdWatermark.checkAndAdvance(
+      Seq((51L, "x")).toDF("doc_id", "text"), "doc_id", indexDir, 0L, "spec"))
+    // and the rewritten file is well-formed again
+    val parts = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$indexDir.maxid")), "UTF-8").trim.split(",")
+    assert(parts(0).toLong == 0L && parts(1).toLong == 51L)
+  }
+
   test("cross-batch dedup through the index, survivors extend it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -45,6 +45,44 @@ class OperatorSpec extends AnyFunSuite {
         s"${(listed.toSet -- registry).toSeq.sorted.mkString(", ")}")
   }
 
+  test("superseded-at-scale steering is programmatic and mirrors SURVEY §2") {
+    // r7 verdict item 3: prose steering (§2 status + Scaladoc) is not
+    // machine-readable — a registry consumer could pick dedup_simhash
+    // at corpus scale with no signal. QueryDef.supersededBy closes
+    // that; this test pins it to §2 in BOTH directions.
+    val defs = SparkEntry.defsByName
+    // every supersededBy pointer resolves to a registered, NON-superseded key
+    defs.values.flatMap(q => q.supersededBy.map(q.name -> _)).foreach {
+      case (from, to) =>
+        assert(defs.contains(to), s"$from steers to unregistered '$to'")
+        assert(defs(to).supersededBy.isEmpty,
+          s"$from steers to '$to' which is itself superseded — chain, not steer")
+    }
+    // §2 SUPERSEDED rows and the field agree exactly
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val row = """(?m)^\| [ACD]\d+[a-z]? \| `(\w+)` \|(.*)\|""".r
+    val supersededInSurvey = row.findAllMatchIn(src)
+      .filter(_.group(2).contains("SUPERSEDED AT SCALE"))
+      .map(_.group(1)).toSet
+    val supersededInRegistry = defs.values.filter(_.supersededBy.isDefined)
+      .map(_.name).toSet
+    assert(supersededInSurvey == supersededInRegistry,
+      s"§2/field drift — marked in §2 only: ${supersededInSurvey -- supersededInRegistry}; " +
+        s"field only: ${supersededInRegistry -- supersededInSurvey}")
+    // the known three, so a silent wipe of the field trips loudly
+    assert(supersededInRegistry == Set(
+      "dedup_simhash", "dedup_embedding", "dedup_embedding_hi"),
+      s"unexpected superseded set: $supersededInRegistry")
+    // and each §2 SUPERSEDED row names its successor key in prose too
+    supersededInRegistry.foreach { k =>
+      val succ = defs(k).supersededBy.get
+      val cell = row.findAllMatchIn(src).find(_.group(1) == k).get.group(2)
+      assert(cell.contains(succ),
+        s"§2 row for $k does not name its successor `$succ`")
+    }
+  }
+
   test("SURVEY §2 B rows each name code that exists") {
     // The B (streaming) table has no query keys, so the A/C/D check
     // above can't catch drift there — round 5 shipped two components
