@@ -21,8 +21,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    addresses;
   *  - copies: original + an iid jitter with component range
   *    JitFrac · Scale/2, giving E[cosine] = 1/sqrt(1 + JitFrac²)
-  *    ~ 0.85 — the augmentedHi design point, so the recall measurement
-  *    probes the SAME operating point as every smaller tier;
+  *    ~ 0.876 — inside the 0.85-0.9 cosine range of the corpus
+  *    tiers' md5-jitter augmentation, so recall here is comparable
+  *    with SCALE100_r07's corpus-backed copy_pair_band_recall;
   *  - candidates: bucket histograms (Σ c·(c−1)/2), never pair
   *    enumeration — the probe stays linear in band rows;
   *  - recall: per-copy-pair band agreement on a deterministic 1-in-20
@@ -59,8 +60,9 @@ object Tier1000Probe {
     val dim = graft.functions.Hyperplanes.Dim
     val scale = graft.functions.Hyperplanes.Scale
     // |jitter|/|orig| = JitFrac under iid-uniform components =>
-    // E[cos] = 1/sqrt(1 + JitFrac^2); 0.62 -> ~0.85
-    val JitFrac = 0.62
+    // E[cos] = 1/sqrt(1 + JitFrac^2); 0.55 -> ~0.876 (the corpus
+    // augmentation's 0.85-0.9 range)
+    val JitFrac = 0.55
     val jitScale = (scale / 2 * JitFrac).toLong
 
     /** Synthetic quantized vector column: component i of vec `id`,
@@ -79,26 +81,31 @@ object Tier1000Probe {
         s"[probe1000] factor=$factor raw=$nRaw augN=$augN plan=${bands}x${bits}b " +
           s"(${bands * bits} planes)")
 
-      // originals id in [0, nRaw); copies id+CopyOffset with qa+jitter
+      // Band rows are a pure function of vec_id, so each measurement
+      // GENERATES exactly the ids it needs (nothing cached, nothing
+      // on disk): the histogram sees all ids; the recall join only
+      // the 1-in-20 sample — regenerating the full corpus for the
+      // recall pass would double the probe's dominant cost.
       val CopyOffset = 1L << 40
-      val orig = spark.range(nRaw).select(col("id").as("vec_id"),
-        synthQa(concat(lit("o:"), col("id")), scale / 2).as("qa"))
-      val copies = spark.range(nRaw).select(
-        (col("id") + CopyOffset).as("vec_id"),
-        zip_with(
-          synthQa(concat(lit("o:"), col("id")), scale / 2),
-          synthQa(concat(lit("j:"), col("id")), jitScale),
-          (a, b) => a + b).as("qa"))
-      val all = orig.unionByName(copies)
-
-      val bandRows = all.select(col("vec_id"),
-        posexplode(graft.functions.GraftFunctions
-          .hyperplaneBands(col("qa"), bands, bits)))
-        .select(col("vec_id"), col("pos").as("band_id"), col("col").as("band_val"))
+      def bandRowsFor(ids: DataFrame): DataFrame = {
+        val orig = ids.select(col("id").as("vec_id"),
+          synthQa(concat(lit("o:"), col("id")), scale / 2).as("qa"))
+        val copies = ids.select(
+          (col("id") + CopyOffset).as("vec_id"),
+          zip_with(
+            synthQa(concat(lit("o:"), col("id")), scale / 2),
+            synthQa(concat(lit("j:"), col("id")), jitScale),
+            (a, b) => a + b).as("qa"))
+        orig.unionByName(copies).select(col("vec_id"),
+          posexplode(graft.functions.GraftFunctions
+            .hyperplaneBands(col("qa"), bands, bits)))
+          .select(col("vec_id"), col("pos").as("band_id"), col("col").as("band_val"))
+      }
 
       // ---- candidate law: bucket histogram, one exchange ----
       val t0 = System.nanoTime()
-      val h = bandRows.groupBy("band_id", "band_val").count()
+      val h = bandRowsFor(spark.range(nRaw).toDF("id"))
+        .groupBy("band_id", "band_val").count()
         .agg(count(lit(1)).as("buckets"), max("count").as("maxBucket"),
           sum(expr("count * (count - 1) div 2")).as("candPairs"))
         .collect()(0)
@@ -106,18 +113,17 @@ object Tier1000Probe {
       val (buckets, maxBucket, candPairs) =
         (h.getLong(0), h.getLong(1), h.getLong(2))
 
-      // ---- recall at the design point: sampled copy pairs ----
+      // ---- recall at the augmentation operating point: sampled pairs ----
       // 1-in-20 deterministic id sample; join each sampled original's
       // band rows with its copy's on (band_id, band_val)
       val t1 = System.nanoTime()
-      val sampleIds = spark.range(nRaw).filter(col("id") % 20 === 0)
-        .select(col("id").as("vec_id"))
+      val sampled = bandRowsFor(
+        spark.range(nRaw).filter(col("id") % 20 === 0).toDF("id"))
       val nSample = nRaw / 20 + (if (nRaw % 20 > 0) 1 else 0)
-      val so = bandRows.join(sampleIds, Seq("vec_id"))
-      val sc = bandRows
+      val so = sampled.filter(col("vec_id") < CopyOffset)
+      val sc = sampled.filter(col("vec_id") >= CopyOffset)
         .select((col("vec_id") - CopyOffset).as("vec_id"),
           col("band_id"), col("band_val"))
-        .join(sampleIds, Seq("vec_id"))
       val hits = so.join(sc, Seq("vec_id", "band_id", "band_val"))
         .select("vec_id").distinct().count()
       val recSec = (System.nanoTime() - t1) / 1e9
