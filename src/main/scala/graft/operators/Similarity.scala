@@ -650,27 +650,68 @@ object Similarity {
     ORDER BY qid, rank"""
     })
 
-  /** IVF (inverted-file) ANN: a KMeans coarse quantizer (MLlib,
-    * fixed seed) partitions the corpus into nlist cells; each query
-    * probes the nprobe nearest cells and exact-reranks only those
-    * candidates.
+  private val IvfNList = 16
+  private val IvfNProbe = 4
+
+  /** IVF (inverted-file) ANN: a coarse quantizer partitions the
+    * corpus into nlist cells; each query probes the nprobe nearest
+    * cells and exact-reranks only those candidates.
     *
-    * Scale shape: the quantizer trains on a BOUNDED UNBIASED sample
-    * of the corpus (seeded Bernoulli `sample` at fraction
-    * cap/count — a `limit` prefix would fit the centroids to whatever
-    * region of embedding space the first files cover; below the cap,
-    * as at the test SFs, the full corpus trains so results are
-    * unchanged). Assignment is one pass with
-    * the broadcast centroid matrix, candidate generation is an
-    * equi-join on cell id, and rerank touches ~nprobe/nlist of the
-    * corpus. Rows-only check: the oracle cannot replicate MLlib's
-    * k-means|| initialization; correctness evidence is the
-    * recall-vs-bruteforce spec instead.
+    * The coarse quantizer is the repo's own deterministic two-round
+    * Lloyd ([[lloydCentroids]], shared with `emb_kmeans`) rather than
+    * MLlib KMeans (r8): cell assignment, probe choice, and rerank are
+    * then ALL exact integer arithmetic on the quantization grid (plus
+    * the repo-standard IEEE cosine division), so the full query is
+    * DuckDB-expressible and hash-checked — the r1-r7 "rows-only by
+    * design" gap (MLlib's k-means|| init is not reproducible in SQL)
+    * is gone, and the index is rerun-stable by construction (a
+    * production virtue: retraining cannot silently reshuffle cells).
+    * MLlib interop stays demonstrated by [[annIvfPq]]'s quantizer +
+    * codebook training. AnnIvfSpec still MEASURES the recall knob
+    * against brute force.
+    *
+    * Scale shape: training is two full map-side-combined passes whose
+    * exchange carries K·64 rows (see [[kmeans]]; MLlib's capped-sample
+    * fit traded a bounded train set for an unverifiable init).
+    * Assignment is one pass against the broadcast K-row centroid
+    * frame, candidate generation is an equi-join on cell id, and
+    * rerank touches ~nprobe/nlist of the corpus. The probe-choice
+    * window runs over queries × nlist rows — broadcast-scale at any
+    * realistic query batch.
     */
   val annIvf = QueryDef(
     "ann_ivf",
-    (s, d) => ivfTopK(s, d, nList = 16, nProbe = 4),
-    None)
+    (s, d) => ivfTopK(s, d, nList = IvfNList, nProbe = IvfNProbe),
+    Some(s"""WITH q0 AS ($quantizedSql),
+    q AS (SELECT vec_id, qa, ${normSql("qa")} AS na FROM q0),
+    ${lloydCentroidSql(IvfNList)},
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT q.vec_id, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY q.na + c.nc - 2 * ${dotSql("q.qa", "c.cvec")}, c.cell) AS rk
+        FROM q, c1n c) WHERE rk = 1),
+    probes AS (
+      SELECT qid, cell FROM (
+        SELECT q.vec_id AS qid, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY q.na + c.nc - 2 * ${dotSql("q.qa", "c.cvec")}, c.cell) AS rk
+        FROM q, c1n c WHERE q.vec_id < $NQueries) WHERE rk <= $IvfNProbe),
+    cand AS (
+      SELECT p.qid, a.vec_id FROM assigned a JOIN probes p USING (cell)
+      WHERE a.vec_id <> p.qid),
+    scored AS (
+      SELECT c.qid, c.vec_id,
+        ${cosineSql(dotSql("qq.qa", "qv.qa"), "qq.na", "qv.na")} AS cosine
+      FROM cand c
+      JOIN q qq ON qq.vec_id = c.qid
+      JOIN q qv ON qv.vec_id = c.vec_id),
+    ranked AS (
+      SELECT qid, vec_id, cosine,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+      FROM scored)
+    SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= $TopK
+    ORDER BY qid, rank"""))
 
   /** Parameterized IVF search — `ann_ivf` runs (nlist=16, nprobe=4);
     * the recall-vs-nprobe sweep in AnnIvfSpec measures the
@@ -679,61 +720,39 @@ object Similarity {
     * recall at proportionally higher candidate volume.
     */
   def ivfTopK(s: SparkSession, d: String, nList: Int, nProbe: Int): DataFrame = {
-    {
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      val NList = nList
-      val NProbe = nProbe
-      val QuantizerTrainCap = 100000L
-      val emb = quantized(s, d)
-      val featured = Tables.embeddings(s, d)
-        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
-      val corpusSize = corpusCount(d, featured)
-      val trainSet =
-        if (corpusSize <= QuantizerTrainCap) featured
-        else featured.sample(withReplacement = false,
-          QuantizerTrainCap.toDouble / corpusSize, seed = 42L)
-      val model = new KMeans().setK(NList).setSeed(42L).setMaxIter(10)
-        .setFeaturesCol("features").setPredictionCol("cell")
-        .fit(trainSet)
-      val assigned = model.transform(featured).select("vec_id", "cell")
-        .join(emb, "vec_id")
-      // nprobe nearest cells per query vector, computed DISTRIBUTED:
-      // the tiny centroid matrix broadcasts as a literal and each
-      // query row takes its own argmin-nProbe in a projection
-      // (array_sort over (d2, cell) structs — dist arithmetic is the
-      // same left-to-right double fold the former driver loop ran, so
-      // probe choices are bit-identical). The former `.collect()` of
-      // the query vectors inverted at production query volume: the
-      // driver became the probe bottleneck.
-      val centroids = model.clusterCenters.map(_.toArray)
-      val centroidLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
-      val cellStructs = array((0 until NList).map { c =>
-        struct(
-          aggregate(zip_with(col("qv"), element_at(centroidLit, c + 1),
-            (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x).as("d2"),
-          lit(c).as("cell"))
-      }: _*)
-      val probes = Tables.embeddings(s, d)
-        .filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"),
-          transform(col("embedding"), x => x.cast(DoubleType)).as("qv"))
-        .select(col("qid"),
-          explode(slice(array_sort(cellStructs), 1, NProbe)).as("pc"))
-        .select(col("qid"), col("pc.cell").as("cell"))
-      val qvecs = emb.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"), col("qa").as("qq"), col("na").as("qna"))
-      val cand = assigned.join(broadcast(probes), "cell")
-        .filter(col("vec_id") =!= col("qid"))
-        .join(broadcast(qvecs), "qid")
-      val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("vec_id"))
-      cand
-        .withColumn("cosine", cosine(dot(col("qq"), col("qa")), col("qna"), col("na")))
-        .withColumn("rank", row_number().over(w).cast(LongType))
-        .filter(col("rank") <= TopK)
-        .select("qid", "rank", "vec_id", "cosine")
-    }
+    import org.apache.spark.sql.expressions.Window
+    val emb = quantized(s, d)
+    val cents = lloydCentroids(emb, nList)
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        col("na") + col("nc") - lit(2L) * dot(col("qa"), col("cvec")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"))
+      .join(emb, "vec_id")
+    // nprobe nearest cells per query: exact integer distances against
+    // the broadcast K-row centroid frame; the row_number window runs
+    // over queries × K rows, broadcast-scale at any query volume
+    val wProbe = Window.partitionBy("qid").orderBy(col("pdist"), col("cell"))
+    val probes = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("qa").as("qq"), col("na").as("qna"))
+      .crossJoin(broadcast(cents))
+      .withColumn("pdist",
+        col("qna") + col("nc") - lit(2L) * dot(col("qq"), col("cvec")))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nProbe)
+      .select(col("qid"), col("cell"))
+    val qvecs = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("qa").as("qq"), col("na").as("qna"))
+    val cand = assigned.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(qvecs), "qid")
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("vec_id"))
+    cand
+      .withColumn("cosine", cosine(dot(col("qq"), col("qa")), col("qna"), col("na")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= TopK)
+      .select("qid", "rank", "vec_id", "cosine")
   }
 
   // ---------------------------------------------------------------
@@ -745,7 +764,9 @@ object Similarity {
   private val PqK = 16 // codewords per subspace -> 4-bit codes
   private val PqShortlist = 50
 
-  /** IVF-PQ ANN: the coarse IVF quantizer of [[annIvf]] plus product
+  /** IVF-PQ ANN: an MLlib-trained coarse IVF quantizer (the same
+    * nlist-cell structure as [[annIvf]], which since r8 trains with
+    * the deterministic Lloyd instead) plus product
     * quantization of the RESIDUAL (x − coarse centroid) — each vector
     * is stored as nothing but a cell id and 8 four-bit codes, and the
     * scan ranks candidates from those codes alone (asymmetric distance
@@ -771,11 +792,12 @@ object Similarity {
     * rewrites to bounded heaps — exchanges carry ≤ shortlist rows per
     * query per map partition, never the probed cells' full contents.
     *
-    * Training is bounded like [[ivfTopK]]: coarse quantizer and the 8
+    * Training is bounded: coarse quantizer and the 8
     * subspace codebooks fit on seeded Bernoulli samples capped at 100k
     * rows, so training cost is O(cap) regardless of corpus size.
     * Rows-only check (MLlib k-means|| init is not reproducible in
-    * SQL); correctness evidence is AnnPqSpec: exact-cosine agreement
+    * SQL — this query keeps MLlib deliberately, as the interop
+    * surface); correctness evidence is AnnPqSpec: exact-cosine agreement
     * with brute force on returned pairs, recall@5 floor vs brute
     * force at sf0.01, 4-bit code-range and shortlist bounds, and
     * ADC-vs-true-distance rank correlation on the probed cells.
@@ -1443,35 +1465,41 @@ object Similarity {
     * by every vector (possible with duplicate seeds) simply drops out
     * of the next round, as in any Lloyd implementation.
     */
-  val kmeans = QueryDef(
-    "emb_kmeans",
-    (s, d) => {
-      val emb = quantized(s, d).select(col("vec_id"), col("qa"), col("na"))
-      def assign(cents: DataFrame): DataFrame =
-        emb.crossJoin(broadcast(cents))
-          .withColumn("dist",
-            col("na") + col("nc") - lit(2L) * dot(col("qa"), col("cvec")))
-          .groupBy("vec_id")
-          .agg(min(struct(col("dist"), col("cell"))).as("m"))
-          .select(col("vec_id"), col("m.cell").as("cell"), col("m.dist").as("dist"))
-      val c0 = emb.filter(col("vec_id") < KmK)
-        .select(col("vec_id").as("cell"), col("qa").as("cvec"), col("na").as("nc"))
-      val a1 = assign(c0)
-      val c1 = emb.join(a1.select("vec_id", "cell"), "vec_id")
-        .select(col("cell"), posexplode(col("qa")).as(Seq("dim", "v")))
-        .groupBy("cell", "dim")
-        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
-        .withColumn("c",
-          floor(col("sv").cast(DoubleType) / col("n")).cast(LongType))
-        .groupBy("cell")
-        .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
-          x => x.getField("c")).as("cvec"))
-        .withColumn("nc", dot(col("cvec"), col("cvec")))
-      assign(c1).select(col("vec_id"), col("cell"), col("dist"))
-    },
-    Some(s"""WITH q0 AS ($quantizedSql),
-    q AS (SELECT vec_id, qa, ${normSql("qa")} AS na FROM q0),
-    c0 AS (SELECT vec_id AS cell, qa AS cvec, na AS nc FROM q WHERE vec_id < $KmK),
+  /** Round-2 centroids (cell, cvec, nc) of the deterministic Lloyd —
+    * the trainer shared by `emb_kmeans` and `ann_ivf`: seeds are the
+    * first `k` vec_ids, one exact-integer argmin assignment round, one
+    * per-dimension floored-mean update. The exchange carries K·Dim
+    * rows (map-side combined); corpus rows never shuffle.
+    */
+  private[operators] def lloydCentroids(emb0: DataFrame, k: Int): DataFrame = {
+    val emb = emb0.select(col("vec_id"), col("qa"), col("na"))
+    val c0 = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"), col("qa").as("cvec"), col("na").as("nc"))
+    val a1 = emb.crossJoin(broadcast(c0))
+      .withColumn("dist",
+        col("na") + col("nc") - lit(2L) * dot(col("qa"), col("cvec")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"))
+    emb.join(a1, "vec_id")
+      .select(col("cell"), posexplode(col("qa")).as(Seq("dim", "v")))
+      .groupBy("cell", "dim")
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .withColumn("c",
+        floor(col("sv").cast(DoubleType) / col("n")).cast(LongType))
+      .groupBy("cell")
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+      .withColumn("nc", dot(col("cvec"), col("cvec")))
+  }
+
+  /** DuckDB mirror of [[lloydCentroids]]: the CTE chain c0→a1→s1→c1→
+    * c1n(cell, cvec, nc), assuming a CTE `q`(vec_id, qa, na) is in
+    * scope — shared by the emb_kmeans and ann_ivf oracles so the two
+    * cannot drift on the trainer.
+    */
+  private def lloydCentroidSql(k: Int): String =
+    s"""c0 AS (SELECT vec_id AS cell, qa AS cvec, na AS nc FROM q WHERE vec_id < $k),
     a1 AS (
       SELECT vec_id, cell FROM (
         SELECT q.vec_id, c.cell,
@@ -1481,13 +1509,29 @@ object Similarity {
     s1 AS (
       SELECT a1.cell, r.i AS dim, SUM(q.qa[r.i]) AS sv, COUNT(*) AS n
       FROM q JOIN a1 USING (vec_id)
-      CROSS JOIN (SELECT unnest(range(1, ${KmDims + 1})) AS i) r
+      CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS i) r
       GROUP BY a1.cell, r.i),
     c1 AS (
       SELECT cell,
         list(CAST(floor(CAST(sv AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS cvec
       FROM s1 GROUP BY cell),
-    c1n AS (SELECT cell, cvec, ${normSql("cvec")} AS nc FROM c1),
+    c1n AS (SELECT cell, cvec, ${normSql("cvec")} AS nc FROM c1)"""
+
+  val kmeans = QueryDef(
+    "emb_kmeans",
+    (s, d) => {
+      val emb = quantized(s, d).select(col("vec_id"), col("qa"), col("na"))
+      val c1 = lloydCentroids(emb, KmK)
+      emb.crossJoin(broadcast(c1))
+        .withColumn("dist",
+          col("na") + col("nc") - lit(2L) * dot(col("qa"), col("cvec")))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cell"))).as("m"))
+        .select(col("vec_id"), col("m.cell").as("cell"), col("m.dist").as("dist"))
+    },
+    Some(s"""WITH q0 AS ($quantizedSql),
+    q AS (SELECT vec_id, qa, ${normSql("qa")} AS na FROM q0),
+    ${lloydCentroidSql(KmK)},
     a2 AS (
       SELECT vec_id, cell, dist FROM (
         SELECT q.vec_id, c.cell,

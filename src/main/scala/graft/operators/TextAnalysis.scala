@@ -204,10 +204,19 @@ object TextAnalysis {
     FROM documents ORDER BY doc_id"""))
 
   /** True rolling-hash fingerprint via the native O(n) Rabin-Karp
-    * expression ([[graft.functions.RollingMinHash]]); rows-only
-    * (byte-level polynomial hashing is not practical to mirror in
-    * SQL), exactness covered by RollingMinHashSpec's reference
-    * recompute.
+    * expression ([[graft.functions.RollingMinHash]]).
+    *
+    * Oracle-hash-checked since r8 (formerly rows-only): the mod-P
+    * polynomial min is re-derived in SQL by direct per-window
+    * evaluation — `list_reduce(list_prepend(0, window_bytes),
+    * (a, x) -> (a*B + x) % P)` minimized over start positions. The
+    * rolling recurrence is an EVALUATION STRATEGY, not part of the
+    * result contract, so the O(n·w) SQL form and the O(n) expression
+    * agree exactly; RollingMinHashSpec still covers the native path
+    * against a reference recompute. The SQL reads code points
+    * (`ascii`) where the expression reads UTF-8 bytes — identical on
+    * ASCII corpora; a non-ASCII document makes the oracle RAISE
+    * (strlen != length guard) rather than silently mis-verify.
     */
   val rollingFingerprint = QueryDef(
     "text_rolling_hash",
@@ -219,7 +228,27 @@ object TextAnalysis {
         graft.functions.RollingMinHash.rollingMinHash(col("text"), 64)
           .as("rolling_min_hash_64"))
     },
-    None)
+    Some {
+      val P = 2147483647L
+      val B = 131L
+      def minSql(w: Int): String =
+        s"""(SELECT MIN(list_reduce(
+            list_prepend(CAST(0 AS BIGINT), list_slice(bs, s, s + LEAST($w, n) - 1)),
+            (a, x) -> (a * $B + x) % $P))
+          FROM (SELECT unnest(range(1, n - LEAST($w, n) + 2)) AS s))"""
+      s"""WITH chars AS (
+        SELECT doc_id,
+          CASE WHEN strlen(text) <> length(text)
+            THEN error('text_rolling_hash oracle: non-ASCII document — code-point hashing would diverge from the byte-level expression')
+            ELSE list_transform(range(1, length(text) + 1),
+              i -> ascii(substr(text, i, 1))) END AS bs,
+          length(text) AS n
+        FROM documents)
+      SELECT doc_id,
+        CASE WHEN n = 0 THEN 0 ELSE ${minSql(16)} END AS rolling_min_hash_16,
+        CASE WHEN n = 0 THEN 0 ELSE ${minSql(64)} END AS rolling_min_hash_64
+      FROM chars ORDER BY doc_id"""
+    })
 
   /** Structural PII patterns (ASCII-only so Java regex and DuckDB's
     * RE2 agree byte-for-byte) and a denylist for dictionary scrubbing.

@@ -14,10 +14,11 @@ class OperatorSpec extends AnyFunSuite {
   test("every registered query runs and matches its oracle declaration") {
     val qs = SparkEntry.queries
     // coverage floor: mass-deregistration of operators must fail loudly
-    // (156 queries / 146 oracles as of round 7 — keep at the actual
+    // (156 queries / 148 oracles as of round 8 (ann_ivf and
+    // text_rolling_hash promoted from rows-only) — keep at the actual
     // count so a silently-dropped module trips this, not just a wipe)
     assert(qs.size >= 156, s"only ${qs.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 146,
+    assert(SparkEntry.oracleSql.size >= 148,
       s"only ${SparkEntry.oracleSql.size} oracles declared")
     qs.foreach { case (name, fn) =>
       val df = fn(spark, d)
