@@ -25,11 +25,18 @@ import org.apache.spark.sql.types._
   * probe pattern as the IVF coarse quantizer) plus a localCheckpoint
   * that truncates the lineage so round k's plan does not nest k folds.
   *
-  * No DuckDB oracle BY DESIGN: the data-dependent per-round argmax
-  * cannot be spelled inside DuckDB list lambdas (subqueries are not
-  * allowed in them), so correctness is spec-verified instead against
-  * an independent single-machine reference implementation on both a
-  * hand-computable corpus and the real sf0.001 corpus (BpeSpec).
+  * Oracle-hash-checked since r8 (formerly "no oracle by design"): the
+  * data-dependent per-round argmax CAN be spelled in DuckDB after all
+  * — each round's one-row argmax is LEFT JOINed (ON TRUE) into the
+  * word state, so the merge lambda captures the pair as plain row
+  * columns (lambdas cannot contain subqueries, but they CAN capture
+  * join columns), and the leftmost-greedy fold is a `list_reduce`
+  * over single-symbol lists with a list accumulator. The
+  * [[NumMerges]] rounds unroll into a fixed CTE chain
+  * ([[trainCtesSql]]); an exhausted round yields an empty argmax
+  * whose NULL pair makes the fold a no-op, mirroring the loop's
+  * early stop. BpeSpec's independent reference implementation remains
+  * the algorithmic gate; the oracle adds the cross-engine bit-match.
   */
 object Bpe {
 
@@ -99,7 +106,50 @@ object Bpe {
         concat(col("left"), col("right")).as("merged"), col("cnt"))
   }
 
-  val bpeTrain = QueryDef("bpe_train", (s, d) => train(s, d), None)
+  /** The unrolled [[NumMerges]]-round training chain as DuckDB CTEs:
+    * w0 (char-split vocabulary with counts, `word` threaded through
+    * for the tokenize oracle), then per round k: pair counts `pk`
+    * over w(k-1), one-row argmax `tk` (cnt DESC, a, b — the loop's
+    * exact tie-break), merged state `wk` via the captured-pair
+    * leftmost-greedy fold.
+    */
+  private def trainCtesSql: String = {
+    def pairCte(k: Int) =
+      s"""p${k + 1} AS (
+      SELECT p['a'] AS a, p['b'] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, unnest(list_transform(range(1, len(symbols)),
+              i -> {'a': symbols[i], 'b': symbols[i+1]})) AS p
+            FROM w$k WHERE len(symbols) >= 2)
+      GROUP BY 1, 2)"""
+    def topCte(k: Int) =
+      s"t$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1)"
+    def mergeCte(k: Int) =
+      s"""w$k AS (
+      SELECT word, list_reduce(
+          list_prepend(CAST([] AS VARCHAR[]), list_transform(symbols, s -> CAST([s] AS VARCHAR[]))),
+          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.a AND x[1] = t.b
+              THEN list_append(acc[:-2], t.a || t.b)
+              ELSE list_append(acc, x[1]) END) AS symbols, freq
+      FROM w${k - 1} LEFT JOIN t$k t ON TRUE)"""
+    val w0 =
+      """w0 AS (
+      SELECT word, list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)) AS symbols,
+        CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE length(word) > 0 GROUP BY word)"""
+    (w0 +: (1 to NumMerges).flatMap(k =>
+      Seq(pairCte(k - 1), topCte(k), mergeCte(k)))).mkString(",\n    ")
+  }
+
+  val bpeTrain = QueryDef("bpe_train", (s, d) => train(s, d),
+    Some {
+      val union = (1 to NumMerges).map(k =>
+        s"""SELECT CAST($k AS BIGINT) AS merge_rank, a AS "left", b AS "right", a || b AS merged, cnt FROM t$k""")
+        .mkString("\n      UNION ALL\n      ")
+      s"""WITH $trainCtesSql
+      SELECT * FROM (
+      $union) ORDER BY merge_rank"""
+    })
 
   /** Apply a learned merge list (in rank order) to a symbols column —
     * each merge is one codegen'd fold, chained; tokenizing with K
@@ -120,10 +170,13 @@ object Bpe {
     * cheaper than folding per occurrence at sf0.1, and the gap grows
     * with corpus size.
     *
-    * Rows-only like `bpe_train` (the merge table is data-dependent);
-    * BpeSpec proves the tokenization is a true partition of every word
-    * (symbols concatenate back to the word) and that corpus token
-    * totals match the reference implementation.
+    * Oracle-hash-checked since r8 (see [[bpeTrain]] — same unrolled
+    * CTE chain; the final word state w[[NumMerges]] IS the tokenized
+    * vocabulary, so the oracle just joins it back to the doc word
+    * stream for the per-doc counts); BpeSpec still proves the
+    * tokenization is a true partition of every word (symbols
+    * concatenate back to the word) and that corpus token totals match
+    * the reference implementation.
     */
   val bpeTokenize = QueryDef(
     "text_tokenize_bpe",
@@ -142,7 +195,15 @@ object Bpe {
           sum(col("n_chars")).cast(LongType).as("n_word_chars"),
           sum(col("n_toks")).cast(LongType).as("n_bpe_tokens"))
     },
-    None)
+    Some(s"""WITH $trainCtesSql,
+      docwords AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      SELECT d.doc_id, COUNT(*) AS n_words,
+        CAST(SUM(length(d.word)) AS BIGINT) AS n_word_chars,
+        CAST(SUM(len(w.symbols)) AS BIGINT) AS n_bpe_tokens
+      FROM docwords d JOIN w$NumMerges w ON w.word = d.word
+      WHERE length(d.word) > 0
+      GROUP BY d.doc_id ORDER BY d.doc_id"""))
 
   val defs: Seq[QueryDef] = Seq(bpeTrain, bpeTokenize)
 }
