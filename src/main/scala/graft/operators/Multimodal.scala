@@ -46,6 +46,42 @@ object Multimodal {
   private val FrameSize = 256 // bytes per sampled frame
   private val FeatDim = 4
 
+  /** DuckDB mirror of the frame-sample → resize → decode-stub chain —
+    * CTEs ending at `ff(doc_id, mime, n_bytes, frame_id, frame_bytes,
+    * rb, fs)` where `fs` is the FeatDim float32 feature vector.
+    * Shared by the `multimodal_meta` and `multimodal_near_dup`
+    * oracles (one derivation, two tails).
+    *
+    * What this verifies cross-engine is the PLUMBING arithmetic the
+    * mapPartitions path implements — frame boundaries, the stride-2
+    * sample, the stride-4 resize, per-lane sums, and the float32
+    * division — not a real codec (the stub stands in for that by
+    * design). The payload here is the ASCII text column cast to
+    * binary, so `ascii()` code points equal bytes; a non-ASCII
+    * payload makes the oracle RAISE (strlen != length) rather than
+    * silently diverge from the byte-level Scala path.
+    */
+  private def stubFeatureCtesSql: String =
+    s"""frames AS (
+      SELECT doc_id, 'application/x-graft-' || source AS mime,
+        CAST(strlen(text) AS BIGINT) AS n_bytes, f.f AS frame_id,
+        CASE WHEN strlen(text) <> length(text)
+          THEN error('multimodal oracle: non-ASCII payload — code-point decode would diverge from the byte-level stub')
+          ELSE list_transform(range(f.f * $FrameSize + 1, LEAST((f.f + 1) * $FrameSize, length(text)) + 1),
+            i -> ascii(substr(text, CAST(i AS INT), 1))) END AS fb
+      FROM documents,
+        LATERAL (SELECT unnest(range(0, CAST(ceil(length(text) / $FrameSize.0) AS BIGINT), 2)) AS f) f),
+    feats AS (
+      SELECT doc_id, mime, n_bytes, frame_id,
+        CAST(len(fb) AS BIGINT) AS frame_bytes,
+        list_filter(list_transform(fb, (x, i) -> CASE WHEN (i - 1) % 4 = 0 THEN x END), x -> x IS NOT NULL) AS rb
+      FROM frames),
+    ff AS (
+      SELECT doc_id, mime, n_bytes, frame_id, frame_bytes,
+        CAST(len(rb) AS BIGINT) AS resized_bytes,
+        [CAST(CAST(COALESCE(list_sum(list_filter(list_transform(rb, (x, i) -> CASE WHEN (i - 1) % $FeatDim = j THEN x END), x -> x IS NOT NULL)), 0) AS FLOAT) / len(rb) AS FLOAT) FOR j IN [0, 1, 2, 3]] AS fs
+      FROM feats)"""
+
   /** STUB decode: a real implementation would decode the frame with a
     * codec (JPEG/PNG/PCM/...) and run feature extraction. This fake
     * derives a deterministic FeatDim-vector from the raw bytes so the
@@ -93,9 +129,16 @@ object Multimodal {
         }
         .toDF()
     },
-    // No SQL oracle: the mapPartitions decode path is deliberately not
-    // SQL-expressible (driver records the rows-only check).
-    None)
+    // Oracle-hash-checked since r8 (formerly rows-only): the stub
+    // arithmetic is re-derived in SQL (see stubFeatureCtesSql) — the
+    // mapPartitions batching remains the Spark-side deliverable; the
+    // oracle pins its frame/stride/resize/float32 arithmetic
+    // cross-engine, bit-exact including the f0..f3 float lanes.
+    Some(s"""WITH $stubFeatureCtesSql
+      SELECT doc_id, mime, n_bytes, CAST(frame_id AS INT) AS frame_id,
+        frame_bytes, resized_bytes,
+        fs[1] AS f0, fs[2] AS f1, fs[3] AS f2, fs[4] AS f3
+      FROM ff ORDER BY doc_id, frame_id"""))
 
   /** Exact dedup of the BINARY media payloads by content hash — the
     * first pass every multimodal ingestion runs (identical images/
@@ -171,9 +214,12 @@ object Multimodal {
     *
     * Scale: payloads never shuffle (the per-partition map reduces
     * each to a short hash string); the grouping exchange carries
-    * (doc_id, phash) pairs only. Rows-only at the driver (the decode
-    * path is deliberately not SQL-expressible); NearDupMediaSpec is
-    * the correctness gate.
+    * (doc_id, phash) pairs only. Oracle-hash-checked since r8 (shares
+    * [[stubFeatureCtesSql]]; the frame-feature average folds in
+    * frame_id order through a list_reduce so the double accumulation
+    * matches the Scala loop's order exactly); NearDupMediaSpec
+    * remains the perceptual-contract gate (perturbation stability,
+    * exact-dup subsumption).
     */
   val nearDupMedia = QueryDef(
     "multimodal_near_dup",
@@ -196,7 +242,23 @@ object Multimodal {
           col("canonical_id"), (col("doc_id") === col("canonical_id")).as("keep"),
           col("group_size"))
     },
-    None)
+    Some(s"""WITH $stubFeatureCtesSql,
+      docacc AS (
+        SELECT doc_id, mime,
+          [list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(l, x -> CAST(x[j] AS DOUBLE))), (a, b) -> a + b) / len(l) FOR j IN [1, 2, 3, 4]] AS avg4
+        FROM (SELECT doc_id, mime, list(fs ORDER BY frame_id) AS l FROM ff GROUP BY doc_id, mime)),
+      ph AS (
+        SELECT d.doc_id, 'application/x-graft-' || d.source AS mime,
+          COALESCE(a.ph, '0:0:0:0') AS phash
+        FROM documents d LEFT JOIN (
+          SELECT doc_id, mime,
+            list_aggregate(list_transform(avg4, v -> CAST(CAST(floor(v * 1000.0) AS BIGINT) AS VARCHAR)), 'string_agg', ':') AS ph
+          FROM docacc) a ON a.doc_id = d.doc_id)
+      SELECT doc_id, mime, phash,
+        MIN(doc_id) OVER (PARTITION BY mime, phash) AS canonical_id,
+        doc_id = MIN(doc_id) OVER (PARTITION BY mime, phash) AS keep,
+        COUNT(*) OVER (PARTITION BY mime, phash) AS group_size
+      FROM ph ORDER BY doc_id"""))
 
   val defs: Seq[QueryDef] = Seq(meta, dedupMedia, nearDupMedia)
 }
