@@ -213,8 +213,19 @@ object Sampling {
     * hierarchy: per-shard BFD wastes at most one partial bin per
     * shard vs global BFD — bounded, measured in the spec.
     *
-    * Rows-only at the driver (a sequential fold is not
-    * SQL-expressible); PackBfdSpec is the correctness gate.
+    * Oracle-hash-checked since r8 (formerly "a sequential fold is not
+    * SQL-expressible"): BFD is a LEFT FOLD over the sorted (id, n)
+    * list, and DuckDB's `list_reduce` is exactly that — the oracle
+    * folds each (lang, shard) group with the packing state encoded as
+    * ONE FLAT BIGINT[] (`[nbins, free_1..free_nbins, (id, bin, n)*]`,
+    * elements as `[id, n]`). The flat encoding is load-bearing, not
+    * style: DuckDB v1.0.0 silently drops LIST-typed FIELDS of a
+    * STRUCT accumulator across list_reduce steps (scalar fields fold
+    * fine, top-level lists fold fine — probed while building this),
+    * so a struct-of-lists state loses its bins. PackBfdSpec remains
+    * the algorithmic gate (capacity, conservation, fill bound,
+    * determinism); the oracle adds the cross-engine bit-match of the
+    * exact best-fit/tie-break/bin-id sequence.
     */
   val packBfd = QueryDef(
     "pack_bfd",
@@ -250,7 +261,44 @@ object Sampling {
         }
         .toDF("doc_id", "lang", "shard", "bin_id", "n_tokens")
     },
-    None)
+    Some {
+      // state = [nbins] || free(1..nbins) || (id, bin, n) triples;
+      // element = [id, n]. free[i] lives at acc[i + 1].
+      val elig = "list_filter(acc[2 : acc[1] + 1], f -> f >= x[2])"
+      val best = s"list_min($elig)"
+      val idx = s"list_position(acc[2 : acc[1] + 1], $best)" // 1-based in free
+      val h60 = TextAnalysis.hash60Sql
+      s"""WITH docs AS (
+        SELECT doc_id, lang,
+          LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), $BfdCap) AS n,
+          ${h60("'bfd:' || text")} % $BfdShards AS shard
+        FROM documents),
+      grouped AS (
+        SELECT lang, shard, list([doc_id, n] ORDER BY n DESC, doc_id) AS ds
+        FROM docs GROUP BY lang, shard),
+      folded AS (
+        SELECT lang, shard,
+          list_reduce(
+            list_prepend(CAST([0] AS BIGINT[]), ds),
+            (acc, x) -> CASE
+              WHEN len($elig) = 0 THEN
+                list_concat(list_concat(list_concat(
+                  [acc[1] + 1], acc[2 : acc[1] + 1]), [$BfdCap - x[2]]),
+                  list_concat(acc[acc[1] + 2 :], [x[1], acc[1], x[2]]))
+              ELSE
+                list_concat(list_concat(list_concat(list_concat(
+                  [acc[1]], acc[2 : $idx]), [$best - x[2]]),
+                  acc[$idx + 2 : acc[1] + 1]),
+                  list_concat(acc[acc[1] + 2 :], [x[1], $idx - 1, x[2]]))
+            END) AS st
+        FROM grouped)
+      SELECT st[CAST(st[1] + 2 + 3 * t.k AS INT)] AS doc_id, lang, shard,
+        st[CAST(st[1] + 3 + 3 * t.k AS INT)] AS bin_id,
+        st[CAST(st[1] + 4 + 3 * t.k AS INT)] AS n_tokens
+      FROM folded,
+        LATERAL (SELECT unnest(range(0, (len(st) - st[1] - 1) // 3)) AS k) t
+      ORDER BY doc_id"""
+    })
 
   /** Mixture-drift KL audit — the QA number a mixing stage reports
     * after reweighting: KL(observed language distribution ‖ uniform)
