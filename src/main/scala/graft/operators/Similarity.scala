@@ -722,7 +722,11 @@ object Similarity {
   def ivfTopK(s: SparkSession, d: String, nList: Int, nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = quantized(s, d)
-    val cents = lloydCentroids(emb, nList)
+    // cents feeds BOTH the corpus assignment and the probe choice;
+    // an eager localCheckpoint materializes the K-row centroid frame
+    // once so the two-pass Lloyd training subtree does not execute
+    // twice (the repo's standard eager pattern for loop/train state)
+    val cents = lloydCentroids(emb, nList).localCheckpoint(true)
     val assigned = emb.crossJoin(broadcast(cents))
       .withColumn("dist",
         col("na") + col("nc") - lit(2L) * dot(col("qa"), col("cvec")))
