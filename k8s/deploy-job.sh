@@ -27,8 +27,12 @@ lint() {
     :
   else
     python3 - <<'EOF'
-import sys, yaml
+import glob, sys, yaml
 ok = True
+# a crash-looping driver is the one failure the dry-run can't see:
+# every graft mainClass must be a real object in the repo's source
+srcs = {f: open(f).read() for f in glob.glob("../src/main/scala/**/*.scala",
+                                            recursive=True)}
 for path in ["topics/graft-topics.yaml", "graft-job.yaml"]:
     for i, doc in enumerate(yaml.safe_load_all(open(path))):
         if doc is None:
@@ -43,6 +47,13 @@ for path in ["topics/graft-topics.yaml", "graft-job.yaml"]:
                         "driver", "executor", "restartPolicy"):
                 if key not in spec:
                     print(f"FAIL {path}[{i}] {name}: missing spec.{key}"); ok = False
+            mc = spec.get("mainClass", "")
+            if mc.startswith("graft."):
+                cls = mc.rsplit(".", 1)[-1]
+                if not any(f"object {cls}" in body for body in srcs.values()):
+                    print(f"FAIL {path}[{i}] {name}: mainClass {mc} not found "
+                          f"in src/main/scala — driver would crash-loop on "
+                          f"ClassNotFoundException"); ok = False
             ckpt = spec.get("sparkConf", {}).get(
                 "spark.sql.streaming.checkpointLocation", "")
             if not (ckpt.startswith("s3a://") or ckpt.startswith("hdfs://")):

@@ -52,6 +52,10 @@ object Ln9 {
     cache.computeIfAbsent(maxC, _ => Array.tabulate(maxC + 1)(i =>
       if (i < 1) 0L else math.floor(math.log(i.toDouble) * 1e9).toLong))
 
+  // ln9big's table resolved once: the hot path must not pay a boxed
+  // ConcurrentHashMap get per row (4095 is outside the Integer cache).
+  private val bigTable: Array[Long] = table(BigMaxC)
+
   /** Unbounded floor-scaled ln: L[m] + s·Ln2_9 with m = n >> s,
     * s = max(bitlen(n) - 12, 0). Exact for n < 4096; truncation error
     * < ln(1 + 1/2048) ≈ 4.9e-4 nats above. Called from interpreted
@@ -65,17 +69,24 @@ object Ln9 {
     // n | 1 keeps bitlen(0) = 1, matching length(bin(0)) = 1
     val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(n | 1L)
     val shift = if (bitlen > 12) bitlen - 12 else 0
-    table(BigMaxC)((n >> shift).toInt) + shift.toLong * Ln2_9
+    bigTable((n >> shift).toInt) + shift.toLong * Ln2_9
   }
 
   /** Saturating table ln: L[min(c, maxC)]. Negative input raises
     * (the former `element_at(lt, least(c, cap) + 1)` raised on the
     * zero index).
     */
-  def ln9sat(c: Long, maxC: Int): Long = {
+  def ln9sat(c: Long, maxC: Int): Long =
+    ln9sat(c, maxC, table(maxC))
+
+  /** Table-passing overload for generated code: the caller hoists the
+    * array (a codegen reference object) so the per-row cost is a plain
+    * array index, not a boxed cache get.
+    */
+  def ln9sat(c: Long, maxC: Int, t: Array[Long]): Long = {
     if (c < 0) throw new IllegalArgumentException(
       s"graft_ln9_sat: negative input $c")
-    table(maxC)(math.min(c, maxC.toLong).toInt)
+    t(math.min(c, maxC.toLong).toInt)
   }
 
   /** Column API: unbounded ln9big of an integral column. */
@@ -124,11 +135,17 @@ case class Ln9Sat(child: Expression, maxC: Int)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_ln9_sat"
 
-  override def nullSafeEval(a: Any): Any =
-    Ln9.ln9sat(a.asInstanceOf[Long], maxC)
+  @transient private lazy val tbl: Array[Long] = Ln9.table(maxC)
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Ln9.ln9sat($c, $maxC)")
+  override def nullSafeEval(a: Any): Any =
+    Ln9.ln9sat(a.asInstanceOf[Long], maxC, tbl)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // Hoisted once per generated class: the row loop sees a long[]
+    // field, never the JVM cache.
+    val t = ctx.addReferenceObj("ln9SatTable", tbl, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Ln9.ln9sat($c, $maxC, $t)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -148,21 +165,25 @@ case class Ln9Bounded(child: Expression, maxC: Int)
   override def prettyName: String = "graft_ln9_bounded"
   override def nullable: Boolean = true
 
+  @transient private lazy val tbl: Array[Long] = Ln9.table(maxC)
+
   override def nullSafeEval(a: Any): Any = {
     val c = a.asInstanceOf[Long]
-    if (c < 0 || c > maxC) null else Ln9.table(maxC)(c.toInt)
+    if (c < 0 || c > maxC) null else tbl(c.toInt)
   }
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = ctx.addReferenceObj("ln9BoundedTable", tbl, "long[]")
     nullSafeCodeGen(ctx, ev, c => {
       s"""
          |if ($c < 0L || $c > ${maxC}L) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graft.functions.Ln9.table($maxC)[(int) $c];
+         |  ${ev.value} = $t[(int) $c];
          |}
        """.stripMargin
     })
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

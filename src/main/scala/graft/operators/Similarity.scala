@@ -1444,7 +1444,6 @@ object Similarity {
     })
 
   private val KmK = 8
-  private val KmDims = Dim
 
   /** Distributed k-means, made hash-checkable — the IVF/SemDeDup cell
     * trainer as a first-class verified operator instead of an opaque

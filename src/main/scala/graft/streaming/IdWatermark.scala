@@ -1,5 +1,7 @@
 package graft.streaming
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.{max, min}
 
@@ -20,17 +22,27 @@ import org.apache.spark.sql.functions.{max, min}
   * Durability (r7 ADVICE, both items):
   *  - When the watermark file is ABSENT (first stream batch over a
   *    pre-existing bootstrap index), maxSeen seeds from `max(id)` of
-  *    the index parquet itself — one scan, once — so the very first
-  *    batch is checked against the bootstrap ids too, not waved
-  *    through against Long.MinValue.
-  *  - The file is written to a temp sibling and atomically MOVEd into
-  *    place, and a malformed file (torn write from a crash mid-write)
-  *    logs + falls back to the reinitialization path instead of
-  *    throwing NumberFormatException forever and wedging the stream.
+  *    the index parquet itself — one scan, once, persisted IMMEDIATELY
+  *    (even when that first batch is empty or a replay) — so the very
+  *    first batch is checked against the bootstrap ids too, not waved
+  *    through against Long.MinValue, and quiet streams never re-pay
+  *    the index scan.
+  *  - The file is written to a temp sibling and atomically renamed
+  *    into place (FileContext OVERWRITE — the same primitive Spark's
+  *    own checkpoint manager uses — with a delete+rename fallback on
+  *    filesystems without a FileContext binding), and a malformed file
+  *    (torn write from a crash mid-write) logs + falls back to the
+  *    reinitialization path instead of throwing NumberFormatException
+  *    forever and wedging the stream.
+  *  - All file I/O goes through the Hadoop FileSystem resolved from
+  *    the index path, NOT java.nio — `s3a://bucket/idx.maxid` reads
+  *    and writes where the index lives, not on one driver's local
+  *    disk (where a multi-driver restart would silently reset the
+  *    guard).
   *
   * Cost: one min/max aggregate over the (already-persisted) micro
   * batch and a tiny file read/write — no index scan after the first
-  * batch.
+  * batch, empty or not.
   */
 private[graft] object IdWatermark {
 
@@ -38,13 +50,18 @@ private[graft] object IdWatermark {
     * file is absent OR unreadable (malformed content falls back to
     * reinitialization, loudly).
     */
-  private def readWatermark(wmPath: java.nio.file.Path, tag: String)
+  private def readWatermark(fs: FileSystem, wmPath: Path, tag: String)
       : Option[(Long, Long)] = {
-    if (!java.nio.file.Files.exists(wmPath)) None
+    if (!fs.exists(wmPath)) None
     else {
       try {
-        val parts = new String(
-          java.nio.file.Files.readAllBytes(wmPath), "UTF-8").trim.split(",")
+        val in = fs.open(wmPath)
+        val raw = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+          buf.toString("UTF-8")
+        } finally in.close()
+        val parts = raw.trim.split(",")
         Some((parts(0).toLong, parts(1).toLong))
       } catch {
         case _: NumberFormatException | _: ArrayIndexOutOfBoundsException =>
@@ -65,7 +82,7 @@ private[graft] object IdWatermark {
       indexDir: String): Long = {
     val spark = batch.sparkSession
     val hconf = org.apache.spark.sql.graft.Bridge.newHadoopConf(spark)
-    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val p = new Path(indexDir)
     val exists = try p.getFileSystem(hconf).exists(p) catch {
       case _: Exception => false
     }
@@ -80,20 +97,37 @@ private[graft] object IdWatermark {
     }
   }
 
-  private def writeWatermark(wmPath: java.nio.file.Path, batchId: Long,
-      maxId: Long): Unit = {
-    val tmp = wmPath.resolveSibling(wmPath.getFileName.toString + ".tmp")
-    java.nio.file.Files.write(tmp, s"$batchId,$maxId".getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, wmPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  private def writeWatermark(fs: FileSystem, hconf: Configuration,
+      wmPath: Path, batchId: Long, maxId: Long): Unit = {
+    val tmp = new Path(wmPath.getParent, wmPath.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$batchId,$maxId".getBytes("UTF-8")) finally out.close()
+    try {
+      FileContext.getFileContext(fs.getUri, hconf)
+        .rename(tmp, wmPath, Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        // no AbstractFileSystem binding (some object stores): the
+        // delete+rename window leaves the file ABSENT, never torn —
+        // the absent-file path re-bootstraps correctly.
+        if (fs.exists(wmPath)) fs.delete(wmPath, false)
+        fs.rename(tmp, wmPath)
+    }
   }
 
   def checkAndAdvance(batch: DataFrame, idCol: String, indexDir: String,
       batchId: Long, tag: String): Boolean = {
-    val wmPath = java.nio.file.Paths.get(s"$indexDir.maxid")
-    val (lastBatch, maxSeen) = readWatermark(wmPath, tag).getOrElse(
+    val hconf =
+      org.apache.spark.sql.graft.Bridge.newHadoopConf(batch.sparkSession)
+    val wmPath = new Path(s"$indexDir.maxid")
+    val fs = wmPath.getFileSystem(hconf)
+    val read = readWatermark(fs, wmPath, tag)
+    val (lastBatch, maxSeen) = read.getOrElse(
       (-1L, bootstrapMaxSeen(batch, idCol, indexDir)))
+    // Persist the bootstrap BEFORE the batch check: an empty or
+    // replayed first batch must not leave the file absent and force
+    // the next batch to re-scan the whole index.
+    if (read.isEmpty) writeWatermark(fs, hconf, wmPath, lastBatch, maxSeen)
     val r = batch.agg(min(idCol), max(idCol)).collect()(0)
     if (r.isNullAt(0) || batchId <= lastBatch) true
     else {
@@ -103,7 +137,7 @@ private[graft] object IdWatermark {
         s"[$tag] batch $batchId violates the monotone-id assumption: " +
           s"min $idCol=$bMin <= already-admitted max $maxSeen — " +
           "first-copy-wins may admit a second survivor of a near-dup cluster")
-      writeWatermark(wmPath, batchId, math.max(maxSeen, bMax))
+      writeWatermark(fs, hconf, wmPath, batchId, math.max(maxSeen, bMax))
       ok
     }
   }
