@@ -71,8 +71,15 @@ object Hyperplanes {
     * sign(dot(qa, plane(b*bits + k))), packed little-endian. Called
     * from both interpreted eval and generated code.
     */
-  def bandVals(qa: ArrayData, bands: Int, bits: Int): ArrayData = {
-    val ps = planes(bands * bits)
+  def bandVals(qa: ArrayData, bands: Int, bits: Int): ArrayData =
+    bandVals(qa, bands, bits, planes(bands * bits))
+
+  /** Matrix-passing overload for generated code: the caller hoists
+    * the plane matrix (a codegen reference object), so the row loop
+    * never touches the JVM cache (the [[Ln9]] hot-path rule).
+    */
+  def bandVals(qa: ArrayData, bands: Int, bits: Int,
+      ps: Array[Array[Long]]): ArrayData = {
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
@@ -167,22 +174,27 @@ case class HyperplaneBandVals(child: Expression, bands: Int, bits: Int)
 
   // NULL (not a wrong banding) for a vector of unexpected width — a
   // truncated embedding must not land in plausible buckets.
+  @transient private lazy val tbl: Array[Array[Long]] =
+    Hyperplanes.planes(bands * bits)
+
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     if (x.numElements() != Hyperplanes.Dim) null
-    else Hyperplanes.bandVals(x, bands, bits)
+    else Hyperplanes.bandVals(x, bands, bits, tbl)
   }
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = ctx.addReferenceObj("hyperplaneMatrix", tbl, "long[][]")
     nullSafeCodeGen(ctx, ev, a => {
       s"""
          |if ($a.numElements() != graft.functions.Hyperplanes.Dim()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graft.functions.Hyperplanes.bandVals($a, $bands, $bits);
+         |  ${ev.value} = graft.functions.Hyperplanes.bandVals($a, $bands, $bits, $t);
          |}
        """.stripMargin
     })
+  }
 
   override def nullable: Boolean = true
 
