@@ -31,6 +31,22 @@ final case class QueryDef(
   * engines), cast to DECIMAL(38,6) (deterministic rounding), SUM
   * exactly in decimal, then cast the final result back to DOUBLE.
   * The DuckDB oracle mirrors the same cast chain.
+  *
+  * Cast SUMMANDS ONLY — never decimal-cast a lone value. A single
+  * double is already bit-deterministic (there is no order to fix),
+  * and the cast itself is the rule's one soft spot: when a value's
+  * exact rational form lies ON a 6th-decimal half boundary (ratios
+  * with 2^a·5^b denominators make that structural — e.g. a quality
+  * score of exactly 0.5784375), the nearest double falls a hair to
+  * one side and the engines round it differently (Spark: HALF_UP on
+  * the shortest decimal repr, so 0.57843749999999993… rounds DOWN;
+  * DuckDB 1.0: rounds the same double UP) — found by the sf0.001
+  * probe in knn_score_diffusion and fixed by dropping the lone cast.
+  * Inside sums the hazard is confined to summands whose exact values
+  * sit on the boundary; the registered summands are either exact
+  * ≤6-decimal money values (cast is then lossless, boundary distance
+  * ≥ 0.5e-6) or irrational-valued measures (cosines), where a
+  * boundary hit has measure zero.
   */
 object Det {
   val Dec: DecimalType = DecimalType(38, 6)

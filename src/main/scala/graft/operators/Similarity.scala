@@ -1414,10 +1414,21 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(sum(dec(col("cosine") * col("nbr_score"))).as("wsum"),
         sum(dec(col("cosine"))).as("wtot"))
+    // NOTE: quality_score is deliberately NOT decimal-cast. The Det
+    // rule exists to make SUMS order-independent; a lone addend is
+    // already bit-deterministic as a double, and casting it invited
+    // the one cross-engine divergence the rule cannot paper over:
+    // when the score's exact rational value lies ON a 6th-decimal
+    // half boundary (denominators 2^a·5^b make that structural, e.g.
+    // exactly 0.5784375), its nearest DOUBLE falls a hair below and
+    // Spark's shortest-repr HALF_UP rounds down while DuckDB's cast
+    // rounds up — a 1e-6 wsum split that surfaced at sf0.001. The
+    // decimal sums convert to double first (identical cross-engine),
+    // then two IEEE adds and one divide, all fixed-shape.
     seeds.join(contrib, seeds("doc_id") === contrib("vec_id"), "left")
       .select(col("doc_id"), col("quality_score"),
         when(col("vec_id").isNull, col("quality_score"))
-          .otherwise((dec(col("quality_score")) + col("wsum")).cast(DoubleType) /
+          .otherwise((col("quality_score") + col("wsum").cast(DoubleType)) /
             (lit(1.0) + col("wtot").cast(DoubleType)))
           .as("diffused_score"))
   }
@@ -1437,7 +1448,7 @@ object Similarity {
         FROM knn JOIN seeds s ON s.doc_id = knn.nbr_id GROUP BY 1)
     SELECT seeds.doc_id, seeds.quality_score,
       CASE WHEN c.vec_id IS NULL THEN seeds.quality_score
-        ELSE CAST(CAST(seeds.quality_score AS DECIMAL(38,6)) + c.wsum AS DOUBLE)
+        ELSE (seeds.quality_score + CAST(c.wsum AS DOUBLE))
           / (1.0 + CAST(c.wtot AS DOUBLE)) END AS diffused_score
     FROM seeds LEFT JOIN contrib c ON c.vec_id = seeds.doc_id
     ORDER BY seeds.doc_id"""
