@@ -42,11 +42,19 @@ final case class QueryDef(
   * the shortest decimal repr, so 0.57843749999999993… rounds DOWN;
   * DuckDB 1.0: rounds the same double UP) — found by the sf0.001
   * probe in knn_score_diffusion and fixed by dropping the lone cast.
-  * Inside sums the hazard is confined to summands whose exact values
-  * sit on the boundary; the registered summands are either exact
-  * ≤6-decimal money values (cast is then lossless, boundary distance
-  * ≥ 0.5e-6) or irrational-valued measures (cosines), where a
-  * boundary hit has measure zero.
+  * Inside sums the hazard needs BOTH (a) an exact rational value on
+  * the boundary and (b) a computed double that has drifted a full
+  * ulp off nearest-to-exact (multi-op chains like the quality score's
+  * three-term blend). The registered summands avoid it three ways:
+  * exact ≤6-decimal money values and their products (lossless cast —
+  * and the regression's squared terms can't tie: x² ≡ 5000 mod 10⁴
+  * has no solution since 8 is a non-residue mod 16); irrational
+  * measures (cosines), where a tie has measure zero; and
+  * q_time_decay's value·2⁻ᵏ, which DOES tie exactly (odd cents, k =
+  * v₂(cents)+5 ⇒ e.g. 655/3200 = 0.2046875) but stays safe because
+  * multiplying by a power of two is exact — the double remains
+  * nearest-to-exact, its shortest repr is the tie itself, and both
+  * engines round it up together.
   */
 object Det {
   val Dec: DecimalType = DecimalType(38, 6)
