@@ -28,6 +28,23 @@ class JobsSpec extends AnyFunSuite {
     }
   }
 
+  test("checkpoint: stable per-query child under the configured base; loud when unset") {
+    val key = "spark.sql.streaming.checkpointLocation"
+    val had = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "s3a://graft-state/ckpt/event-processor/")
+      assert(graft.jobs.Jobs.checkpoint(spark, "valid") ==
+        "s3a://graft-state/ckpt/event-processor/valid")
+      spark.conf.unset(key)
+      intercept[IllegalArgumentException] {
+        graft.jobs.Jobs.checkpoint(spark, "valid")
+      }
+    } finally {
+      spark.conf.unset(key)
+      had.foreach(spark.conf.set(key, _))
+    }
+  }
+
   test("EventProcessorMain.pipeline: raw JSON -> routed single-column JSON streams") {
     val raw = Seq(
       """{"id":"e1","type":"click","timestamp":5,"data":{"userId":"u1"}}""",
