@@ -49,8 +49,16 @@ for path in ["topics/graft-topics.yaml", "graft-job.yaml"]:
                     print(f"FAIL {path}[{i}] {name}: missing spec.{key}"); ok = False
             mc = spec.get("mainClass", "")
             if mc.startswith("graft."):
-                cls = mc.rsplit(".", 1)[-1]
-                if not any(f"object {cls}" in body for body in srcs.values()):
+                pkg, cls = mc.rsplit(".", 1)
+                # the object must exist in a file declaring the SAME
+                # package — right name in the wrong package still
+                # crash-loops on ClassNotFoundException
+                import re
+                found = any(
+                    re.search(rf"^package {re.escape(pkg)}\s*$", body, re.M)
+                    and re.search(rf"\bobject {re.escape(cls)}\b", body)
+                    for body in srcs.values())
+                if not found:
                     print(f"FAIL {path}[{i}] {name}: mainClass {mc} not found "
                           f"in src/main/scala — driver would crash-loop on "
                           f"ClassNotFoundException"); ok = False

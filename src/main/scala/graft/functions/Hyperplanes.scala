@@ -184,7 +184,12 @@ case class HyperplaneBandVals(child: Expression, bands: Int, bits: Int)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val t = ctx.addReferenceObj("hyperplaneMatrix", tbl, "long[][]")
+    // Mutable state initialized in the generated class's init: the
+    // matrix is rebuilt executor-locally from the JVM cache (plans
+    // and task binaries never carry it — at wide-tier plane counts
+    // that is MBs), and the row loop indexes a plain field.
+    val t = ctx.addMutableState("long[][]", "hyperplaneMatrix",
+      v => s"$v = graft.functions.Hyperplanes.planes(${bands * bits});")
     nullSafeCodeGen(ctx, ev, a => {
       s"""
          |if ($a.numElements() != graft.functions.Hyperplanes.Dim()) {

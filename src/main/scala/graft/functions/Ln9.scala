@@ -141,9 +141,12 @@ case class Ln9Sat(child: Expression, maxC: Int)
     Ln9.ln9sat(a.asInstanceOf[Long], maxC, tbl)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    // Hoisted once per generated class: the row loop sees a long[]
-    // field, never the JVM cache.
-    val t = ctx.addReferenceObj("ln9SatTable", tbl, "long[]")
+    // Mutable state initialized in the generated class's init — the
+    // table is rebuilt EXECUTOR-LOCALLY from the JVM cache (nothing
+    // ships with the plan), and the row loop sees a long[] field, not
+    // a boxed cache get.
+    val t = ctx.addMutableState("long[]", "ln9SatTable",
+      v => s"$v = graft.functions.Ln9.table($maxC);")
     defineCodeGen(ctx, ev, c => s"graft.functions.Ln9.ln9sat($c, $maxC, $t)")
   }
 
@@ -173,7 +176,8 @@ case class Ln9Bounded(child: Expression, maxC: Int)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val t = ctx.addReferenceObj("ln9BoundedTable", tbl, "long[]")
+    val t = ctx.addMutableState("long[]", "ln9BoundedTable",
+      v => s"$v = graft.functions.Ln9.table($maxC);")
     nullSafeCodeGen(ctx, ev, c => {
       s"""
          |if ($c < 0L || $c > ${maxC}L) {

@@ -27,6 +27,11 @@ private[graft] object Jobs {
     args.grouped(2).map {
       case Array(k, v) =>
         require(k.startsWith("--"), s"expected --key, got '$k'")
+        // a value that looks like a flag is a dropped value upstream
+        // ("--input-topic --output-topic out" must not subscribe to a
+        // topic literally named "--output-topic")
+        require(!v.startsWith("--"),
+          s"argument $k is missing its value (got flag '$v')")
         k.stripPrefix("--") -> v
     }.toMap
   }
@@ -55,6 +60,18 @@ private[graft] object Jobs {
 /** Event processor (reference EventProcessorJob.kt:58-78): Kafka
   * `input-events` -> parseRoute -> enrich -> JSON to the valid/error
   * topics. Manifest: k8s/graft-job.yaml `graft-event-processor`.
+  *
+  * Two queries, one topic, read twice — deliberately. Spark has no
+  * Flink-style side outputs: one streaming query feeds one sink, and
+  * the error branch cannot ride the valid query's foreachBatch
+  * because [[EventStream.enrich]]'s GroupState only persists across
+  * micro-batches inside a genuine streaming query (re-running the
+  * stateful step on foreachBatch's batch DataFrames would reset
+  * per-key sequences every trigger). So the valid route carries the
+  * stateful pipeline once, the error route re-parses cheaply
+  * (parse + filter, stateless), and [[EventStream.kafkaSource]]'s
+  * groupIdPrefix keeps the two queries' consumer groups disjoint so
+  * they never split the subscription between them.
   */
 object EventProcessorMain {
 

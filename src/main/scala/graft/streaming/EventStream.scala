@@ -388,6 +388,15 @@ object EventStream {
   /** Kafka source reader mirroring EventProcessorJob.getConnectors
     * (EventProcessorJob.kt:47-77). Not `load()`ed here: the connector
     * jar ships on the cluster, not in this container.
+    *
+    * The reference's consumer group maps to `groupIdPrefix`, NOT
+    * `kafka.group.id`: Spark manages offsets itself and mints a
+    * unique group per query under the prefix, whereas pinning
+    * kafka.group.id makes two concurrent queries over the same topic
+    * (e.g. EventProcessorMain's valid + error routes) interfere and
+    * each see only part of the partitions — Kafka group management
+    * would split the subscription between them. The prefix keeps the
+    * reference's name visible to broker ACLs/monitoring.
     */
   def kafkaSource(
       spark: SparkSession,
@@ -397,7 +406,7 @@ object EventStream {
     spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topic)
-      .option("kafka.group.id", group)
+      .option("groupIdPrefix", group)
       .option("startingOffsets", "earliest")
 
   /** Kafka sink for a stream with a string `value` column. */

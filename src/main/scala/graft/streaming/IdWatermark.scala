@@ -26,7 +26,10 @@ import org.apache.spark.sql.functions.{max, min}
   *    (even when that first batch is empty or a replay) — so the very
   *    first batch is checked against the bootstrap ids too, not waved
   *    through against Long.MinValue, and quiet streams never re-pay
-  *    the index scan.
+  *    the index scan. An ABSENT index is deliberately NOT persisted:
+  *    caching MinValue would disable the check forever if the
+  *    bootstrap indexer finishes after the stream's first trigger
+  *    (until then, re-checking costs one exists() probe, not a scan).
   *  - The file is written to a temp sibling and atomically renamed
   *    into place (FileContext OVERWRITE — the same primitive Spark's
   *    own checkpoint manager uses — with a delete+rename fallback on
@@ -68,6 +71,11 @@ private[graft] object IdWatermark {
           System.err.println(
             s"[$tag] malformed watermark file $wmPath — reinitializing " +
               "from the index (a crash mid-write left a torn line)")
+          None
+        case _: java.io.FileNotFoundException =>
+          // the delete+rename fallback's absence window, hit from a
+          // concurrent reader: absent == reinitialize, same as exists()
+          // returning false a moment earlier
           None
       }
     }
@@ -111,7 +119,14 @@ private[graft] object IdWatermark {
         // delete+rename window leaves the file ABSENT, never torn —
         // the absent-file path re-bootstraps correctly.
         if (fs.exists(wmPath)) fs.delete(wmPath, false)
-        fs.rename(tmp, wmPath)
+        if (!fs.rename(tmp, wmPath))
+          // lost a race (e.g. a concurrent driver recreated the file):
+          // drop OUR update loudly rather than silently leaking tmp —
+          // the surviving file is the racer's complete line, and the
+          // next batch's read-compare-write re-advances past it.
+          System.err.println(
+            s"[watermark] rename $tmp -> $wmPath returned false; " +
+              "keeping the concurrent writer's watermark")
     }
   }
 
@@ -126,8 +141,13 @@ private[graft] object IdWatermark {
       (-1L, bootstrapMaxSeen(batch, idCol, indexDir)))
     // Persist the bootstrap BEFORE the batch check: an empty or
     // replayed first batch must not leave the file absent and force
-    // the next batch to re-scan the whole index.
-    if (read.isEmpty) writeWatermark(fs, hconf, wmPath, lastBatch, maxSeen)
+    // the next batch to re-scan the whole index. BUT only when the
+    // scan actually found an index — caching "index absent" as
+    // MinValue would permanently disable the bootstrap check if the
+    // indexer finishes writing <indexDir> after the stream's first
+    // (empty) trigger.
+    if (read.isEmpty && maxSeen != Long.MinValue)
+      writeWatermark(fs, hconf, wmPath, lastBatch, maxSeen)
     val r = batch.agg(min(idCol), max(idCol)).collect()(0)
     if (r.isNullAt(0) || batchId <= lastBatch) true
     else {

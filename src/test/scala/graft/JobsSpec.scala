@@ -23,6 +23,10 @@ class JobsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.jobs.Jobs.parseArgs(Array("input-topic", "x"))
     }
+    // a dropped value must raise, not subscribe to "--output-topic"
+    intercept[IllegalArgumentException] {
+      graft.jobs.Jobs.parseArgs(Array("--input-topic", "--output-topic"))
+    }
     intercept[IllegalArgumentException] {
       graft.jobs.Jobs.arg(m, "output-topic")
     }
