@@ -20,13 +20,16 @@ cd "$(dirname "$0")"
 lint() {
   echo "-- config smoke (no cluster): linting manifests --"
   # --validate=false: schema validation needs an apiserver; the
-  # client-side dry-run still parses and shapes every document
-  if command -v kubectl >/dev/null 2>&1 &&
-      kubectl apply --dry-run=client --validate=false \
-        -f topics/graft-topics.yaml -f graft-job.yaml 2>/dev/null; then
-    :
-  else
-    python3 - <<'EOF'
+  # client-side dry-run still parses and shapes every document.
+  # The dry-run is an ADDITIONAL check, never a substitute: the
+  # python rules below (mainClass exists in source, durable
+  # checkpoint) are things no kubectl dry-run can see, so they run
+  # unconditionally.
+  if command -v kubectl >/dev/null 2>&1; then
+    kubectl apply --dry-run=client --validate=false \
+      -f topics/graft-topics.yaml -f graft-job.yaml 2>/dev/null || true
+  fi
+  python3 - <<'EOF'
 import glob, sys, yaml
 ok = True
 # a crash-looping driver is the one failure the dry-run can't see:
@@ -70,7 +73,6 @@ for path in ["topics/graft-topics.yaml", "graft-job.yaml"]:
         print(f"ok {path}[{i}]: {doc.get('kind')}/{name}")
 sys.exit(0 if ok else 1)
 EOF
-  fi
   echo "-- smoke OK --"
 }
 
@@ -78,6 +80,10 @@ if ! command -v kubectl >/dev/null 2>&1 || ! kubectl cluster-info >/dev/null 2>&
   lint
   exit 0
 fi
+
+# lint BEFORE touching the cluster — a bad manifest should fail here,
+# not after a partial apply
+lint
 
 echo "Ensuring topics exist..."
 kubectl apply -f topics/graft-topics.yaml
@@ -87,7 +93,21 @@ kubectl apply -f graft-job.yaml
 
 echo "Waiting for drivers..."
 for job in graft-event-processor graft-aggregation graft-event-producer; do
-  kubectl wait --for=jsonpath='{.status.applicationState.state}'=RUNNING \
-    --timeout=180s "sparkapplication/$job" -n graft
+  # poll-wrap the jsonpath wait: until the operator first reconciles,
+  # .status.applicationState doesn't exist, and kubectl < 1.31 errors
+  # out on a missing jsonpath instead of polling
+  ok=""
+  for _ in $(seq 1 36); do
+    if kubectl wait --for=jsonpath='{.status.applicationState.state}'=RUNNING \
+        --timeout=5s "sparkapplication/$job" -n graft 2>/dev/null; then
+      ok=1; break
+    fi
+    sleep 5
+  done
+  if [ -z "$ok" ]; then
+    echo "FAIL: $job did not reach RUNNING within 360s" >&2
+    kubectl get "sparkapplication/$job" -n graft -o yaml | tail -20 >&2
+    exit 1
+  fi
 done
 echo "All graft jobs running."

@@ -131,9 +131,17 @@ object Bpe {
               THEN list_append(acc[:-2], t.a || t.b)
               ELSE list_append(acc, x[1]) END) AS symbols, freq
       FROM w${k - 1} LEFT JOIN t$k t ON TRUE)"""
+    // Non-ASCII guard (the sibling rolling-hash/multimodal oracle
+    // pattern): a tie in a round's pair counts is broken by (a, b)
+    // string order, and Spark (UTF-16 code units) and DuckDB (UTF-8
+    // bytes) collate supplementary-plane characters differently — a
+    // non-ASCII corpus must make the oracle RAISE, not silently pick
+    // a different merge and mis-verify every later round.
     val w0 =
       """w0 AS (
-      SELECT word, list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)) AS symbols,
+      SELECT word, CASE WHEN strlen(word) <> length(word)
+          THEN error('bpe oracle: non-ASCII corpus — pair tie-break collation (UTF-16 code units vs UTF-8 bytes) could diverge between engines')
+          ELSE list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)) END AS symbols,
         CAST(COUNT(*) AS BIGINT) AS freq
       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
       WHERE length(word) > 0 GROUP BY word)"""

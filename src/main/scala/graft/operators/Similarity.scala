@@ -738,16 +738,19 @@ object Similarity {
     // the broadcast K-row centroid frame; the row_number window runs
     // over queries × K rows, broadcast-scale at any query volume
     val wProbe = Window.partitionBy("qid").orderBy(col("pdist"), col("cell"))
-    val probes = emb.filter(col("vec_id") < NQueries)
+    val qvecs = emb.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("qa").as("qq"), col("na").as("qna"))
+    // one shared query projection; qq/qna are projected away BEFORE
+    // the probe-choice window so its exchange carries (qid, cell,
+    // pdist), not the 64-long vectors
+    val probes = qvecs
       .crossJoin(broadcast(cents))
       .withColumn("pdist",
         col("qna") + col("nc") - lit(2L) * dot(col("qq"), col("cvec")))
+      .select(col("qid"), col("cell"), col("pdist"))
       .withColumn("rk", row_number().over(wProbe))
       .filter(col("rk") <= nProbe)
       .select(col("qid"), col("cell"))
-    val qvecs = emb.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("qid"), col("qa").as("qq"), col("na").as("qna"))
     val cand = assigned.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("qid"))
       .join(broadcast(qvecs), "qid")

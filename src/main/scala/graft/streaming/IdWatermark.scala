@@ -91,9 +91,12 @@ private[graft] object IdWatermark {
     val spark = batch.sparkSession
     val hconf = org.apache.spark.sql.graft.Bridge.newHadoopConf(spark)
     val p = new Path(indexDir)
-    val exists = try p.getFileSystem(hconf).exists(p) catch {
-      case _: Exception => false
-    }
+    // A transient FS error here must FAIL the batch (the stream
+    // retries), not silently default to MinValue: once a later
+    // non-empty batch persists the watermark, a swallowed error would
+    // have permanently skipped the bootstrap ids — the exact gap this
+    // guard exists to close.
+    val exists = p.getFileSystem(hconf).exists(p)
     if (!exists) Long.MinValue
     else try {
       val r = spark.read.parquet(indexDir).agg(max(idCol)).collect()(0)
