@@ -126,6 +126,24 @@ object BudgetStream {
       rows.map(r => (r.getString(0), r.getLong(1)))
         .toDF("source", "carried")
         .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+      // Prune dead snapshots — without this a long-running stream
+      // accumulates one tiny directory per trigger forever, and
+      // preState's listing cost grows linearly. Reachability: a
+      // replay of THIS batch reads the newest id < batchId (keep it),
+      // a replay of the next batch reads batch=batchId (just
+      // written); anything older than both can never be read again.
+      val hconf = org.apache.spark.sql.graft.Bridge.newHadoopConf(spark)
+      val base = new org.apache.hadoop.fs.Path(stateDir)
+      val fs = base.getFileSystem(hconf)
+      val ids = fs.listStatus(base).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch=")) Some(n.stripPrefix("batch=").toLong)
+        else None
+      }
+      val keepFloor = ids.filter(_ < batchId).sorted.lastOption
+        .getOrElse(Long.MinValue)
+      ids.filter(_ < keepFloor).foreach(id =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/batch=$id"), true))
     } finally docs.unpersist()
   }
 

@@ -74,8 +74,16 @@ object DocStream {
     * non-null partner is the min-id earlier duplicate (index doc or
     * smaller-id batch doc).
     */
-  def dedupBatch(batch: DataFrame, index: DataFrame): DataFrame = {
-    val banded = bandRows(batch)
+  def dedupBatch(batch: DataFrame, index: DataFrame): DataFrame =
+    dedupBanded(batch, bandRows(batch), index)
+
+  /** [[dedupBatch]] over pre-computed band rows — the seam that lets
+    * [[processBatch]] persist the minhash ONCE and reuse it for the
+    * survivor index append (the signature is the dominant per-batch
+    * CPU; recomputing it for survivors would nearly double it).
+    */
+  private def dedupBanded(batch: DataFrame, banded: DataFrame,
+      index: DataFrame): DataFrame = {
     val arriving = banded
       .select(col("band_id"), col("band_key"), col("doc_id").as("i"))
     val prior = index.unionByName(banded)
@@ -97,21 +105,26 @@ object DocStream {
   def processBatch(batch: DataFrame, indexDir: String,
       verdictsDir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    // one computation of the batch band rows feeds both the join
-    // and the index append
     val cached = batch.persist()
     try {
       IdWatermark.checkAndAdvance(cached, "doc_id", indexDir, batchId, "docstream")
       val index = spark.read.parquet(indexDir)
-      val verdicts = dedupBatch(cached, index).persist()
+      // one computation of the batch BAND rows (minhash is the
+      // dominant per-batch CPU) feeds both the dedup join and the
+      // survivor index append — EmbStream caches its quantized form
+      // for the same reason
+      val banded = bandRows(cached).persist()
       try {
-        verdicts.write.mode("overwrite")
-          .parquet(s"$verdictsDir/batch=$batchId")
-        val survivors = cached.join(
-          verdicts.filter(col("partner_id").isNull).select("doc_id"),
-          Seq("doc_id"), "left_semi")
-        bandRows(survivors).write.mode("append").parquet(indexDir)
-      } finally verdicts.unpersist()
+        val verdicts = dedupBanded(cached, banded, index).persist()
+        try {
+          verdicts.write.mode("overwrite")
+            .parquet(s"$verdictsDir/batch=$batchId")
+          banded.join(
+              verdicts.filter(col("partner_id").isNull).select("doc_id"),
+              Seq("doc_id"), "left_semi")
+            .write.mode("append").parquet(indexDir)
+        } finally verdicts.unpersist()
+      } finally banded.unpersist()
     } finally cached.unpersist()
   }
 

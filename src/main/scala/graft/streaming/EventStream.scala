@@ -112,7 +112,15 @@ object EventStream {
         (id: String, events: Iterator[ParsedEvent], state: GroupState[Int]) =>
           var seq = state.getOption.getOrElse(0)
           val now = System.currentTimeMillis()
-          val out = events.toSeq.sortBy(_.timestamp).map { e =>
+          // Full tiebreak, not just timestamp: the group iterator's
+          // order is NOT replay-stable (shuffle fetch order varies),
+          // so same-timestamp events would swap sequence numbers
+          // between a partially-committed attempt and its replay.
+          // (patternDetect learned the same lesson with eventType.)
+          val out = events.toSeq
+            .sortBy(e => (e.timestamp, e.eventType,
+              e.data.toSeq.sorted.mkString(",")))
+            .map { e =>
             seq += 1
             ProcessedEvent(
               originalId = id,
@@ -156,7 +164,10 @@ object EventStream {
           sum(when(col("eventType") === t, 1L).otherwise(0L)).as(s"n_$t")): _*)
       .select(col("userId") +: col("w.start").as("windowStart") +:
         col("w.end").as("windowEnd") +: col("totalEventCount") +:
-        eventTypes.map(t => col(s"n_$t")): _*)
+        // backtick-quote: event types are data-derived strings, and an
+        // unquoted col("n_page.view") would parse the dot as a struct
+        // path and fail analysis
+        eventTypes.map(t => col(s"`n_${t.replace("`", "``")}`")): _*)
   }
 
   /** Windowed approximate-distinct metrics via graft's mergeable HLL
@@ -486,13 +497,22 @@ object EventStream {
       .sortBy { p =>
         val suffix = p.getName.substring(p.getName.indexOf(".old-") + 5)
         suffix.split('-') match {
-          case Array(b, t) => (b.toLong, t.toLong)
+          case Array(b, t) if b.forall(_.isDigit) && t.forall(_.isDigit) =>
+            (b.toLong, t.toLong)
           // legacy single-number (nanoTime) suffix: its magnitude
           // (~1e12) would outsort every (batchId, millis) tuple and
           // recovery would prefer the STALE pre-upgrade snapshot —
           // pin legacy backups below all new-format ones instead
           // (among themselves they keep their original order)
-          case _ => (Long.MinValue, suffix.toLong)
+          case Array(t) if t.nonEmpty && t.forall(_.isDigit) =>
+            (Long.MinValue, t.toLong)
+          // an unparseable name (e.g. an operator's <path>.old-manual
+  	      // copy) must never wedge the stream: pin it below every
+          // real backup so recovery ignores it, and prune leaves it
+          // alone (it is never in the keep-newest window's tail only
+          // if old — acceptable: a human artifact is a human's to
+          // delete)
+          case _ => (Long.MinValue, Long.MinValue)
         }
       }
 

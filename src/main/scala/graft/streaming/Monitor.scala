@@ -68,6 +68,7 @@ final class Monitor extends StreamingQueryListener {
 
   private val byName = TrieMap.empty[String, QuerySnapshot]
   private val totals = TrieMap.empty[String, Long]
+  private val lastBatch = TrieMap.empty[String, Long]
 
   def snapshot(name: String): Option[QuerySnapshot] = byName.get(name)
   def all(): Map[String, QuerySnapshot] = byName.toMap
@@ -82,13 +83,20 @@ final class Monitor extends StreamingQueryListener {
     val k = e.runId.toString
     byName.remove(k)
     totals.remove(k)
+    lastBatch.remove(k)
   }
 
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = e.progress
     val key = Option(p.name).getOrElse(p.runId.toString)
+    // A restart can replay the last uncommitted batch and emit a
+    // second progress event for the same batchId — count each batch
+    // into the cumulative total ONCE, or restarts permanently
+    // overstate ingestion.
+    val replay = lastBatch.get(key).exists(p.batchId <= _)
+    lastBatch.put(key, math.max(p.batchId, lastBatch.getOrElse(key, Long.MinValue)))
     val total = totals.updateWith(key) {
-      case Some(t) => Some(t + p.numInputRows)
+      case Some(t) => Some(if (replay) t else t + p.numInputRows)
       case None => Some(p.numInputRows)
     }.getOrElse(0L)
     val wm = Option(p.eventTime.get("watermark"))
