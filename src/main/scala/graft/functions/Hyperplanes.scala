@@ -71,6 +71,20 @@ object Hyperplanes {
     * sign(dot(qa, plane(b*bits + k))), packed little-endian. Called
     * from both interpreted eval and generated code.
     */
+  /** True when any element of the array is NULL — called from both
+    * interpreted eval and generated code (getLong would read a null
+    * slot as 0, silently banding a holed vector).
+    */
+  def hasNullElement(x: ArrayData): Boolean = {
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      if (x.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
   def bandVals(qa: ArrayData, bands: Int, bits: Int): ArrayData =
     bandVals(qa, bands, bits, planes(bands * bits))
 
@@ -172,14 +186,17 @@ case class HyperplaneBandVals(child: Expression, bands: Int, bits: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_hyperplane_bands"
 
-  // NULL (not a wrong banding) for a vector of unexpected width — a
-  // truncated embedding must not land in plausible buckets.
+  // NULL (not a wrong banding) for a vector of unexpected width OR
+  // with a NULL component — a truncated/holed embedding must not land
+  // in plausible buckets (getLong would silently read a null slot as
+  // 0; LongArrayDot returns NULL for the same vector, and a pair must
+  // not band-match while its similarity is NULL).
   @transient private lazy val tbl: Array[Array[Long]] =
     Hyperplanes.planes(bands * bits)
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
-    if (x.numElements() != Hyperplanes.Dim) null
+    if (x.numElements() != Hyperplanes.Dim || Hyperplanes.hasNullElement(x)) null
     else Hyperplanes.bandVals(x, bands, bits, tbl)
   }
 
@@ -192,7 +209,8 @@ case class HyperplaneBandVals(child: Expression, bands: Int, bits: Int)
       v => s"$v = graft.functions.Hyperplanes.planes(${bands * bits});")
     nullSafeCodeGen(ctx, ev, a => {
       s"""
-         |if ($a.numElements() != graft.functions.Hyperplanes.Dim()) {
+         |if ($a.numElements() != graft.functions.Hyperplanes.Dim() ||
+         |    graft.functions.Hyperplanes.hasNullElement($a)) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = graft.functions.Hyperplanes.bandVals($a, $bands, $bits, $t);

@@ -35,12 +35,26 @@ object GraftOps {
     require(k > 0, "k must be positive")
     val spark = df.sparkSession
     Bridge.addStrategy(spark, TopKStrategy)
+    // Integral orders compare as exact Longs: a blanket double cast
+    // collapses 64-bit values closer than 1 ulp (53 mantissa bits),
+    // and e.g. a 60-bit hash order would fall through to the
+    // tie-break — the corpus-scale divergence TopKPerKey.ordLong
+    // exists to prevent. Fractional orders keep the double path.
+    val ordIsLong = df.select(order).schema.head.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
     Bridge.ofRows(spark, TopKPerKey(
       keys.map(Bridge.eagerExpression),
-      Bridge.eagerExpression(order.cast("double")),
+      Bridge.eagerExpression(
+        if (ordIsLong) order.cast("long") else order.cast("double")),
       Bridge.eagerExpression(tie.cast("long")),
       k,
-      Bridge.logicalPlan(df)))
+      Bridge.logicalPlan(df),
+      ordLong = ordIsLong))
   }
 
   /** Partition-skew diagnostic: per-partition row counts of `df` AS
@@ -80,6 +94,18 @@ object GraftOps {
       leftTime: Column, rightTime: Column): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
       "asofJoin needs matching non-empty key lists")
+    // Key types must match EXACTLY: the co-partitioning hashes each
+    // side's own keys, and Murmur3 hashes Int 5 and Long 5 to
+    // different values — mismatched types would silently land equal
+    // keys in different partitions and null-extend every left row.
+    // The key ordering is also built from left types only.
+    val lt = left.select(leftKeys: _*).schema.map(_.dataType)
+    val rt = right.select(rightKeys: _*).schema.map(_.dataType)
+    require(lt == rt,
+      s"asofJoin key type mismatch: left ${lt.mkString("(", ",", ")")} vs " +
+        s"right ${rt.mkString("(", ",", ")")} — cast the keys to one type " +
+        "(equal keys would otherwise hash to different partitions and " +
+        "silently never match)")
     val spark = left.sparkSession
     Bridge.addStrategy(spark, AsofJoinStrategy)
     Bridge.ofRows(spark, AsofJoin(

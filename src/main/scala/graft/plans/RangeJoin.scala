@@ -78,34 +78,44 @@ final case class RangeJoinExec(
     val outAttrs = output
     val outRows = longMetric("numOutputRows")
     val nIntervals = longMetric("numIntervals")
+    val exprKey = (startExpr.semanticHash(), endExpr.semanticHash())
     val bcast = right.executeBroadcast[Array[InternalRow]]()
     left.execute().mapPartitions { lIter =>
-      val startBound = BindReferences.bindReference(startExpr, rOutput)
-      val endBound = BindReferences.bindReference(endExpr, rOutput)
-      // (start, end, row), NULL/empty intervals dropped, sorted by start
-      val ivs = bcast.value.flatMap { r =>
-        val s = startBound.eval(r)
-        val e = endBound.eval(r)
-        if (s == null || e == null) None
-        else {
-          val sl = s.asInstanceOf[Long]
-          val el = e.asInstanceOf[Long]
-          if (sl > el) None else Some((sl, el, r))
-        }
-      }.sortBy(iv => (iv._1, iv._2))
+      // The sorted index over the broadcast side is built ONCE per
+      // executor (memoized weakly on the broadcast value) — a 5M-
+      // interval build side probed by 2000 partitions would otherwise
+      // pay 2000 O(m log m) sorts per executor lifetime.
+      val (starts, prefixMaxEnd, ivs) =
+        RangeJoinExec.index(bcast.value, exprKey, { rows =>
+          val startBound = BindReferences.bindReference(startExpr, rOutput)
+          val endBound = BindReferences.bindReference(endExpr, rOutput)
+          // (start, end, row), NULL/empty intervals dropped, sorted
+          // by start
+          val built = rows.flatMap { r =>
+            val s = startBound.eval(r)
+            val e = endBound.eval(r)
+            if (s == null || e == null) None
+            else {
+              val sl = s.asInstanceOf[Long]
+              val el = e.asInstanceOf[Long]
+              if (sl > el) None else Some((sl, el, r))
+            }
+          }.sortBy(iv => (iv._1, iv._2))
+          val st = built.map(_._1)
+          val pme = new Array[Long](built.length)
+          var i = 0
+          var runMax = Long.MinValue
+          while (i < built.length) {
+            if (built(i)._2 > runMax) runMax = built(i)._2
+            pme(i) = runMax
+            i += 1
+          }
+          (st, pme, built)
+        })
       // one representative task reports the build size (the merge sums
       // per-task contributions, so a per-partition set would multiply)
       if (org.apache.spark.TaskContext.getPartitionId() == 0) {
         nIntervals.add(ivs.length.toLong)
-      }
-      val starts = ivs.map(_._1)
-      val prefixMaxEnd = new Array[Long](ivs.length)
-      var i = 0
-      var runMax = Long.MinValue
-      while (i < ivs.length) {
-        if (ivs(i)._2 > runMax) runMax = ivs(i)._2
-        prefixMaxEnd(i) = runMax
-        i += 1
       }
 
       val pointBound = BindReferences.bindReference(pointExpr, lOutput)
@@ -147,6 +157,34 @@ final case class RangeJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): RangeJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+object RangeJoinExec {
+
+  private type Built =
+    (Array[Long], Array[Long], Array[(Long, Long, InternalRow)])
+
+  // Executor-level memo of the sorted interval index: WEAK outer key
+  // on the broadcast value array (the entry dies with the broadcast
+  // block — no leak past the query), inner key on the semantic hash
+  // of the (start, end) expressions so two range joins broadcasting
+  // the same relation with different bounds don't collide.
+  private val cache =
+    new java.util.WeakHashMap[Array[InternalRow],
+      java.util.concurrent.ConcurrentHashMap[(Int, Int), Built]]()
+
+  private[plans] def index(rows: Array[InternalRow], key: (Int, Int),
+      build: Array[InternalRow] => Built): Built = {
+    val inner = cache.synchronized {
+      var m = cache.get(rows)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(Int, Int), Built]()
+        cache.put(rows, m)
+      }
+      m
+    }
+    inner.computeIfAbsent(key, _ => build(rows))
+  }
 }
 
 /** Plans the logical range join; the broadcast exchange comes from

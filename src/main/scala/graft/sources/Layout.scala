@@ -35,10 +35,20 @@ object Layout {
     val ranges = df.agg(
       min(col(xCol)).cast("bigint").as("_zmnx"), max(col(xCol)).cast("bigint").as("_zmxx"),
       min(col(yCol)).cast("bigint").as("_zmny"), max(col(yCol)).cast("bigint").as("_zmxy"))
+    // Bucket = 16-bit normalization of (x - min) against the range.
+    // Two regimes to stay inside BIGINT: multiply-then-divide is
+    // exact but (x - min) * 65536 overflows once the range exceeds
+    // 2^47 (e.g. nanosecond timestamps spanning a year), so wide
+    // ranges divide first by ceil(range/65536) — same 0..65535
+    // bucket space, no overflow at any BIGINT range.
+    def bucket(c: String, mn: String, mx: String) =
+      s"""CASE WHEN ($mx - $mn) <= 140737488355327
+        THEN ((CAST($c AS BIGINT) - $mn) * 65536) div ($mx - $mn + 1)
+        ELSE (CAST($c AS BIGINT) - $mn) div ((($mx - $mn) div 65536) + 1) END"""
     df.crossJoin(broadcast(ranges))
       .withColumn("z", expr(zValueExpr(
-        s"((CAST($xCol AS BIGINT) - _zmnx) * 65536) div (_zmxx - _zmnx + 1)",
-        s"((CAST($yCol AS BIGINT) - _zmny) * 65536) div (_zmxy - _zmny + 1)")))
+        bucket(xCol, "_zmnx", "_zmxx"),
+        bucket(yCol, "_zmny", "_zmxy"))))
       .drop("_zmnx", "_zmxx", "_zmny", "_zmxy")
   }
 
@@ -76,13 +86,31 @@ object Layout {
     *
     * Returns (filesBefore, filesAfter).
     */
-  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+  def compact(spark: org.apache.spark.sql.SparkSession, dir0: String,
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    // normalize: a trailing slash would make "$dir_compact_tmp" a
+    // CHILD of the data dir and the swap rename would move it along
+    // with the original
+    val dir = dir0.stripSuffix("/")
     val hconf = org.apache.spark.sql.graft.Bridge.newHadoopConf(spark)
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(hconf)
-    val parts = fs.listStatus(path)
+    val entries = fs.listStatus(path)
+    // a partitionBy layout has no top-level part files — compacting
+    // through one read would silently FLATTEN the partition dirs and
+    // coalesce the whole table into one task; refuse loudly, compact
+    // per partition dir instead
+    val partDirs = entries.filter(e =>
+      e.isDirectory && !e.getPath.getName.startsWith("_")
+        && !e.getPath.getName.startsWith("."))
+    require(partDirs.isEmpty,
+      s"compact: $dir contains partition subdirectories " +
+        s"(${partDirs.take(3).map(_.getPath.getName).mkString(", ")}…) — " +
+        "compacting would flatten the partitionBy layout; compact each " +
+        "partition directory instead")
+    val parts = entries
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    require(parts.nonEmpty, s"compact: no part-* files under $dir")
     val totalBytes = parts.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(dir + "_compact_tmp")

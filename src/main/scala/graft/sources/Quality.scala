@@ -51,14 +51,29 @@ object Quality {
         qe.observedMetrics.foreach { case (name, row: Row) =>
           // empty input makes SUM/MIN/MAX observe SQL NULL — surface
           // the empty-accumulator value instead of NPE-ing the
-          // listener (which would strand await on its timeout)
-          val m = row.schema.fieldNames.map { f =>
-            f -> (row.getAs[Any](f) match {
-              case null => 0L
-              case n: Number => n.longValue()
-              case other => throw new IllegalArgumentException(
-                s"observation '$name' metric '$f' is non-numeric: $other")
-            })
+          // listener. A non-numeric metric must not THROW here either:
+          // the exception would abort delivery of every remaining
+          // observation of this query and strand await on its timeout
+          // with a misleading message — warn loudly and skip the
+          // metric instead (the gate's contract is integral counters;
+          // fractional values are floored, which the warn names).
+          val m = row.schema.fieldNames.flatMap { f =>
+            row.getAs[Any](f) match {
+              case null => Some(f -> 0L)
+              case n: java.lang.Double if n != math.floor(n) =>
+                System.err.println(
+                  s"[quality] observation '$name' metric '$f' is " +
+                    s"fractional ($n) — the gate carries integral " +
+                    "counters; flooring. Use counts/sums, not averages.")
+                Some(f -> n.longValue())
+              case n: Number => Some(f -> n.longValue())
+              case other =>
+                System.err.println(
+                  s"[quality] observation '$name' metric '$f' is " +
+                    s"non-numeric ($other) — skipped; the gate carries " +
+                    "integral counters only")
+                None
+            }
           }.toMap
           armLock.synchronized {
             seen.put(name, m)
