@@ -65,6 +65,15 @@ object Tables {
     val raw = read(s, d, "events")
     raw.withColumn("ts", tsToNanos(raw.schema("ts").dataType))
   }
+
+  /** The normalized `ts` (nanos, see [[events]]) as epoch millis —
+    * ONE spelling of the unit conversion for every consumer
+    * (Temporal/Patterns/Stats all bucket on millis); if the physical
+    * encoding ever changes again, this and [[events]]'s normalizer
+    * are the only places that know.
+    */
+  val eventTsMs: org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr("ts div 1000000")
   /** Same drift guard for the text table, the one lane of the
     * round-3/4 failure class (a generator regen changing the physical
     * encoding) that had no normalizer: a writer may legally emit

@@ -26,13 +26,18 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   * The streaming counterpart (true incremental state machine via
   * flatMapGroupsWithState) is [[graft.streaming.EventStream.patternDetect]].
   *
-  * Scale posture: all three queries shuffle the events scan exactly
-  * once on user_id (or on derived week bins for the range join); no
-  * query materializes the cross product of sides.
+  * Scale posture: funnel and pattern match shuffle the events scan
+  * exactly once on user_id; retention runs its
+  * distinct/cohort/join chain as a few user-keyed exchanges over the
+  * DEDUPED (user, week) activity table (user-cardinality-sized, not
+  * event-sized); the two range joins scan orders/lineitem, not
+  * events — q_range_join shuffles on derived week bins and
+  * q_range_join_custom broadcasts a top-k of orders and shuffles
+  * nothing. No query materializes the cross product of sides.
   */
 object Patterns {
 
-  private val tsMs = expr("ts div 1000000")
+  private val tsMs = graft.Tables.eventTsMs
   private val DayMs = 86400000L
   private val HourMs = 3600000L
 

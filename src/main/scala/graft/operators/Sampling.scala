@@ -19,22 +19,26 @@ object Sampling {
     * appends (the split of an existing doc never changes when new
     * docs arrive — unlike row_number-based splits).
     */
-  /** Reusable column form of the split decision. */
-  def splitCol(text: Column): Column = {
-    val bucket = pmod(TextAnalysis.hash60(concat(lit("split:"), text)), lit(100L))
+  /** The split's hash bucket — ONE definition of the salt and
+    * modulus; [[splitCol]] and the registered query both derive from
+    * it so the oracle-gated split can never drift from the split
+    * curation/classifier consumers actually use.
+    */
+  def splitBucket(text: Column): Column =
+    pmod(TextAnalysis.hash60(concat(lit("split:"), text)), lit(100L))
+
+  private def splitOf(bucket: Column): Column =
     when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
-  }
+
+  /** Reusable column form of the split decision. */
+  def splitCol(text: Column): Column = splitOf(splitBucket(text))
 
   val hashSplit = QueryDef(
     "sample_split_hash",
     (s, d) => {
-      val bucket = pmod(TextAnalysis.hash60(concat(lit("split:"), col("text"))), lit(100L))
       Tables.documents(s, d)
-        .select(col("doc_id"), bucket.as("bucket"))
-        .withColumn("split",
-          when(col("bucket") < 90, "train")
-            .when(col("bucket") < 95, "val")
-            .otherwise("test"))
+        .select(col("doc_id"), splitBucket(col("text")).as("bucket"))
+        .withColumn("split", splitOf(col("bucket")))
     },
     Some(s"""SELECT doc_id,
       ${TextAnalysis.hash60Sql("'split:' || text")} % 100 AS bucket,
@@ -82,6 +86,33 @@ object Sampling {
     * machinery, and the PlanSpec guard covers both). Token counts
     * reuse text_tokens' whitespace tokenizer.
     */
+  /** Two-phase sharded running token total — THE prefix-sum machinery
+    * shared by [[packSequences]] and [[tokenBudget]] (one body, so a
+    * change to the shard width, frame bounds, or tie order cannot be
+    * applied to one and missed in the other): adds `cum_tokens`, the
+    * running `n_tokens` total per `key` in (h, doc_id) order, without
+    * any window ever spanning a whole key's history — top-8-bit-of-h
+    * shard local cumsums + a broadcast exclusive shard-offset join.
+    * Input needs (key, doc_id, n_tokens, h).
+    */
+  private def shardedCumTokens(docs: org.apache.spark.sql.DataFrame,
+      key: String): org.apache.spark.sql.DataFrame = {
+    val withShard = docs.withColumn("shard", shiftright(col("h"), 52))
+    val offsets = withShard.groupBy(key, "shard")
+      .agg(sum("n_tokens").as("shard_tokens"))
+      .withColumn("offset", coalesce(
+        sum(col("shard_tokens")).over(
+          Window.partitionBy(key).orderBy("shard")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(key, "shard", "offset")
+    val wLocal = Window.partitionBy(key, "shard")
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withShard.withColumn("cum_local", sum(col("n_tokens")).over(wLocal))
+      .join(broadcast(offsets), Seq(key, "shard"))
+      .withColumn("cum_tokens", col("offset") + col("cum_local"))
+  }
+
   val packSequences = QueryDef(
     "pack_sequences",
     (s, d) => {
@@ -90,20 +121,7 @@ object Sampling {
         .select(col("doc_id"), col("lang"),
           size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
           TextAnalysis.hash60(concat(lit("pack:"), col("text"))).as("h"))
-        .withColumn("shard", shiftright(col("h"), 52))
-      val offsets = docs.groupBy("lang", "shard")
-        .agg(sum("n_tokens").as("shard_tokens"))
-        .withColumn("offset", coalesce(
-          sum(col("shard_tokens")).over(
-            Window.partitionBy("lang").orderBy("shard")
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("lang", "shard", "offset")
-      val wLocal = Window.partitionBy("lang", "shard")
-        .orderBy(col("h"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs.withColumn("cum_local", sum(col("n_tokens")).over(wLocal))
-        .join(broadcast(offsets), Seq("lang", "shard"))
-        .withColumn("cum_tokens", col("offset") + col("cum_local"))
+      shardedCumTokens(docs, "lang")
         .withColumn("start_offset", (col("cum_tokens") - col("n_tokens")) % BinTokens)
         .withColumn("bin_id", expr(s"(cum_tokens - n_tokens) div $BinTokens"))
         .select("doc_id", "lang", "n_tokens", "bin_id", "start_offset")
@@ -423,22 +441,8 @@ object Sampling {
       val docs = budgetTokenCols(Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("text")))
       val budgets = sourceBudgets(docs, T)
-      val withShard = docs.withColumn("shard", shiftright(col("h"), 52))
-      val offsets = withShard.groupBy("source", "shard")
-        .agg(sum("n_tokens").as("shard_tokens"))
-        .withColumn("offset", coalesce(
-          sum(col("shard_tokens")).over(
-            Window.partitionBy("source").orderBy("shard")
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("source", "shard", "offset")
-      val wLocal = Window.partitionBy("source", "shard")
-        .orderBy(col("h"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      withShard
-        .withColumn("cum_local", sum(col("n_tokens")).over(wLocal))
-        .join(broadcast(offsets), Seq("source", "shard"))
+      shardedCumTokens(docs, "source")
         .join(broadcast(budgets), "source")
-        .withColumn("cum_tokens", col("offset") + col("cum_local"))
         .filter(col("cum_tokens") - col("n_tokens") < col("budget"))
         .select("source", "doc_id", "n_tokens", "cum_tokens")
     },

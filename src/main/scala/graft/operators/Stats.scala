@@ -98,7 +98,7 @@ object Stats {
         .rowsBetween(-3, Window.currentRow)
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"),
-          expr("ts div 1000000").as("ms"), col("value"))
+          Tables.eventTsMs.as("ms"), col("value"))
         .withColumn("mov_sum",
           sum(graft.Det.dec(col("value"))).over(frame).cast(DoubleType))
         .withColumn("mov_n", count(lit(1)).over(frame))
@@ -258,7 +258,7 @@ object Stats {
         .rangeBetween(-HourMs, Window.currentRow)
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"),
-          expr("ts div 1000000").as("ms"), col("value"))
+          Tables.eventTsMs.as("ms"), col("value"))
         .withColumn("hour_sum",
           sum(graft.Det.dec(col("value"))).over(frame).cast(DoubleType))
         .withColumn("hour_n", count(lit(1)).over(frame))
@@ -294,7 +294,7 @@ object Stats {
       val stringCols = Seq("event_type", "props")
       (s, d) => {
         val e = Tables.events(s, d)
-          .withColumn("ts_ms", expr("ts div 1000000")).drop("ts")
+          .withColumn("ts_ms", Tables.eventTsMs).drop("ts")
         val aggs =
           Seq(count(lit(1)).as("n")) ++
             (numericCols ++ stringCols).flatMap { c =>
@@ -426,10 +426,13 @@ object Stats {
     *   (n·c_h − S1)² > 9·(n·S2 − S1²)
     *
     * which is z² > 3² with both sides multiplied by n² — every term a
-    * product/sum of exact longs (bounded: c ≤ events-per-user, so the
-    * squares stay far below 2^63 at any per-user hour cardinality the
-    * engine would aggregate), so there is no float epsilon and the
-    * flag bit is hash-identical cross-engine.
+    * product/sum of exact integers, so there is no float epsilon and
+    * the flag bit is hash-identical cross-engine. The products run in
+    * DECIMAL(38,0) (the mix_kl rule): long arithmetic would WRAP
+    * silently once S1² or dev² passes 2^63 (a user with ~3.1e9 total
+    * events gets there) while DuckDB's SUM promotes to HUGEINT and
+    * stays exact — the flags would silently diverge. Decimal keeps
+    * both engines exact to 10^38, far past any real telemetry volume.
     *
     * Scale shape: two map-side-combinable aggregates (events→hourly
     * counts, counts→per-user moments) + one broadcast-sized join back
@@ -445,9 +448,12 @@ object Stats {
       val moments = hourly.groupBy(col("user_id").as("mu"))
         .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s1"),
           sum(col("cnt") * col("cnt")).as("s2"))
-      val dev = col("n") * col("cnt") - col("s1")
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val (n38, c38, s1d, s2d) = (col("n").cast(d38), col("cnt").cast(d38),
+        col("s1").cast(d38), col("s2").cast(d38))
+      val dev = n38 * c38 - s1d
       hourly.join(moments, col("user_id") === col("mu"))
-        .filter(dev * dev > lit(9L) * (col("n") * col("s2") - col("s1") * col("s1")))
+        .filter(dev * dev > lit(9L).cast(d38) * (n38 * s2d - s1d * s1d))
         .select(col("user_id"), col("hour"), col("cnt"))
     },
     Some("""WITH hourly AS (
@@ -469,11 +475,16 @@ object Stats {
     *
     *  - keyed_state_keys: distinct users = per-key state rows of the
     *    pattern detector / anomaly detector (constant bytes per key);
-    *  - dedup_peak_keys_10m: the max 10-minute event volume = peak
-    *    keys `dropDuplicatesWithinWatermark` holds at a 10-min
-    *    watermark (event ids are unique);
-    *  - session_peak_users_30m: max distinct users active in any
-    *    30-minute bucket = peak concurrently-open session windows;
+    *  - dedup_peak_keys_10m: UPPER BOUND on the peak keys
+    *    `dropDuplicatesWithinWatermark` holds at a 10-min watermark
+    *    (event ids are unique): max over adjacent-bucket-pair sums —
+    *    a 10-min sliding window spans at most two tumbling buckets,
+    *    so the true sliding peak is ≤ this bound (a single-bucket max
+    *    would undercount a boundary-straddling burst by up to 2x, the
+    *    dangerous direction for sizing);
+    *  - session_peak_users_30m: the same adjacent-pair upper bound on
+    *    distinct users active in any sliding 30 minutes = peak
+    *    concurrently-open session windows;
     *  - tumbling_windows_total_10m: distinct (user, 10-min window)
     *    pairs = total windows the tumbling aggregate materializes
     *    over the whole history (retention upper bound).
@@ -490,13 +501,25 @@ object Stats {
           expr("ts div 1800000000000").as("b30"))
       def row(name: String, v: org.apache.spark.sql.DataFrame) =
         v.select(lit(name).as("component"), col("v").cast(LongType).as("projected_rows"))
+      // Peak components take the max over ADJACENT-bucket-pair sums,
+      // not single tumbling buckets: a 10-min sliding window spans at
+      // most two adjacent 10-min buckets, so peak ≤ max(c_t + c_t+1)
+      // while max(c_t) alone UNDERCOUNTS a burst straddling a bucket
+      // boundary by up to 2x — the dangerous direction for a state
+      // store sized from this audit. The pair sum double-counts keys
+      // present in both buckets; an over-estimate is the safe side.
+      def peakPair(bucketed: org.apache.spark.sql.DataFrame) = {
+        val nxt = bucketed.select((col("b") - 1).as("b"), col("c").as("cn"))
+        bucketed.join(nxt, Seq("b"), "left_outer")
+          .agg(max(col("c") + coalesce(col("cn"), lit(0L))).as("v"))
+      }
       row("dedup_peak_keys_10m",
-          ev.groupBy("b10").agg(count(lit(1)).as("c")).agg(max(col("c")).as("v")))
+          peakPair(ev.groupBy(col("b10").as("b")).agg(count(lit(1)).as("c"))))
         .unionByName(row("keyed_state_keys",
           ev.agg(countDistinct(col("user_id")).as("v"))))
         .unionByName(row("session_peak_users_30m",
-          ev.groupBy("b30").agg(countDistinct(col("user_id")).as("c"))
-            .agg(max(col("c")).as("v"))))
+          peakPair(ev.groupBy(col("b30").as("b"))
+            .agg(countDistinct(col("user_id")).as("c")))))
         .unionByName(row("tumbling_windows_total_10m",
           ev.agg(countDistinct(col("user_id"), col("b10")).as("v"))))
     },
@@ -506,13 +529,17 @@ object Stats {
         epoch_ms(CAST(ts AS TIMESTAMP)) // 1800000 AS b30
       FROM events)
     SELECT 'dedup_peak_keys_10m' AS component,
-      CAST(MAX(c) AS BIGINT) AS projected_rows
-      FROM (SELECT b10, COUNT(*) AS c FROM ev GROUP BY b10)
+      CAST(MAX(x.c + COALESCE(y.c, 0)) AS BIGINT) AS projected_rows
+      FROM (SELECT b10, COUNT(*) AS c FROM ev GROUP BY b10) x
+      LEFT JOIN (SELECT b10, COUNT(*) AS c FROM ev GROUP BY b10) y
+        ON y.b10 = x.b10 + 1
     UNION ALL
     SELECT 'keyed_state_keys', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM ev
     UNION ALL
-    SELECT 'session_peak_users_30m', CAST(MAX(c) AS BIGINT)
-      FROM (SELECT b30, COUNT(DISTINCT user_id) AS c FROM ev GROUP BY b30)
+    SELECT 'session_peak_users_30m', CAST(MAX(x.c + COALESCE(y.c, 0)) AS BIGINT)
+      FROM (SELECT b30, COUNT(DISTINCT user_id) AS c FROM ev GROUP BY b30) x
+      LEFT JOIN (SELECT b30, COUNT(DISTINCT user_id) AS c FROM ev GROUP BY b30) y
+        ON y.b30 = x.b30 + 1
     UNION ALL
     SELECT 'tumbling_windows_total_10m',
       CAST(COUNT(DISTINCT (user_id, b10)) AS BIGINT) FROM ev

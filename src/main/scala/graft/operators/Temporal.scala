@@ -13,7 +13,7 @@ import org.apache.spark.sql.types._
   */
 object Temporal {
 
-  private val tsMs = expr("ts div 1000000")
+  private val tsMs = graft.Tables.eventTsMs
 
   /** As-of join: for every purchase event, the most recent click by
     * the same user at or before it.
@@ -156,30 +156,45 @@ object Temporal {
     * At 100 TB the span would be bounded per shard (e.g. monthly
     * partitions) — same plan per shard.
     */
-  val fillForward = QueryDef(
-    "ts_fill_forward",
-    (s, d) => {
-      val HourNs = 3600L * 1000 * 1000 * 1000
-      val hourly = Tables.events(s, d)
-        .select(col("user_id"), expr(s"ts div $HourNs").as("hour"), col("value"))
-        .groupBy("user_id", "hour").agg(max(col("value")).as("v"))
-      val grid = hourly.groupBy("user_id")
-        .agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
-        .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("hour"))
-      val wFill = Window.partitionBy("user_id").orderBy("hour")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grid.join(hourly, Seq("user_id", "hour"), "left")
-        .select(col("user_id"), col("hour"),
-          last(col("v"), ignoreNulls = true).over(wFill).as("filled_value"),
-          col("v").isNotNull.as("is_observed"))
-    },
-    Some("""WITH hourly AS (
+  /** Hourly max-value resample LEFT-joined to the dense per-user hour
+    * grid — the shared front half of [[fillForward]] and
+    * [[interpolate]] (ONE body, so the bucketing and grid bounds
+    * cannot drift between the fill and interp outputs). Returns
+    * (user_id, hour, v nullable).
+    */
+  private def hourlyGrid(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val HourNs = 3600L * 1000 * 1000 * 1000
+    val hourly = Tables.events(s, d)
+      .select(col("user_id"), expr(s"ts div $HourNs").as("hour"), col("value"))
+      .groupBy("user_id", "hour").agg(max(col("value")).as("v"))
+    val grid = hourly.groupBy("user_id")
+      .agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
+      .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("hour"))
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+  }
+
+  /** The SQL twin of [[hourlyGrid]]'s CTEs, shared by both oracles. */
+  private val HourlyGridSql =
+    """hourly AS (
       SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000 AS hour,
              MAX(value) AS v
       FROM events GROUP BY 1, 2),
     grid AS (
       SELECT user_id, unnest(range(MIN(hour), MAX(hour) + 1)) AS hour
-      FROM hourly GROUP BY user_id)
+      FROM hourly GROUP BY user_id)"""
+
+  val fillForward = QueryDef(
+    "ts_fill_forward",
+    (s, d) => {
+      val wFill = Window.partitionBy("user_id").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hourlyGrid(s, d)
+        .select(col("user_id"), col("hour"),
+          last(col("v"), ignoreNulls = true).over(wFill).as("filled_value"),
+          col("v").isNotNull.as("is_observed"))
+    },
+    Some(s"""WITH $HourlyGridSql
     SELECT g.user_id, g.hour,
       last_value(h.v IGNORE NULLS) OVER (
         PARTITION BY g.user_id ORDER BY g.hour
@@ -361,13 +376,6 @@ object Temporal {
   val interpolate = QueryDef(
     "ts_interp",
     (s, d) => {
-      val HourNs = 3600L * 1000 * 1000 * 1000
-      val hourly = Tables.events(s, d)
-        .select(col("user_id"), expr(s"ts div $HourNs").as("hour"), col("value"))
-        .groupBy("user_id", "hour").agg(max(col("value")).as("v"))
-      val grid = hourly.groupBy("user_id")
-        .agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
-        .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("hour"))
       val ord = Window.partitionBy("user_id").orderBy("hour")
       val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       // Next-anchor lookup via the reversed-sort running frame: the
@@ -379,7 +387,7 @@ object Temporal {
       val wfRev = Window.partitionBy("user_id").orderBy(col("hour").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val obsHour = when(col("v").isNotNull, col("hour"))
-      grid.join(hourly, Seq("user_id", "hour"), "left")
+      hourlyGrid(s, d)
         .withColumn("ph", last(obsHour, ignoreNulls = true).over(wb))
         .withColumn("pv", last(col("v"), ignoreNulls = true).over(wb))
         .withColumn("nh", last(obsHour, ignoreNulls = true).over(wfRev))
@@ -392,13 +400,7 @@ object Temporal {
             .as("interp_value"),
           col("v").isNotNull.as("is_observed"))
     },
-    Some("""WITH hourly AS (
-      SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000 AS hour,
-             MAX(value) AS v
-      FROM events GROUP BY 1, 2),
-    grid AS (
-      SELECT user_id, unnest(range(MIN(hour), MAX(hour) + 1)) AS hour
-      FROM hourly GROUP BY user_id),
+    Some(s"""WITH $HourlyGridSql,
     anchored AS (
       SELECT g.user_id, g.hour, h.v,
         last_value(CASE WHEN h.v IS NOT NULL THEN g.hour END IGNORE NULLS) OVER (
