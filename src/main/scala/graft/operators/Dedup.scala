@@ -250,7 +250,7 @@ object Dedup {
     * One shuffle, map-side-combinable MIN aggregates.
     */
   private def minhashSigs(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val h32 = conv(substring(md5(col("g0")), 1, 8), 16, 10).cast(LongType)
+    val h32 = TextAnalysis.hash32(col("g0"))
     shingleStrings(s, d)
       .select(col("doc_id"), h32.as("h"))
       .groupBy("doc_id")
@@ -263,11 +263,16 @@ object Dedup {
   }
 
   /** Band explode: one row per (doc, band) with the concatenated
-    * band key — the LSH bucket id.
+    * band key — the LSH bucket id. NARROW (no signature payload): the
+    * band self-join is the query's one skew-prone shuffle, and each
+    * side lugging the 16-long signature through it (multiplied by
+    * band fan-out and duplicate candidates) broke the family's
+    * 8-byte-key discipline — consumers join signatures back onto the
+    * DEDUPED candidate pairs instead, exactly as the oracle does.
     */
   private def bandedSigs(sig: org.apache.spark.sql.DataFrame) =
-    sig.select(col("doc_id"), col("m"), explode(bandKeysExpr(col("m"))).as("bb"))
-      .select(col("doc_id"), col("m"),
+    sig.select(col("doc_id"), explode(bandKeysExpr(col("m"))).as("bb"))
+      .select(col("doc_id"),
         col("bb.band_id").as("band_id"), col("bb.band_key").as("band_key"))
 
   /** Per-ROW minhash signature of a text column — the same 16 values
@@ -280,7 +285,7 @@ object Dedup {
     */
   def minhashSigExpr(text: Column): Column = {
     val hs = transform(TextAnalysis.shingles(text), g =>
-      conv(substring(md5(g), 1, 8), 16, 10).cast(LongType))
+      TextAnalysis.hash32(g))
     array((0 until MinhashPerms).map { k =>
       array_min(transform(hs, h =>
         (h * minhashPerms(k)._1 + minhashPerms(k)._2) % P))
@@ -330,13 +335,19 @@ object Dedup {
   val minhashLsh = QueryDef(
     "dedup_minhash_lsh",
     (s, d) => {
-      val banded = bandedSigs(minhashSigs(s, d))
-      val a = banded.select(col("band_id"), col("band_key"),
-        col("doc_id").as("i"), col("m").as("mi"))
-      val b = banded.select(col("band_id"), col("band_key"),
-        col("doc_id").as("j"), col("m").as("mj"))
-      a.join(b, Seq("band_id", "band_key")).filter(col("i") < col("j"))
-        .select("i", "j", "mi", "mj").dropDuplicates("i", "j")
+      // signatures materialized once: the band rows AND the two
+      // pair-side joins below all read them (without the checkpoint
+      // the shingle pipeline would run three times)
+      val sig = minhashSigs(s, d).localCheckpoint(true)
+      val banded = bandedSigs(sig)
+      val a = banded.select(col("band_id"), col("band_key"), col("doc_id").as("i"))
+      val b = banded.select(col("band_id"), col("band_key"), col("doc_id").as("j"))
+      val cand = a.join(b, Seq("band_id", "band_key"))
+        .filter(col("i") < col("j"))
+        .select("i", "j").dropDuplicates("i", "j")
+      cand
+        .join(sig.select(col("doc_id").as("i"), col("m").as("mi")), "i")
+        .join(sig.select(col("doc_id").as("j"), col("m").as("mj")), "j")
         .withColumn("est_jaccard",
           size(filter(zip_with(col("mi"), col("mj"), (x, y) => x === y), p => p))
             .cast(DoubleType) / MinhashPerms)
@@ -374,26 +385,30 @@ object Dedup {
   val incremental = QueryDef(
     "dedup_incremental",
     (s, d) => {
-      val banded = bandedSigs(minhashSigs(s, d))
+      val sig = minhashSigs(s, d).localCheckpoint(true)
+      val banded = bandedSigs(sig)
       val shard = banded.filter(col("doc_id") % 2 === 1)
-        .select(col("band_id"), col("band_key"), col("doc_id").as("i"), col("m").as("mi"))
+        .select(col("band_id"), col("band_key"), col("doc_id").as("i"))
       val corpus = banded.filter(col("doc_id") % 2 === 0)
-        .select(col("band_id"), col("band_key"), col("doc_id").as("j"), col("m").as("mj"))
+        .select(col("band_id"), col("band_key"), col("doc_id").as("j"))
       val priorShard = banded.filter(col("doc_id") % 2 === 1)
-        .select(col("band_id"), col("band_key"), col("doc_id").as("j"), col("m").as("mj"))
+        .select(col("band_id"), col("band_key"), col("doc_id").as("j"))
       val vsCorpus = shard.join(corpus, Seq("band_id", "band_key"))
       val vsPrior = shard.join(priorShard, Seq("band_id", "band_key"))
         .filter(col("j") < col("i"))
-      val matched = vsCorpus.unionByName(vsPrior)
-        .select("i", "j", "mi", "mj").dropDuplicates("i", "j")
+      // partner FIRST (min matching id per shard doc), then one
+      // signature join per side for the partner's estimate only —
+      // narrow band shuffles, no per-candidate signature compare
+      vsCorpus.unionByName(vsPrior)
+        .select("i", "j").dropDuplicates("i", "j")
+        .groupBy(col("i")).agg(min(col("j")).as("partner_id"))
+        .join(sig.select(col("doc_id").as("i"), col("m").as("mi")), "i")
+        .join(sig.select(col("doc_id").as("partner_id"), col("m").as("mj")),
+          "partner_id")
         .withColumn("est_jaccard",
           size(filter(zip_with(col("mi"), col("mj"), (x, y) => x === y), p => p))
             .cast(DoubleType) / MinhashPerms)
-      // struct-min: partner = smallest matching id, with ITS estimate
-      matched.groupBy(col("i"))
-        .agg(min(struct(col("j"), col("est_jaccard"))).as("p"))
-        .select(col("i").as("doc_id"), col("p.j").as("partner_id"),
-          col("p.est_jaccard").as("est_jaccard"))
+        .select(col("i").as("doc_id"), col("partner_id"), col("est_jaccard"))
     },
     Some(s"""WITH $minhashCtesSql,
     cand AS (
@@ -627,9 +642,14 @@ object Dedup {
       // hop: the min label among each node's neighbours
       val neigh = edges.join(labels, col("src") === col("node"))
         .groupBy(col("dst")).agg(min(col("label")).as("nl"))
+      // materialized per round: the pointer-jump below joins `hopped`
+      // against a projection of ITSELF, and without the checkpoint
+      // the edge-sized hop join + min-aggregate subtree would execute
+      // twice every round (once per side of the self-join)
       val hopped = labels.join(neigh, col("node") === col("dst"), "left")
         .select(col("node"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
       // jump: follow the label pointer one step (label of my label)
       val ptrs = hopped.select(col("node").as("pnode"), col("label").as("plabel"))
       val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")

@@ -65,7 +65,12 @@ object Graph {
     */
   private[graft] def trianglesFrom(pairsIn: DataFrame): DataFrame = {
     val e = pairsIn.select("i", "j").localCheckpoint(true)
-    val directed = orientEdges(e)
+    // The ORIENTED edges are what all three consumers (both wedge
+    // sides + the closing-edge probe) actually read — checkpointing
+    // only `e` would re-run orientEdges' degree aggregate + two
+    // degree joins three times in one action. Edge-sized frame, one
+    // materialization.
+    val directed = orientEdges(e).localCheckpoint(true)
     // In the (deg, id) total order x precedes y, so the closing x-y
     // edge — if present — is oriented x -> y: one left-semi equi-join.
     val closing = directed.select(col("src").as("x"), col("dst").as("y"))
@@ -116,9 +121,16 @@ object Graph {
     * no convergence probe (fixed [[PrIters]] rounds, so the driver
     * runs zero extra jobs, unlike CC's data-dependent loop).
     */
-  private[graft] def pageRankFrom(pairsIn: DataFrame): DataFrame = {
+  private[graft] def pageRankFrom(pairsIn: DataFrame): DataFrame =
+    pageRankOn(pairsIn.select("i", "j").localCheckpoint(true))
+
+  /** [[pageRankFrom]] over an ALREADY-materialized pair frame —
+    * [[keepRankFrom]] checkpoints the pairs once for both loops, and
+    * re-checkpointing here would eagerly materialize a second
+    * identical copy of the edge list per run.
+    */
+  private def pageRankOn(pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
-    val pairs = pairsIn.select("i", "j").localCheckpoint(true)
     val edges = pairs.select(col("i").as("u"), col("j").as("v"))
       .unionByName(pairs.select(col("j").as("u"), col("i").as("v")))
     val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
@@ -126,10 +138,17 @@ object Graph {
     var ranks = e.select(col("u").as("node")).distinct()
       .withColumn("rank9", lit(PrScale)).localCheckpoint(true)
     for (_ <- 0 until PrIters) {
+      // 85 * rank9 runs in DECIMAL(38,0) (the q_anomaly_hourly rule):
+      // a hub absorbing most of a 2e8-node graph's rank mass puts
+      // 85 * rank9 past 2^63, where Spark's Long wraps silently and
+      // DuckDB's BIGINT errors — decimal keeps both engines exact.
+      // Remaining bound: the SUM itself stays in Long while total
+      // rank mass < 2^63, i.e. graphs under ~9e9 nodes.
       ranks = e.join(ranks, e("u") === ranks("node"))
         .groupBy(col("v"))
         .agg((lit(PrTeleport9) +
-          sum(expr("((85 * rank9) div 100) div deg"))).as("rank9"))
+          sum(expr(
+            "((85 * CAST(rank9 AS DECIMAL(38,0))) div 100) div deg"))).as("rank9"))
         .select(col("v").as("node"), col("rank9"))
         .localCheckpoint(true)
     }
@@ -162,7 +181,8 @@ object Graph {
       val iters = (1 to PrIters).map { k =>
         s"""r$k AS (
         SELECT e.v AS node, CAST($PrTeleport9
-          + SUM(((85 * r${k - 1}.rank9) // 100) // e.deg) AS BIGINT) AS rank9
+          + SUM(CAST(((85 * CAST(r${k - 1}.rank9 AS HUGEINT)) // 100)
+                // e.deg AS BIGINT)) AS BIGINT) AS rank9
         FROM e JOIN r${k - 1} ON r${k - 1}.node = e.u GROUP BY e.v)"""
       }.mkString(",\n      ")
       s"""WITH pairs AS ($inner),
@@ -188,7 +208,7 @@ object Graph {
     val pairs = pairsIn.select("i", "j").localCheckpoint(true)
     val cc = Dedup.clusterKeepFrom(pairs)
       .select(col("doc_id"), col("canonical_id").as("cluster_id"))
-    val pr = pageRankFrom(pairs).select(col("doc_id"), col("rank9"))
+    val pr = pageRankOn(pairs).select(col("doc_id"), col("rank9"))
     val w = Window.partitionBy("cluster_id")
       .orderBy(col("rank9").desc, col("doc_id"))
     cc.join(pr, "doc_id")

@@ -29,6 +29,18 @@ object TextAnalysis {
   val hash60Sql: String => String =
     expr => s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
 
+  /** 32-bit md5-prefix hash — hash60's narrow sibling, used where the
+    * value rides in fixed-width signature arrays (minhash
+    * signatures, winnow fingerprints). ONE definition (plus its SQL
+    * spelling) so the batch/stream signature contracts cannot drift —
+    * an edit here changes every producer together.
+    */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  val hash32Sql: String => String =
+    expr => s"('0x' || substr(md5($expr), 1, 8))::BIGINT"
+
   /** Tiny stopword lexicons (public knowledge) for the heuristic
     * language ID. Priority order breaks score ties deterministically.
     */
@@ -38,22 +50,32 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "fr" -> Seq("le", "les", "et", "des", "une"))
 
-  private def score(lex: Seq[String]): Column =
-    lex.map(w => array_contains(words, w).cast(IntegerType)).reduce(_ + _)
+  private def scoreOf(ws: Column, lex: Seq[String]): Column =
+    lex.map(w => array_contains(ws, w).cast(IntegerType)).reduce(_ + _)
+
+  private def score(lex: Seq[String]): Column = scoreOf(words, lex)
+
+  /** THE language-ID tie-break cascade — one definition feeding both
+    * [[predictedLangCol]] and [[langId]] (the splitBucket rule: a
+    * priority edit applied to one copy but not the other would
+    * silently desynchronize pipeline_curate's predicted_lang from
+    * text_langid's while each still passes its own oracle).
+    */
+  private def langCascade(scores: Seq[Column]): Column = {
+    val Seq(en, es, de, fr) = scores
+    when(en >= es && en >= de && en >= fr && en > 0, "en")
+      .when(es >= de && es >= fr && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
 
   /** Reusable column form of the language-ID decision (same CASE
     * cascade as [[langId]]), for single-pass pipeline composition.
     */
   def predictedLangCol(text: Column): Column = {
     val ws = split(text, " ")
-    def sc(lex: Seq[String]) =
-      lex.map(w => array_contains(ws, w).cast(IntegerType)).reduce(_ + _)
-    val Seq(en, es, de, fr) = Lexicons.map { case (_, lex) => sc(lex) }
-    when(en >= es && en >= de && en >= fr && en > 0, "en")
-      .when(es >= de && es >= fr && es > 0, "es")
-      .when(de >= fr && de > 0, "de")
-      .when(fr > 0, "fr")
-      .otherwise("und")
+    langCascade(Lexicons.map { case (_, lex) => scoreOf(ws, lex) })
   }
 
   /** Reusable column form of the quality score (bit-identical to the
@@ -79,13 +101,8 @@ object TextAnalysis {
       val scored = Tables.documents(s, d).select(
         col("doc_id") +: col("lang") +:
           Lexicons.map { case (l, lex) => score(lex).as(s"score_$l") }: _*)
-      val Seq(en, es, de, fr) = Lexicons.map { case (l, _) => col(s"score_$l") }
       scored.withColumn("predicted_lang",
-        when(en >= es && en >= de && en >= fr && en > 0, "en")
-          .when(es >= de && es >= fr && es > 0, "es")
-          .when(de >= fr && de > 0, "de")
-          .when(fr > 0, "fr")
-          .otherwise("und"))
+        langCascade(Lexicons.map { case (l, _) => col(s"score_$l") }))
     },
     Some {
       val scores = Lexicons.map { case (l, lex) => s"${scoreSql(lex)} AS score_$l" }
@@ -151,16 +168,26 @@ object TextAnalysis {
     (s, d) => {
       val nWs = size(words).cast(LongType)
       val nTok = regexp_count(col("text"), lit(TokenPattern)).cast(LongType)
+      // explicit zero guard, BOTH engines -> NULL: an empty or
+      // all-space doc has zero BPE tokens (space is in no token
+      // class), where Spark's non-ANSI division yields NULL but
+      // DuckDB's IEEE double division yields inf/nan — the one
+      // unguarded division in this file would hash-diverge on the
+      // first such doc
       Tables.documents(s, d).select(
         col("doc_id"),
         nWs.as("n_ws_tokens"),
         nTok.as("n_bpe_tokens"),
-        (length(col("text")).cast(DoubleType) / nTok).as("chars_per_token"))
+        when(nTok === 0, lit(null).cast(DoubleType))
+          .otherwise(length(col("text")).cast(DoubleType) / nTok)
+          .as("chars_per_token"))
     },
     Some(s"""SELECT doc_id,
       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
       CAST(len(regexp_extract_all(text, '$TokenPattern')) AS BIGINT) AS n_bpe_tokens,
-      CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '$TokenPattern')) AS chars_per_token
+      CASE WHEN len(regexp_extract_all(text, '$TokenPattern')) = 0 THEN NULL
+           ELSE CAST(length(text) AS DOUBLE)
+                / len(regexp_extract_all(text, '$TokenPattern')) END AS chars_per_token
     FROM documents ORDER BY doc_id"""))
 
   /** Word-3-shingles of a text column as an ARRAY (1-based positions,
@@ -668,7 +695,7 @@ object TextAnalysis {
     * drift.
     */
   private[graft] def winnowFpsExpr(text: Column): Column = {
-    val h32 = (c: Column) => conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+    val h32 = hash32 _
     val hs = transform(shingles(text), g => h32(g))
     array_distinct(
       when(size(hs) >= 4,
@@ -684,7 +711,7 @@ object TextAnalysis {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val wspec = Window.partitionBy("doc_id").orderBy("pos")
-        val h32 = (c: Column) => conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+        val h32 = hash32 _
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), col("text"), size(split(col("text"), " ")).as("nw"))
         val grams = docs.filter(col("nw") >= 3)
