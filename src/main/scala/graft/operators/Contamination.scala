@@ -147,29 +147,13 @@ object Contamination {
     },
     Some {
       val n = SubstrL
-      s"""WITH g AS (
-      SELECT doc_id, i AS pos,
-             array_to_string(string_split(text, ' ')[i:i+${n - 1}], ' ') AS gram
-      FROM documents, UNNEST(range(1, len(string_split(text, ' ')) - $n + 2)) AS t(i)),
+      s"""WITH ${Substring.positionalGramsSql(n)},
     bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % $SubstrBenchMod = 0),
     cov AS (
       SELECT doc_id, pos FROM g
       WHERE doc_id % $SubstrBenchMod <> 0
         AND gram IN (SELECT gram FROM bench)),
-    m AS (
-      SELECT doc_id, pos,
-             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $n
-                  THEN 0 ELSE 1 END AS brk
-      FROM cov),
-    isl AS (
-      SELECT doc_id, pos,
-             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-      FROM m)
-    SELECT doc_id, MIN(pos) AS span_start,
-           MAX(pos) + $n - 1 AS span_end,
-           MAX(pos) + $n - MIN(pos) AS n_tokens
-    FROM isl GROUP BY doc_id, island
-    ORDER BY doc_id, span_start"""
+    ${Substring.mergeSpansSql(n)}"""
     })
 
   /** Winnowing-fingerprint decontamination — the third point on the

@@ -137,17 +137,15 @@ object Similarity {
     * [[annLsh]] uses the first NPlanes; [[dedupEmbedding]] the first
     * NDedupPlanes; [[dedupEmbeddingHi]] all HiPlanes.
     */
-  lazy val hyperplanes: Array[Array[Long]] = {
-    val mdig = java.security.MessageDigest.getInstance("MD5")
-    // HiPlanes >= NDedupPlanes >= NPlanes; generation is per (j, i),
-    // so widening the array leaves the first 64 planes (and every
-    // existing query's bands) bit-identical
-    Array.tabulate(HiPlanes, Dim) { (j, i) =>
-      val hex = mdig.digest(s"hp${j}_$i".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.substring(0, 15)
-      java.lang.Long.parseLong(hex, 16) % (Scale + 1) - Scale / 2
-    }
-  }
+  // HiPlanes >= NDedupPlanes >= NPlanes; generation is per (j, i), so
+  // widening leaves the first 64 planes (and every existing query's
+  // bands) bit-identical. DELEGATED to the one md5 plane formula in
+  // [[graft.functions.Hyperplanes]] — a second spelling of the
+  // derivation here was kept bit-equal only by a spec assertion, and
+  // an edit to one copy's constant would silently diverge the inlined
+  // oracle constants from the Spark band values.
+  lazy val hyperplanes: Array[Array[Long]] =
+    graft.functions.Hyperplanes.planes(HiPlanes)
 
   /** Deterministic jitter directions for [[dedupEmbeddingHi]]'s
     * augmentation copies — md5-derived like [[hyperplanes]] but from a
@@ -204,6 +202,31 @@ object Similarity {
     * with log-scaled bands ([[dedupEmbeddingWide]]) or block
     * semantically first ([[semanticPrune]]).
     */
+  /** Distinct candidate (i, j) pairs from narrow band rows — THE
+    * band-self-join + dedup body (previously copy-pasted across all
+    * three banded dedup variants and both candidate counters; one
+    * definition means a fix to the dedup rule cannot miss a copy).
+    */
+  private def bandCandidates(banded: DataFrame): DataFrame =
+    banded.select(col("band_id"), col("band_val"), col("vec_id").as("i"))
+      .join(banded.select(col("band_id"), col("band_val"), col("vec_id").as("j")),
+        Seq("band_id", "band_val"))
+      .filter(col("i") < col("j"))
+      .select("i", "j").dropDuplicates("i", "j")
+
+  /** Exact quantized-cosine verify of candidate pairs against the
+    * vector relation — the shared back half of the banded dedups.
+    */
+  private def verifyPairs(emb: DataFrame, cand: DataFrame,
+      tau: Double): DataFrame = {
+    val qi = emb.select(col("vec_id").as("i"), col("qa").as("qi"), col("na").as("ni"))
+    val qj = emb.select(col("vec_id").as("j"), col("qa").as("qj"), col("na").as("nj"))
+    cand.join(qi, "i").join(qj, "j")
+      .withColumn("cosine", cosine(dot(col("qi"), col("qj")), col("ni"), col("nj")))
+      .filter(col("cosine") >= tau)
+      .select("i", "j", "cosine")
+  }
+
   val dedupEmbedding = QueryDef(
     "dedup_embedding",
     (s, d) => {
@@ -214,17 +237,7 @@ object Similarity {
         posexplode(graft.functions.GraftFunctions
           .hyperplaneBands(col("qa"), DedupBands, DedupBits)))
         .select(col("vec_id"), col("pos").as("band_id"), col("col").as("band_val"))
-      val cand = banded.select(col("band_id"), col("band_val"), col("vec_id").as("i"))
-        .join(banded.select(col("band_id"), col("band_val"), col("vec_id").as("j")),
-          Seq("band_id", "band_val"))
-        .filter(col("i") < col("j"))
-        .select("i", "j").dropDuplicates("i", "j")
-      val qi = emb.select(col("vec_id").as("i"), col("qa").as("qi"), col("na").as("ni"))
-      val qj = emb.select(col("vec_id").as("j"), col("qa").as("qj"), col("na").as("nj"))
-      cand.join(qi, "i").join(qj, "j")
-        .withColumn("cosine", cosine(dot(col("qi"), col("qj")), col("ni"), col("nj")))
-        .filter(col("cosine") >= NearDupTau)
-        .select("i", "j", "cosine")
+      verifyPairs(emb, bandCandidates(banded), NearDupTau)
     },
     Some {
       def bandValSql(b: Int): String =
@@ -336,21 +349,8 @@ object Similarity {
     */
   val dedupEmbeddingHi = QueryDef(
     "dedup_embedding_hi",
-    (s, d) => {
-      val emb = augmentedHi(s, d)
-      val banded = hiBandRows(s, d, HiBands, HiBits)
-      val cand = banded.select(col("band_id"), col("band_val"), col("vec_id").as("i"))
-        .join(banded.select(col("band_id"), col("band_val"), col("vec_id").as("j")),
-          Seq("band_id", "band_val"))
-        .filter(col("i") < col("j"))
-        .select("i", "j").dropDuplicates("i", "j")
-      val qi = emb.select(col("vec_id").as("i"), col("qa").as("qi"), col("na").as("ni"))
-      val qj = emb.select(col("vec_id").as("j"), col("qa").as("qj"), col("na").as("nj"))
-      cand.join(qi, "i").join(qj, "j")
-        .withColumn("cosine", cosine(dot(col("qi"), col("qj")), col("ni"), col("nj")))
-        .filter(col("cosine") >= HiTau)
-        .select("i", "j", "cosine")
-    },
+    (s, d) => verifyPairs(augmentedHi(s, d),
+      bandCandidates(hiBandRows(s, d, HiBands, HiBits)), HiTau),
     Some {
       def bandValSql(b: Int): String =
         (0 until HiBits).map(k => s"${planeBitSql(b * HiBits + k)} * ${1L << k}")
@@ -393,14 +393,8 @@ object Similarity {
     * exact verify — spec-only, for the prune-rate measurement.
     */
   private[graft] def dedupEmbeddingHiCandidates(
-      s: SparkSession, d: String): Long = {
-    val banded = hiBandRows(s, d, HiBands, HiBits)
-    banded.select(col("band_id"), col("band_val"), col("vec_id").as("i"))
-      .join(banded.select(col("band_id"), col("band_val"), col("vec_id").as("j")),
-        Seq("band_id", "band_val"))
-      .filter(col("i") < col("j"))
-      .select("i", "j").dropDuplicates("i", "j").count()
-  }
+      s: SparkSession, d: String): Long =
+    wideCandidates(s, d, HiBands, HiBits)
 
   // ---------------------------------------------------------------
   // dedup_embedding_wide: log-scaled band widths — the 100-TB default
@@ -454,21 +448,8 @@ object Similarity {
       import graft.functions.{GraftFunctions, Hyperplanes}
       val augN = corpusCount(d, Tables.embeddings(s, d)) * 2
       val (bands, bits) = Hyperplanes.wideBandPlan(augN)
-      val emb = augmentedHi(s, d)
-      val banded = emb.select(col("vec_id"),
-        posexplode(GraftFunctions.hyperplaneBands(col("qa"), bands, bits)))
-        .select(col("vec_id"), col("pos").as("band_id"), col("col").as("band_val"))
-      val cand = banded.select(col("band_id"), col("band_val"), col("vec_id").as("i"))
-        .join(banded.select(col("band_id"), col("band_val"), col("vec_id").as("j")),
-          Seq("band_id", "band_val"))
-        .filter(col("i") < col("j"))
-        .select("i", "j").dropDuplicates("i", "j")
-      val qi = emb.select(col("vec_id").as("i"), col("qa").as("qi"), col("na").as("ni"))
-      val qj = emb.select(col("vec_id").as("j"), col("qa").as("qj"), col("na").as("nj"))
-      cand.join(qi, "i").join(qj, "j")
-        .withColumn("cosine", cosine(dot(col("qi"), col("qj")), col("ni"), col("nj")))
-        .filter(col("cosine") >= HiTau)
-        .select("i", "j", "cosine")
+      verifyPairs(augmentedHi(s, d),
+        bandCandidates(hiBandRows(s, d, bands, bits)), HiTau)
     },
     Some {
       // the bands-per-bits lookup, computed once in Scala and inlined
@@ -484,8 +465,14 @@ object Similarity {
       FROM embeddings),
     cfg AS (
       -- beyond-cap band plans ERROR instead of silently truncating
-      -- the high bands (which would surface as an opaque mismatch)
-      SELECT CASE WHEN bands * bits > $WidePlaneCapSql
+      -- the high bands (which would surface as an opaque mismatch).
+      -- The bits > 32 check must come FIRST: past the bandsTable's
+      -- width the lookup is NULL, and 'NULL * bits > cap' is NULL —
+      -- the cap guard would silently fall through to zero planes and
+      -- an empty (not erroring) oracle result.
+      SELECT CASE WHEN bits > 32
+          THEN error('dedup_embedding_wide oracle: bits > 32 — corpus beyond the SQL oracle tier')
+        WHEN bands * bits > $WidePlaneCapSql
           THEN error('dedup_embedding_wide oracle: plane cap $WidePlaneCapSql exceeded — corpus too large for the SQL oracle tier')
           ELSE bits END AS bits,
         bands
@@ -522,17 +509,8 @@ object Similarity {
     * candidate-law measurement.
     */
   private[graft] def wideCandidates(
-      s: SparkSession, d: String, bands: Int, bits: Int): Long = {
-    import graft.functions.GraftFunctions
-    val banded = augmentedHi(s, d).select(col("vec_id"),
-      posexplode(GraftFunctions.hyperplaneBands(col("qa"), bands, bits)))
-      .select(col("vec_id"), col("pos").as("band_id"), col("col").as("band_val"))
-    banded.select(col("band_id"), col("band_val"), col("vec_id").as("i"))
-      .join(banded.select(col("band_id"), col("band_val"), col("vec_id").as("j")),
-        Seq("band_id", "band_val"))
-      .filter(col("i") < col("j"))
-      .select("i", "j").dropDuplicates("i", "j").count()
-  }
+      s: SparkSession, d: String, bands: Int, bits: Int): Long =
+    bandCandidates(hiBandRows(s, d, bands, bits)).count()
 
   /** Streaming-twin plumbing ([[graft.streaming.EmbStream]]): the SAME
     * quantization, 16x4-bit banding, and verify threshold as
@@ -597,21 +575,28 @@ object Similarity {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val emb = quantized(s, d)
-      val banded = emb.select(col("vec_id"), col("qa"), col("na"),
+      // ids-only banding (the dedupEmbedding discipline): the band
+      // explode, equi-join, and candidate dedup shuffle carry bare
+      // ids — the 64-long vectors join back onto the DEDUPED
+      // candidates for the exact verify, instead of riding 4x band
+      // fan-out through two exchanges
+      val banded = emb.select(col("vec_id"),
         posexplode(graft.functions.GraftFunctions
           .hyperplaneBands(col("qa"), NBands, BitsPerBand)))
-        .select(col("vec_id"), col("qa"), col("na"),
-          col("pos").as("band_id"), col("col").as("band_val"))
+        .select(col("vec_id"), col("pos").as("band_id"), col("col").as("band_val"))
       val qside = banded.filter(col("vec_id") < NQueries)
-        .select(col("band_id"), col("band_val"),
-          col("vec_id").as("qid"), col("qa").as("qq"), col("na").as("qna"))
+        .select(col("band_id"), col("band_val"), col("vec_id").as("qid"))
       val cand = banded
         .join(qside, Seq("band_id", "band_val"))
         .filter(col("vec_id") =!= col("qid"))
-        .select("qid", "vec_id", "qq", "qa", "qna", "na")
+        .select("qid", "vec_id")
         .dropDuplicates("qid", "vec_id")
+      val qv = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("qa").as("qq"), col("na").as("qna"))
       val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("vec_id"))
       cand
+        .join(broadcast(qv), "qid")
+        .join(emb.select(col("vec_id"), col("qa"), col("na")), "vec_id")
         .withColumn("cosine", cosine(dot(col("qq"), col("qa")), col("qna"), col("na")))
         .filter(col("cosine") >= LshVerifyTau)
         .withColumn("rank", row_number().over(w).cast(LongType))

@@ -154,14 +154,29 @@ object Substring {
     },
     Some {
       val n = MinRepeatTokens
-      s"""WITH g AS (
-      SELECT doc_id, i AS pos,
-             array_to_string(string_split(text, ' ')[i:i+${n - 1}], ' ') AS gram
-      FROM documents, UNNEST(range(1, len(string_split(text, ' ')) - $n + 2)) AS t(i)),
+      s"""WITH ${positionalGramsSql(n)},
     cov AS (
       SELECT doc_id, pos FROM g
       QUALIFY COUNT(*) OVER (PARTITION BY gram) >= 2),
-    m AS (
+    ${mergeSpansSql(n)}"""
+    })
+
+  /** SQL mirror of [[positionalGrams]] (relation `g(doc_id, pos,
+    * gram)`) — shared with Contamination.decontaminateSubstring's
+    * oracle, as the Scala side already shares [[positionalGrams]].
+    */
+  private[operators] def positionalGramsSql(n: Int): String =
+    s"""g AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(string_split(text, ' ')[i:i+${n - 1}], ' ') AS gram
+      FROM documents, UNNEST(range(1, len(string_split(text, ' ')) - $n + 2)) AS t(i))"""
+
+  /** SQL mirror of [[mergeSpans]]: the gaps-and-islands merge over a
+    * relation `cov(doc_id, pos)` — ONE spelling of the island
+    * arithmetic so the two span-producing oracles cannot drift.
+    */
+  private[operators] def mergeSpansSql(n: Int): String =
+    s"""m AS (
       SELECT doc_id, pos,
              CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $n
                   THEN 0 ELSE 1 END AS brk
@@ -175,7 +190,6 @@ object Substring {
            MAX(pos) + $n - MIN(pos) AS n_tokens
     FROM isl GROUP BY doc_id, island
     ORDER BY doc_id, span_start"""
-    })
 
   val defs: Seq[QueryDef] = Seq(substringDedup)
 }
