@@ -391,7 +391,14 @@ object Analytics {
     SELECT decile, COUNT(*) AS n_orders, ${dsum("o_totalprice")} AS total_price
     FROM ranked GROUP BY decile"""))
 
-  private val EventTypes = Seq("click", "login", "logout", "purchase", "view")
+  // THE events table's type domain (EventPipeline owns it): this list
+  // previously carried login/logout — producer-replica types that
+  // never occur in the table — instead of error/signup, so q_pivot's
+  // two columns were always NULL and ~40% of event values silently
+  // vanished from the reshape. The oracle shared the literal, so the
+  // hash gate structurally could not catch it; one shared constant
+  // can.
+  private val EventTypes = EventPipeline.EventTypes
 
   /** Native `RelationalGroupedDataset.pivot` with the pivot values
     * supplied explicitly. Supplying the values matters at scale: it
@@ -488,7 +495,7 @@ object Analytics {
       val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"),
-          expr("ts div 1000000").as("ms"), col("value"))
+          Tables.eventTsMs.as("ms"), col("value"))
         .withColumn("prev_value", lag("value", 1).over(w))
         .withColumn("next_value", lead("value", 1).over(w))
         .withColumn("first_value", first("value").over(w))

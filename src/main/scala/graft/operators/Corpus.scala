@@ -164,11 +164,9 @@ object Corpus {
           sum(when(col("h_cnt") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
     },
     Some {
-      val nw = "len(string_split(text, ' '))"
-      val qualityExpr =
-        s"""(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / $nw) * 0.5
-        + (1.0 - CAST(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a' OR w = 'of')) AS DOUBLE) / $nw) * 0.3
-        + least((CAST(length(regexp_replace(text, '[ ]', '', 'g')) AS DOUBLE) / $nw) / 10.0, 1.0) * 0.2"""
+      // the ONE SQL spelling of the quality formula (a hand copy here
+      // would drift from text_quality's if the formula ever changes)
+      val qualityExpr = TextAnalysis.qualityScoreSql
       s"""WITH dup AS (
       SELECT md5(text) AS h, COUNT(*) AS h_cnt FROM documents GROUP BY 1)
     SELECT source, COUNT(*) AS n_docs,

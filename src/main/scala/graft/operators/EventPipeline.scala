@@ -41,7 +41,7 @@ object EventPipeline {
   // CAST(ts AS TIMESTAMP) + epoch_ms truncates identically
   // (floor(ns/1e6) == floor(floor(ns/1e3)/1e3) for positive ns).
   private val tsCol = timestamp_micros(expr("ts div 1000"))
-  private val tsMs = expr("ts div 1000000")
+  private val tsMs = graft.Tables.eventTsMs
 
   private val parsedSchema = StructType(Seq(
     StructField("id", LongType),
@@ -312,7 +312,7 @@ object EventPipeline {
     (s, d) => {
       val ord = struct(col("ms"), col("event_id"))
       Tables.events(s, d)
-        .select(col("user_id"), expr("ts div 1000000").as("ms"),
+        .select(col("user_id"), tsMs.as("ms"),
           col("event_id"), col("event_type"), col("value"))
         .groupBy("user_id")
         .agg(max(col("ms")).as("last_ms"),

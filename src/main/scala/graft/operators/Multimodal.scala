@@ -113,17 +113,9 @@ object Multimodal {
           // Batched per-partition processing: codec init would live
           // here, once per partition, not per row.
           rows.flatMap { case (docId, bytes, mime) =>
-            val nFrames = (bytes.length + FrameSize - 1) / FrameSize
-            // Frame-sample: every other frame (stride 2), mirroring
-            // video keyframe sampling.
-            (0 until nFrames by 2).map { f =>
-              val frame = bytes.slice(f * FrameSize, math.min((f + 1) * FrameSize, bytes.length))
-              // Resize STUB: stride-4 byte downsample stands in for a
-              // real image/audio resample before feature extraction.
-              val resized = frame.indices.collect { case i if i % 4 == 0 => frame(i) }.toArray
-              val feat = decodeStub(resized)
-              FrameFeature(docId, mime, bytes.length.toLong, f, frame.length.toLong,
-                resized.length.toLong, feat(0), feat(1), feat(2), feat(3))
+            sampledFrames(bytes).map { case (f, frameLen, resizedLen, feat) =>
+              FrameFeature(docId, mime, bytes.length.toLong, f, frameLen.toLong,
+                resizedLen.toLong, feat(0), feat(1), feat(2), feat(3))
             }
           }
         }
@@ -185,14 +177,27 @@ object Multimodal {
     * grid — the pHash shape (small perturbations of the payload land
     * in the same bucket; byte-exactness not required).
     */
-  private[graft] def pHashOf(bytes: Array[Byte]): String = {
+  /** Stride-2 frame sample -> stride-4 resize stub -> decode stub:
+    * THE frame pipeline, shared by [[meta]]'s mapPartitions body and
+    * [[pHashOf]] — both must stay bit-identical to the one SQL
+    * derivation (stubFeatureCtesSql) their oracles use, and a stride
+    * edit applied to one Scala copy but not the other would
+    * desynchronize multimodal_near_dup from multimodal_meta. Yields
+    * (frame_id, frame_len, resized_len, features) in frame order.
+    */
+  private def sampledFrames(bytes: Array[Byte]): Seq[(Int, Int, Int, Array[Float])] = {
     val nFrames = (bytes.length + FrameSize - 1) / FrameSize
-    val acc = new Array[Double](FeatDim)
-    var used = 0
-    (0 until nFrames by 2).foreach { f =>
+    (0 until nFrames by 2).map { f =>
       val frame = bytes.slice(f * FrameSize, math.min((f + 1) * FrameSize, bytes.length))
       val resized = frame.indices.collect { case i if i % 4 == 0 => frame(i) }.toArray
-      val feat = decodeStub(resized)
+      (f, frame.length, resized.length, decodeStub(resized))
+    }
+  }
+
+  private[graft] def pHashOf(bytes: Array[Byte]): String = {
+    val acc = new Array[Double](FeatDim)
+    var used = 0
+    sampledFrames(bytes).foreach { case (_, _, _, feat) =>
       var j = 0
       while (j < FeatDim) { acc(j) += feat(j); j += 1 }
       used += 1

@@ -92,6 +92,18 @@ object TextAnalysis {
       least(avgWordLen / 10.0, lit(1.0)) * 0.2
   }
 
+  /** Inline SQL scalar of [[qualityScoreCol]] over the `text` column —
+    * the one spelling shared with consumers that need the score as a
+    * sub-expression (corpus_stats' floor-quantized mean) rather than
+    * [[quality]]'s CTE form.
+    */
+  val qualityScoreSql: String = {
+    val nw = "len(string_split(text, ' '))"
+    s"""(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / $nw) * 0.5
+        + (1.0 - CAST(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a' OR w = 'of')) AS DOUBLE) / $nw) * 0.3
+        + least((CAST(length(regexp_replace(text, '[ ]', '', 'g')) AS DOUBLE) / $nw) / 10.0, 1.0) * 0.2"""
+  }
+
   private def scoreSql(lex: Seq[String]): String =
     lex.map(w => s"list_contains(string_split(text, ' '), '$w')::INT").mkString(" + ")
 
