@@ -63,9 +63,16 @@ object Bench {
     }
 
     // Warmup: touch the parquet reader, a shuffle, a broadcast and the
-    // codegen compiler once before any measurement.
+    // codegen compiler once before any measurement. The broadcast join
+    // is real — without it, TorrentBroadcast/threadpool init would
+    // land in the first measured query that broadcasts.
     Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().collect()
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    Tables.lineitem(spark, sfDir)
+      .join(org.apache.spark.sql.functions.broadcast(Tables.nation(spark, sfDir)),
+        org.apache.spark.sql.functions.col("l_suppkey") % 25 ===
+          org.apache.spark.sql.functions.col("n_nationkey"))
+      .count()
 
     // Optional name filter (comma-separated) for root-causing a
     // regression cluster without paying the full-registry wall time.

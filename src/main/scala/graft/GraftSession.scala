@@ -63,6 +63,7 @@ final class GraftSession(val spark: SparkSession, val sfDir: String)
     case "graph_pagerank"       => Graph.pageRankFrom(ngram.pairs)
     case "graph_label_prop"     => Graph.labelPropFrom(ngram.pairs)
     case "dedup_keep_rank"      => Graph.keepRankFrom(ngram.pairs)
+    case "dedup_embedding"      => emb.pairs
     case "dedup_embedding_keep" => emb.keep
     case "dedup_semantic_prune"     => embFam.semanticPrune
     case "emb_centroid"             => embFam.centroid

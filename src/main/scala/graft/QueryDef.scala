@@ -58,6 +58,13 @@ final case class QueryDef(
   */
 object Det {
   val Dec: DecimalType = DecimalType(38, 6)
+
+  /** Timestamp-literal convention for date-filter queries (the pinned
+    * UTC session timezone makes the NTZ-vs-TZ coercion deterministic)
+    * — one definition; Analytics/Tpch delegate here.
+    */
+  def tsLit(s: String): Column = lit(s).cast("timestamp")
+
   def dec(c: Column): Column = c.cast(Dec)
   /** Exact decimal sum surfaced as a bit-deterministic double. */
   def sumd(c: Column): Column = sum(dec(c)).cast(DoubleType)

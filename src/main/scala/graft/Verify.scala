@@ -10,7 +10,18 @@ object Verify {
     val sfDir = args(0)
     val outDir = args(1)
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(',').toSet) else None
+      if (args.length > 2)
+        Some(args(2).split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      else None
+    // typo'd filter names must fail LOUDLY (the Bench filter rule):
+    // the manifest and oracle dump are filtered by the same set, so a
+    // silent miss would produce a self-consistent near-empty run the
+    // checker reports all-green
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query names in filter: ${unknown.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -35,9 +46,12 @@ object Verify {
       // write must leave NO output, not a stale one the oracle
       // compare would green-light
       deleteRec(new java.io.File(s"$outDir/$name"))
+      // NonFatal only (the Bench rule): swallowing an OOM and dumping
+      // the remaining queries on a dying heap would turn one fatal
+      // error into a scatter of misleading per-query mismatches
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

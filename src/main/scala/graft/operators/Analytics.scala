@@ -23,7 +23,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object Analytics {
 
-  private def ts(s: String) = lit(s).cast("timestamp")
+  private def ts(s: String) = graft.Det.tsLit(s)
 
   val q1 = QueryDef(
     "q1_pricing_summary",

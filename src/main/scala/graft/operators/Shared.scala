@@ -138,8 +138,12 @@ object Shared {
       * `emb_centroid` need them — lazy so the other members never pay
       * the centroid aggregate).
       */
-    lazy val cc: DataFrame = Similarity.centroidCosFrom(emb)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    private var ccInit = false
+    lazy val cc: DataFrame = {
+      ccInit = true
+      Similarity.centroidCosFrom(emb)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
 
     /** Same rows as registered `dedup_semantic_prune`. */
     def semanticPrune: DataFrame = Similarity.semanticPruneFrom(cc, pairs)
@@ -160,10 +164,16 @@ object Shared {
     def decontaminate: DataFrame =
       Similarity.decontaminateEmbeddingFrom(emb, pairs)
 
-    /** Drop every cache this session materialized (idempotent). */
+    /** Drop every cache this session materialized (idempotent).
+      * `cc` is only touched if it was ever forced: unconditionally
+      * dereferencing the lazy val would BUILD the centroid frame just
+      * to unpersist it — and a release() running after spark.stop()
+      * (close in an outer finally) would throw mid-cleanup, skipping
+      * emb.unpersist().
+      */
     def release(): Unit = {
       pairs.unpersist()
-      cc.unpersist()
+      if (ccInit) cc.unpersist()
       emb.unpersist()
     }
   }

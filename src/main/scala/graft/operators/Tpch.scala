@@ -27,7 +27,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object Tpch {
 
-  private def ts(s: String) = lit(s).cast("timestamp")
+  private def ts(s: String) = graft.Det.tsLit(s)
 
   /** TPC-H Q4 (order priority checking): orders of one quarter with at
     * least one late line, counted per priority. Lateness here is
