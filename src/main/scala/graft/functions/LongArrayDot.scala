@@ -94,6 +94,12 @@ object GraftFunctions {
   def pqCodes(qa: Column, books: Array[Array[Array[Long]]]): Column =
     Bridge.column(NearestCodes(Bridge.expression(qa), books))
 
+  /** Top-p nearest codewords per subspace (multi-probe assignment) —
+    * see [[NearestCodes]].
+    */
+  def pqCodes(qa: Column, books: Array[Array[Array[Long]]], topP: Int): Column =
+    Bridge.column(NearestCodes(Bridge.expression(qa), books, topP))
+
   /** Vector minus the codewords `codes` select — the IVF-PQ residual
     * step; see [[SubCodewords]].
     */

@@ -38,16 +38,28 @@ object Pq {
     * index). For a single-subspace codebook this is plain
     * nearest-centroid assignment (the coarse IVF quantizer).
     */
-  def encode(x: ArrayData, books: Array[Array[Array[Long]]]): ArrayData = {
+  def encode(x: ArrayData, books: Array[Array[Array[Long]]]): ArrayData =
+    encode(x, books, 1)
+
+  /** Top-`p` nearest codewords per subspace, best first (order:
+    * (distance, index) ascending) — m-major layout, so entry
+    * `m*p + r` is subspace m's rank-r codeword. p = 1 is [[encode]];
+    * p > 1 is the IVF MULTI-PROBE assignment (a vector participates
+    * in candidate generation in its p nearest cells, its PRIMARY
+    * cell stays entry m*p).
+    */
+  def encode(x: ArrayData, books: Array[Array[Array[Long]]], p: Int): ArrayData = {
     val m = books.length
     val sub = books(0)(0).length
-    val out = new Array[Int](m)
+    val out = new Array[Int](m * p)
+    val bd = new Array[Long](p)
+    val bi = new Array[Int](p)
     var mi = 0
     while (mi < m) {
       val book = books(mi)
       val base = mi * sub
-      var best = 0
-      var bestD = Long.MaxValue
+      var r = 0
+      while (r < p) { bd(r) = Long.MaxValue; bi(r) = 0; r += 1 }
       var k = 0
       while (k < book.length) {
         val cw = book(k)
@@ -58,10 +70,20 @@ object Pq {
           dsum += diff * diff
           i += 1
         }
-        if (dsum < bestD) { bestD = dsum; best = k }
+        // insertion into the top-p by (dist, index); scanning k
+        // ascending makes strict < the (dist, index) tie rule
+        var slot = p
+        while (slot > 0 && dsum < bd(slot - 1)) slot -= 1
+        if (slot < p) {
+          var s = p - 1
+          while (s > slot) { bd(s) = bd(s - 1); bi(s) = bi(s - 1); s -= 1 }
+          bd(slot) = dsum
+          bi(slot) = k
+        }
         k += 1
       }
-      out(mi) = best
+      r = 0
+      while (r < p) { out(mi * p + r) = bi(r); r += 1 }
       mi += 1
     }
     new GenericArrayData(out)
@@ -117,8 +139,12 @@ object Pq {
   * NULL (not a wrong code) for a vector of unexpected width or with a
   * NULL component — the [[HyperplaneBandVals]] discipline.
   */
-case class NearestCodes(child: Expression, books: Array[Array[Array[Long]]])
+case class NearestCodes(child: Expression, books: Array[Array[Array[Long]]],
+    topP: Int = 1)
     extends UnaryExpression with ExpectsInputTypes {
+
+  require(topP >= 1 && topP <= books.map(_.length).min,
+    s"topP $topP out of range for the codebook family")
 
   override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -130,7 +156,7 @@ case class NearestCodes(child: Expression, books: Array[Array[Array[Long]]])
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     if (x.numElements() != expected || Hyperplanes.hasNullElement(x)) null
-    else Pq.encode(x, books)
+    else Pq.encode(x, books, topP)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -141,7 +167,7 @@ case class NearestCodes(child: Expression, books: Array[Array[Array[Long]]])
          |    graft.functions.Hyperplanes.hasNullElement($a)) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graft.functions.Pq.encode($a, $b);
+         |  ${ev.value} = graft.functions.Pq.encode($a, $b, $topP);
          |}
        """.stripMargin
     })

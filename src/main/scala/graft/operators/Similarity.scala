@@ -49,6 +49,13 @@ object Similarity {
   private val CopyOffset = 10000000L
   private val NJit = 8
   private val JitShrink = 4L
+  // SemDeDup redundancy threshold ([[semanticPrune]] and the blocked
+  // composition). Declared HERE, above every val whose ORACLE STRING
+  // interpolates it: a Scala object initializes vals in declaration
+  // order, so a QueryDef's SQL built before this line would silently
+  // inline 0.0 (the Spark fn closure is immune — it reads the field
+  // at query-build time). Bitten once by dedup_embedding_blocked.
+  private val SemTau = 0.30
 
   /** One-time-per-dataset corpus row count for sizing the seeded
     * Bernoulli training samples of [[ivfTopK]]/[[pqIndex]] — cached
@@ -273,7 +280,7 @@ object Similarity {
     * engines compute the copies from the same inlined constants, so
     * the truth set is identical by construction.
     */
-  private def augmentedHi(s: SparkSession, d: String): DataFrame = {
+  private[graft] def augmentedHi(s: SparkSession, d: String): DataFrame = {
     val orig = quantized(s, d).select(col("vec_id"), col("qa"))
     val jitCase = (1 until NJit).foldLeft(
       when(col("vec_id") % NJit === 0, typedlit(jitters(0).toSeq))) {
@@ -511,6 +518,250 @@ object Similarity {
   private[graft] def wideCandidates(
       s: SparkSession, d: String, bands: Int, bits: Int): Long =
     bandCandidates(hiBandRows(s, d, bands, bits)).count()
+
+  // ---------------------------------------------------------------
+  // dedup_embedding_blocked: the composed 100-TB default path
+  // (kmeans cells -> in-cell banded near-dup -> SemDeDup prune)
+  // ---------------------------------------------------------------
+
+  /** Target cell occupancy for the semantic blocking stage: the cell
+    * count scales as k = ceil(n / CellCap), so per-cell work stays
+    * bounded at any corpus size.
+    */
+  private val CellCap = 256
+
+  /** In-cell band plan — CONSTANT by construction: bits are sized to
+    * the CELL CAP (not the corpus), because the band join population
+    * is a cell, never the corpus. This is what makes the composition
+    * linear where [[dedupEmbeddingWide]] alone is n^(1+rho): _wide's
+    * bands must grow with log2(n) (its join population IS the
+    * corpus), so its candidate work grows n^1.28; here the blocking
+    * caps the join population at CellCap, the band plan freezes at
+    * (bandsFor(8) = 17) x (bitsFor(256) = 8), and total candidate
+    * work is ~ bands·cap per cell x (n/cap) cells = O(n).
+    */
+  private val BlockBits = graft.functions.Hyperplanes.bitsFor(CellCap)
+  private val BlockBands = graft.functions.Hyperplanes.bandsFor(BlockBits)
+
+  /** Multi-probe width: each vector candidate-generates in its 2
+    * nearest cells (primary + runner-up). Cost: 2x band rows, still
+    * O(n); benefit: near-dup pairs a single cell boundary would
+    * split are recovered (BlockedDedupSpec measures the recall).
+    */
+  private val BlockProbe = 2
+
+  private[graft] def cellCap: Int = CellCap
+  private[graft] def semTau: Double = SemTau
+  private[graft] def hiTau: Double = HiTau
+
+  /** The registered 100-TB default embedding-dedup COMPOSITION — the
+    * end-to-end path SURVEY §5 names in prose, as ONE oracle-checked
+    * query (the r8 verdict's top ask). Three stages over the
+    * [[augmentedHi]] corpus, every piece individually hash-green:
+    *
+    *  1. SEMANTIC BLOCKING ([[kmeans]]'s deterministic integer Lloyd,
+    *     corpus-scaled k = ceil(n/[[CellCap]])): one assignment round
+    *     + one floored-mean update, with assignment through the
+    *     codegen'd [[graft.functions.NearestCodes]] against the
+    *     reference-object centroid matrix — the corpus never
+    *     shuffles; the update exchange carries k·Dim rows.
+    *  2. IN-CELL NEAR-DUP PAIRS at tau = [[HiTau]]
+    *     ([[dedupEmbeddingWide]]'s banding, keyed by (probed cell,
+    *     band_id, band_val) with the CONSTANT
+    *     [[BlockBands]]x[[BlockBits]] plan — see there for why
+    *     blocking freezes the band plan; each vector
+    *     candidate-generates in its [[BlockProbe]] nearest cells, the
+    *     IVF multi-probe move that recovers pairs a fragile cell
+    *     boundary would split): exact quantized-cosine verify, then
+    *     first-copy-wins (`dup_of` = min smaller-id near-dup, the
+    *     [[graft.streaming.DocStream]] rule).
+    *  3. SEMDEDUP PRUNE at tau = [[SemTau]] among the near-dup
+    *     SURVIVORS ([[semanticPrune]]'s dominance rule, centroid =
+    *     the Lloyd CELL centroid — the paper's actual shape, where
+    *     the registered D48 uses the label column as a stand-in):
+    *     a survivor is pruned iff some same-cell survivor within
+    *     SemTau sits strictly closer to the cell centroid (tie:
+    *     lower id).
+    *
+    * Output: every augmented vector with (cell, cos_centroid,
+    * dup_of, keep_dup, keep) — the full audit row, like every *_keep
+    * operator. The DuckDB oracle re-derives all three stages
+    * (corpus-scaled k included, from count(*) with integer-exact
+    * arithmetic) so the composition — not just the pieces — is
+    * hash-proven.
+    *
+    * Scale honesty: (a) in-cell banding misses cross-cell near-dup
+    * pairs — the SemDeDup trade, measured in BlockedDedupSpec
+    * against [[dedupEmbeddingWide]]'s full pair contract rather than
+    * assumed; (b) Lloyd cells are capped in EXPECTATION (k scales
+    * with n), not hard-capped — a pathological cell is the standard
+    * AQE-skew story; (c) assignment cost is n·k distance evals
+    * (k = n/cap), the known quadratic-compute term of flat k-means —
+    * at the 1e9-vector tier a deployment assigns hierarchically
+    * (two-level coarse quantizer, n·2·sqrt(k)) without changing any
+    * contract here, and the k·Dim driver-held centroid state at that
+    * tier (~4M cells) moves to a joined table the same way.
+    */
+  /** The blocked composition's (result, in-cell verified pair
+    * contract) — the pair frame is the BlockedDedupSpec seam for the
+    * recall measurement against [[dedupEmbeddingWide]]'s full
+    * contract; the registered query projects the result.
+    */
+  private[graft] def blockedStages(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+      import graft.functions.GraftFunctions
+      import s.implicits._
+      val augN = corpusCount(d, Tables.embeddings(s, d)) * 2
+      val k = (((augN + CellCap - 1) / CellCap) max 2L).toInt
+      val aug = augmentedHi(s, d)
+      // --- stage 1: corpus-scaled Lloyd cells, expression-assigned ---
+      val seeds = aug.filter(col("vec_id") < k)
+        .select(col("vec_id"), col("qa")).collect().sortBy(_.getLong(0))
+      val c0 = Array(seeds.map(_.getSeq[Long](1).toArray))
+      val upd = aug
+        .withColumn("cidx", element_at(GraftFunctions.pqCodes(col("qa"), c0), 1))
+        .select(col("cidx"), posexplode(col("qa")).as(Seq("dim", "v")))
+        .groupBy("cidx", "dim")
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .select(col("cidx"), col("dim"),
+          floor(col("sv").cast(DoubleType) / col("n")).cast(LongType).as("c"))
+        .collect() // bounded: k*Dim rows of centroid state, not corpus
+      val byIdx = upd.groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      val cellIds = byIdx.map { case (i, _) => seeds(i).getLong(0) }
+      val cents = byIdx.map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getLong(2))
+      }
+      val c1 = Array(cents)
+      val centsDf = cellIds.zip(cents).toSeq
+        .map { case (id, cv) => (id, cv.toSeq) }.toDF("cell", "cvec")
+        .withColumn("nc", dot(col("cvec"), col("cvec")))
+      // multi-probe assignment (top-BlockProbe nearest cells, best
+      // first): the PRIMARY cell (entry 1) carries the centroid
+      // cosine and the prune; ALL probed cells participate in
+      // candidate generation — the standard IVF multi-probe move,
+      // which recovers the true near-dup pairs a single fragile cell
+      // boundary would split (measured in BlockedDedupSpec: pair
+      // recall vs the unblocked wide contract).
+      val withCc = aug
+        .withColumn("cells", transform(
+          GraftFunctions.pqCodes(col("qa"), c1, BlockProbe),
+          ix => element_at(typedlit(cellIds.toSeq), (ix + 1).cast("int"))))
+        .withColumn("cell", element_at(col("cells"), 1))
+        .join(broadcast(centsDf), "cell")
+        .withColumn("cos_centroid",
+          cosine(dot(col("qa"), col("cvec")), col("na"), col("nc")))
+        .select("vec_id", "cell", "cells", "qa", "na", "cos_centroid")
+      // --- stage 2: in-cell banded near-dups, first-copy-wins ---
+      val banded = withCc.select(col("vec_id"), col("cells"),
+        posexplode(GraftFunctions.hyperplaneBands(col("qa"), BlockBands, BlockBits)))
+        .select(col("vec_id"), explode(col("cells")).as("bcell"),
+          col("pos").as("band_id"), col("col").as("band_val"))
+      val cand = banded
+        .select(col("bcell"), col("band_id"), col("band_val"), col("vec_id").as("i"))
+        .join(banded.select(col("bcell"), col("band_id"), col("band_val"),
+          col("vec_id").as("j")), Seq("bcell", "band_id", "band_val"))
+        .filter(col("i") < col("j"))
+        .select("i", "j").dropDuplicates("i", "j")
+      val pairs = verifyPairs(withCc.select("vec_id", "qa", "na"), cand, HiTau)
+      val dupOf = pairs.groupBy(col("j").as("vec_id")).agg(min(col("i")).as("dup_of"))
+      val dedup = withCc.join(dupOf, Seq("vec_id"), "left")
+        .withColumn("keep_dup", col("dup_of").isNull)
+      // --- stage 3: SemDeDup dominance among near-dup survivors ---
+      val surv = dedup.filter(col("keep_dup"))
+        .select(col("cell"), col("vec_id"), col("qa"), col("na"), col("cos_centroid"))
+      val other = surv.select(col("cell"), col("vec_id").as("o_id"),
+        col("qa").as("qo"), col("na").as("no"), col("cos_centroid").as("cco"))
+      val dominated = surv.join(other, Seq("cell"))
+        .filter(col("o_id") =!= col("vec_id"))
+        .withColumn("pc", cosine(dot(col("qa"), col("qo")), col("na"), col("no")))
+        .filter(col("pc") >= SemTau)
+        .filter(col("cco") < col("cos_centroid") ||
+          (col("cco") === col("cos_centroid") && col("o_id") < col("vec_id")))
+        .select(col("vec_id").as("dom_id")).distinct()
+      val result = dedup.join(dominated, col("vec_id") === col("dom_id"), "left")
+        .withColumn("keep", col("keep_dup") && col("dom_id").isNull)
+        .select("vec_id", "cell", "cos_centroid", "dup_of", "keep_dup", "keep")
+      (result, pairs)
+  }
+
+  val dedupEmbeddingBlocked = QueryDef(
+    "dedup_embedding_blocked",
+    (s, d) => blockedStages(s, d)._1,
+    Some(s"""WITH q0 AS ($quantizedSql),
+    $augmentedHiSql,
+    kcfg AS (
+      SELECT GREATEST(2, (count(*) * 2 + ${CellCap - 1}) // $CellCap) AS k
+      FROM embeddings),
+    c0 AS (SELECT vec_id AS cell, qa AS cvec, na AS nc FROM q
+           WHERE vec_id < (SELECT k FROM kcfg)),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT q.vec_id, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY q.na + c.nc - 2 * ${dotSql("q.qa", "c.cvec")}, c.cell) AS rk
+        FROM q, c0 c) WHERE rk = 1),
+    s1 AS (
+      SELECT a1.cell, r.i AS dim, SUM(q.qa[r.i]) AS sv, COUNT(*) AS n
+      FROM q JOIN a1 USING (vec_id)
+      CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS i) r
+      GROUP BY a1.cell, r.i),
+    c1 AS (
+      SELECT cell,
+        list(CAST(floor(CAST(sv AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS cvec
+      FROM s1 GROUP BY cell),
+    c1n AS (SELECT cell, cvec, ${normSql("cvec")} AS nc FROM c1),
+    asgp AS (
+      SELECT vec_id, cell, rk FROM (
+        SELECT q.vec_id, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY q.na + c.nc - 2 * ${dotSql("q.qa", "c.cvec")}, c.cell) AS rk
+        FROM q, c1n c) WHERE rk <= $BlockProbe),
+    asg AS (SELECT vec_id, cell FROM asgp WHERE rk = 1),
+    cc AS (
+      SELECT q.vec_id, a.cell, q.qa, q.na,
+        ${cosineSql(dotSql("q.qa", "c.cvec"), "q.na", "c.nc")} AS cos_centroid
+      FROM q JOIN asg a USING (vec_id) JOIN c1n c USING (cell)),
+    planes AS (
+      SELECT j, list_transform(range(0, $Dim), i ->
+          ('0x' || substr(md5('hp' || j || '_' || i), 1, 15))::BIGINT % ${Scale + 1} - ${Scale / 2}) AS p
+      FROM (SELECT unnest(range(0, ${BlockBands * BlockBits})) AS j)),
+    pbits AS (
+      SELECT cc.vec_id, pl.j,
+        CASE WHEN CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+            i -> cc.qa[i] * pl.p[i])) AS BIGINT) > 0 THEN 1 ELSE 0 END AS bit
+      FROM cc CROSS JOIN planes pl),
+    bands_rel AS (
+      SELECT vec_id, j // $BlockBits AS band_id,
+        SUM(CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << (j % $BlockBits))) AS band_val
+      FROM pbits GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      FROM bands_rel a JOIN bands_rel b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+      JOIN asgp ai ON ai.vec_id = a.vec_id
+      JOIN asgp aj ON aj.vec_id = b.vec_id AND aj.cell = ai.cell
+      WHERE a.vec_id < b.vec_id),
+    pairs AS (
+      SELECT c.i, c.j FROM cand c
+      JOIN cc qa ON qa.vec_id = c.i
+      JOIN cc qb ON qb.vec_id = c.j
+      WHERE ${cosineSql(dotSql("qa.qa", "qb.qa"), "qa.na", "qb.na")} >= $HiTau),
+    dup AS (SELECT j AS vec_id, MIN(i) AS dup_of FROM pairs GROUP BY j),
+    ded AS (
+      SELECT cc.vec_id, cc.cell, cc.qa, cc.na, cc.cos_centroid,
+        d.dup_of, d.dup_of IS NULL AS keep_dup
+      FROM cc LEFT JOIN dup d ON d.vec_id = cc.vec_id),
+    surv AS (SELECT * FROM ded WHERE keep_dup),
+    dom AS (
+      SELECT DISTINCT a.vec_id
+      FROM surv a JOIN surv b ON a.cell = b.cell AND b.vec_id <> a.vec_id
+      WHERE ${cosineSql(dotSql("a.qa", "b.qa"), "a.na", "b.na")} >= $SemTau
+        AND (b.cos_centroid < a.cos_centroid
+          OR (b.cos_centroid = a.cos_centroid AND b.vec_id < a.vec_id)))
+    SELECT ded.vec_id, ded.cell, ded.cos_centroid, ded.dup_of, ded.keep_dup,
+      (ded.keep_dup AND dm.vec_id IS NULL) AS keep
+    FROM ded LEFT JOIN dom dm ON dm.vec_id = ded.vec_id
+    ORDER BY ded.vec_id"""))
 
   /** Streaming-twin plumbing ([[graft.streaming.EmbStream]]): the SAME
     * quantization, 16x4-bit banding, and verify threshold as
@@ -1278,8 +1529,6 @@ object Similarity {
       CAST(SUM(err) AS DOUBLE) / CAST(COUNT(*) * $Dim * 127 AS DOUBLE) AS avg_err_per_dim
     FROM errs GROUP BY label ORDER BY label"""))
 
-  private val SemTau = 0.30
-
   /** SemDeDup (Abbas et al. 2023) — semantic-redundancy pruning:
     * within each embedding CLUSTER, any two vectors with cosine >=
     * [[SemTau]] are semantic duplicates, and the pair member CLOSER to
@@ -1756,8 +2005,8 @@ object Similarity {
     ORDER BY t.vec_id"""))
 
   val defs: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding,
-    dedupEmbeddingHi, dedupEmbeddingWide, annLsh, annIvf, annIvfPq,
-    embCentroid, dedupEmbeddingKeep, dimReduce, embQuantize, semanticPrune,
-    mineHardNegatives, knnGraph, knnScoreDiffusion, kmeans,
-    decontaminateEmbedding)
+    dedupEmbeddingHi, dedupEmbeddingWide, dedupEmbeddingBlocked, annLsh,
+    annIvf, annIvfPq, embCentroid, dedupEmbeddingKeep, dimReduce,
+    embQuantize, semanticPrune, mineHardNegatives, knnGraph,
+    knnScoreDiffusion, kmeans, decontaminateEmbedding)
 }
