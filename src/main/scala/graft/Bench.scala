@@ -110,21 +110,29 @@ object Bench {
             None
         }
       }
-      name -> runs.minByOption(_._1).getOrElse((-1.0, -1L, -1L))
+      (name, runs.minByOption(_._1).getOrElse((-1.0, -1L, -1L)), runs.map(_._1))
     }
-    val qs = results.map { case (k, (t, _, _)) => "\"" + k + "\":" + t }
+    val qs = results.map { case (k, (t, _, _), _) => "\"" + k + "\":" + t }
       .mkString("{", ",", "}")
-    val shuffles = results.map { case (k, (_, sh, _)) => "\"" + k + "\":" + sh }
+    val shuffles = results.map { case (k, (_, sh, _), _) => "\"" + k + "\":" + sh }
       .mkString("{", ",", "}")
-    val spills = results.map { case (k, (_, _, sp)) => "\"" + k + "\":" + sp }
+    val spills = results.map { case (k, (_, _, sp), _) => "\"" + k + "\":" + sp }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, (v, _, _)) if v >= 0 => v }.sum
+    // Per-rep traces IN the artifact (r8 verdict, bench-evidence
+    // hygiene): the round-to-round drift analyses kept reconstructing
+    // rep-1-codegen vs sustained-slowness from stderr scrollback; the
+    // committed JSON now carries every rep, so variance attribution
+    // needs no re-run and survives stdout truncation.
+    val repsJson = results.map { case (k, _, rs) =>
+      "\"" + k + "\":" + rs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, (v, _, _), _) if v >= 0 => v }.sum
     // failures surfaced explicitly: a broken query must not read as a
     // smaller (better) total
-    val failed = results.collect { case (k, (v, _, _)) if v < 0 => "\"" + k + "\"" }
+    val failed = results.collect { case (k, (v, _, _), _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"shuffle_bytes":$shuffles,"spill_bytes":$spills,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"shuffle_bytes":$shuffles,"spill_bytes":$spills,"reps":$repsJson,"sf":"$sfDir"}"""
     println(line)
     // Also persist next to the repo: the driver captures stdout tails,
     // which has truncated the per-query map before — the file is the
