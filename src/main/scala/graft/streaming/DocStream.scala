@@ -54,6 +54,23 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * never text; the index grows by survivors only. A deployment reads
   * the stream from Kafka and keeps the index in a table format with
   * compaction; here both are parquet directories.
+  *
+  * OVERLAPPING-WRITER BOUND (IndexOverlapSpec demonstrates both
+  * halves): the index append is plain-parquet `append` — each writer
+  * lands uniquely-named part files, so concurrent appenders can never
+  * LOSE an admitted doc's band rows or tear a file, and DUPLICATE
+  * band rows (a replay that re-appends survivors) are tolerated by
+  * construction — the dedup join takes MIN over matches, which
+  * duplicates cannot change. What overlap CAN do: two writers whose
+  * read-index..append windows overlap both dedup against the same
+  * snapshot, so a near-dup pair split across them is admitted TWICE —
+  * a second survivor, the analog of upsertSink's lost update
+  * (UpsertOverlapSpec). The stream itself never hits this
+  * (foreachBatch serializes batches within a query); it is the
+  * multi-driver deployment hazard, and the production answer is the
+  * same as upsertSink's: a transactional table format's optimistic
+  * commit on the index table. Post-hoc, `dedup_cluster_keep` over the
+  * admitted set collapses any double-admitted pair.
   */
 object DocStream {
 
@@ -63,7 +80,7 @@ object DocStream {
   def writeSignatureIndex(corpus: DataFrame, indexDir: String): Unit =
     bandRows(corpus).write.mode("overwrite").parquet(indexDir)
 
-  private def bandRows(docs: DataFrame): DataFrame =
+  private[graft] def bandRows(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       explode(Dedup.bandKeysExpr(Dedup.minhashSigExpr(col("text")))).as("bb"))
       .select(col("doc_id"), col("bb.band_id").as("band_id"),

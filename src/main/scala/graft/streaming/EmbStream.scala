@@ -54,6 +54,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * stores. The index grows by survivors only. A deployment reads the
   * stream from Kafka and keeps both tables in a table format with
   * compaction; here they are parquet directories.
+  *
+  * OVERLAPPING-WRITER BOUND: identical to [[DocStream]]'s (see there;
+  * IndexOverlapSpec demonstrates both halves on this stream too) —
+  * concurrent plain-parquet appenders lose nothing and tolerate
+  * duplicated band/vector rows (min-struct verdicts are
+  * duplicate-stable), but overlapped read..append windows can admit a
+  * near-dup pair twice; table-format optimistic commit is the
+  * multi-driver answer, `dedup_embedding_keep` the post-hoc collapse.
   */
 object EmbStream {
 
