@@ -90,7 +90,10 @@ object Bench {
       .filter { case (n, _) => filter.forall(_.contains(n)) }
 
     val results = selected.map { case (name, fn) =>
-      val runs = (1 to reps).flatMap { rep =>
+      // each rep keeps its slot: a failed rep rides as None so the
+      // artifact's per-rep array shows WHERE it failed (null), not a
+      // silently shorter array indistinguishable from a smaller run
+      val repSlots = (1 to reps).map { rep =>
         val (sh0, sp0) = settledCounters()
         val t0 = System.nanoTime()
         try {
@@ -110,7 +113,9 @@ object Bench {
             None
         }
       }
-      (name, runs.minByOption(_._1).getOrElse((-1.0, -1L, -1L)), runs.map(_._1))
+      val runs = repSlots.flatten
+      (name, runs.minByOption(_._1).getOrElse((-1.0, -1L, -1L)),
+        repSlots.map(_.map(_._1)))
     }
     val qs = results.map { case (k, (t, _, _), _) => "\"" + k + "\":" + t }
       .mkString("{", ",", "}")
@@ -124,7 +129,8 @@ object Bench {
     // committed JSON now carries every rep, so variance attribution
     // needs no re-run and survives stdout truncation.
     val repsJson = results.map { case (k, _, rs) =>
-      "\"" + k + "\":" + rs.mkString("[", ",", "]")
+      "\"" + k + "\":" +
+        rs.map(_.map(_.toString).getOrElse("null")).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, (v, _, _), _) if v >= 0 => v }.sum
     // failures surfaced explicitly: a broken query must not read as a

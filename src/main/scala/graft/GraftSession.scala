@@ -71,6 +71,7 @@ final class GraftSession(val spark: SparkSession, val sfDir: String)
     case "mine_hard_negatives"      => embFam.hardNegatives
     case "knn_score_diffusion"      => embFam.diffusion
     case "decontaminate_embedding"  => embFam.decontaminate
+    case "dedup_embedding_blocked"  => embFam.blocked
     case other                  => SparkEntry.queries(other)(spark, sfDir)
   }
 

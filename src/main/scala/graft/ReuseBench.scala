@@ -45,27 +45,46 @@ object ReuseBench {
     Tables.documents(spark, sfDir).groupBy("lang").count().collect()
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
-    val family = Seq("dedup_cluster_keep", "pipeline_curate",
-      "pipeline_curate_nb", "graph_triangles", "graph_pagerank",
-      "dedup_keep_rank", "graph_label_prop")
+    // Optional name filters (comma-separated) so a scale-tier run can
+    // measure ONE family slice (e.g. the two curate pipelines at 100x)
+    // without paying the full seven-query family twice per rep.
+    // Unknown names must fail loudly (the Bench filter rule).
+    def familyEnv(envKey: String, default: Seq[String],
+        legal: Set[String]): Seq[String] = {
+      val f = sys.env.get(envKey)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(default)
+      val unknown = f.toSet -- legal
+      require(unknown.isEmpty,
+        s"$envKey names not in this family: ${unknown.toSeq.sorted.mkString(", ")}")
+      f
+    }
+
+    val ngramRunners: Map[String, operators.Shared.PairGraphSession => DataFrame] =
+      Map(
+        "dedup_cluster_keep" -> (_.clusterKeep),
+        "pipeline_curate"    -> (_.curated),
+        "pipeline_curate_nb" -> (_.curatedNb),
+        "graph_triangles"    -> (_.triangles),
+        "graph_pagerank"     -> (sh => operators.Graph.pageRankFrom(sh.pairs)),
+        "dedup_keep_rank"    -> (sh => operators.Graph.keepRankFrom(sh.pairs)),
+        "graph_label_prop"   -> (sh => operators.Graph.labelPropFrom(sh.pairs)))
+    val family = familyEnv("SPARK_GRAFT_REUSE_FAMILY",
+      Seq("dedup_cluster_keep", "pipeline_curate", "pipeline_curate_nb",
+        "graph_triangles", "graph_pagerank", "dedup_keep_rank",
+        "graph_label_prop"),
+      ngramRunners.keySet)
 
     val (standalone, shared) = (1 to reps).map { _ =>
       // per-query shape: every consumer pays the pair graph itself
       val ta0 = System.nanoTime()
       family.foreach(q => run(s"alone:$q")(SparkEntry.queries(q)(spark, sfDir)))
       val alone = (System.nanoTime() - ta0) / 1e9
-      // session shape: one cached pair graph feeds all seven
+      // session shape: one cached pair graph feeds every consumer
       val t0 = System.nanoTime()
       val sh = operators.Shared.pairGraph(spark, sfDir)
-      try {
-        run("shared:cluster_keep")(sh.clusterKeep)
-        run("shared:curated")(sh.curated)
-        run("shared:curated_nb")(sh.curatedNb)
-        run("shared:triangles")(sh.triangles)
-        run("shared:pagerank")(operators.Graph.pageRankFrom(sh.pairs))
-        run("shared:keep_rank")(operators.Graph.keepRankFrom(sh.pairs))
-        run("shared:label_prop")(operators.Graph.labelPropFrom(sh.pairs))
-      } finally sh.release()
+      try family.foreach(q => run(s"shared:$q")(ngramRunners(q)(sh)))
+      finally sh.release()
       val together = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[reuse] standalone $alone%.1f s vs session $together%.1f s")
       (alone, together)
@@ -74,23 +93,30 @@ object ReuseBench {
     val a = standalone.min
     val t = shared.min
 
-    // ---- the label-blocked embedding family (r7): five queries
-    // sharing one quantized scan + one within-cluster pair stream ----
-    val embFamily = Seq("dedup_semantic_prune", "emb_knn_graph",
-      "mine_hard_negatives", "knn_score_diffusion", "decontaminate_embedding")
+    // ---- the label-blocked embedding family (r7): six queries
+    // sharing one quantized scan (five also share the within-cluster
+    // pair stream; the blocked composition shares the scan only) ----
+    val embRunners: Map[String, operators.Shared.EmbFamilySession => DataFrame] =
+      Map(
+        "dedup_semantic_prune"    -> (_.semanticPrune),
+        "emb_knn_graph"           -> (_.knn),
+        "mine_hard_negatives"     -> (_.hardNegatives),
+        "knn_score_diffusion"     -> (_.diffusion),
+        "decontaminate_embedding" -> (_.decontaminate),
+        "dedup_embedding_blocked" -> (_.blocked))
+    val embFamily = familyEnv("SPARK_GRAFT_REUSE_EMB_FAMILY",
+      Seq("dedup_semantic_prune", "emb_knn_graph", "mine_hard_negatives",
+        "knn_score_diffusion", "decontaminate_embedding",
+        "dedup_embedding_blocked"),
+      embRunners.keySet)
     val (embAlone, embShared) = (1 to reps).map { _ =>
       val ta0 = System.nanoTime()
       embFamily.foreach(q => run(s"alone:$q")(SparkEntry.queries(q)(spark, sfDir)))
       val alone = (System.nanoTime() - ta0) / 1e9
       val t0 = System.nanoTime()
       val sh = operators.Shared.embFamily(spark, sfDir)
-      try {
-        run("shared:semantic_prune")(sh.semanticPrune)
-        run("shared:knn")(sh.knn)
-        run("shared:hard_negatives")(sh.hardNegatives)
-        run("shared:diffusion")(sh.diffusion)
-        run("shared:decontaminate")(sh.decontaminate)
-      } finally sh.release()
+      try embFamily.foreach(q => run(s"shared:$q")(embRunners(q)(sh)))
+      finally sh.release()
       val together = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[reuse] emb standalone $alone%.1f s vs session $together%.1f s")
       (alone, together)

@@ -100,6 +100,23 @@ object GraftFunctions {
   def pqCodes(qa: Column, books: Array[Array[Array[Long]]], topP: Int): Column =
     Bridge.column(NearestCodes(Bridge.expression(qa), books, topP))
 
+  /** Top-p nearest CELL IDS against a single-subspace coarse
+    * quantizer, best first: composes [[NearestCodes]] with
+    * [[IndexLookup]] so BOTH the centroid matrix and the
+    * index->cell-id table ride as codegen reference objects — the
+    * plan text stays O(1) no matter how many cells the corpus scale
+    * demands (k = ceil(n/cap) grows linearly with n).
+    */
+  def pqCells(qa: Column, books: Array[Array[Array[Long]]],
+      ids: Array[Long], topP: Int): Column = {
+    require(books.length == 1,
+      s"pqCells maps codeword indices to cell ids, which only makes sense " +
+        s"for a single-subspace coarse quantizer; got ${books.length} subspaces")
+    require(ids.length == books(0).length,
+      s"id table length ${ids.length} != codebook size ${books(0).length}")
+    Bridge.column(IndexLookup(NearestCodes(Bridge.expression(qa), books, topP), ids))
+  }
+
   /** Vector minus the codewords `codes` select — the IVF-PQ residual
     * step; see [[SubCodewords]].
     */

@@ -113,6 +113,25 @@ object Pq {
     new GenericArrayData(out)
   }
 
+  /** Dense index -> id mapping for [[IndexLookup]]: out(i) =
+    * ids(codes(i)). Returns null (the expression's NULL) on a NULL or
+    * out-of-range entry rather than throwing — malformed input data
+    * must not kill a 1000-executor job.
+    */
+  def lookup(codes: ArrayData, ids: Array[Long]): ArrayData = {
+    val n = codes.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (codes.isNullAt(i)) return null
+      val c = codes.getInt(i)
+      if (c < 0 || c >= ids.length) return null
+      out(i) = ids(c)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** True when `codes` cannot index `books` (wrong arity or an
     * out-of-range / NULL entry) — shared null guard for
     * [[SubCodewords]].
@@ -173,6 +192,73 @@ case class NearestCodes(child: Expression, books: Array[Array[Array[Long]]],
     })
   }
 
+  // Array-typed constructor fields fall back to reference identity in
+  // the synthesized case-class equals/hashCode, which silently defeats
+  // Catalyst canonicalization / common-subexpression elimination when
+  // two structurally identical expressions are built from distinct
+  // array instances — so compare the codebooks by CONTENT.
+  override def equals(o: Any): Boolean = o match {
+    case that: NearestCodes =>
+      child == that.child && topP == that.topP &&
+        java.util.Arrays.deepEquals(
+          books.asInstanceOf[Array[AnyRef]], that.books.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode: Int =
+    java.util.Objects.hash(child, Integer.valueOf(topP),
+      Integer.valueOf(java.util.Arrays.deepHashCode(books.asInstanceOf[Array[AnyRef]])))
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_idx_lookup(codes)` — maps an ARRAY<INT> of dense indices
+  * (e.g. [[NearestCodes]] output) to the ids they select from a
+  * reference-object `long[]` table: out(i) = ids(codes(i)).
+  *
+  * Why this exists: the blocked embedding-dedup path and the IVF-PQ
+  * index both need "dense Lloyd-centroid index -> original cell id".
+  * Inlining the id table as a `typedlit` literal puts a k-long
+  * constant in the plan TEXT — k scales with corpus size (k =
+  * ceil(n/cap)), which is exactly the plan-bloat failure mode the
+  * codebook reference objects eliminated. Like the codebooks, the id
+  * table is data-dependent (cannot be regenerated executor-side from
+  * a seed), so it rides the serialized plan binary once via
+  * `ctx.addReferenceObj` and the plan text stays O(1).
+  *
+  * NULL on a NULL or out-of-range index (never throws — the
+  * [[HyperplaneBandVals]] malformed-input discipline).
+  */
+case class IndexLookup(child: Expression, ids: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(IntegerType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_idx_lookup"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    Pq.lookup(a.asInstanceOf[ArrayData], ids)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("idxIds", ids, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.Pq.lookup($a, $b);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  // content equality for the Array field — see [[NearestCodes]]
+  override def equals(o: Any): Boolean = o match {
+    case that: IndexLookup =>
+      child == that.child && java.util.Arrays.equals(ids, that.ids)
+    case _ => false
+  }
+  override def hashCode: Int =
+    java.util.Objects.hash(child, Integer.valueOf(java.util.Arrays.hashCode(ids)))
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -216,6 +302,18 @@ case class SubCodewords(left: Expression, right: Expression,
        """.stripMargin
     })
   }
+
+  // content equality for the Array field — see [[NearestCodes]]
+  override def equals(o: Any): Boolean = o match {
+    case that: SubCodewords =>
+      left == that.left && right == that.right &&
+        java.util.Arrays.deepEquals(
+          books.asInstanceOf[Array[AnyRef]], that.books.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode: Int =
+    java.util.Objects.hash(left, right,
+      Integer.valueOf(java.util.Arrays.deepHashCode(books.asInstanceOf[Array[AnyRef]])))
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

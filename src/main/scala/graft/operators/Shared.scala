@@ -164,6 +164,15 @@ object Shared {
     def decontaminate: DataFrame =
       Similarity.decontaminateEmbeddingFrom(emb, pairs)
 
+    /** Same rows as registered `dedup_embedding_blocked` — the
+      * family's 100-TB default entry point, fed from the session's
+      * cached corpus scan (it shares only the scan, not the label
+      * pair stream: its blocking is Lloyd cells, not labels).
+      */
+    def blocked: DataFrame =
+      Similarity.blockedStagesFrom(spark, sfDir,
+        Similarity.augmentedHiFrom(emb))._1
+
     /** Drop every cache this session materialized (idempotent).
       * `cc` is only touched if it was ever forced: unconditionally
       * dereferencing the lazy val would BUILD the centroid frame just

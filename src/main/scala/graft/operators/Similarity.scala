@@ -280,8 +280,15 @@ object Similarity {
     * engines compute the copies from the same inlined constants, so
     * the truth set is identical by construction.
     */
-  private[graft] def augmentedHi(s: SparkSession, d: String): DataFrame = {
-    val orig = quantized(s, d).select(col("vec_id"), col("qa"))
+  private[graft] def augmentedHi(s: SparkSession, d: String): DataFrame =
+    augmentedHiFrom(quantized(s, d))
+
+  /** [[augmentedHi]] over a pre-scanned quantized frame — the
+    * GraftSession seam: the family session's cached corpus scan feeds
+    * the blocked composition without a second parquet read.
+    */
+  private[graft] def augmentedHiFrom(q: DataFrame): DataFrame = {
+    val orig = q.select(col("vec_id"), col("qa"))
     val jitCase = (1 until NJit).foldLeft(
       when(col("vec_id") % NJit === 0, typedlit(jitters(0).toSeq))) {
       (c, j) => c.when(col("vec_id") % NJit === j, typedlit(jitters(j).toSeq))
@@ -550,6 +557,32 @@ object Similarity {
     */
   private val BlockProbe = 2
 
+  /** Loud ceiling on the Lloyd cell count k = ceil(2n/CellCap): stage 1
+    * of [[blockedStages]] collects k·Dim centroid rows to the driver
+    * and ships a k-long cell-id table in the serialized plan BINARY
+    * (as a reference object — the plan TEXT is O(1) regardless). At
+    * this bound that is ~4.2M collected rows and a 512 KB id table —
+    * comfortable; at the 1e9-vector tier (k ≈ 7.8M) it is ~500M rows,
+    * which must NOT be attempted flat. 2^16 cells x CellCap = ~16.7M
+    * augmented vectors covered, >100x the rehearsal tiers.
+    */
+  private val MaxBlockCells = 1 << 16
+
+  /** The loud driver-edge guard (the IdWatermark discipline: fail with
+    * the rework named in the message, never degrade silently). Returns
+    * k so the call sites stay one expression.
+    */
+  private[graft] def requireBlockCells(k: Long): Int = {
+    require(k <= MaxBlockCells,
+      s"dedup_embedding_blocked: corpus demands k=$k Lloyd cells " +
+        s"(> MaxBlockCells=$MaxBlockCells). Flat assignment holds k*$Dim " +
+        "centroid rows on the driver and costs n*k distance evals - beyond " +
+        "this bound, assign HIERARCHICALLY (two-level coarse quantizer, " +
+        "n*2*sqrt(k)) and keep centroids as a joined table; see the " +
+        "Scaladoc's scale-honesty note.")
+    k.toInt
+  }
+
   private[graft] def cellCap: Int = CellCap
   private[graft] def semTau: Double = SemTau
   private[graft] def hiTau: Double = HiTau
@@ -580,8 +613,9 @@ object Similarity {
     *     the Lloyd CELL centroid — the paper's actual shape, where
     *     the registered D48 uses the label column as a stand-in):
     *     a survivor is pruned iff some same-cell survivor within
-    *     SemTau sits strictly closer to the cell centroid (tie:
-    *     lower id).
+    *     SemTau sits strictly farther from the cell centroid (has
+    *     strictly lower cos_centroid; tie: lower id) — the paper's
+    *     keep rule retains the member farthest from the centroid.
     *
     * Output: every augmented vector with (cell, cos_centroid,
     * dup_of, keep_dup, keep) — the full audit row, like every *_keep
@@ -600,7 +634,13 @@ object Similarity {
     * at the 1e9-vector tier a deployment assigns hierarchically
     * (two-level coarse quantizer, n·2·sqrt(k)) without changing any
     * contract here, and the k·Dim driver-held centroid state at that
-    * tier (~4M cells) moves to a joined table the same way.
+    * tier (~4M cells) moves to a joined table the same way. Both
+    * driver edges are GUARDED, not just documented: stage 1 `require`s
+    * k <= [[MaxBlockCells]] (fails loudly with the rework named in
+    * the message instead of silently collecting 256M rows), and the
+    * index->cell-id table ships as a codegen reference object
+    * ([[graft.functions.IndexLookup]] via `pqCells`) — zero
+    * corpus-proportional literals in the plan text.
     */
   /** The blocked composition's (result, in-cell verified pair
     * contract) — the pair frame is the BlockedDedupSpec seam for the
@@ -608,12 +648,20 @@ object Similarity {
     * contract; the registered query projects the result.
     */
   private[graft] def blockedStages(
-      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+      s: SparkSession, d: String): (DataFrame, DataFrame) =
+    blockedStagesFrom(s, d, augmentedHi(s, d))
+
+  /** [[blockedStages]] over a caller-supplied augmented corpus — the
+    * GraftSession seam ([[graft.operators.Shared]]'s family session
+    * passes [[augmentedHiFrom]] of its cached quantized scan, so the
+    * family's default entry point shares the one corpus read).
+    */
+  private[graft] def blockedStagesFrom(
+      s: SparkSession, d: String, aug: DataFrame): (DataFrame, DataFrame) = {
       import graft.functions.GraftFunctions
       import s.implicits._
       val augN = corpusCount(d, Tables.embeddings(s, d)) * 2
-      val k = (((augN + CellCap - 1) / CellCap) max 2L).toInt
-      val aug = augmentedHi(s, d)
+      val k = requireBlockCells((((augN + CellCap - 1) / CellCap) max 2L))
       // --- stage 1: corpus-scaled Lloyd cells, expression-assigned ---
       val seeds = aug.filter(col("vec_id") < k)
         .select(col("vec_id"), col("qa")).collect().sortBy(_.getLong(0))
@@ -643,9 +691,8 @@ object Similarity {
       // boundary would split (measured in BlockedDedupSpec: pair
       // recall vs the unblocked wide contract).
       val withCc = aug
-        .withColumn("cells", transform(
-          GraftFunctions.pqCodes(col("qa"), c1, BlockProbe),
-          ix => element_at(typedlit(cellIds.toSeq), (ix + 1).cast("int"))))
+        .withColumn("cells",
+          GraftFunctions.pqCells(col("qa"), c1, cellIds, BlockProbe))
         .withColumn("cell", element_at(col("cells"), 1))
         .join(broadcast(centsDf), "cell")
         .withColumn("cos_centroid",
@@ -1238,11 +1285,11 @@ object Similarity {
     val emb = quantized(s, d).select(col("vec_id"), col("qa"), col("na"))
     // one corpus pass, zero shuffle: cell + residual + codes via the
     // codegen'd reference-object expressions; the dense centroid index
-    // maps to the Lloyd cell id through a K-long literal array (the
-    // one literal in the plan — K longs, not K·Dim)
+    // maps to the Lloyd cell id through the same reference-object
+    // mechanism (IndexLookup) — zero K-scaled literals in the plan
     val encoded = emb.select(col("vec_id"),
-      element_at(typedlit(art.cellIds.toSeq),
-        (element_at(GraftFunctions.pqCodes(col("qa"), coarse), 1) + 1).cast("int"))
+      element_at(
+        GraftFunctions.pqCells(col("qa"), coarse, art.cellIds, 1), 1)
         .as("cell"),
       GraftFunctions.pqCodes(
         GraftFunctions.pqSub(col("qa"),

@@ -56,10 +56,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * compaction; here both are parquet directories.
   *
   * OVERLAPPING-WRITER BOUND (IndexOverlapSpec demonstrates both
-  * halves): the index append is plain-parquet `append` — each writer
-  * lands uniquely-named part files, so concurrent appenders can never
-  * LOSE an admitted doc's band rows or tear a file, and DUPLICATE
-  * band rows (a replay that re-appends survivors) are tolerated by
+  * halves): the index append is plain-parquet `append` — part files
+  * are uniquely named and an append never replaces another writer's
+  * COMMITTED files, so a SUCCESSFUL append is never lost or torn.
+  * Concurrency can break the append's own COMMIT (overlapping jobs
+  * share the FileOutputCommitter staging dir under the index dir);
+  * a collision fails LOUDLY, never as a silent drop of a successful
+  * append, and the retry is safe because DUPLICATE band rows (a
+  * replay or partial-commit re-append of survivors) are tolerated by
   * construction — the dedup join takes MIN over matches, which
   * duplicates cannot change. What overlap CAN do: two writers whose
   * read-index..append windows overlap both dedup against the same

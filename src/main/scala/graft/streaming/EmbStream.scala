@@ -57,8 +57,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * OVERLAPPING-WRITER BOUND: identical to [[DocStream]]'s (see there;
   * IndexOverlapSpec demonstrates both halves on this stream too) —
-  * concurrent plain-parquet appenders lose nothing and tolerate
-  * duplicated band/vector rows (min-struct verdicts are
+  * successful plain-parquet appends are never lost or torn (commit
+  * collisions on one dir fail loudly and retry safely) and duplicated
+  * band/vector rows are tolerated (min-struct verdicts are
   * duplicate-stable), but overlapped read..append windows can admit a
   * near-dup pair twice; table-format optimistic commit is the
   * multi-driver answer, `dedup_embedding_keep` the post-hoc collapse.

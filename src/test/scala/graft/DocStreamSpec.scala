@@ -86,6 +86,41 @@ class DocStreamSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(parts(0).toLong == 0L && parts(1).toLong == 51L)
   }
 
+  test("restart between the fallback's delete and rename recovers from the index") {
+    import spark.implicits._
+    val indexDir = tmp("wmswap") + "/idx"
+    DocStream.writeSignatureIndex(
+      Seq((50L, dupText), (300L, otherText)).toDF("doc_id", "text"), indexDir)
+    // advance the watermark past the bootstrap: batch 0 admits up to 400
+    assert(graft.streaming.IdWatermark.checkAndAdvance(
+      Seq((400L, "x")).toDF("doc_id", "text"), "doc_id", indexDir, 0L, "spec"))
+    // simulate a crash in the delete+rename fallback's absence window:
+    // the old file is DELETED, the new content still sits in the temp
+    // sibling — exactly the on-disk state a kill between the two
+    // fallback calls leaves behind
+    val wm = java.nio.file.Paths.get(s"$indexDir.maxid")
+    val tmpFile = java.nio.file.Paths.get(s"$indexDir.maxid.tmp")
+    java.nio.file.Files.move(wm, tmpFile,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    assert(!java.nio.file.Files.exists(wm) &&
+      java.nio.file.Files.exists(tmpFile))
+    // restart: absent file -> reinit from the BOOTSTRAP INDEX (max id
+    // 300; the pre-crash in-memory 400 is gone with the process, which
+    // is the documented at-least-once floor — never below the index).
+    // A batch dipping to the bootstrap ids is REFUSED...
+    assert(!graft.streaming.IdWatermark.checkAndAdvance(
+      Seq((299L, "x")).toDF("doc_id", "text"), "doc_id", indexDir, 1L, "spec"),
+      "post-restart batch at or below the bootstrap max must be refused")
+    // ...an above-the-index batch is ADMITTED, and the orphaned tmp
+    // never shadows the real file
+    assert(graft.streaming.IdWatermark.checkAndAdvance(
+      Seq((500L, "x")).toDF("doc_id", "text"), "doc_id", indexDir, 2L, "spec"))
+    val parts = new String(java.nio.file.Files.readAllBytes(wm), "UTF-8")
+      .trim.split(",")
+    assert(parts(0).toLong == 2L && parts(1).toLong == 500L,
+      "recovered watermark must be well-formed and re-advanced")
+  }
+
   test("cross-batch dedup through the index, survivors extend it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

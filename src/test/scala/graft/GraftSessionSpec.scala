@@ -30,7 +30,7 @@ class GraftSessionSpec extends AnyFunSuite {
     GraftSession.withSession(spark, d) { s =>
       for (name <- Seq("dedup_semantic_prune", "emb_centroid",
           "emb_knn_graph", "mine_hard_negatives", "knn_score_diffusion",
-          "decontaminate_embedding")) {
+          "decontaminate_embedding", "dedup_embedding_blocked")) {
         assert(rows(s.query(name)) ==
           rows(SparkEntry.queries(name)(spark, d)),
           s"facade drifted from registry for $name")
@@ -40,6 +40,11 @@ class GraftSessionSpec extends AnyFunSuite {
       assert(s.query("emb_knn_graph").queryExecution.executedPlan.toString
         .contains("InMemoryTableScan"),
         "routed knn must read the persisted pair stream")
+      // the blocked composition shares the SCAN cache (its blocking is
+      // Lloyd cells, not labels — so the pair stream is its own)
+      assert(s.query("dedup_embedding_blocked").queryExecution.executedPlan
+        .toString.contains("InMemoryTableScan"),
+        "routed blocked dedup must read the persisted corpus scan")
     }
   }
 
