@@ -85,11 +85,24 @@ object BlockPlanProbe {
       oos.writeObject(books); oos.writeObject(ids); oos.close()
       val tSer = (System.nanoTime() - t2) / 1e9
 
+      // execution can legitimately FAIL at extreme k: the task binary
+      // must serialize the payload, and past ~2 GB the JVM's array
+      // limit makes that impossible (java.lang.OutOfMemoryError:
+      // Required array length ... too large) — the measured hard wall
+      // the requireBlockCells guard exists to keep users away from.
+      // Capture it as a data point, not a probe crash.
       val t3 = System.nanoTime()
-      val rows = planned.collect().length
+      val (rows, execErr) =
+        try (planned.collect().length, "null")
+        catch {
+          case e: Throwable =>
+            (-1, "\"" + (e.getClass.getSimpleName + ": " +
+              String.valueOf(e.getMessage).replaceAll("[\"\\\\]", "'")
+                .take(120)) + "\"")
+        }
       val tExec = (System.nanoTime() - t3) / 1e9
 
-      println(f"""{"probe":"block_plan","k":$k,"plan_text_bytes":${planText.length},"payload_bytes":${counter.n},"gen_sec":$tGen%.2f,"plan_sec":$tPlan%.3f,"ser_sec":$tSer%.2f,"exec4_sec":$tExec%.2f,"rows":$rows}""")
+      println(f"""{"probe":"block_plan","k":$k,"plan_text_bytes":${planText.length},"payload_bytes":${counter.n},"gen_sec":$tGen%.2f,"plan_sec":$tPlan%.3f,"ser_sec":$tSer%.2f,"exec4_sec":$tExec%.2f,"rows":$rows,"exec_error":$execErr}""")
     }
     spark.stop()
   }

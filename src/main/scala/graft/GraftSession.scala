@@ -71,7 +71,13 @@ final class GraftSession(val spark: SparkSession, val sfDir: String)
     case "mine_hard_negatives"      => embFam.hardNegatives
     case "knn_score_diffusion"      => embFam.diffusion
     case "decontaminate_embedding"  => embFam.decontaminate
-    case "dedup_embedding_blocked"  => embFam.blocked
+    // dedup_embedding_blocked deliberately falls through: routing it
+    // over the session's persisted scan was built and MEASURED SLOWER
+    // (r10 ReuseBench: 3.14 -> 3.93 s at sf0.1, -14% at 100x) — its
+    // dominant cost is Lloyd assignment + banding, not the corpus
+    // scan, so cache reuse saves nothing while InMemoryTableScan of
+    // array rows loses to the vectorized parquet re-read. The seam
+    // stays available as Shared.EmbFamilySession.blocked.
     case other                  => SparkEntry.queries(other)(spark, sfDir)
   }
 

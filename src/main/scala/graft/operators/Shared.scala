@@ -26,6 +26,16 @@ import org.apache.spark.storage.StorageLevel
   * Persistence is MEMORY_AND_DISK: the pair graph after blocking is
   * tiny relative to the corpus (near-dup pairs only), so on a cluster
   * this is a few MB per executor, not a second copy of the data.
+  *
+  * WHEN TO HOIST (measured at sf0.1 AND on the 100x rehearsal tier,
+  * SCALE100_r09.json): a session pays one materialization of the
+  * shared artifact to save (consumers - 1) recomputes, so it wins
+  * only when enough consumers share it. The full 7-member ngram
+  * family saves 52% at sf0.1 and 86% at 100x (the materialization
+  * amortizes better as recomputes get more expensive); a 2-member
+  * slice of the same family is 22% SLOWER at 100x, and a single-
+  * member "session" is pure overhead (up to 2.9x). Rule of thumb: 3+
+  * consumers of the same cached artifact, never one.
   */
 object Shared {
 
@@ -164,10 +174,18 @@ object Shared {
     def decontaminate: DataFrame =
       Similarity.decontaminateEmbeddingFrom(emb, pairs)
 
-    /** Same rows as registered `dedup_embedding_blocked` — the
-      * family's 100-TB default entry point, fed from the session's
-      * cached corpus scan (it shares only the scan, not the label
-      * pair stream: its blocking is Lloyd cells, not labels).
+    /** Same rows as registered `dedup_embedding_blocked`, fed from the
+      * session's cached corpus scan (it shares only the scan, not the
+      * label pair stream: its blocking is Lloyd cells, not labels).
+      *
+      * MEASURED SLOWER than the registered query and therefore NOT
+      * name-routed by [[graft.GraftSession]] (r10 ReuseBench: 3.14 ->
+      * 3.93 s at sf0.1, 374 -> 425 s at 100x): the blocked path's
+      * dominant cost is Lloyd assignment + banding, not the scan, so
+      * the cache saves nothing while InMemoryTableScan of array-typed
+      * rows loses to the vectorized parquet re-read it replaces. Kept
+      * as the measurement seam (ReuseBench `SPARK_GRAFT_REUSE_EMB_
+      * FAMILY`) and for callers whose emb cache is already hot.
       */
     def blocked: DataFrame =
       Similarity.blockedStagesFrom(spark, sfDir,

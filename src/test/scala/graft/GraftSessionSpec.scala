@@ -30,7 +30,7 @@ class GraftSessionSpec extends AnyFunSuite {
     GraftSession.withSession(spark, d) { s =>
       for (name <- Seq("dedup_semantic_prune", "emb_centroid",
           "emb_knn_graph", "mine_hard_negatives", "knn_score_diffusion",
-          "decontaminate_embedding", "dedup_embedding_blocked")) {
+          "decontaminate_embedding")) {
         assert(rows(s.query(name)) ==
           rows(SparkEntry.queries(name)(spark, d)),
           s"facade drifted from registry for $name")
@@ -40,11 +40,20 @@ class GraftSessionSpec extends AnyFunSuite {
       assert(s.query("emb_knn_graph").queryExecution.executedPlan.toString
         .contains("InMemoryTableScan"),
         "routed knn must read the persisted pair stream")
-      // the blocked composition shares the SCAN cache (its blocking is
-      // Lloyd cells, not labels — so the pair stream is its own)
-      assert(s.query("dedup_embedding_blocked").queryExecution.executedPlan
-        .toString.contains("InMemoryTableScan"),
-        "routed blocked dedup must read the persisted corpus scan")
+      // dedup_embedding_blocked deliberately falls through to the
+      // registry (measured slower when CONSTRUCTED over the session
+      // cache — see GraftSession's comment). Row parity of the
+      // fall-through is covered by the loop above; note Spark's
+      // CacheManager may still substitute the hot cached scan into
+      // the registry-built plan (the harmless "cache already hot"
+      // case), so plan shape is not asserted here.
+      assert(rows(s.query("dedup_embedding_blocked")) ==
+        rows(SparkEntry.queries("dedup_embedding_blocked")(spark, d)))
+      val fam = operators.Shared.embFamily(spark, d)
+      try assert(rows(fam.blocked) ==
+        rows(SparkEntry.queries("dedup_embedding_blocked")(spark, d)),
+        "the Shared.blocked seam drifted from the registered query")
+      finally fam.release()
     }
   }
 

@@ -347,6 +347,32 @@ class PlanSpec extends AnyFunSuite {
       s"the 10-row centroid frame should broadcast:\n$p")
   }
 
+  test("dedup_embedding_blocked: broadcast centroid join, banded equi-joins, O(1) plan text") {
+    val p = plan("dedup_embedding_blocked")
+    // stage-1/2 seam: the k-row centroid frame joins BROADCAST (never
+    // shuffles the corpus on cell), and every pair-generating join is
+    // an equi-join on (cell, band) keys — the O(n) candidate-work
+    // guarantee must be visible in the plan
+    assert(p.contains("BroadcastHashJoin"),
+      s"the centroid frame must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocked dedup must never plan an all-pairs join:\n$p")
+    // cell assignment rides the reference-object expressions — no
+    // k-scaled literal may reach the plan text (the r10 fix)
+    assert(p.contains("graft_idx_lookup") && p.contains("graft_pq_codes"),
+      s"cell assignment must go through the reference-object expressions:\n$p")
+    // the plan text is large in ABSOLUTE terms (the constant NJit x Dim
+    // jitter literals replicate with every reuse of the augmented
+    // subplan) but must be CORPUS-INDEPENDENT: k = ceil(2n/cap) is 10x
+    // bigger at sf0.01 than sf0.001, so a leaked per-cell literal
+    // (the pre-r10 typedlit) would show as ~10x growth here
+    val p2 = SparkEntry.queries("dedup_embedding_blocked")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(math.abs(p.length - p2.length) < p2.length / 5,
+      s"plan text scales with the corpus (${p2.length} B at sf0.001 vs " +
+        s"${p.length} B at $d) — a per-cell literal leaked in")
+  }
+
   test("dedup_winnow blocks on fingerprint keys, never all-pairs") {
     val p = plan("dedup_winnow")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
