@@ -146,7 +146,8 @@ object ScaleRehearsal {
         "text_ppl_bucket", "corpus_stats", "dedup_cluster_keep",
         "graph_pagerank", "dedup_embedding", "dedup_embedding_hi",
         "dedup_embedding_wide", "dedup_embedding_blocked",
-        "dedup_semantic_prune", "ann_ivf_pq", "emb_kmeans"))
+        "dedup_embedding_hier", "dedup_semantic_prune", "ann_ivf_pq",
+        "emb_kmeans"))
 
     def measure(dir: String, q: String): (Double, Long, Long) = {
       val sh0 = shuffleNow()

@@ -577,9 +577,9 @@ object Similarity {
       s"dedup_embedding_blocked: corpus demands k=$k Lloyd cells " +
         s"(> MaxBlockCells=$MaxBlockCells). Flat assignment holds k*$Dim " +
         "centroid rows on the driver and costs n*k distance evals - beyond " +
-        "this bound, assign HIERARCHICALLY (two-level coarse quantizer, " +
-        "n*2*sqrt(k)) and keep centroids as a joined table; see the " +
-        "Scaladoc's scale-honesty note.")
+        "this bound use dedup_embedding_hier (the registered two-level " +
+        "quantizer: n*2*sqrt(k) evals, child centroids as a joined table, " +
+        "same banding/prune stages); see the Scaladoc's scale-honesty note.")
     k.toInt
   }
 
@@ -634,7 +634,10 @@ object Similarity {
     * at the 1e9-vector tier a deployment assigns hierarchically
     * (two-level coarse quantizer, n·2·sqrt(k)) without changing any
     * contract here, and the k·Dim driver-held centroid state at that
-    * tier (~4M cells) moves to a joined table the same way. Both
+    * tier (~4M cells) moves to a joined table the same way — that
+    * rework is REGISTERED as `dedup_embedding_hier` ([[hierStages]]),
+    * oracle-checked at three SFs with pair recall 0.994 against this
+    * operator's contract. Both
     * driver edges are GUARDED, not just documented: stage 1 `require`s
     * k <= [[MaxBlockCells]] (fails loudly with the rework named in
     * the message instead of silently collecting 256M rows), and the
@@ -698,6 +701,19 @@ object Similarity {
         .withColumn("cos_centroid",
           cosine(dot(col("qa"), col("cvec")), col("na"), col("nc")))
         .select("vec_id", "cell", "cells", "qa", "na", "cos_centroid")
+      bandedPruneFrom(withCc)
+  }
+
+  /** Stages 2+3 of the blocked composition — in-cell banded near-dups
+    * with first-copy-wins, then the SemDeDup dominance prune — over
+    * any assignment frame `withCc` of shape (vec_id, cell, cells, qa,
+    * na, cos_centroid). Factored so [[blockedStagesFrom]] (flat Lloyd
+    * cells) and [[hierStages]] (two-level quantizer) share the exact
+    * post-assignment semantics: the two operators differ ONLY in how
+    * a vector finds its cells.
+    */
+  private def bandedPruneFrom(withCc: DataFrame): (DataFrame, DataFrame) = {
+      import graft.functions.GraftFunctions
       // --- stage 2: in-cell banded near-dups, first-copy-wins ---
       val banded = withCc.select(col("vec_id"), col("cells"),
         posexplode(GraftFunctions.hyperplaneBands(col("qa"), BlockBands, BlockBits)))
@@ -768,6 +784,268 @@ object Similarity {
       SELECT q.vec_id, a.cell, q.qa, q.na,
         ${cosineSql(dotSql("q.qa", "c.cvec"), "q.na", "c.nc")} AS cos_centroid
       FROM q JOIN asg a USING (vec_id) JOIN c1n c USING (cell)),
+    planes AS (
+      SELECT j, list_transform(range(0, $Dim), i ->
+          ('0x' || substr(md5('hp' || j || '_' || i), 1, 15))::BIGINT % ${Scale + 1} - ${Scale / 2}) AS p
+      FROM (SELECT unnest(range(0, ${BlockBands * BlockBits})) AS j)),
+    pbits AS (
+      SELECT cc.vec_id, pl.j,
+        CASE WHEN CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+            i -> cc.qa[i] * pl.p[i])) AS BIGINT) > 0 THEN 1 ELSE 0 END AS bit
+      FROM cc CROSS JOIN planes pl),
+    bands_rel AS (
+      SELECT vec_id, j // $BlockBits AS band_id,
+        SUM(CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << (j % $BlockBits))) AS band_val
+      FROM pbits GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      FROM bands_rel a JOIN bands_rel b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+      JOIN asgp ai ON ai.vec_id = a.vec_id
+      JOIN asgp aj ON aj.vec_id = b.vec_id AND aj.cell = ai.cell
+      WHERE a.vec_id < b.vec_id),
+    pairs AS (
+      SELECT c.i, c.j FROM cand c
+      JOIN cc qa ON qa.vec_id = c.i
+      JOIN cc qb ON qb.vec_id = c.j
+      WHERE ${cosineSql(dotSql("qa.qa", "qb.qa"), "qa.na", "qb.na")} >= $HiTau),
+    dup AS (SELECT j AS vec_id, MIN(i) AS dup_of FROM pairs GROUP BY j),
+    ded AS (
+      SELECT cc.vec_id, cc.cell, cc.qa, cc.na, cc.cos_centroid,
+        d.dup_of, d.dup_of IS NULL AS keep_dup
+      FROM cc LEFT JOIN dup d ON d.vec_id = cc.vec_id),
+    surv AS (SELECT * FROM ded WHERE keep_dup),
+    dom AS (
+      SELECT DISTINCT a.vec_id
+      FROM surv a JOIN surv b ON a.cell = b.cell AND b.vec_id <> a.vec_id
+      WHERE ${cosineSql(dotSql("a.qa", "b.qa"), "a.na", "b.na")} >= $SemTau
+        AND (b.cos_centroid < a.cos_centroid
+          OR (b.cos_centroid = a.cos_centroid AND b.vec_id < a.vec_id)))
+    SELECT ded.vec_id, ded.cell, ded.cos_centroid, ded.dup_of, ded.keep_dup,
+      (ded.keep_dup AND dm.vec_id IS NULL) AS keep
+    FROM ded LEFT JOIN dom dm ON dm.vec_id = ded.vec_id
+    ORDER BY ded.vec_id"""))
+
+  /** TWO-LEVEL (hierarchical) variant of [[dedupEmbeddingBlocked]] —
+    * the 1e9-tier rework that operator's guard and Scaladoc name,
+    * made real and oracle-checked rather than left as prose. Stages
+    * 2-3 (in-cell banding, first-copy-wins, SemDeDup prune) are
+    * LITERALLY the same code ([[bandedPruneFrom]]); only the cell
+    * ASSIGNMENT changes, to the shape that survives k beyond
+    * [[MaxBlockCells]]:
+    *
+    *  1. k1 = ceil(sqrt(k)) SUPER-cells, one deterministic Lloyd
+    *     round (seeds = the first k1 augmented ids). Super state is
+    *     the only broadcast (k1·Dim longs — ~1.4 MB at the 1e9 tier);
+    *     the corpus pays n·k1 ≈ n·sqrt(k) distance evals folded
+    *     map-side into ONE row per vector by min-struct aggregation,
+    *     so no n·k1 rows ever shuffle.
+    *  2. k CHILD cells seeded from the first k ids, each PINNED to
+    *     its nearest super; one Lloyd round where a vector assigns
+    *     through its top-1 super then the nearest seed-child within
+    *     it (an equi-join on super: n·(k/k1) ≈ n·sqrt(k) evals).
+    *     Child centroids live as a JOINED TABLE — never collected to
+    *     the driver, never shipped in the plan: exactly the state
+    *     placement BlockPlanProbe showed the flat path cannot have
+    *     past ~2 GB of payload.
+    *  3. Final assignment probes the top-2 supers-WITH-CHILDREN (so
+    *     every vector always finds a cell — a super can end up
+    *     childless when no seed lands in it) and takes the top-2
+    *     children among their union: the same multi-probe contract
+    *     as the flat operator's `pqCells(.., BlockProbe)`.
+    *
+    * Total assignment cost n·2·sqrt(k) evals and a handful of n-row
+    * shuffles, vs the flat path's n·k evals, k·Dim driver rows, and
+    * k-scaled plan payload. The price is approximation: a vector's
+    * true nearest child can hide in an unprobed super, so hier cells
+    * can differ from flat cells — HierDedupSpec measures the pair
+    * recall against the flat operator's contract instead of assuming
+    * it. All arithmetic is the repo's exact-integer grid; ties break
+    * (dist, id) everywhere, mirrored in the oracle as
+    * `ORDER BY dist, id`.
+    */
+  private[graft] def hierStages(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val augN = corpusCount(d, Tables.embeddings(s, d)) * 2
+    val k = (((augN + CellCap - 1) / CellCap) max 2L).toInt
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+    val aug = augmentedHi(s, d)
+    def d2(qa: Column, na: Column, cv: Column, nc: Column): Column =
+      na + nc - lit(2L) * dot(qa, cv)
+    def floorMeans(assigned: DataFrame, key: String, vec: String): DataFrame =
+      assigned
+        .select(col(key), posexplode(col("qa")).as(Seq("dim", "v")))
+        .groupBy(key, "dim")
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .select(col(key), col("dim"),
+          floor(col("sv").cast(DoubleType) / col("n")).cast(LongType).as("c"))
+        .groupBy(key)
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          x => x.getField("c")).as(vec))
+    // --- level 1: supers (one Lloyd round over the first k1 seeds) ---
+    val sup0 = aug.filter(col("vec_id") < k1)
+      .select(col("vec_id").as("s0"), col("qa").as("sv0"), col("na").as("sn0"))
+    val sAssign1 = aug.crossJoin(broadcast(sup0))
+      .groupBy("vec_id")
+      .agg(min(struct(d2(col("qa"), col("na"), col("sv0"), col("sn0")).as("sd"),
+        col("s0").as("super"))).as("m"))
+      .select(col("vec_id"), col("m.super").as("super"))
+    // supers are the ONE state small enough for the driver at any
+    // admitted tier (k1 = ceil(sqrt(k)) rows: 2,798 x 64 longs at 1e9
+    // vectors) — collect them once so every downstream consumer joins
+    // a LocalRelation instead of re-running the super round; the
+    // k-scaled CHILD state below never gets this treatment
+    val supC1 = floorMeans(aug.join(sAssign1, "vec_id"), "super", "svec")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .toDF("super", "svec")
+      .withColumn("sn", dot(col("svec"), col("svec")))
+    // --- level 2: child seeds pinned to supers, one child round ---
+    val childSeeds = aug.filter(col("vec_id") < k)
+      .crossJoin(broadcast(supC1))
+      .groupBy(col("vec_id").as("child"))
+      .agg(min(struct(d2(col("qa"), col("na"), col("svec"), col("sn")).as("sd"),
+        col("super"), col("qa").as("cv0"), col("na").as("cn0"))).as("m"))
+      .select(col("child"), col("m.super").as("super"),
+        col("m.cv0").as("cv0"), col("m.cn0").as("cn0"))
+    val vTop1 = aug.crossJoin(broadcast(supC1))
+      .groupBy("vec_id")
+      .agg(min(struct(d2(col("qa"), col("na"), col("svec"), col("sn")).as("sd"),
+        col("super"), col("qa").as("qa"), col("na").as("na"))).as("m"))
+      .select(col("vec_id"), col("m.super").as("super"),
+        col("m.qa").as("qa"), col("m.na").as("na"))
+    val cAssign1 = vTop1.join(childSeeds, "super")
+      .groupBy("vec_id")
+      .agg(min(struct(d2(col("qa"), col("na"), col("cv0"), col("cn0")).as("cd"),
+        col("child"))).as("m"))
+      .select(col("vec_id"), col("m.child").as("child"))
+    // the child table is k rows and reused by three consumers (probe
+    // pruning + both final-assignment passes): materialize it ONCE,
+    // lineage-free — this is the "centroids as a joined table" the
+    // 1e9 deployment writes to storage, localCheckpoint being the
+    // in-session stand-in (the CC/PageRank discipline)
+    val childC1 = floorMeans(aug.join(cAssign1, "vec_id"), "child", "cvec")
+      .withColumn("nc", dot(col("cvec"), col("cvec")))
+      .join(childSeeds.select("child", "super"), "child")
+      .localCheckpoint()
+    // --- final: top-2 supers-with-children, top-2 children in them ---
+    val supLive = supC1.join(childC1.select("super").distinct(), "super")
+    val vsd = aug.crossJoin(broadcast(supLive))
+      .withColumn("sd", d2(col("qa"), col("na"), col("svec"), col("sn")))
+    val p1 = vsd.groupBy("vec_id")
+      .agg(min(struct(col("sd"), col("super"))).as("m"))
+      .select(col("vec_id"), col("m.super").as("s1"))
+    val p2 = vsd.join(p1, "vec_id").filter(col("super") =!= col("s1"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("sd"), col("super"))).as("m"))
+      .select(col("vec_id"), col("m.super").as("s2"))
+    val candC = aug.join(p1, "vec_id").join(p2, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("qa"), col("na"),
+        explode(when(col("s2").isNull, array(col("s1")))
+          .otherwise(array(col("s1"), col("s2")))).as("super"))
+      .join(childC1, "super")
+      .withColumn("cd", d2(col("qa"), col("na"), col("cvec"), col("nc")))
+    val c1b = candC.groupBy("vec_id")
+      .agg(min(struct(col("cd"), col("child"), col("cvec"), col("nc"))).as("m"))
+      .select(col("vec_id"), col("m.child").as("cell"),
+        col("m.cvec").as("cvec"), col("m.nc").as("ncell"))
+    val c2b = candC.join(c1b.select("vec_id", "cell"), "vec_id")
+      .filter(col("child") =!= col("cell"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("cd"), col("child"))).as("m"))
+      .select(col("vec_id"), col("m.child").as("cell2"))
+    // the finished assignment table (IVF's code table) is what a
+    // deployment materializes to storage before the dedup joins;
+    // bandedPruneFrom consumes it several times, so checkpoint it
+    // rather than re-deriving the two-level assignment per consumer
+    val withCc = aug.join(c1b, "vec_id").join(c2b, Seq("vec_id"), "left")
+      .withColumn("cells", when(col("cell2").isNull, array(col("cell")))
+        .otherwise(array(col("cell"), col("cell2"))))
+      .withColumn("cos_centroid",
+        cosine(dot(col("qa"), col("cvec")), col("na"), col("ncell")))
+      .select("vec_id", "cell", "cells", "qa", "na", "cos_centroid")
+      .localCheckpoint()
+    bandedPruneFrom(withCc)
+  }
+
+  val dedupEmbeddingHier = QueryDef(
+    "dedup_embedding_hier",
+    (s, d) => hierStages(s, d)._1,
+    Some(s"""WITH q0 AS ($quantizedSql),
+    $augmentedHiSql,
+    kcfg AS (
+      SELECT GREATEST(2, (count(*) * 2 + ${CellCap - 1}) // $CellCap) AS k,
+        CAST(ceil(sqrt(CAST(GREATEST(2, (count(*) * 2 + ${CellCap - 1}) // $CellCap) AS DOUBLE))) AS BIGINT) AS k1
+      FROM embeddings),
+    sup0 AS (SELECT vec_id AS s0, qa AS sv0, na AS sn0 FROM q
+             WHERE vec_id < (SELECT k1 FROM kcfg)),
+    sa1 AS (
+      SELECT vec_id, super FROM (
+        SELECT q.vec_id, s.s0 AS super,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY q.na + s.sn0 - 2 * ${dotSql("q.qa", "s.sv0")}, s.s0) AS rk
+        FROM q, sup0 s) WHERE rk = 1),
+    ss1 AS (
+      SELECT sa1.super, r.i AS dim, SUM(q.qa[r.i]) AS sv, COUNT(*) AS n
+      FROM q JOIN sa1 USING (vec_id)
+      CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS i) r
+      GROUP BY sa1.super, r.i),
+    sc1 AS (
+      SELECT super,
+        list(CAST(floor(CAST(sv AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS svec
+      FROM ss1 GROUP BY super),
+    sc1n AS (SELECT super, svec, ${normSql("svec")} AS sn FROM sc1),
+    cseed AS (
+      SELECT child, super, cv0, cn0 FROM (
+        SELECT q.vec_id AS child, c.super, q.qa AS cv0, q.na AS cn0,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY q.na + c.sn - 2 * ${dotSql("q.qa", "c.svec")}, c.super) AS rk
+        FROM q, sc1n c WHERE q.vec_id < (SELECT k FROM kcfg)) WHERE rk = 1),
+    vt1 AS (
+      SELECT vec_id, super FROM (
+        SELECT q.vec_id, c.super,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY q.na + c.sn - 2 * ${dotSql("q.qa", "c.svec")}, c.super) AS rk
+        FROM q, sc1n c) WHERE rk = 1),
+    ca1 AS (
+      SELECT vec_id, child FROM (
+        SELECT q.vec_id, cs.child,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY q.na + cs.cn0 - 2 * ${dotSql("q.qa", "cs.cv0")}, cs.child) AS rk
+        FROM q JOIN vt1 USING (vec_id)
+        JOIN cseed cs ON cs.super = vt1.super) WHERE rk = 1),
+    cs1 AS (
+      SELECT ca1.child, r.i AS dim, SUM(q.qa[r.i]) AS sv, COUNT(*) AS n
+      FROM q JOIN ca1 USING (vec_id)
+      CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS i) r
+      GROUP BY ca1.child, r.i),
+    cc1 AS (
+      SELECT child,
+        list(CAST(floor(CAST(sv AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS cvec
+      FROM cs1 GROUP BY child),
+    cc1n AS (
+      SELECT cc1.child, cs.super, cc1.cvec, ${normSql("cc1.cvec")} AS nc
+      FROM cc1 JOIN cseed cs ON cs.child = cc1.child),
+    slive AS (SELECT * FROM sc1n
+              WHERE super IN (SELECT DISTINCT super FROM cc1n)),
+    ps AS (
+      SELECT vec_id, super FROM (
+        SELECT q.vec_id, c.super,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY q.na + c.sn - 2 * ${dotSql("q.qa", "c.svec")}, c.super) AS rk
+        FROM q, slive c) WHERE rk <= 2),
+    candc AS (
+      SELECT q.vec_id, cc.child, cc.cvec, cc.nc,
+        ROW_NUMBER() OVER (PARTITION BY q.vec_id
+          ORDER BY q.na + cc.nc - 2 * ${dotSql("q.qa", "cc.cvec")}, cc.child) AS rk
+      FROM q JOIN ps ON ps.vec_id = q.vec_id
+      JOIN cc1n cc ON cc.super = ps.super),
+    asgp AS (SELECT vec_id, child AS cell, rk FROM candc WHERE rk <= 2),
+    asg AS (SELECT vec_id, child AS cell, cvec, nc FROM candc WHERE rk = 1),
+    cc AS (
+      SELECT q.vec_id, a.cell, q.qa, q.na,
+        ${cosineSql(dotSql("q.qa", "a.cvec"), "q.na", "a.nc")} AS cos_centroid
+      FROM q JOIN asg a USING (vec_id)),
     planes AS (
       SELECT j, list_transform(range(0, $Dim), i ->
           ('0x' || substr(md5('hp' || j || '_' || i), 1, 15))::BIGINT % ${Scale + 1} - ${Scale / 2}) AS p
@@ -2052,7 +2330,8 @@ object Similarity {
     ORDER BY t.vec_id"""))
 
   val defs: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding,
-    dedupEmbeddingHi, dedupEmbeddingWide, dedupEmbeddingBlocked, annLsh,
+    dedupEmbeddingHi, dedupEmbeddingWide, dedupEmbeddingBlocked,
+    dedupEmbeddingHier, annLsh,
     annIvf, annIvfPq, embCentroid, dedupEmbeddingKeep, dimReduce,
     embQuantize, semanticPrune, mineHardNegatives, knnGraph,
     knnScoreDiffusion, kmeans, decontaminateEmbedding)
