@@ -196,17 +196,24 @@ case class NearestCodes(child: Expression, books: Array[Array[Array[Long]]],
   // the synthesized case-class equals/hashCode, which silently defeats
   // Catalyst canonicalization / common-subexpression elimination when
   // two structurally identical expressions are built from distinct
-  // array instances — so compare the codebooks by CONTENT.
+  // array instances — so compare the codebooks by CONTENT. The deep
+  // hash is computed ONCE (a codebook is k·Dim elements — 4.2M at the
+  // flat guard bound — and Catalyst hashes expressions once per rule
+  // traversal); equals short-circuits on hash and instance identity
+  // before ever walking the arrays.
+  @transient private lazy val booksHash =
+    java.util.Arrays.deepHashCode(books.asInstanceOf[Array[AnyRef]])
   override def equals(o: Any): Boolean = o match {
     case that: NearestCodes =>
       child == that.child && topP == that.topP &&
-        java.util.Arrays.deepEquals(
-          books.asInstanceOf[Array[AnyRef]], that.books.asInstanceOf[Array[AnyRef]])
+        booksHash == that.booksHash &&
+        ((books eq that.books) || java.util.Arrays.deepEquals(
+          books.asInstanceOf[Array[AnyRef]], that.books.asInstanceOf[Array[AnyRef]]))
     case _ => false
   }
   override def hashCode: Int =
     java.util.Objects.hash(child, Integer.valueOf(topP),
-      Integer.valueOf(java.util.Arrays.deepHashCode(books.asInstanceOf[Array[AnyRef]])))
+      Integer.valueOf(booksHash))
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -251,13 +258,15 @@ case class IndexLookup(child: Expression, ids: Array[Long])
   }
 
   // content equality for the Array field — see [[NearestCodes]]
+  @transient private lazy val idsHash = java.util.Arrays.hashCode(ids)
   override def equals(o: Any): Boolean = o match {
     case that: IndexLookup =>
-      child == that.child && java.util.Arrays.equals(ids, that.ids)
+      child == that.child && idsHash == that.idsHash &&
+        ((ids eq that.ids) || java.util.Arrays.equals(ids, that.ids))
     case _ => false
   }
   override def hashCode: Int =
-    java.util.Objects.hash(child, Integer.valueOf(java.util.Arrays.hashCode(ids)))
+    java.util.Objects.hash(child, Integer.valueOf(idsHash))
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -304,16 +313,18 @@ case class SubCodewords(left: Expression, right: Expression,
   }
 
   // content equality for the Array field — see [[NearestCodes]]
+  @transient private lazy val booksHash =
+    java.util.Arrays.deepHashCode(books.asInstanceOf[Array[AnyRef]])
   override def equals(o: Any): Boolean = o match {
     case that: SubCodewords =>
       left == that.left && right == that.right &&
-        java.util.Arrays.deepEquals(
-          books.asInstanceOf[Array[AnyRef]], that.books.asInstanceOf[Array[AnyRef]])
+        booksHash == that.booksHash &&
+        ((books eq that.books) || java.util.Arrays.deepEquals(
+          books.asInstanceOf[Array[AnyRef]], that.books.asInstanceOf[Array[AnyRef]]))
     case _ => false
   }
   override def hashCode: Int =
-    java.util.Objects.hash(left, right,
-      Integer.valueOf(java.util.Arrays.deepHashCode(books.asInstanceOf[Array[AnyRef]])))
+    java.util.Objects.hash(left, right, Integer.valueOf(booksHash))
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -864,12 +864,32 @@ object Similarity {
     * (dist, id) everywhere, mirrored in the oracle as
     * `ORDER BY dist, id`.
     */
-  private[graft] def hierStages(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[graft] def hierStages(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    bandedPruneFrom(hierAssign(s, d).localCheckpoint())
+
+  /** The two-level assignment frame of [[hierStages]], UNcheckpointed —
+    * the HierDedupSpec seam: the registered query checkpoints it (the
+    * deployment's materialized code table) before the banding stages,
+    * which would otherwise hide the assignment plan from the
+    * state-placement assertions.
+    */
+  private[graft] def hierAssign(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // the two-level dataflow below bakes in exactly two probes at
+    // both levels (s1/s2, cell/cell2, and `rk <= 2` in the oracle);
+    // if BlockProbe is ever retuned, this operator and its oracle
+    // must be re-parameterized TOGETHER — fail the build-time path
+    // loudly rather than silently desync from the flat contract
+    require(BlockProbe == 2,
+      s"dedup_embedding_hier hardcodes 2 probes; BlockProbe=$BlockProbe " +
+        "requires re-parameterizing hierAssign AND its oracle SQL")
     val augN = corpusCount(d, Tables.embeddings(s, d)) * 2
     val k = (((augN + CellCap - 1) / CellCap) max 2L).toInt
     val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
-    val aug = augmentedHi(s, d)
+    // ONE materialization of the augmented corpus: the frames below
+    // consume it in ~8 separate eager jobs (training rounds, probes,
+    // final joins) which would each rescan + re-augment the parquet
+    val aug = augmentedHi(s, d).localCheckpoint()
     def d2(qa: Column, na: Column, cv: Column, nc: Column): Column =
       na + nc - lit(2L) * dot(qa, cv)
     def floorMeans(assigned: DataFrame, key: String, vec: String): DataFrame =
@@ -954,18 +974,16 @@ object Similarity {
       .groupBy("vec_id")
       .agg(min(struct(col("cd"), col("child"))).as("m"))
       .select(col("vec_id"), col("m.child").as("cell2"))
-    // the finished assignment table (IVF's code table) is what a
+    // the finished assignment table (IVF's code table) — what a
     // deployment materializes to storage before the dedup joins;
-    // bandedPruneFrom consumes it several times, so checkpoint it
-    // rather than re-deriving the two-level assignment per consumer
-    val withCc = aug.join(c1b, "vec_id").join(c2b, Seq("vec_id"), "left")
+    // hierStages checkpoints it because bandedPruneFrom consumes it
+    // several times
+    aug.join(c1b, "vec_id").join(c2b, Seq("vec_id"), "left")
       .withColumn("cells", when(col("cell2").isNull, array(col("cell")))
         .otherwise(array(col("cell"), col("cell2"))))
       .withColumn("cos_centroid",
         cosine(dot(col("qa"), col("cvec")), col("na"), col("ncell")))
       .select("vec_id", "cell", "cells", "qa", "na", "cos_centroid")
-      .localCheckpoint()
-    bandedPruneFrom(withCc)
   }
 
   val dedupEmbeddingHier = QueryDef(

@@ -57,15 +57,21 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * OVERLAPPING-WRITER BOUND (IndexOverlapSpec demonstrates both
   * halves): the index append is plain-parquet `append` — part files
-  * are uniquely named and an append never replaces another writer's
-  * COMMITTED files, so a SUCCESSFUL append is never lost or torn.
-  * Concurrency can break the append's own COMMIT (overlapping jobs
-  * share the FileOutputCommitter staging dir under the index dir);
-  * a collision fails LOUDLY, never as a silent drop of a successful
-  * append, and the retry is safe because DUPLICATE band rows (a
-  * replay or partial-commit re-append of survivors) are tolerated by
+  * are uniquely named and an append never replaces or tears another
+  * writer's COMMITTED files, and DUPLICATE band rows (a replay or
+  * partial-commit re-append of survivors) are tolerated by
   * construction — the dedup join takes MIN over matches, which
-  * duplicates cannot change. What overlap CAN do: two writers whose
+  * duplicates cannot change. What append does NOT give you is safe
+  * CONCURRENT COMMITS on one dir: overlapping jobs share the
+  * FileOutputCommitter staging dir (`<idx>/_temporary`), and a
+  * racer's cleanup can fail the other job loudly or — the v1
+  * committer race — drop its staged task files into a silently
+  * partial commit. So appends must be SERIALIZED per index dir
+  * (foreachBatch already serializes batches within a query; a
+  * multi-driver deployment serializes via the same table-format
+  * commit that fixes the double-admit below), and any suspected
+  * partial append is safely RE-APPENDED whole, because duplicates
+  * are harmless. What overlap CAN also do: two writers whose
   * read-index..append windows overlap both dedup against the same
   * snapshot, so a near-dup pair split across them is admitted TWICE —
   * a second survivor, the analog of upsertSink's lost update

@@ -57,10 +57,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * OVERLAPPING-WRITER BOUND: identical to [[DocStream]]'s (see there;
   * IndexOverlapSpec demonstrates both halves on this stream too) —
-  * successful plain-parquet appends are never lost or torn (commit
-  * collisions on one dir fail loudly and retry safely) and duplicated
-  * band/vector rows are tolerated (min-struct verdicts are
-  * duplicate-stable), but overlapped read..append windows can admit a
+  * committed plain-parquet appends are never replaced or torn, and
+  * duplicated band/vector rows are tolerated (min-struct verdicts are
+  * duplicate-stable, so a suspected-partial append is safely
+  * re-appended whole), but concurrent commit windows on one dir are
+  * unsafe with the vanilla committer (serialize appends per dir, as
+  * foreachBatch does), and overlapped read..append windows can admit a
   * near-dup pair twice; table-format optimistic commit is the
   * multi-driver answer, `dedup_embedding_keep` the post-hoc collapse.
   */

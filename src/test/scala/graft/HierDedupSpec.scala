@@ -40,10 +40,12 @@ class HierDedupSpec extends AnyFunSuite {
   test("state placement: child centroids are JOINED, never expression-shipped") {
     // the flat operator's assignment rides pqCells (reference-object
     // expressions, k-scaled payload in the task binary); hier's whole
-    // point is that NO k-scaled state leaves the executors — its plan
-    // must carry no PQ expression, and its plan text must stay
-    // corpus-independent like every headliner
-    val p = resultDf.queryExecution.executedPlan.toString
+    // point is that NO k-scaled state leaves the executors. The
+    // registered query checkpoints the assignment table (hiding its
+    // plan), so assert on the UNcheckpointed seam — the assignment
+    // stages themselves, where a pqCells regression would live
+    val p = graft.operators.Similarity.hierAssign(spark, d)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("graft_pq_codes") && !p.contains("graft_idx_lookup"),
       "hier assignment must not ship centroid state in expressions")
     assert(!p.contains("CartesianProduct"),

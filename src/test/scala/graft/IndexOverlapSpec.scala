@@ -12,17 +12,20 @@ import org.scalatest.funsuite.AnyFunSuite
   * UpsertOverlapSpec demonstrates upsertSink's lost update.
   *
   * Half 1 (what append CANNOT break): the index is append-only — a
-  * writer lands uniquely-named part files and never replaces another's
-  * COMMITTED files, so a SUCCESSFUL append is never lost or torn by
-  * other writers (contrast: upsertSink's snapshot SWAP, where the
-  * second writer replaces the first — the lost update). Concurrency
-  * can break the append's own COMMIT — overlapping jobs share the
-  * FileOutputCommitter staging dir under the index dir, and a
-  * collision fails LOUDLY (never a silent drop of a successful
-  * append) — and the retry is safe precisely because DUPLICATE index
-  * rows (an at-least-once replay re-appending survivors) are
-  * verdict-stable by construction: the dedup join takes MIN over
-  * matches, which duplicates cannot change.
+  * writer lands uniquely-named part files and never replaces or tears
+  * another's COMMITTED files (contrast: upsertSink's snapshot SWAP,
+  * where the second writer replaces the first — the lost update), and
+  * DUPLICATE index rows (an at-least-once replay re-appending
+  * survivors) are verdict-stable by construction: the dedup join
+  * takes MIN over matches, which duplicates cannot change. What
+  * append does NOT give is safe concurrent COMMITS on one dir —
+  * overlapping jobs share the FileOutputCommitter staging dir, and
+  * the v1 committer race can fail a writer loudly OR silently commit
+  * a partial set of its files — so the guaranteed-in-every-
+  * interleaving invariants pinned here are exactly the ones that make
+  * "serialize appends per dir; on doubt, re-append whole" the safe
+  * discipline: committed rows survive, nothing duplicates or tears,
+  * nothing appears that no writer produced.
   *
   * Half 2 (what overlap CAN do): two writers whose read-index..append
   * windows overlap both dedup against the same snapshot, so a near-dup
@@ -87,18 +90,22 @@ class IndexOverlapSpec extends AnyFunSuite
       s"per-doc band rows torn: $byDoc")
   }
 
-  test("doc index: a concurrent commit collision is LOUD, a successful append is never lost") {
+  test("doc index: concurrent commits never corrupt — committed state stays a clean subset") {
     // overlapping commit WINDOWS on one dir share the
     // FileOutputCommitter staging root (<idx>/_temporary/0) — vanilla
     // parquet's real concurrency limit, distinct from the append
-    // semantics above. The bound this pins: an appender that RETURNED
-    // SUCCESS has all its rows on disk no matter what the other did;
-    // a collision surfaces as an exception (retry-safe, because
-    // duplicates are verdict-stable), never as a silent drop of a
-    // successful append.
+    // semantics above. The v1 committer race means an appender can
+    // fail loudly OR silently commit a PARTIAL set of its task files
+    // (a racer's cleanup deleted the rest), so per-writer completeness
+    // is NOT guaranteed and the Scaladoc tells deployments to
+    // serialize appends per dir. What IS guaranteed in every
+    // interleaving — and what makes a blind whole re-append the safe
+    // recovery — is pinned here: already-committed rows survive
+    // untouched, nothing is duplicated or torn into invalid rows, and
+    // the dir never holds rows that neither writer produced.
     val indexDir = tmp("drace") + "/idx"
     DocStream.writeSignatureIndex(docs(1L -> otherText), indexDir)
-    val boot = spark.read.parquet(indexDir).count()
+    val boot = spark.read.parquet(indexDir).localCheckpoint()
     val writers = Seq(
       2L -> DocStream.bandRows(docs(2L -> dupText)).localCheckpoint(),
       3L -> DocStream.bandRows(docs(3L -> thirdText)).localCheckpoint())
@@ -109,16 +116,23 @@ class IndexOverlapSpec extends AnyFunSuite
         catch { case _: Throwable => ok.put(id, false) })
     }
     ts.foreach(_.start()); ts.foreach(_.join())
-    val byDoc = spark.read.parquet(indexDir).groupBy("doc_id").count()
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(spark.read.parquet(indexDir)
-      .filter(col("doc_id") === 1L).count() == boot,
+    val after = spark.read.parquet(indexDir).localCheckpoint()
+    assert(after.filter(col("doc_id") === 1L).count() == boot.count(),
       "bootstrap rows must survive any append outcome")
+    // subset of the intended union, nothing invented or torn
+    val intended = boot.unionByName(writers(0)._2).unionByName(writers(1)._2)
+    assert(after.exceptAll(intended).isEmpty,
+      "the index holds rows no writer produced — a torn/corrupt commit")
+    // and nothing duplicated: each doc's rows appear at most once
+    val byDoc = after.groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     writers.foreach { case (id, b) =>
-      if (ok.get(id))
-        assert(byDoc.getOrElse(id, 0L) == b.count(),
-          s"writer $id returned success but its rows are incomplete — " +
-            "a SILENT loss, which the loud-failure bound forbids")
+      val expect = b.count()
+      val got = byDoc.getOrElse(id, 0L)
+      assert(got <= expect, s"writer $id rows duplicated: $got > $expect")
+      info(s"writer $id: reported=${ok.get(id)} rows=$got/$expect" +
+        (if (got < expect) " (partial/failed — whole re-append is the safe recovery)"
+         else ""))
     }
   }
 

@@ -364,13 +364,13 @@ class PlanSpec extends AnyFunSuite {
     // the plan text is large in ABSOLUTE terms (the constant NJit x Dim
     // jitter literals replicate with every reuse of the augmented
     // subplan) but must be CORPUS-INDEPENDENT: k = ceil(2n/cap) is 10x
-    // bigger at sf0.01 than sf0.001, so a leaked per-cell literal
-    // (the pre-r10 typedlit) would show as ~10x growth here
+    // bigger at sf0.01 than at d (= sf0.001), so a leaked per-cell
+    // literal (the pre-r10 typedlit) would show as ~10x growth here
     val p2 = SparkEntry.queries("dedup_embedding_blocked")(
-      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
-    assert(math.abs(p.length - p2.length) < p2.length / 5,
-      s"plan text scales with the corpus (${p2.length} B at sf0.001 vs " +
-        s"${p.length} B at $d) — a per-cell literal leaked in")
+      spark, "/root/testdata/sf0.01").queryExecution.executedPlan.toString
+    assert(math.abs(p.length - p2.length) < p.length / 5,
+      s"plan text scales with the corpus (${p.length} B at $d vs " +
+        s"${p2.length} B at sf0.01) — a per-cell literal leaked in")
   }
 
   test("dedup_winnow blocks on fingerprint keys, never all-pairs") {

@@ -55,11 +55,13 @@ class PqCellsSpec extends AnyFunSuite {
     // optimizer constant-folds the whole projection away — itself
     // evidence the expressions are foldable — so the literal-leak
     // assertion must look at the plan as built
-    // strip Catalyst expression ids (#123) first — they are arbitrary
-    // counters and can spuriously contain the digits asserted below
+    // strip Catalyst expression ids (#123) AND the reference objects'
+    // identity-hash print form ([J@5e4299b1) first — both are
+    // arbitrary and can spuriously contain the digits asserted below
     val plan = df.select(
       GraftFunctions.pqCells(col("qa"), books, ids, 2).as("cells"))
-      .queryExecution.analyzed.toString.replaceAll("#\\d+", "#")
+      .queryExecution.analyzed.toString
+      .replaceAll("#\\d+", "#").replaceAll("@[0-9a-f]+", "@")
     // the id values must NOT appear in the plan text; the expressions
     // print as names over a JVM reference
     assert(!plan.contains("42") && !plan.contains("99"),
