@@ -128,6 +128,10 @@ object Bench {
     // rep-1-codegen vs sustained-slowness from stderr scrollback; the
     // committed JSON now carries every rep, so variance attribution
     // needs no re-run and survives stdout truncation.
+    // SCHEMA (documented in README "Bench" bullet): every reps array
+    // has exactly `reps` slots; a failed rep is a literal JSON `null`
+    // in its slot so partial failures stay visible in the artifact —
+    // consumers must tolerate nulls when treating reps as numeric.
     val repsJson = results.map { case (k, _, rs) =>
       "\"" + k + "\":" +
         rs.map(_.map(_.toString).getOrElse("null")).mkString("[", ",", "]")

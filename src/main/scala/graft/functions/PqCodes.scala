@@ -28,6 +28,30 @@ import org.apache.spark.sql.types._
   */
 object Pq {
 
+  // Content-hash cache for the Array-typed constructor fields of the
+  // expressions below, keyed by ARRAY IDENTITY (arrays hash/equal by
+  // reference, so a WeakHashMap keys by instance and lets a dropped
+  // codebook be GC'd). Why JVM-wide and not per-instance: every
+  // Catalyst transform rule copies an expression via
+  // withNewChildInternal, and a per-instance lazy val re-walks the
+  // full codebook (k·Dim elements — 4.2M longs at the flat guard
+  // bound) on each copy's first hashCode/equals. Copies share the
+  // SAME array reference, so an identity-keyed cache computes the
+  // deep hash once per distinct array instance per JVM; every copy
+  // thereafter pays one O(1) lookup.
+  private val contentHashCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[AnyRef, Integer])
+
+  private[functions] def cachedContentHash(key: AnyRef)(
+      compute: AnyRef => Int): Int =
+    contentHashCache.computeIfAbsent(key, k => Integer.valueOf(compute(k)))
+      .intValue
+
+  private[functions] def cachedDeepHash(books: Array[Array[Array[Long]]]): Int =
+    cachedContentHash(books)(b =>
+      java.util.Arrays.deepHashCode(b.asInstanceOf[Array[AnyRef]]))
+
   /** Total input width a codebook family expects: M subspaces times
     * the (uniform) codeword width.
     */
@@ -197,12 +221,12 @@ case class NearestCodes(child: Expression, books: Array[Array[Array[Long]]],
   // Catalyst canonicalization / common-subexpression elimination when
   // two structurally identical expressions are built from distinct
   // array instances — so compare the codebooks by CONTENT. The deep
-  // hash is computed ONCE (a codebook is k·Dim elements — 4.2M at the
-  // flat guard bound — and Catalyst hashes expressions once per rule
-  // traversal); equals short-circuits on hash and instance identity
-  // before ever walking the arrays.
-  @transient private lazy val booksHash =
-    java.util.Arrays.deepHashCode(books.asInstanceOf[Array[AnyRef]])
+  // hash comes from [[Pq.cachedContentHash]]: computed once per
+  // distinct array INSTANCE per JVM, shared across every Catalyst
+  // copy of this node (copies keep the same array reference); equals
+  // short-circuits on hash and instance identity before ever walking
+  // the arrays.
+  @transient private lazy val booksHash = Pq.cachedDeepHash(books)
   override def equals(o: Any): Boolean = o match {
     case that: NearestCodes =>
       child == that.child && topP == that.topP &&
@@ -258,7 +282,8 @@ case class IndexLookup(child: Expression, ids: Array[Long])
   }
 
   // content equality for the Array field — see [[NearestCodes]]
-  @transient private lazy val idsHash = java.util.Arrays.hashCode(ids)
+  @transient private lazy val idsHash = Pq.cachedContentHash(ids)(
+    i => java.util.Arrays.hashCode(i.asInstanceOf[Array[Long]]))
   override def equals(o: Any): Boolean = o match {
     case that: IndexLookup =>
       child == that.child && idsHash == that.idsHash &&
@@ -313,8 +338,7 @@ case class SubCodewords(left: Expression, right: Expression,
   }
 
   // content equality for the Array field — see [[NearestCodes]]
-  @transient private lazy val booksHash =
-    java.util.Arrays.deepHashCode(books.asInstanceOf[Array[AnyRef]])
+  @transient private lazy val booksHash = Pq.cachedDeepHash(books)
   override def equals(o: Any): Boolean = o match {
     case that: SubCodewords =>
       left == that.left && right == that.right &&

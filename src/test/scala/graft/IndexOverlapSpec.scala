@@ -116,6 +116,18 @@ class IndexOverlapSpec extends AnyFunSuite
         catch { case _: Throwable => ok.put(id, false) })
     }
     ts.foreach(_.start()); ts.foreach(_.join())
+    // A racer that dies mid-commit can strand FileOutputCommitter
+    // staging debris under <idx>/_temporary. Parquet readers skip
+    // _-prefixed paths, so the asserts below never see it — scrub it
+    // anyway (advisor r10) so the only run-to-run variance in the dir
+    // is the committed files the assertions are about, and a later
+    // writer can't inherit a stale staging root.
+    def scrub(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(scrub)
+      f.delete()
+    }
+    scrub(new java.io.File(indexDir, "_temporary"))
     val after = spark.read.parquet(indexDir).localCheckpoint()
     assert(after.filter(col("doc_id") === 1L).count() == boot.count(),
       "bootstrap rows must survive any append outcome")
