@@ -43,10 +43,23 @@ object Pq {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[AnyRef, Integer])
 
+  // The deep hash itself runs OUTSIDE the map's mutex (advisor r11):
+  // computeIfAbsent would hold the global lock for the full
+  // O(k·Dim) walk (tens of ms at the flat guard bound), serializing
+  // every other expression's hashCode/equals lookup behind it. A
+  // racing first touch of the same array computes twice — harmless,
+  // the hash is deterministic — and putIfAbsent (atomic under the
+  // SynchronizedMap mutex) keeps one canonical entry.
   private[functions] def cachedContentHash(key: AnyRef)(
-      compute: AnyRef => Int): Int =
-    contentHashCache.computeIfAbsent(key, k => Integer.valueOf(compute(k)))
-      .intValue
+      compute: AnyRef => Int): Int = {
+    val cached = contentHashCache.get(key)
+    if (cached != null) cached.intValue
+    else {
+      val h = Integer.valueOf(compute(key))
+      contentHashCache.putIfAbsent(key, h)
+      h.intValue
+    }
+  }
 
   private[functions] def cachedDeepHash(books: Array[Array[Array[Long]]]): Int =
     cachedContentHash(books)(b =>

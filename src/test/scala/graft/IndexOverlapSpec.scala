@@ -122,10 +122,13 @@ class IndexOverlapSpec extends AnyFunSuite
     // anyway (advisor r10) so the only run-to-run variance in the dir
     // is the committed files the assertions are about, and a later
     // writer can't inherit a stale staging root.
+    // delete() returning false on a still-existing path would mean
+    // the debris SURVIVED the scrub (advisor r11) — fail loudly
+    // rather than let the stale-staging-root guarantee pass vacuously.
     def scrub(f: java.io.File): Unit = {
       val kids = f.listFiles()
       if (kids != null) kids.foreach(scrub)
-      f.delete()
+      assert(!f.exists() || f.delete(), s"failed to scrub staging debris at $f")
     }
     scrub(new java.io.File(indexDir, "_temporary"))
     val after = spark.read.parquet(indexDir).localCheckpoint()
