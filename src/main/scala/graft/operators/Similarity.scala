@@ -584,6 +584,8 @@ object Similarity {
   }
 
   private[graft] def cellCap: Int = CellCap
+  private[graft] def maxBlockCells: Int = MaxBlockCells
+  private[graft] def blockBandPlan: (Int, Int) = (BlockBands, BlockBits)
   private[graft] def semTau: Double = SemTau
   private[graft] def hiTau: Double = HiTau
 
@@ -874,6 +876,24 @@ object Similarity {
     * state-placement assertions.
     */
   private[graft] def hierAssign(s: SparkSession, d: String): DataFrame = {
+    val augN = corpusCount(d, Tables.embeddings(s, d)) * 2
+    // ONE materialization of the augmented corpus: the frames below
+    // consume it in ~8 separate eager jobs (training rounds, probes,
+    // final joins) which would each rescan + re-augment the parquet
+    hierAssignFrom(s, augmentedHi(s, d).localCheckpoint(), augN)
+  }
+
+  /** [[hierAssign]] over a caller-supplied augmented corpus of shape
+    * (vec_id, qa, na) with ids dense from 0 (seeds are the first k1 /
+    * k ids) — the HierTierProbe seam: the paying-tier measurement
+    * (k past [[MaxBlockCells]], where flat assignment is refused)
+    * streams a synthetic corpus through the EXACT registered dataflow
+    * instead of a re-implementation, so the probe's numbers are the
+    * operator's. `aug` should be materialized (or cheap to recompute:
+    * the stages below consume it in ~8 eager jobs).
+    */
+  private[graft] def hierAssignFrom(
+      s: SparkSession, aug: DataFrame, augN: Long): DataFrame = {
     import s.implicits._
     // the two-level dataflow below bakes in exactly two probes at
     // both levels (s1/s2, cell/cell2, and `rk <= 2` in the oracle);
@@ -883,13 +903,8 @@ object Similarity {
     require(BlockProbe == 2,
       s"dedup_embedding_hier hardcodes 2 probes; BlockProbe=$BlockProbe " +
         "requires re-parameterizing hierAssign AND its oracle SQL")
-    val augN = corpusCount(d, Tables.embeddings(s, d)) * 2
     val k = (((augN + CellCap - 1) / CellCap) max 2L).toInt
     val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
-    // ONE materialization of the augmented corpus: the frames below
-    // consume it in ~8 separate eager jobs (training rounds, probes,
-    // final joins) which would each rescan + re-augment the parquet
-    val aug = augmentedHi(s, d).localCheckpoint()
     def d2(qa: Column, na: Column, cv: Column, nc: Column): Column =
       na + nc - lit(2L) * dot(qa, cv)
     def floorMeans(assigned: DataFrame, key: String, vec: String): DataFrame =
@@ -950,35 +965,46 @@ object Similarity {
       .localCheckpoint()
     // --- final: top-2 supers-with-children, top-2 children in them ---
     val supLive = supC1.join(childC1.select("super").distinct(), "super")
+    // Top-2 per key via the bounded-heap TopKPerKey operator (r12),
+    // not min-agg + join-back-and-min-again: the join formulation
+    // re-SHUFFLES the scored frame it aggregates (n·k1 rows here,
+    // n·2·(k/k1) below — hundreds of GB at the paying tier
+    // k > MaxBlockCells, where HierTierProbe measures this path),
+    // while TopKPerKey folds to <=2 rows per vector map-side before
+    // any exchange. Ordering (-sd, super): highest negated distance +
+    // lowest-id tie-break == the old min-struct (sd, super) contract,
+    // and sd stays a LONG so the operator's exact-integer order path
+    // applies — the oracle's `rk <= 2` window is unchanged.
     val vsd = aug.crossJoin(broadcast(supLive))
-      .withColumn("sd", d2(col("qa"), col("na"), col("svec"), col("sn")))
-    val p1 = vsd.groupBy("vec_id")
-      .agg(min(struct(col("sd"), col("super"))).as("m"))
-      .select(col("vec_id"), col("m.super").as("s1"))
-    val p2 = vsd.join(p1, "vec_id").filter(col("super") =!= col("s1"))
-      .groupBy("vec_id")
-      .agg(min(struct(col("sd"), col("super"))).as("m"))
-      .select(col("vec_id"), col("m.super").as("s2"))
-    val candC = aug.join(p1, "vec_id").join(p2, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("qa"), col("na"),
-        explode(when(col("s2").isNull, array(col("s1")))
-          .otherwise(array(col("s1"), col("s2")))).as("super"))
+      .select(col("vec_id"),
+        d2(col("qa"), col("na"), col("svec"), col("sn")).as("sd"), col("super"))
+    val probes = graft.plans.GraftOps.topKPerKey(
+      vsd, Seq(col("vec_id")), -col("sd"), col("super"), 2)
+      .select("vec_id", "super")
+    val candC = aug.join(probes, "vec_id")
       .join(childC1, "super")
       .withColumn("cd", d2(col("qa"), col("na"), col("cvec"), col("nc")))
-    val c1b = candC.groupBy("vec_id")
-      .agg(min(struct(col("cd"), col("child"), col("cvec"), col("nc"))).as("m"))
-      .select(col("vec_id"), col("m.child").as("cell"),
-        col("m.cvec").as("cvec"), col("m.nc").as("ncell"))
-    val c2b = candC.join(c1b.select("vec_id", "cell"), "vec_id")
-      .filter(col("child") =!= col("cell"))
+    // rank among the <=2 surviving children recovered by one tiny
+    // re-aggregate (child ids are unique per vector — each child is
+    // pinned to exactly one super — so min/max never tie)
+    val top2c = graft.plans.GraftOps.topKPerKey(
+      candC.select(col("vec_id"), col("cd"), col("child")),
+      Seq(col("vec_id")), -col("cd"), col("child"), 2)
       .groupBy("vec_id")
-      .agg(min(struct(col("cd"), col("child"))).as("m"))
-      .select(col("vec_id"), col("m.child").as("cell2"))
+      .agg(min(struct(col("cd"), col("child"))).as("m1"),
+        max(struct(col("cd"), col("child"))).as("m2"),
+        count(lit(1)).as("np"))
+      .select(col("vec_id"), col("m1.child").as("cell"),
+        when(col("np") > 1, col("m2.child")).as("cell2"))
     // the finished assignment table (IVF's code table) — what a
     // deployment materializes to storage before the dedup joins;
     // hierStages checkpoints it because bandedPruneFrom consumes it
-    // several times
-    aug.join(c1b, "vec_id").join(c2b, Seq("vec_id"), "left")
+    // several times. The winner's centroid joins back from the k-row
+    // child table (broadcast at test SFs; an n-row equi-join at the
+    // 1e9 tier, where k·Dim is GBs — the documented state placement).
+    val cellCent = childC1
+      .select(col("child").as("cell"), col("cvec"), col("nc").as("ncell"))
+    aug.join(top2c, "vec_id").join(cellCent, "cell")
       .withColumn("cells", when(col("cell2").isNull, array(col("cell")))
         .otherwise(array(col("cell"), col("cell2"))))
       .withColumn("cos_centroid",
