@@ -455,6 +455,18 @@ object Similarity {
     * SQL, so the candidate set matches by construction at any SF.
     * Same contract as [[dedupEmbeddingHi]]: (i, j, cosine >= HiTau)
     * over the augmented corpus, exact quantized-cosine verify.
+    *
+    * WHERE THIS SITS IN THE CHAIN (the one-lookup steering, r12):
+    * fixed-band baselines (D5/D5b) → THIS operator (log-scaled bands,
+    * the scale form of the EXACT full-pair contract) → the registered
+    * 100-TB DEFAULT `dedup_embedding_blocked` ([[dedupEmbeddingBlocked]],
+    * constant in-cell band plan inside corpus-scaled Lloyd cells —
+    * trades the full contract for in-cell recall, measured) →
+    * `dedup_embedding_hier` ([[dedupEmbeddingHier]]) once k passes
+    * [[MaxBlockCells]]. Use THIS operator when the exact full-pair
+    * contract is required (its banding is also the blocked stages'
+    * in-cell engine); use the blocked/hier composition as the default
+    * end-to-end dedup.
     */
   val dedupEmbeddingWide = QueryDef(
     "dedup_embedding_wide",
@@ -586,6 +598,40 @@ object Similarity {
   private[graft] def cellCap: Int = CellCap
   private[graft] def maxBlockCells: Int = MaxBlockCells
   private[graft] def blockBandPlan: (Int, Int) = (BlockBands, BlockBits)
+  private[graft] def blockProbe: Int = BlockProbe
+
+  /** Stage 1 of the blocked composition as a reusable TRAINER: seeds =
+    * the first `k` vector ids (requires ids dense from 0), one
+    * floored-mean Lloyd round, exact integer arithmetic throughout.
+    * Returns (cellIds, centroids) in codebook order — the state the
+    * assignment expressions ship as codegen reference objects. Shared
+    * by [[blockedStagesFrom]] and the streaming bootstrap
+    * ([[graft.streaming.EmbStream.writeIndexBlocked]]), so the live
+    * and batch quantizers cannot drift. Callers bound k via
+    * [[requireBlockCells]] — the two `collect`s below hold seed rows
+    * and k·Dim centroid rows on the driver, never the corpus.
+    */
+  private[graft] def lloydCells(
+      aug: DataFrame, k: Int): (Array[Long], Array[Array[Long]]) = {
+    import graft.functions.GraftFunctions
+    val seeds = aug.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("qa")).collect().sortBy(_.getLong(0))
+    val c0 = Array(seeds.map(_.getSeq[Long](1).toArray))
+    val upd = aug
+      .withColumn("cidx", element_at(GraftFunctions.pqCodes(col("qa"), c0), 1))
+      .select(col("cidx"), posexplode(col("qa")).as(Seq("dim", "v")))
+      .groupBy("cidx", "dim")
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .select(col("cidx"), col("dim"),
+        floor(col("sv").cast(DoubleType) / col("n")).cast(LongType).as("c"))
+      .collect() // bounded: k*Dim rows of centroid state, not corpus
+    val byIdx = upd.groupBy(_.getInt(0)).toArray.sortBy(_._1)
+    val cellIds = byIdx.map { case (i, _) => seeds(i).getLong(0) }
+    val cents = byIdx.map { case (_, rows) =>
+      rows.sortBy(_.getInt(1)).map(_.getLong(2))
+    }
+    (cellIds, cents)
+  }
   private[graft] def semTau: Double = SemTau
   private[graft] def hiTau: Double = HiTau
 
@@ -668,22 +714,7 @@ object Similarity {
       val augN = corpusCount(d, Tables.embeddings(s, d)) * 2
       val k = requireBlockCells((((augN + CellCap - 1) / CellCap) max 2L))
       // --- stage 1: corpus-scaled Lloyd cells, expression-assigned ---
-      val seeds = aug.filter(col("vec_id") < k)
-        .select(col("vec_id"), col("qa")).collect().sortBy(_.getLong(0))
-      val c0 = Array(seeds.map(_.getSeq[Long](1).toArray))
-      val upd = aug
-        .withColumn("cidx", element_at(GraftFunctions.pqCodes(col("qa"), c0), 1))
-        .select(col("cidx"), posexplode(col("qa")).as(Seq("dim", "v")))
-        .groupBy("cidx", "dim")
-        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
-        .select(col("cidx"), col("dim"),
-          floor(col("sv").cast(DoubleType) / col("n")).cast(LongType).as("c"))
-        .collect() // bounded: k*Dim rows of centroid state, not corpus
-      val byIdx = upd.groupBy(_.getInt(0)).toArray.sortBy(_._1)
-      val cellIds = byIdx.map { case (i, _) => seeds(i).getLong(0) }
-      val cents = byIdx.map { case (_, rows) =>
-        rows.sortBy(_.getInt(1)).map(_.getLong(2))
-      }
+      val (cellIds, cents) = lloydCells(aug, k)
       val c1 = Array(cents)
       val centsDf = cellIds.zip(cents).toSeq
         .map { case (id, cv) => (id, cv.toSeq) }.toDF("cell", "cvec")

@@ -96,6 +96,16 @@ object EmbStream {
     val cand = arriving.join(prior, Seq("band_id", "band_val"))
       .filter(col("j") < col("i"))
       .select("i", "j").dropDuplicates("i", "j")
+    verdictsOf(cand, batchQ, vecs, tau)
+  }
+
+  /** Exact-cosine verify + min-id partner + every-arrival outer join —
+    * the tail both candidate generators ([[dedupBatch]],
+    * [[dedupBatchBlocked]]) share, so the banded and cell-blocked
+    * loops cannot drift in verify semantics.
+    */
+  private def verdictsOf(cand: DataFrame, batchQ: DataFrame,
+      vecs: DataFrame, tau: Double): DataFrame = {
     val qi = batchQ
       .select(col("vec_id").as("i"), col("qa").as("qi"), col("na").as("ni"))
     val qj = vecs.unionByName(batchQ)
@@ -142,6 +152,158 @@ object EmbStream {
       } finally verdicts.unpersist()
     } finally q.unpersist()
   }
+
+  // --------------------------------------------------------------
+  // Cell-blocked variant — the streaming twin of the batch 100-TB
+  // default (dedup_embedding_blocked / _hier), closing the shape gap
+  // between this loop and the registered batch path: [[writeIndex]]
+  // bands the WHOLE corpus under one log(n)-scaled plan, so every
+  // arriving vector's band bucket grows with the accepted index and
+  // the per-batch join degenerates as it fills. Here candidates are
+  // confined to the arrival's blockProbe nearest Lloyd cells under
+  // the CONSTANT BlockBands x BlockBits in-cell plan (collisions
+  // bounded by the cell cap, not n) — per-arrival candidate work
+  // tracks cell occupancy, the same move the batch side measured and
+  // registered as its default.
+  //
+  // The quantizer is TRAINED AT BOOTSTRAP and FROZEN: cells cannot
+  // move once index rows cite them (re-assigning would orphan every
+  // banded row). Distribution drift therefore costs RECALL, never
+  // correctness (verify stays exact cosine) — the standard IVF
+  // operating discipline: monitor occupancy skew, retrain + re-index
+  // offline when it drifts (the deployment's compaction job), exactly
+  // as a batch re-block. Bootstrap k is bounded by requireBlockCells,
+  // the same loud guard as the batch path; past that bound the
+  // bootstrap assignment moves to the two-level hier join
+  // (Similarity.hierAssignFrom) without changing the index schema.
+  // --------------------------------------------------------------
+
+  /** Bootstrap the BLOCKED stores from an already-deduped corpus
+    * (vec_id, embedding) with ids dense from 0 (the Lloyd seed rule):
+    * trains the frozen quantizer (one deterministic Lloyd round —
+    * [[Similarity.lloydCells]], the literal batch stage-1 code),
+    * writes the codebook to `centDir` in codebook order and the
+    * cell-keyed band index to `bandDir`. Run once; the stream appends.
+    */
+  def writeIndexBlocked(corpus: DataFrame, centDir: String,
+      bandDir: String, vecDir: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = Similarity.quantizeCols(corpus).persist()
+    try {
+      val n = q.count()
+      val k = Similarity.requireBlockCells(
+        ((n + Similarity.cellCap - 1) / Similarity.cellCap) max 2L)
+      val (cellIds, cents) = Similarity.lloydCells(q, k)
+      cellIds.zipWithIndex
+        .map { case (id, i) => (i, id, cents(i).toSeq) }.toSeq
+        .toDF("idx", "cell", "cvec")
+        .write.mode("overwrite").parquet(centDir)
+      blockedBandRows(q, cellIds, cents)
+        .write.mode("overwrite").parquet(bandDir)
+      q.write.mode("overwrite").parquet(vecDir)
+    } finally q.unpersist()
+  }
+
+  /** The frozen codebook back in codebook order — k rows collected to
+    * the driver per micro-batch, bounded by the same
+    * requireBlockCells ceiling the batch path's stage-1 collect obeys.
+    */
+  private[graft] def readCodebook(
+      spark: org.apache.spark.sql.SparkSession,
+      centDir: String): (Array[Long], Array[Array[Long]]) = {
+    val rows = spark.read.parquet(centDir)
+      .select("idx", "cell", "cvec").collect()
+      .sortBy(_.getInt(0))
+    (rows.map(_.getLong(1)), rows.map(_.getSeq[Long](2).toArray))
+  }
+
+  /** Cell-keyed band rows (vec_id, cell, band_id, band_val): one row
+    * per probed cell per band, under the batch side's constant
+    * in-cell plan — the quantized vector itself never enters the
+    * index.
+    */
+  private[graft] def blockedBandRows(q: DataFrame,
+      cellIds: Array[Long], cents: Array[Array[Long]]): DataFrame = {
+    val (bands, bits) = Similarity.blockBandPlan
+    q.select(col("vec_id"),
+      graft.functions.GraftFunctions.pqCells(
+        col("qa"), Array(cents), cellIds, Similarity.blockProbe).as("cells"),
+      col("qa"))
+      .select(col("vec_id"), explode(col("cells")).as("cell"),
+        posexplode(graft.functions.GraftFunctions
+          .hyperplaneBands(col("qa"), bands, bits)))
+      .select(col("vec_id"), col("cell"),
+        col("pos").as("band_id"), col("col").as("band_val"))
+  }
+
+  /** [[dedupBatch]] with cell-blocked candidate generation: arrivals
+    * meet prior rows only inside a shared probed cell. Verify tail is
+    * [[verdictsOf]] — identical exact-cosine semantics to the banded
+    * loop and the batch operators.
+    */
+  def dedupBatchBlocked(
+      batchQ: DataFrame, bandIndex: DataFrame, vecs: DataFrame,
+      cellIds: Array[Long], cents: Array[Array[Long]],
+      tau: Double = Similarity.nearDupTau): DataFrame = {
+    val bandRows = blockedBandRows(batchQ, cellIds, cents)
+    val arriving = bandRows
+      .select(col("cell"), col("band_id"), col("band_val"), col("vec_id").as("i"))
+    val prior = bandIndex.unionByName(bandRows)
+      .select(col("cell"), col("band_id"), col("band_val"), col("vec_id").as("j"))
+    val cand = arriving.join(prior, Seq("cell", "band_id", "band_val"))
+      .filter(col("j") < col("i"))
+      .select("i", "j").dropDuplicates("i", "j")
+    verdictsOf(cand, batchQ, vecs, tau)
+  }
+
+  /** One micro-batch of the BLOCKED loop — same exactly-once verdict
+    * partitions, at-least-once survivor appends, and replay semantics
+    * as [[processBatch]].
+    */
+  def processBatchBlocked(batch: DataFrame, centDir: String,
+      bandDir: String, vecDir: String, verdictsDir: String, batchId: Long,
+      tau: Double = Similarity.nearDupTau): Unit = {
+    val spark = batch.sparkSession
+    val (cellIds, cents) = readCodebook(spark, centDir)
+    val q = Similarity.quantizeCols(batch).persist()
+    try {
+      IdWatermark.checkAndAdvance(q, "vec_id", bandDir, batchId, "embstream")
+      val verdicts = dedupBatchBlocked(q,
+        spark.read.parquet(bandDir), spark.read.parquet(vecDir),
+        cellIds, cents, tau)
+        .persist()
+      try {
+        verdicts.write.mode("overwrite")
+          .parquet(s"$verdictsDir/batch=$batchId")
+        val survivors = q.join(
+          verdicts.filter(col("partner_id").isNull).select("vec_id"),
+          Seq("vec_id"), "left_semi").persist()
+        try {
+          blockedBandRows(survivors, cellIds, cents)
+            .write.mode("append").parquet(bandDir)
+          survivors.write.mode("append").parquet(vecDir)
+        } finally survivors.unpersist()
+      } finally verdicts.unpersist()
+    } finally q.unpersist()
+  }
+
+  /** Start the BLOCKED streaming near-dup loop (bootstrap with
+    * [[writeIndexBlocked]] first — the codebook must exist).
+    */
+  def dedupIndexedStreamBlocked(
+      embs: DataFrame, centDir: String, bandDir: String, vecDir: String,
+      verdictsDir: String, checkpoint: String,
+      tau: Double = Similarity.nearDupTau,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    embs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatchBlocked(batch, centDir, bandDir, vecDir, verdictsDir,
+          batchId, tau)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
 
   /** Start the streaming near-dup loop. `embs` is a streaming
     * DataFrame of (vec_id LONG, embedding ARRAY<numeric>).
