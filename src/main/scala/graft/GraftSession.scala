@@ -26,8 +26,18 @@ import graft.operators.{Graph, Shared}
   *
   * Not thread-safe: one session per pipeline thread (the underlying
   * caches are per-DataFrame, so two sessions coexist safely).
+  *
+  * A pipeline that knows its ngram-family consumer set up front should
+  * DECLARE it (`ngramConsumers`): a keep-only slice (e.g. just the two
+  * curate pipelines) then skips the raw-pair persist via
+  * [[Shared.pairGraphFor]] — at worst break-even at any member count,
+  * where the undeclared session's conservative persist made a 2-member
+  * slice 22% slower at 100x. Requesting an undeclared raw-pair member
+  * afterwards fails loudly rather than silently recomputing.
   */
-final class GraftSession(val spark: SparkSession, val sfDir: String)
+final class GraftSession(val spark: SparkSession, val sfDir: String,
+    ngramConsumers: Option[Set[String]] = None,
+    embFamConsumers: Option[Set[String]] = None)
     extends AutoCloseable {
 
   private var ngramOpt: Option[Shared.PairGraphSession] = None
@@ -35,7 +45,10 @@ final class GraftSession(val spark: SparkSession, val sfDir: String)
   private var embFamOpt: Option[Shared.EmbFamilySession] = None
 
   private[graft] def ngram: Shared.PairGraphSession = {
-    if (ngramOpt.isEmpty) ngramOpt = Some(Shared.pairGraph(spark, sfDir))
+    if (ngramOpt.isEmpty) ngramOpt = Some(ngramConsumers match {
+      case Some(c) => Shared.pairGraphFor(spark, sfDir, c)
+      case None    => Shared.pairGraph(spark, sfDir)
+    })
     ngramOpt.get
   }
 
@@ -45,7 +58,10 @@ final class GraftSession(val spark: SparkSession, val sfDir: String)
   }
 
   private def embFam: Shared.EmbFamilySession = {
-    if (embFamOpt.isEmpty) embFamOpt = Some(Shared.embFamily(spark, sfDir))
+    if (embFamOpt.isEmpty) embFamOpt = Some(embFamConsumers match {
+      case Some(c) => Shared.embFamilyFor(spark, sfDir, c)
+      case None    => Shared.embFamily(spark, sfDir)
+    })
     embFamOpt.get
   }
 
@@ -97,6 +113,16 @@ object GraftSession {
   def withSession[A](spark: SparkSession, sfDir: String)(
       body: GraftSession => A): A = {
     val s = new GraftSession(spark, sfDir)
+    try body(s) finally s.close()
+  }
+
+  /** [[withSession]] with a DECLARED ngram-family consumer set — a
+    * keep-only slice then skips the raw-pair persist (see
+    * [[graft.operators.Shared.pairGraphFor]]).
+    */
+  def withSession[A](spark: SparkSession, sfDir: String,
+      ngramConsumers: Set[String])(body: GraftSession => A): A = {
+    val s = new GraftSession(spark, sfDir, Some(ngramConsumers))
     try body(s) finally s.close()
   }
 }

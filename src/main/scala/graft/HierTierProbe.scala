@@ -50,11 +50,17 @@ object HierTierProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "256")
-      // the k-row child table is ~35 MB at the default tier — a real
-      // deployment broadcasts it (it is the small side by 300x);
-      // leave Spark's 10 MB default and the probe measures a
-      // mis-sized join, not the operator
-      .config("spark.sql.autoBroadcastJoinThreshold", (256L << 20).toString)
+      // Broadcast threshold stays at Spark's 10 MB DEFAULT. A first
+      // cut raised it to 256 MB so the ~35 MB k-row child table would
+      // broadcast — and crashed: the optimizer then also broadcast the
+      // n-scaled (vec_id, super) probe frame (estimate under the
+      // threshold, actual serialized size 1+ GB > maxResultSize). The
+      // operator's k1-row frames carry explicit broadcast() hints, so
+      // the default threshold costs nothing there, and the child-table
+      // join running as a shuffle join is exactly the documented
+      // at-scale state placement ("an n-row equi-join at the 1e9
+      // tier") — the probe should measure THAT plan, not a
+      // driver-inflating broadcast no cluster would survive.
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -48,7 +48,8 @@ object ReuseBench {
     // Optional name filters (comma-separated) so a scale-tier run can
     // measure ONE family slice (e.g. the two curate pipelines at 100x)
     // without paying the full seven-query family twice per rep.
-    // Unknown names must fail loudly (the Bench filter rule).
+    // An EMPTY value skips the family entirely (its JSON fields read
+    // 0); unknown names must fail loudly (the Bench filter rule).
     def familyEnv(envKey: String, default: Seq[String],
         legal: Set[String]): Seq[String] = {
       val f = sys.env.get(envKey)
@@ -76,18 +77,25 @@ object ReuseBench {
       ngramRunners.keySet)
 
     val (standalone, shared) = (1 to reps).map { _ =>
+      if (family.isEmpty) (0.0, 0.0) else {
       // per-query shape: every consumer pays the pair graph itself
       val ta0 = System.nanoTime()
       family.foreach(q => run(s"alone:$q")(SparkEntry.queries(q)(spark, sfDir)))
       val alone = (System.nanoTime() - ta0) / 1e9
-      // session shape: one cached pair graph feeds every consumer
+      // session shape: one cached pair graph feeds every consumer.
+      // The consumer set is DECLARED (pairGraphFor), so a keep-only
+      // slice (e.g. the two curate pipelines) measures the pruned
+      // session — no raw-pair persist — while the full family (which
+      // includes the four direct-pair readers) persists exactly as the
+      // undeclared constructor always did.
       val t0 = System.nanoTime()
-      val sh = operators.Shared.pairGraph(spark, sfDir)
+      val sh = operators.Shared.pairGraphFor(spark, sfDir, family.toSet)
       try family.foreach(q => run(s"shared:$q")(ngramRunners(q)(sh)))
       finally sh.release()
       val together = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[reuse] standalone $alone%.1f s vs session $together%.1f s")
       (alone, together)
+      }
     }.unzip
 
     val a = standalone.min
@@ -110,21 +118,28 @@ object ReuseBench {
         "dedup_embedding_blocked"),
       embRunners.keySet)
     val (embAlone, embShared) = (1 to reps).map { _ =>
+      if (embFamily.isEmpty) (0.0, 0.0) else {
       val ta0 = System.nanoTime()
       embFamily.foreach(q => run(s"alone:$q")(SparkEntry.queries(q)(spark, sfDir)))
       val alone = (System.nanoTime() - ta0) / 1e9
+      // declared (embFamilyFor): slices measure the pruned session —
+      // a 1-member slice persists nothing and degenerates to the
+      // registered query body
       val t0 = System.nanoTime()
-      val sh = operators.Shared.embFamily(spark, sfDir)
+      val sh = operators.Shared.embFamilyFor(spark, sfDir, embFamily.toSet)
       try embFamily.foreach(q => run(s"shared:$q")(embRunners(q)(sh)))
       finally sh.release()
       val together = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[reuse] emb standalone $alone%.1f s vs session $together%.1f s")
       (alone, together)
+      }
     }.unzip
     val ea = embAlone.min
     val et = embShared.min
+    def pct(alone: Double, sess: Double): Double =
+      if (alone > 0) 100 * (alone - sess) / alone else 0.0
 
-    println(f"""{"metric":"pair_graph_reuse","standalone_sec":$a%.2f,"session_sec":$t%.2f,"saving_pct":${100 * (a - t) / a}%.1f,"queries":${family.size},"emb_standalone_sec":$ea%.2f,"emb_session_sec":$et%.2f,"emb_saving_pct":${100 * (ea - et) / ea}%.1f,"emb_queries":${embFamily.size},"sf":"$sfDir"}""")
+    println(f"""{"metric":"pair_graph_reuse","standalone_sec":$a%.2f,"session_sec":$t%.2f,"saving_pct":${pct(a, t)}%.1f,"queries":${family.size},"emb_standalone_sec":$ea%.2f,"emb_session_sec":$et%.2f,"emb_saving_pct":${pct(ea, et)}%.1f,"emb_queries":${embFamily.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

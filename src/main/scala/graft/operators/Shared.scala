@@ -32,22 +32,66 @@ import org.apache.spark.storage.StorageLevel
   * shared artifact to save (consumers - 1) recomputes, so it wins
   * only when enough consumers share it. The full 7-member ngram
   * family saves 52% at sf0.1 and 86% at 100x (the materialization
-  * amortizes better as recomputes get more expensive); a 2-member
-  * slice of the same family is 22% SLOWER at 100x, and a single-
-  * member "session" is pure overhead (up to 2.9x). Rule of thumb: 3+
-  * consumers of the same cached artifact, never one.
+  * amortizes better as recomputes get more expensive); an UNDECLARED
+  * 2-member slice of the same family was 22% SLOWER at 100x, and a
+  * single-member "session" is pure overhead (up to 2.9x). Rule of
+  * thumb for [[pairGraph]]: 3+ consumers of the same cached artifact,
+  * never one. For small KEEP-ONLY slices, declare the consumer set to
+  * [[pairGraphFor]] instead — it prunes the redundant raw-pair persist
+  * and is at worst break-even at any member count (r11 verdict task 5).
   */
 object Shared {
 
-  final class PairGraphSession private[Shared] (
-      spark: SparkSession, sfDir: String) {
+  /** Pair-graph family members served purely from the CC keep
+    * decision. A session whose consumers ALL live here never needs the
+    * raw pair cache: [[Dedup.connectedComponents]]'s eager edge
+    * checkpoint already embeds exactly one pair-graph compute, so a
+    * separate `pairs.persist` is a SECOND materialization of the full
+    * jaccard pipeline — measured as the whole 22%/-2.9x small-slice
+    * loss in SCALE100_r09's graftsession_100x rows.
+    */
+  val KeepOnlyMembers: Set[String] = Set(
+    "dedup_cluster_keep", "pipeline_curate", "pipeline_curate_nb",
+    "corpus_dup_profile")
 
-    /** The near-dup pair graph (i < j), computed once and persisted on
-      * first action.
+  /** Pair-graph family members that read the raw pair frame directly
+    * (each re-scans `pairs`, so those sessions DO want the persist).
+    */
+  val DirectPairMembers: Set[String] = Set(
+    "graph_triangles", "graph_pagerank", "dedup_keep_rank",
+    "graph_label_prop")
+
+  final class PairGraphSession private[Shared] (
+      spark: SparkSession, sfDir: String,
+      declared: Option[Set[String]]) {
+
+    /** Whether any declared consumer reads the raw pair frame; an
+      * undeclared session (the [[pairGraph]] constructor) conservatively
+      * persists, preserving the measured full-family behavior.
       */
-    val pairs: DataFrame = Dedup.ngramJaccard.fn(spark, sfDir)
-      .select("i", "j")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    private val persistPairs: Boolean =
+      declared.forall(c => (c & DirectPairMembers).nonEmpty)
+
+    private[graft] val rawPairs: DataFrame = {
+      val p = Dedup.ngramJaccard.fn(spark, sfDir).select("i", "j")
+      if (persistPairs) p.persist(StorageLevel.MEMORY_AND_DISK) else p
+    }
+
+    /** The near-dup pair graph (i < j) — computed once and persisted
+      * on first action, UNLESS this session was pruned to keep-only
+      * consumers via [[pairGraphFor]], in which case direct access
+      * fails loudly: serving a raw-pair consumer from an unpersisted
+      * frame would silently recompute the whole jaccard pipeline per
+      * consumer (the 2.9x failure mode the pruning exists to kill).
+      */
+    lazy val pairs: DataFrame = {
+      require(persistPairs,
+        s"this session was pruned to keep-only consumers " +
+          s"(declared = ${declared.get.toSeq.sorted.mkString(", ")}); " +
+          s"raw-pair consumers (${DirectPairMembers.toSeq.sorted.mkString(", ")}) " +
+          "must be declared to Shared.pairGraphFor so the pair cache is materialized")
+      rawPairs
+    }
 
     /** Canonical keep decision over the cached pairs — same result as
       * the registered `dedup_cluster_keep` (spec-asserted). A lazy
@@ -56,7 +100,7 @@ object Shared {
       * consumer would re-run the whole loop — `curated` reuses this
       * instance's checkpointed result.
       */
-    lazy val clusterKeep: DataFrame = Dedup.clusterKeepFrom(pairs)
+    lazy val clusterKeep: DataFrame = Dedup.clusterKeepFrom(rawPairs)
 
     /** Full curation pipeline over the cached pairs — same result as
       * the registered `pipeline_curate` (spec-asserted).
@@ -73,13 +117,42 @@ object Shared {
       */
     def triangles: DataFrame = Graph.trianglesFrom(pairs)
 
-    /** Drop the cached pairs (idempotent). */
-    def release(): Unit = pairs.unpersist()
+    /** Drop the cached pairs (idempotent; no-op on a pruned session —
+      * nothing was persisted, and the keep path's checkpoints are
+      * GC-managed like every other localCheckpoint in the repo).
+      */
+    def release(): Unit = rawPairs.unpersist()
   }
 
-  /** Start a shared-pair-graph session over `sfDir`. */
+  /** Start a shared-pair-graph session over `sfDir` with the full
+    * family's artifacts (raw pair cache persisted). Right when 3+
+    * consumers share the cache or any consumer set includes a
+    * raw-pair reader; for small keep-only slices use [[pairGraphFor]].
+    */
   def pairGraph(spark: SparkSession, sfDir: String): PairGraphSession =
-    new PairGraphSession(spark, sfDir)
+    new PairGraphSession(spark, sfDir, None)
+
+  /** Consumer-declared session: materialize ONLY the artifacts the
+    * named consumers share. If every consumer is keep-only
+    * ([[KeepOnlyMembers]]), the raw-pair persist is skipped — the
+    * shared artifact is the CC keep decision itself, whose eager edge
+    * checkpoint embeds the session's single pair-graph compute, so the
+    * slice is at worst break-even vs standalone at ANY member count
+    * (the undeclared session's persist made a 2-member slice 22%
+    * slower at 100x). Unknown names fail loudly; accessing `pairs`
+    * directly on a pruned session fails loudly too.
+    */
+  def pairGraphFor(spark: SparkSession, sfDir: String,
+      consumers: Set[String]): PairGraphSession = {
+    require(consumers.nonEmpty, "pairGraphFor: empty consumer set")
+    val unknown = consumers -- KeepOnlyMembers -- DirectPairMembers
+    require(unknown.isEmpty,
+      s"pairGraphFor: not pair-graph family members: " +
+        s"${unknown.toSeq.sorted.mkString(", ")} (keep-only: " +
+        s"${KeepOnlyMembers.toSeq.sorted.mkString(", ")}; direct: " +
+        s"${DirectPairMembers.toSeq.sorted.mkString(", ")})")
+    new PairGraphSession(spark, sfDir, Some(consumers))
+  }
 
   /** The embedding-space analogue of [[PairGraphSession]]: the
     * banded-LSH near-dup pair graph (`dedup_embedding`'s candidate
@@ -133,16 +206,56 @@ object Shared {
     * both paths, so parity is by construction and
     * GraftSessionSpec-asserted).
     */
+  /** Which emb-family members consume the within-cluster pair stream,
+    * the centroid-cosine frame, and the quantized scan DIRECTLY (vs
+    * through one of the other two artifacts) — the counting basis for
+    * [[embFamilyFor]]'s pruning: an artifact is persisted only when
+    * >= 2 declared consumers share it, because a single-reader persist
+    * is the measured -2.9x failure mode (SCALE100_r09
+    * graftsession_100x: dedup_semantic_prune standalone 154 s vs 440 s
+    * through the always-persist session) and InMemoryTableScan of
+    * array-typed rows loses to the vectorized parquet re-read it
+    * replaces (the r10 blocked-routing rejection).
+    */
+  val EmbPairsUsers: Set[String] = Set(
+    "dedup_semantic_prune", "mine_hard_negatives", "emb_knn_graph",
+    "knn_score_diffusion", "decontaminate_embedding")
+  val EmbCcUsers: Set[String] = Set("dedup_semantic_prune", "emb_centroid")
+  val EmbDirectUsers: Set[String] = Set(
+    "decontaminate_embedding", "dedup_embedding_blocked")
+
   final class EmbFamilySession private[Shared] (
-      spark: SparkSession, sfDir: String) {
+      spark: SparkSession, sfDir: String,
+      declared: Option[Set[String]]) {
 
-    /** Quantized (vec_id, label, qa, na) — every member's base scan. */
-    val emb: DataFrame = Similarity.quantized(spark, sfDir)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    private def guard(name: String): Unit = declared.foreach { c =>
+      require(c(name),
+        s"$name was not declared to Shared.embFamilyFor " +
+          s"(declared = ${c.toSeq.sorted.mkString(", ")}); serving an " +
+          "undeclared member would recompute against a cache plan " +
+          "pruned without it")
+    }
+    private def share(users: Set[String]): Boolean =
+      declared.forall(c => (c & users).size >= 2)
 
-    /** The within-cluster scored pair stream, computed once. */
-    val pairs: DataFrame = Similarity.labelPairsFrom(emb)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    /** Quantized (vec_id, label, qa, na) — every member's base scan.
+      * Persisted only when >= 2 declared consumers read it DIRECTLY:
+      * the artifact materializations each re-scan parquet otherwise,
+      * which the r10 routing measurement showed is CHEAPER than an
+      * array-row cache scan.
+      */
+    val emb: DataFrame = {
+      val e = Similarity.quantized(spark, sfDir)
+      if (share(EmbDirectUsers)) e.persist(StorageLevel.MEMORY_AND_DISK) else e
+    }
+
+    /** The within-cluster scored pair stream, computed once when >= 2
+      * declared consumers share it.
+      */
+    val pairs: DataFrame = {
+      val p = Similarity.labelPairsFrom(emb)
+      if (share(EmbPairsUsers)) p.persist(StorageLevel.MEMORY_AND_DISK) else p
+    }
 
     /** Per-vector centroid cosines (only [[semanticPrune]] and
       * `emb_centroid` need them — lazy so the other members never pay
@@ -150,29 +263,49 @@ object Shared {
       */
     private var ccInit = false
     lazy val cc: DataFrame = {
-      ccInit = true
-      Similarity.centroidCosFrom(emb)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val c = Similarity.centroidCosFrom(emb)
+      if (share(EmbCcUsers)) {
+        ccInit = true
+        c.persist(StorageLevel.MEMORY_AND_DISK)
+      } else c
     }
 
     /** Same rows as registered `dedup_semantic_prune`. */
-    def semanticPrune: DataFrame = Similarity.semanticPruneFrom(cc, pairs)
+    def semanticPrune: DataFrame = {
+      guard("dedup_semantic_prune")
+      Similarity.semanticPruneFrom(cc, pairs)
+    }
 
     /** Same rows as registered `emb_centroid`. */
-    def centroid: DataFrame = cc.select("vec_id", "label", "cos_centroid")
+    def centroid: DataFrame = {
+      guard("emb_centroid")
+      cc.select("vec_id", "label", "cos_centroid")
+    }
 
     /** Same rows as registered `mine_hard_negatives`. */
-    def hardNegatives: DataFrame = Similarity.hardNegativesFrom(pairs)
+    def hardNegatives: DataFrame = {
+      guard("mine_hard_negatives")
+      Similarity.hardNegativesFrom(pairs)
+    }
 
     /** Same rows as registered `emb_knn_graph`. */
-    def knn: DataFrame = Similarity.knnFrom(pairs)
+    def knn: DataFrame = {
+      guard("emb_knn_graph")
+      Similarity.knnFrom(pairs)
+    }
 
     /** Same rows as registered `knn_score_diffusion`. */
-    def diffusion: DataFrame = Similarity.diffusionFrom(spark, sfDir, knn)
+    def diffusion: DataFrame = {
+      guard("knn_score_diffusion")
+      Similarity.diffusionFrom(spark, sfDir,
+        Similarity.knnFrom(pairs))
+    }
 
     /** Same rows as registered `decontaminate_embedding`. */
-    def decontaminate: DataFrame =
+    def decontaminate: DataFrame = {
+      guard("decontaminate_embedding")
       Similarity.decontaminateEmbeddingFrom(emb, pairs)
+    }
 
     /** Same rows as registered `dedup_embedding_blocked`, fed from the
       * session's cached corpus scan (it shares only the scan, not the
@@ -187,11 +320,14 @@ object Shared {
       * as the measurement seam (ReuseBench `SPARK_GRAFT_REUSE_EMB_
       * FAMILY`) and for callers whose emb cache is already hot.
       */
-    def blocked: DataFrame =
+    def blocked: DataFrame = {
+      guard("dedup_embedding_blocked")
       Similarity.blockedStagesFrom(spark, sfDir,
         Similarity.augmentedHiFrom(emb))._1
+    }
 
-    /** Drop every cache this session materialized (idempotent).
+    /** Drop every cache this session materialized (idempotent; a
+      * pruned frame's unpersist is a no-op).
       * `cc` is only touched if it was ever forced: unconditionally
       * dereferencing the lazy val would BUILD the centroid frame just
       * to unpersist it — and a release() running after spark.stop()
@@ -205,7 +341,31 @@ object Shared {
     }
   }
 
-  /** Start a shared label-blocked embedding-family session. */
+  /** Start a shared label-blocked embedding-family session with every
+    * artifact persisted (the conservative full-family shape, measured
+    * at 36% saving over 6 standalone members at sf0.1). For slices,
+    * prefer [[embFamilyFor]].
+    */
   def embFamily(spark: SparkSession, sfDir: String): EmbFamilySession =
-    new EmbFamilySession(spark, sfDir)
+    new EmbFamilySession(spark, sfDir, None)
+
+  /** Consumer-declared embedding-family session: each shared artifact
+    * (quantized scan / within-cluster pair stream / centroid cosines)
+    * is persisted only when >= 2 of the DECLARED consumers share it,
+    * so a 1-member "session" degenerates to exactly the registered
+    * query body — zero persists, break-even by construction — instead
+    * of the measured -2.9x of materializing artifacts nobody shares
+    * (SCALE100_r09 graftsession_100x). Undeclared members fail loudly.
+    */
+  def embFamilyFor(spark: SparkSession, sfDir: String,
+      consumers: Set[String]): EmbFamilySession = {
+    require(consumers.nonEmpty, "embFamilyFor: empty consumer set")
+    val legal = EmbPairsUsers ++ EmbCcUsers ++ EmbDirectUsers
+    val unknown = consumers -- legal
+    require(unknown.isEmpty,
+      s"embFamilyFor: not emb-family members: " +
+        s"${unknown.toSeq.sorted.mkString(", ")} (legal: " +
+        s"${legal.toSeq.sorted.mkString(", ")})")
+    new EmbFamilySession(spark, sfDir, Some(consumers))
+  }
 }

@@ -948,14 +948,31 @@ object Similarity {
         .groupBy(key)
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
           x => x.getField("c")).as(vec))
+    // EVERY top-1 step below rides the bounded-heap TopKPerKey (k=1),
+    // never min(struct(..)): Min over a struct buffer is not
+    // HashAggregate-able, so Catalyst plans it as SortAggregate — a
+    // full sort of the n·k1-row scored stream per step. HierTierProbe
+    // measured that shape fatal at the paying tier (tier-1 already
+    // sorts n·k1 rows; carrying the 64-long vector payload inside the
+    // min-struct, as vTop1 once did, made it n·k1 × ~560 B ≈ 300 GB of
+    // sort spill — disk-full abort). TopKPerKey folds to one row per
+    // vector map-side with NO sort, and payload columns ride the heap
+    // entry (<= 1 row per key per partition), so the same steps are
+    // one linear exchange each. Ordering (-sd, tie) == the old
+    // min-struct (sd, tie) contract; sd is a LONG, so the operator's
+    // exact-integer order path applies.
+    def top1(scored: DataFrame, key: String, ord: String, tie: String) =
+      graft.plans.GraftOps.topKPerKey(
+        scored, Seq(col(key)), -col(ord), col(tie), 1)
     // --- level 1: supers (one Lloyd round over the first k1 seeds) ---
     val sup0 = aug.filter(col("vec_id") < k1)
       .select(col("vec_id").as("s0"), col("qa").as("sv0"), col("na").as("sn0"))
-    val sAssign1 = aug.crossJoin(broadcast(sup0))
-      .groupBy("vec_id")
-      .agg(min(struct(d2(col("qa"), col("na"), col("sv0"), col("sn0")).as("sd"),
-        col("s0").as("super"))).as("m"))
-      .select(col("vec_id"), col("m.super").as("super"))
+    val sAssign1 = top1(aug.crossJoin(broadcast(sup0))
+      .select(col("vec_id"),
+        d2(col("qa"), col("na"), col("sv0"), col("sn0")).as("sd"),
+        col("s0").as("super")),
+      "vec_id", "sd", "super")
+      .select("vec_id", "super")
     // supers are the ONE state small enough for the driver at any
     // admitted tier (k1 = ceil(sqrt(k)) rows: 2,798 x 64 longs at 1e9
     // vectors) — collect them once so every downstream consumer joins
@@ -967,24 +984,28 @@ object Similarity {
       .toDF("super", "svec")
       .withColumn("sn", dot(col("svec"), col("svec")))
     // --- level 2: child seeds pinned to supers, one child round ---
-    val childSeeds = aug.filter(col("vec_id") < k)
+    // the seed's own vector rides the heap entry as payload (cv0/cn0
+    // are constant within each child group, so they cannot affect the
+    // (sd, super) ordering the old min-struct applied)
+    val childSeeds = top1(aug.filter(col("vec_id") < k)
       .crossJoin(broadcast(supC1))
-      .groupBy(col("vec_id").as("child"))
-      .agg(min(struct(d2(col("qa"), col("na"), col("svec"), col("sn")).as("sd"),
-        col("super"), col("qa").as("cv0"), col("na").as("cn0"))).as("m"))
-      .select(col("child"), col("m.super").as("super"),
-        col("m.cv0").as("cv0"), col("m.cn0").as("cn0"))
-    val vTop1 = aug.crossJoin(broadcast(supC1))
-      .groupBy("vec_id")
-      .agg(min(struct(d2(col("qa"), col("na"), col("svec"), col("sn")).as("sd"),
-        col("super"), col("qa").as("qa"), col("na").as("na"))).as("m"))
-      .select(col("vec_id"), col("m.super").as("super"),
-        col("m.qa").as("qa"), col("m.na").as("na"))
-    val cAssign1 = vTop1.join(childSeeds, "super")
-      .groupBy("vec_id")
-      .agg(min(struct(d2(col("qa"), col("na"), col("cv0"), col("cn0")).as("cd"),
-        col("child"))).as("m"))
-      .select(col("vec_id"), col("m.child").as("child"))
+      .select(col("vec_id").as("child"),
+        d2(col("qa"), col("na"), col("svec"), col("sn")).as("sd"),
+        col("super"), col("qa").as("cv0"), col("na").as("cn0")),
+      "child", "sd", "super")
+      .select("child", "super", "cv0", "cn0")
+    val vTop1 = top1(aug.crossJoin(broadcast(supC1))
+      .select(col("vec_id"),
+        d2(col("qa"), col("na"), col("svec"), col("sn")).as("sd"),
+        col("super"), col("qa"), col("na")),
+      "vec_id", "sd", "super")
+      .select("vec_id", "super", "qa", "na")
+    val cAssign1 = top1(vTop1.join(childSeeds, "super")
+      .select(col("vec_id"),
+        d2(col("qa"), col("na"), col("cv0"), col("cn0")).as("cd"),
+        col("child")),
+      "vec_id", "cd", "child")
+      .select("vec_id", "child")
     // the child table is k rows and reused by three consumers (probe
     // pruning + both final-assignment passes): materialize it ONCE,
     // lineage-free — this is the "centroids as a joined table" the

@@ -60,6 +60,107 @@ class SharedPairsSpec extends AnyFunSuite {
     assert(sh.pairs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
   }
 
+  test("pruned keep-only session: same rows, NO raw-pair persist, direct access refused") {
+    val sh = Shared.pairGraphFor(spark, d,
+      Set("pipeline_curate", "pipeline_curate_nb"))
+    try {
+      // parity: the pruned session serves the registered queries' rows
+      val curShared = sh.curated.collect().map(_.toSeq).toSet
+      val curFresh = SparkEntry.queries("pipeline_curate")(spark, d)
+        .collect().map(_.toSeq).toSet
+      assert(curShared == curFresh)
+      val curNbShared = sh.curatedNb.collect().map(_.toSeq).toSet
+      val curNbFresh = SparkEntry.queries("pipeline_curate_nb")(spark, d)
+        .collect().map(_.toSeq).toSet
+      assert(curNbShared == curNbFresh)
+      // pruning: the raw pair frame was never registered with the
+      // cache manager — the only shared materialization is the CC
+      // loop's edge checkpoint (Dataset.storageLevel consults the
+      // cache manager for this exact frame, so NONE is non-vacuous)
+      assert(sh.rawPairs.storageLevel ==
+        org.apache.spark.storage.StorageLevel.NONE)
+      // direct raw-pair access is the 2.9x footgun — refused loudly
+      val e = intercept[IllegalArgumentException](sh.pairs)
+      assert(e.getMessage.contains("pruned to keep-only consumers"))
+    } finally sh.release() // must be a safe no-op on a pruned session
+  }
+
+  test("declared session with a direct-pair consumer still persists the cache") {
+    val sh = Shared.pairGraphFor(spark, d,
+      Set("pipeline_curate", "graph_pagerank"))
+    try {
+      assert(sh.pairs.storageLevel ==
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val prShared = operators.Graph.pageRankFrom(sh.pairs)
+        .collect().map(_.toSeq).toSet
+      val prFresh = SparkEntry.queries("graph_pagerank")(spark, d)
+        .collect().map(_.toSeq).toSet
+      assert(prShared == prFresh)
+    } finally sh.release()
+  }
+
+  test("pairGraphFor fails loudly on unknown or empty consumer sets") {
+    val e = intercept[IllegalArgumentException](
+      Shared.pairGraphFor(spark, d, Set("pipeline_curate", "q1_pricing_summary")))
+    assert(e.getMessage.contains("q1_pricing_summary"))
+    intercept[IllegalArgumentException](
+      Shared.pairGraphFor(spark, d, Set.empty))
+  }
+
+  test("GraftSession honors a declared keep-only consumer set") {
+    val gs = new GraftSession(spark, d,
+      ngramConsumers = Some(Set("pipeline_curate", "pipeline_curate_nb")))
+    try {
+      val rows = gs.query("pipeline_curate").collect().map(_.toSeq).toSet
+      val fresh = SparkEntry.queries("pipeline_curate")(spark, d)
+        .collect().map(_.toSeq).toSet
+      assert(rows == fresh)
+      // an undeclared raw-pair member must fail loudly, not silently
+      // recompute the jaccard pipeline per consumer
+      intercept[IllegalArgumentException](gs.query("graph_pagerank"))
+    } finally gs.close()
+  }
+
+  test("pruned 1-member emb session: registered rows, zero persists, guard on others") {
+    val sh = Shared.embFamilyFor(spark, d, Set("dedup_semantic_prune"))
+    try {
+      val prShared = sh.semanticPrune.collect().map(_.toSeq).toSet
+      val prFresh = SparkEntry.queries("dedup_semantic_prune")(spark, d)
+        .collect().map(_.toSeq).toSet
+      assert(prShared == prFresh)
+      // a 1-member session persists NOTHING — it degenerates to the
+      // registered query body (the -2.9x class is structurally gone)
+      assert(sh.emb.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      assert(sh.pairs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      assert(sh.cc.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      val e = intercept[IllegalArgumentException](sh.knn)
+      assert(e.getMessage.contains("emb_knn_graph was not declared"))
+    } finally sh.release()
+  }
+
+  test("declared emb session persists exactly the artifacts >=2 consumers share") {
+    // semantic_prune + centroid share cc; pairs/emb each have 1 reader
+    val sh = Shared.embFamilyFor(spark, d,
+      Set("dedup_semantic_prune", "emb_centroid"))
+    try {
+      val cShared = sh.centroid.collect().map(_.toSeq).toSet
+      val cFresh = SparkEntry.queries("emb_centroid")(spark, d)
+        .collect().map(_.toSeq).toSet
+      assert(cShared == cFresh)
+      assert(sh.cc.storageLevel ==
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      assert(sh.emb.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      assert(sh.pairs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      val prShared = sh.semanticPrune.collect().map(_.toSeq).toSet
+      val prFresh = SparkEntry.queries("dedup_semantic_prune")(spark, d)
+        .collect().map(_.toSeq).toSet
+      assert(prShared == prFresh)
+    } finally sh.release()
+    intercept[IllegalArgumentException](
+      Shared.embFamilyFor(spark, d, Set("dedup_semantic_prune", "nope")))
+    intercept[IllegalArgumentException](Shared.embFamilyFor(spark, d, Set.empty))
+  }
+
   test("shared embedding pair graph matches the registered keep query") {
     val sh = Shared.embPairGraph(spark, d)
     try {
