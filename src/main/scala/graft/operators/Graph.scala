@@ -256,8 +256,9 @@ object Graph {
     * [[trianglesFrom]]/[[pageRankFrom]]. Synchronous label
     * propagation, fixed [[LpIters]] rounds: every node starts as its
     * own community and each round adopts the most frequent label
-    * among its neighbors (tie: lowest label). The argmax is
-    * `max(struct(cnt, -lbl))` — one aggregate, no window — which is
+    * among its neighbors (tie: lowest label). The argmax is one
+    * bounded-heap TopKPerKey pass (k=1, order cnt desc / lbl asc) —
+    * no window, no struct-aggregate sort — which is
     * exact because counts and labels are longs; synchronous updates +
     * a total tie order make the round function deterministic, so a
     * FIXED round count is bit-reproducible across engines (an
@@ -271,12 +272,19 @@ object Graph {
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("lbl", col("node")).localCheckpoint(true)
     for (_ <- 0 until LpIters) {
-      labels = edges.join(labels, edges("u") === labels("node"))
-        .groupBy(col("v"), col("lbl"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("v"))
-        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
-        .select(col("v").as("node"), (-col("m.nl")).as("lbl"))
+      // argmax via the bounded-heap TopKPerKey (k=1), not
+      // max(struct(..)): struct aggregates are not HashAggregate-able,
+      // so Catalyst would SortAggregate the (node, label)-pair stream
+      // every round — a per-round full sort that HierTierProbe showed
+      // becomes the wall at corpus-scale streams. Ordering (cnt desc,
+      // lbl asc) == the old max(struct(cnt, -lbl)) contract; cnt is a
+      // LONG, so the exact-integer order path applies.
+      labels = graft.plans.GraftOps.topKPerKey(
+        edges.join(labels, edges("u") === labels("node"))
+          .groupBy(col("v"), col("lbl"))
+          .agg(count(lit(1)).as("cnt")),
+        Seq(col("v")), col("cnt"), col("lbl"), 1)
+        .select(col("v").as("node"), col("lbl"))
         .localCheckpoint(true)
     }
     labels.select(col("node").as("doc_id"), col("lbl").as("community"))

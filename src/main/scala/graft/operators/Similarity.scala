@@ -1384,12 +1384,17 @@ object Similarity {
     // once so the two-pass Lloyd training subtree does not execute
     // twice (the repo's standard eager pattern for loop/train state)
     val cents = lloydCentroids(emb, nList).localCheckpoint(true)
-    val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("dist",
-        col("na") + col("nc") - lit(2L) * dot(col("qa"), col("cvec")))
-      .groupBy("vec_id")
-      .agg(min(struct(col("dist"), col("cell"))).as("m"))
-      .select(col("vec_id"), col("m.cell").as("cell"))
+    // argmin via the bounded-heap TopKPerKey on a PROJECTED 24-byte
+    // stream (see lloydCentroids for why min(struct) is the wrong
+    // fold at corpus scale); qa/na rejoin by vec_id afterwards
+    val assigned = graft.plans.GraftOps.topKPerKey(
+      emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          (col("na") + col("nc") - lit(2L) * dot(col("qa"), col("cvec")))
+            .as("dist"),
+          col("cell")),
+      Seq(col("vec_id")), -col("dist"), col("cell"), 1)
+      .select(col("vec_id"), col("cell"))
       .join(emb, "vec_id")
     // nprobe nearest cells per query: exact integer distances against
     // the broadcast K-row centroid frame; the row_number window runs
@@ -2287,12 +2292,23 @@ object Similarity {
     val emb = emb0.select(col("vec_id"), col("qa"), col("na"))
     val c0 = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"), col("qa").as("cvec"), col("na").as("nc"))
-    val a1 = emb.crossJoin(broadcast(c0))
-      .withColumn("dist",
-        col("na") + col("nc") - lit(2L) * dot(col("qa"), col("cvec")))
-      .groupBy("vec_id")
-      .agg(min(struct(col("dist"), col("cell"))).as("m"))
-      .select(col("vec_id"), col("m.cell").as("cell"))
+    // argmin via the bounded-heap TopKPerKey (k=1), not
+    // min(struct(..)): struct aggregates are not HashAggregate-able,
+    // so Catalyst plans them as SortAggregate — a full sort of the
+    // n·K-row scored stream (HierTierProbe priced that shape fatal for
+    // hier's assignment; the same fold here is n·K·24 B of sort spill
+    // a cluster pays for nothing). Ordering (-dist, cell) == the old
+    // min-struct (dist, cell) contract; dist is a LONG, so the
+    // exact-integer order path applies and the oracle's
+    // ROW_NUMBER(ORDER BY dist, cell) window is unchanged.
+    val a1 = graft.plans.GraftOps.topKPerKey(
+      emb.crossJoin(broadcast(c0))
+        .select(col("vec_id"),
+          (col("na") + col("nc") - lit(2L) * dot(col("qa"), col("cvec")))
+            .as("dist"),
+          col("cell")),
+      Seq(col("vec_id")), -col("dist"), col("cell"), 1)
+      .select(col("vec_id"), col("cell"))
     emb.join(a1, "vec_id")
       .select(col("cell"), posexplode(col("qa")).as(Seq("dim", "v")))
       .groupBy("cell", "dim")
@@ -2334,12 +2350,16 @@ object Similarity {
     (s, d) => {
       val emb = quantized(s, d).select(col("vec_id"), col("qa"), col("na"))
       val c1 = lloydCentroids(emb, KmK)
-      emb.crossJoin(broadcast(c1))
-        .withColumn("dist",
-          col("na") + col("nc") - lit(2L) * dot(col("qa"), col("cvec")))
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist"), col("cell"))).as("m"))
-        .select(col("vec_id"), col("m.cell").as("cell"), col("m.dist").as("dist"))
+      // bounded-heap argmin on the projected stream — see
+      // lloydCentroids for why min(struct) is the wrong fold at scale
+      graft.plans.GraftOps.topKPerKey(
+        emb.crossJoin(broadcast(c1))
+          .select(col("vec_id"),
+            (col("na") + col("nc") - lit(2L) * dot(col("qa"), col("cvec")))
+              .as("dist"),
+            col("cell")),
+        Seq(col("vec_id")), -col("dist"), col("cell"), 1)
+        .select(col("vec_id"), col("cell"), col("dist"))
     },
     Some(s"""WITH q0 AS ($quantizedSql),
     q AS (SELECT vec_id, qa, ${normSql("qa")} AS na FROM q0),
@@ -2369,8 +2389,9 @@ object Similarity {
     * Scale shape: the bench slice is ~1/53 of the corpus and meets
     * train vectors on the cluster-label equi-join (precondition as
     * [[knnGraph]]); per-cell candidate volume is train_cell ×
-    * bench_cell, and the per-train argmax folds into one
-    * max(struct(cos, −bench)) aggregate — no window. At 100 TB the
+    * bench_cell, and the per-train argmax folds through one
+    * bounded-heap TopKPerKey pass (k=1, cos desc / bench asc) — no
+    * window, no struct-aggregate sort. At 100 TB the
     * bench side is a broadcast-scale table scanned once.
     */
   /** [[decontaminateEmbedding]] over injectable quantized + pair
@@ -2384,13 +2405,18 @@ object Similarity {
     val m = Contamination.BenchMod
     val train = emb.filter(col("vec_id") % m =!= 0)
       .select(col("vec_id"), col("label"))
-    val best = pairs
-      .filter(col("vec_id") % m =!= 0 && col("other_id") % m === 0)
-      .withColumnRenamed("cosine", "cos")
-      .filter(col("cos") >= SemTau)
-      .groupBy(col("vec_id").as("hv"))
-      .agg(max(struct(col("cos"), (-col("other_id")).as("nb"))).as("m"))
-      .select(col("hv"), (-col("m.nb")).as("bench_id"), col("m.cos").as("max_cos"))
+    // per-train argmax via the bounded-heap TopKPerKey (k=1): ordering
+    // (cos desc, other_id asc) == the old max(struct(cos, -other_id))
+    // contract, with no struct-aggregate sort of the candidate stream
+    val best = graft.plans.GraftOps.topKPerKey(
+      pairs
+        .filter(col("vec_id") % m =!= 0 && col("other_id") % m === 0)
+        .withColumnRenamed("cosine", "cos")
+        .filter(col("cos") >= SemTau)
+        .select(col("vec_id"), col("cos"), col("other_id")),
+      Seq(col("vec_id")), col("cos"), col("other_id"), 1)
+      .select(col("vec_id").as("hv"), col("other_id").as("bench_id"),
+        col("cos").as("max_cos"))
     train.join(best, train("vec_id") === best("hv"), "left")
       .select(col("vec_id"), col("label"),
         col("hv").isNotNull.as("contaminated"),
