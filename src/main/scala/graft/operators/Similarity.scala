@@ -745,7 +745,7 @@ object Similarity {
     * post-assignment semantics: the two operators differ ONLY in how
     * a vector finds its cells.
     */
-  private def bandedPruneFrom(withCc: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def bandedPruneFrom(withCc: DataFrame): (DataFrame, DataFrame) = {
       import graft.functions.GraftFunctions
       // --- stage 2: in-cell banded near-dups, first-copy-wins ---
       val banded = withCc.select(col("vec_id"), col("cells"),
@@ -881,11 +881,13 @@ object Similarity {
     *     the driver, never shipped in the plan: exactly the state
     *     placement BlockPlanProbe showed the flat path cannot have
     *     past ~2 GB of payload.
-    *  3. Final assignment probes the top-2 supers-WITH-CHILDREN (so
-    *     every vector always finds a cell — a super can end up
-    *     childless when no seed lands in it) and takes the top-2
-    *     children among their union: the same multi-probe contract
-    *     as the flat operator's `pqCells(.., BlockProbe)`.
+    *  3. Final assignment probes the top-[[BlockProbe]]
+    *     supers-WITH-CHILDREN (so every vector always finds a cell —
+    *     a super can end up childless when no seed lands in it) and
+    *     takes the top-[[BlockProbe]] children among their union: the
+    *     same multi-probe contract as the flat operator's
+    *     `pqCells(.., BlockProbe)`, derived from the same constant in
+    *     both the dataflow and the oracle SQL (probe-generic, r12).
     *
     * Total assignment cost n·2·sqrt(k) evals and a handful of n-row
     * shuffles, vs the flat path's n·k evals, k·Dim driver rows, and
@@ -922,18 +924,23 @@ object Similarity {
     * instead of a re-implementation, so the probe's numbers are the
     * operator's. `aug` should be materialized (or cheap to recompute:
     * the stages below consume it in ~8 eager jobs).
+    *
+    * PROBE-GENERIC (r12): both multi-probe steps and the oracle SQL
+    * derive from the single [[BlockProbe]] constant (the flat
+    * operator's pqCells breadth), so retuning it re-parameterizes the
+    * flat contract, hier, and both oracles together — the r10/r11
+    * "2-probe coupling" debt is gone (the r10 build hardcoded
+    * min/max-struct cell/cell2 pairs and literal `rk <= 2` windows).
+    * The `probe` parameter exists so HierDedupSpec can PROVE the
+    * generality (probe=3 end-to-end: totality, bounded ordered cells,
+    * recall monotone vs probe=2) instead of asserting it in prose;
+    * production paths always pass the default.
     */
   private[graft] def hierAssignFrom(
-      s: SparkSession, aug: DataFrame, augN: Long): DataFrame = {
+      s: SparkSession, aug: DataFrame, augN: Long,
+      probe: Int = BlockProbe): DataFrame = {
     import s.implicits._
-    // the two-level dataflow below bakes in exactly two probes at
-    // both levels (s1/s2, cell/cell2, and `rk <= 2` in the oracle);
-    // if BlockProbe is ever retuned, this operator and its oracle
-    // must be re-parameterized TOGETHER — fail the build-time path
-    // loudly rather than silently desync from the flat contract
-    require(BlockProbe == 2,
-      s"dedup_embedding_hier hardcodes 2 probes; BlockProbe=$BlockProbe " +
-        "requires re-parameterizing hierAssign AND its oracle SQL")
+    require(probe >= 1, s"probe must be >= 1, got $probe")
     val k = (((augN + CellCap - 1) / CellCap) max 2L).toInt
     val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
     def d2(qa: Column, na: Column, cv: Column, nc: Column): Column =
@@ -1031,23 +1038,24 @@ object Similarity {
       .select(col("vec_id"),
         d2(col("qa"), col("na"), col("svec"), col("sn")).as("sd"), col("super"))
     val probes = graft.plans.GraftOps.topKPerKey(
-      vsd, Seq(col("vec_id")), -col("sd"), col("super"), 2)
+      vsd, Seq(col("vec_id")), -col("sd"), col("super"), probe)
       .select("vec_id", "super")
     val candC = aug.join(probes, "vec_id")
       .join(childC1, "super")
       .withColumn("cd", d2(col("qa"), col("na"), col("cvec"), col("nc")))
-    // rank among the <=2 surviving children recovered by one tiny
-    // re-aggregate (child ids are unique per vector — each child is
-    // pinned to exactly one super — so min/max never tie)
-    val top2c = graft.plans.GraftOps.topKPerKey(
+    // the <= probe surviving children, ordered by (cd, child) —
+    // the argmin order the oracle's ROW_NUMBER window uses — via one
+    // tiny re-aggregate over the heap output (child ids are unique per
+    // vector: each child is pinned to exactly one super)
+    val topc = graft.plans.GraftOps.topKPerKey(
       candC.select(col("vec_id"), col("cd"), col("child")),
-      Seq(col("vec_id")), -col("cd"), col("child"), 2)
+      Seq(col("vec_id")), -col("cd"), col("child"), probe)
       .groupBy("vec_id")
-      .agg(min(struct(col("cd"), col("child"))).as("m1"),
-        max(struct(col("cd"), col("child"))).as("m2"),
-        count(lit(1)).as("np"))
-      .select(col("vec_id"), col("m1.child").as("cell"),
-        when(col("np") > 1, col("m2.child")).as("cell2"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("cd"), col("child")))),
+        x => x.getField("child")).as("cells"))
+      .select(col("vec_id"), element_at(col("cells"), 1).as("cell"),
+        col("cells"))
     // the finished assignment table (IVF's code table) — what a
     // deployment materializes to storage before the dedup joins;
     // hierStages checkpoints it because bandedPruneFrom consumes it
@@ -1056,9 +1064,7 @@ object Similarity {
     // 1e9 tier, where k·Dim is GBs — the documented state placement).
     val cellCent = childC1
       .select(col("child").as("cell"), col("cvec"), col("nc").as("ncell"))
-    aug.join(top2c, "vec_id").join(cellCent, "cell")
-      .withColumn("cells", when(col("cell2").isNull, array(col("cell")))
-        .otherwise(array(col("cell"), col("cell2"))))
+    aug.join(topc, "vec_id").join(cellCent, "cell")
       .withColumn("cos_centroid",
         cosine(dot(col("qa"), col("cvec")), col("na"), col("ncell")))
       .select("vec_id", "cell", "cells", "qa", "na", "cos_centroid")
@@ -1129,14 +1135,14 @@ object Similarity {
         SELECT q.vec_id, c.super,
           ROW_NUMBER() OVER (PARTITION BY q.vec_id
             ORDER BY q.na + c.sn - 2 * ${dotSql("q.qa", "c.svec")}, c.super) AS rk
-        FROM q, slive c) WHERE rk <= 2),
+        FROM q, slive c) WHERE rk <= $BlockProbe),
     candc AS (
       SELECT q.vec_id, cc.child, cc.cvec, cc.nc,
         ROW_NUMBER() OVER (PARTITION BY q.vec_id
           ORDER BY q.na + cc.nc - 2 * ${dotSql("q.qa", "cc.cvec")}, cc.child) AS rk
       FROM q JOIN ps ON ps.vec_id = q.vec_id
       JOIN cc1n cc ON cc.super = ps.super),
-    asgp AS (SELECT vec_id, child AS cell, rk FROM candc WHERE rk <= 2),
+    asgp AS (SELECT vec_id, child AS cell, rk FROM candc WHERE rk <= $BlockProbe),
     asg AS (SELECT vec_id, child AS cell, cvec, nc FROM candc WHERE rk = 1),
     cc AS (
       SELECT q.vec_id, a.cell, q.qa, q.na,

@@ -80,6 +80,40 @@ class HierDedupSpec extends AnyFunSuite {
     assert(wRecall >= 0.85, s"recall vs ground-truth-ish contract: $wRecall")
   }
 
+  test("probe-generic: probe=3 runs the same dataflow end-to-end (r12)") {
+    // The r10 build hardcoded 2 probes (min/max-struct cell/cell2 and
+    // literal rk<=2 oracle windows) behind a loud require; the r12
+    // rewrite derives every probe step from one constant. This test
+    // PROVES the generality by running probe=3 through the identical
+    // dataflow: totality must hold, cells must be bounded/ordered/
+    // distinct, and wider probing must not lose recall beyond the
+    // noise of primary-cell shifts (a vector's best child can change
+    // when a third super is probed, so exact set-monotonicity of the
+    // final cells is NOT the contract — recall is).
+    val Sim = graft.operators.Similarity
+    val aug = Sim.augmentedHi(spark, d).localCheckpoint(true)
+    val augN = aug.count()
+    val a3 = Sim.hierAssignFrom(spark, aug, augN, probe = 3)
+      .localCheckpoint(true)
+    val rows = a3.collect()
+    assert(rows.length == augN, "totality must hold at any probe breadth")
+    rows.foreach { r =>
+      val cells = r.getSeq[Long](2)
+      assert(cells.nonEmpty && cells.size <= 3, s"cells bounded by probe: $cells")
+      assert(cells.distinct.size == cells.size, s"cells distinct: $cells")
+      assert(cells.head == r.getLong(1), "cells must lead with the primary cell")
+    }
+    val p3 = Sim.bandedPruneFrom(a3)._2.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wide = SparkEntry.queries("dedup_embedding_wide")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r3 = (p3 & wide).size.toDouble / wide.size
+    val r2 = (pairs.map(p => (p._1, p._2)).toSet & wide).size.toDouble / wide.size
+    info(f"recall vs wide contract: probe=3 $r3%.3f vs probe=2 $r2%.3f")
+    assert(r3 >= r2 - 0.02,
+      s"wider probing lost recall beyond cell-shift noise: $r3 vs $r2")
+  }
+
   test("cell occupancy stays near the cap (the linear-cost precondition)") {
     val sizes = result.groupBy(_.getLong(1)).map(_._2.length)
     val cap = graft.operators.Similarity.cellCap
