@@ -110,15 +110,25 @@ object EmbStream {
       .select(col("vec_id").as("i"), col("qa").as("qi"), col("na").as("ni"))
     val qj = vecs.unionByName(batchQ)
       .select(col("vec_id").as("j"), col("qa").as("qj"), col("na").as("nj"))
-    val verified = cand.join(qi, "i").join(qj, "j")
-      .withColumn("cos",
-        Similarity.cosineCol(
-          Similarity.dotCol(col("qi"), col("qj")), col("ni"), col("nj")))
-      .filter(col("cos") >= tau)
-      .groupBy(col("i").as("vec_id"))
-      .agg(min(struct(col("j"), col("cos"))).as("m"))
+    // min-id partner via the bounded-heap TopKPerKey (k=1), not
+    // min(struct(..)): the struct fold plans as SortAggregate — a full
+    // sort of the per-batch candidate stream, which scales with the
+    // index, not the batch (the same wall HierTierProbe priced batch-
+    // side). foreachBatch bodies execute as ordinary batch plans, so
+    // the custom operator applies. Ordering: lowest j wins; j is
+    // unique per (i, j) candidate after dropDuplicates, so the old
+    // struct's cos component never tie-broke — the tie column is j
+    // itself, for determinism only.
+    val verified = graft.plans.GraftOps.topKPerKey(
+      cand.join(qi, "i").join(qj, "j")
+        .withColumn("cos",
+          Similarity.cosineCol(
+            Similarity.dotCol(col("qi"), col("qj")), col("ni"), col("nj")))
+        .filter(col("cos") >= tau)
+        .select(col("i").as("vec_id"), col("j"), col("cos")),
+      Seq(col("vec_id")), -col("j"), col("j"), 1)
       .select(col("vec_id"),
-        col("m.j").as("partner_id"), col("m.cos").as("partner_cos"))
+        col("j").as("partner_id"), col("cos").as("partner_cos"))
     batchQ.select(col("vec_id")).join(verified, Seq("vec_id"), "left_outer")
   }
 
