@@ -298,8 +298,9 @@ object Graph {
     * most-frequent-neighbor-label updates, min-label tie-break.
     *
     * Scale: each round is ONE edge⋈label equi-join + two node/label
-    * aggregates (the label-count argmax folds into a single
-    * max(struct) — no per-node window, no skew beyond degree skew the
+    * aggregates (the label-count argmax folds through a single
+    * bounded-heap TopKPerKey pass — no per-node window, no sort, no
+    * skew beyond degree skew the
     * orientation-free count already bounds); state is the node-sized
     * label vector, localCheckpoint'd per round. Fixed rounds mean
     * zero driver-side convergence jobs, like [[pageRank]].
