@@ -41,6 +41,11 @@ import graft.operators.Similarity
   * Usage: SPARK_DRIVER_MEM=64g sbt "runMain graft.HierTierProbe
   * [nRaw ...]" (default 8500000 — k = 66,407 > 2^16; smaller values
   * give law-continuity rows against the corpus-backed tiers).
+  * SPARK_GRAFT_HIER_PROBE overrides the multi-probe breadth (default
+  * = the registered BlockProbe) — the r12 probe-generic seam, so the
+  * documented escape path for the uniform-geometry cell-recall floor
+  * can be PRICED at the paying tier (assignment cost grows with the
+  * probed-children join; recall recovers cell-split pairs).
   */
 object HierTierProbe {
 
@@ -96,6 +101,8 @@ object HierTierProbe {
     }
 
     val (bands, bits) = Similarity.blockBandPlan
+    val probe = sys.env.get("SPARK_GRAFT_HIER_PROBE").map(_.toInt)
+      .getOrElse(Similarity.blockProbe)
 
     val lines = tiers.map { nRaw =>
       val augN = 2L * nRaw
@@ -108,12 +115,12 @@ object HierTierProbe {
         catch { case _: IllegalArgumentException => true }
       System.err.println(
         s"[probeHier] nRaw=$nRaw augN=$augN k=$k k1=$k1 " +
-          s"flat_refused=$flatRefused plan=${bands}x${bits}b")
+          s"flat_refused=$flatRefused plan=${bands}x${bits}b probe=$probe")
 
       // ---- assignment through the registered dataflow ----
       val t0 = System.nanoTime()
       val assign = Similarity
-        .hierAssignFrom(spark, augFor(nRaw), augN)
+        .hierAssignFrom(spark, augFor(nRaw), augN, probe)
         .localCheckpoint() // eager: forces the full assignment
       val assignSec = (System.nanoTime() - t0) / 1e9
       val aCnt = assign.count()
@@ -173,7 +180,7 @@ object HierTierProbe {
       val superBytes = k1.toLong * dim * 8
       val childBytes = k * (dim + 2) * 8
       val line =
-        f"""{"n_raw":$nRaw,"aug_n":$augN,"k":$k,"k1":$k1,"flat_refused":$flatRefused,"assign_sec":$assignSec%.1f,"evals_per_vec_law":${2 * math.sqrt(k.toDouble)}%.0f,"super_state_bytes":$superBytes,"child_state_bytes":$childBytes,"live_cells":$liveCells,"max_cell":$maxCell,"bands":$bands,"bits":$bits,"band_rows":${augN * 2 * bands},"buckets":$buckets,"max_bucket":$maxBucket,"cand_pairs":$candPairs,"cand_per_vec":${candPairs.toDouble / augN}%.2f,"recall_sampled":$recall%.4f,"cell_recall_sampled":$cellRecall%.4f,"recall_sample_pairs":$nSample,"hist_sec":$histSec%.1f,"recall_sec":$recSec%.1f}"""
+        f"""{"n_raw":$nRaw,"aug_n":$augN,"k":$k,"k1":$k1,"probe":$probe,"flat_refused":$flatRefused,"assign_sec":$assignSec%.1f,"evals_per_vec_law":${probe * math.sqrt(k.toDouble)}%.0f,"super_state_bytes":$superBytes,"child_state_bytes":$childBytes,"live_cells":$liveCells,"max_cell":$maxCell,"bands":$bands,"bits":$bits,"band_rows":${augN * probe * bands},"buckets":$buckets,"max_bucket":$maxBucket,"cand_pairs":$candPairs,"cand_per_vec":${candPairs.toDouble / augN}%.2f,"recall_sampled":$recall%.4f,"cell_recall_sampled":$cellRecall%.4f,"recall_sample_pairs":$nSample,"hist_sec":$histSec%.1f,"recall_sec":$recSec%.1f}"""
       System.err.println(s"[probeHier] $line")
       line
     }
