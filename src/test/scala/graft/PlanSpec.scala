@@ -175,6 +175,24 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly one exchange:\n$p")
   }
 
+  test("argmin/argmax folds plan as bounded heaps, never SortAggregate (r12)") {
+    // Min/Max over a struct is not HashAggregate-able, so a
+    // min(struct(dist, cell))-style fold plans as SortAggregate — a
+    // full sort of the scored stream that HierTierProbe measured
+    // fatal at the paying tier (300 GB of sort spill when the struct
+    // carried the vector payload). The r12 sweep moved every such
+    // fold to TopKPerKey; this guard keeps them there. ann_ivf and
+    // emb_kmeans have the n·K argmin IN their final plan (no
+    // checkpoint hides it), so the plan text is the evidence.
+    for (q <- Seq("ann_ivf", "emb_kmeans", "decontaminate_embedding")) {
+      val p = plan(q)
+      assert(p.contains("TopKPerKey"),
+        s"$q no longer folds its argmin/argmax through TopKPerKey:\n$p")
+      assert(!p.contains("SortAggregate"),
+        s"$q reintroduced a SortAggregate fold:\n$p")
+    }
+  }
+
   test("emb_centroid broadcasts the centroids and never plans a nested-loop join") {
     val p = plan("emb_centroid")
     assert(p.contains("BroadcastHashJoin"), p)
