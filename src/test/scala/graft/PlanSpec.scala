@@ -193,6 +193,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("CC edge union reuses the jaccard subtree's exchanges (computed once)") {
+    // clusterKeepFrom materializes edges = pairs ∪ swap(pairs); the
+    // whole keep family's cost story assumes the expensive jaccard
+    // subtree executes ONCE inside that union, which holds only while
+    // Spark's ReuseExchange can sameResult-match the two branches. A
+    // nondeterministic expression slipping into the pair pipeline
+    // would break the match and silently double the pair-graph cost
+    // of every keep-family query — pin the reuse.
+    import org.apache.spark.sql.functions.col
+    val pairs = operators.Dedup.ngramJaccard.fn(spark, d).select("i", "j")
+    val edges = pairs.unionByName(
+      pairs.select(col("j").as("i"), col("i").as("j")))
+    edges.collect()
+    val p = edges.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val reused = "ReusedExchange".r.findAllIn(p).size
+    assert(reused >= 1,
+      s"the swapped union branch no longer reuses the jaccard exchanges:\n$p")
+  }
+
   test("emb_centroid broadcasts the centroids and never plans a nested-loop join") {
     val p = plan("emb_centroid")
     assert(p.contains("BroadcastHashJoin"), p)
