@@ -25,6 +25,49 @@ import scala.util.control.NonFatal
   */
 object Bench {
 
+  /** Fixed synthetic canary — the bench's own load thermometer (r12
+    * verdict: four rounds of driver bench windows were load-inflated
+    * by sandbox co-tenancy and each acquittal was adjudicated by hand;
+    * the artifact now self-flags). The work is CONSTANT by
+    * construction — a fixed-size range scan + modulo-keyed hash
+    * aggregate + noop sink, touching the same CPU/shuffle/codegen
+    * resources the registry contends on but none of the test data, so
+    * its wall time varies ONLY with machine load. It runs at bench
+    * start, middle, and end; the JSON carries all three samples plus
+    * median/committed, so "window inflated" (all samples high) and
+    * "mid-window spike" (one sample high — suspect only the nearby
+    * queries) are distinguishable mechanically.
+    */
+  private val CanaryRows = 64L << 20
+
+  /** Committed calm-window canary level (seconds) on the round's
+    * reference hardware at local[32] — re-pin via
+    * SPARK_GRAFT_CANARY_COMMITTED when the fleet hardware changes.
+    * Measured r13 on an idle box (load 4/32, only the bench JVM):
+    * medians 0.39-0.45 s over four independent runs (samples
+    * 0.37-0.57 s; start samples run slightly hot even after two
+    * warmups, which is why the flag uses the median).
+    */
+  private val CanaryCommittedSec = 0.43
+
+  /** Ratio above which the window is flagged inflated — 1.5x clears
+    * normal scheduler jitter (calm samples vary < 1.2x) while every
+    * historical load window (r10/r11/r12: totals 15-30% high with
+    * individual queries 2-3x) would have tripped it.
+    */
+  private val CanaryInflatedRatio = 1.5
+
+  private def runCanary(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    spark.range(CanaryRows)
+      .select((col("id") % 9973).as("k"), col("id").as("v"))
+      .groupBy("k")
+      .agg(sum("v").as("s"), avg("v").as("a"), max("v").as("m"))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private final class ShuffleMetricsListener
       extends org.apache.spark.scheduler.SparkListener {
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -89,7 +132,16 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => filter.forall(_.contains(n)) }
 
-    val results = selected.map { case (name, fn) =>
+    // canary sample 1: window START (two canary warmups first — the
+    // canary's own codegen/JIT first-touch must not read as load;
+    // one warmup measured insufficient, start samples stayed ~20% hot)
+    runCanary(spark); runCanary(spark)
+    val canaryStart = runCanary(spark)
+    var canaryMid = -1.0
+    val midIdx = selected.size / 2
+
+    val results = selected.zipWithIndex.map { case ((name, fn), qIdx) =>
+      if (qIdx == midIdx) canaryMid = runCanary(spark)
       // each rep keeps its slot: a failed rep rides as None so the
       // artifact's per-rep array shows WHERE it failed (null), not a
       // silently shorter array indistinguishable from a smaller run
@@ -136,13 +188,31 @@ object Bench {
       "\"" + k + "\":" +
         rs.map(_.map(_.toString).getOrElse("null")).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // canary sample 3: window END. Median-of-3 vs the committed calm
+    // level decides the flag (median: a single spiky sample means a
+    // transient, not a whole inflated window — the per-sample values
+    // stay in the artifact for exactly that attribution).
+    val canaryEnd = runCanary(spark)
+    val canarySamples = Seq(canaryStart, canaryMid, canaryEnd).filter(_ >= 0)
+    val canaryMedian = canarySamples.sorted.apply(canarySamples.size / 2)
+    val committed = sys.env.get("SPARK_GRAFT_CANARY_COMMITTED")
+      .map(_.toDouble).getOrElse(CanaryCommittedSec)
+    val canaryRatio = canaryMedian / committed
+    val inflated = canaryRatio > CanaryInflatedRatio
+    if (inflated) System.err.println(
+      f"[bench] WINDOW INFLATED: canary median $canaryMedian%.3f s = " +
+        f"$canaryRatio%.2fx its committed calm level ($committed%.3f s) - " +
+        "treat per-query regressions in this artifact as suspect")
+    val canaryJson =
+      f"""{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f,"median":$canaryMedian%.3f,"committed":$committed%.3f,"ratio":$canaryRatio%.2f,"inflated":$inflated}"""
+
     val total = results.collect { case (_, (v, _, _), _) if v >= 0 => v }.sum
     // failures surfaced explicitly: a broken query must not read as a
     // smaller (better) total
     val failed = results.collect { case (k, (v, _, _), _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"shuffle_bytes":$shuffles,"spill_bytes":$spills,"reps":$repsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"shuffle_bytes":$shuffles,"spill_bytes":$spills,"reps":$repsJson,"canary":$canaryJson,"sf":"$sfDir"}"""
     println(line)
     // Also persist next to the repo: the driver captures stdout tails,
     // which has truncated the per-query map before — the file is the

@@ -25,7 +25,8 @@ import graft.operators.Similarity
   *    (flat refused), printed into the artifact;
   *  - assignment cost: wall seconds to materialize the full two-level
   *    assignment (supers -> pinned children -> top-2-probe), plus the
-  *    eval accounting n·2·sqrt(k) the Scaladoc claims;
+  *    eval accounting n·(1+probe)·sqrt(k) the Scaladoc claims (the
+  *    super-scan term k1 ≈ sqrt(k) plus probe child scans);
   *  - candidate volume: in-cell banded bucket histogram
   *    (Σ c·(c−1)/2 over (probed cell, band_id, band_val)) — stage 2's
   *    candidate generation keys, never pair enumeration;
@@ -180,7 +181,7 @@ object HierTierProbe {
       val superBytes = k1.toLong * dim * 8
       val childBytes = k * (dim + 2) * 8
       val line =
-        f"""{"n_raw":$nRaw,"aug_n":$augN,"k":$k,"k1":$k1,"probe":$probe,"flat_refused":$flatRefused,"assign_sec":$assignSec%.1f,"evals_per_vec_law":${probe * math.sqrt(k.toDouble)}%.0f,"super_state_bytes":$superBytes,"child_state_bytes":$childBytes,"live_cells":$liveCells,"max_cell":$maxCell,"bands":$bands,"bits":$bits,"band_rows":${augN * probe * bands},"buckets":$buckets,"max_bucket":$maxBucket,"cand_pairs":$candPairs,"cand_per_vec":${candPairs.toDouble / augN}%.2f,"recall_sampled":$recall%.4f,"cell_recall_sampled":$cellRecall%.4f,"recall_sample_pairs":$nSample,"hist_sec":$histSec%.1f,"recall_sec":$recSec%.1f}"""
+        f"""{"n_raw":$nRaw,"aug_n":$augN,"k":$k,"k1":$k1,"probe":$probe,"flat_refused":$flatRefused,"assign_sec":$assignSec%.1f,"evals_per_vec_law":${(1 + probe) * math.sqrt(k.toDouble)}%.0f,"super_state_bytes":$superBytes,"child_state_bytes":$childBytes,"live_cells":$liveCells,"max_cell":$maxCell,"bands":$bands,"bits":$bits,"band_rows":${augN * probe * bands},"buckets":$buckets,"max_bucket":$maxBucket,"cand_pairs":$candPairs,"cand_per_vec":${candPairs.toDouble / augN}%.2f,"recall_sampled":$recall%.4f,"cell_recall_sampled":$cellRecall%.4f,"recall_sample_pairs":$nSample,"hist_sec":$histSec%.1f,"recall_sec":$recSec%.1f}"""
       System.err.println(s"[probeHier] $line")
       line
     }

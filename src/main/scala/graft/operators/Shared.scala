@@ -72,6 +72,22 @@ object Shared {
     private val persistPairs: Boolean =
       declared.forall(c => (c & DirectPairMembers).nonEmpty)
 
+    /** Same contract as [[EmbFamilySession]]'s guard (r12 advisor: the
+      * two declared-session classes enforced it asymmetrically — only
+      * `pairs` checked, so a session declared for e.g. graph_pagerank
+      * silently served curated too): every member accessor requires at
+      * least one of its consumer names in the declared set, because an
+      * undeclared member runs against a cache plan pruned without it.
+      * Undeclared sessions ([[pairGraph]]) guard nothing.
+      */
+    private def guard(names: String*): Unit = declared.foreach { c =>
+      require(names.exists(c),
+        s"none of ${names.mkString("/")} was declared to " +
+          s"Shared.pairGraphFor (declared = ${c.toSeq.sorted.mkString(", ")}); " +
+          "serving an undeclared member would recompute against a cache " +
+          "plan pruned without it")
+    }
+
     private[graft] val rawPairs: DataFrame = {
       val p = Dedup.ngramJaccard.fn(spark, sfDir).select("i", "j")
       if (persistPairs) p.persist(StorageLevel.MEMORY_AND_DISK) else p
@@ -93,29 +109,49 @@ object Shared {
       rawPairs
     }
 
-    /** Canonical keep decision over the cached pairs — same result as
-      * the registered `dedup_cluster_keep` (spec-asserted). A lazy
-      * val, not a def: the CC driver loop is EAGER (it runs its
-      * join+checkpoint rounds at first access), so re-deriving it per
-      * consumer would re-run the whole loop — `curated` reuses this
-      * instance's checkpointed result.
+    /** The shared CC keep ARTIFACT, unguarded: `curated`/`curatedNb`
+      * consume it internally regardless of whether the keep-decision
+      * CONSUMERS were declared. A lazy val, not a def: the CC driver
+      * loop is EAGER (it runs its join+checkpoint rounds at first
+      * access), so re-deriving it per consumer would re-run the whole
+      * loop — every accessor reuses this instance's checkpointed
+      * result.
       */
-    lazy val clusterKeep: DataFrame = Dedup.clusterKeepFrom(rawPairs)
+    private lazy val keepDecision: DataFrame = Dedup.clusterKeepFrom(rawPairs)
+
+    /** Canonical keep decision over the cached pairs — same result as
+      * the registered `dedup_cluster_keep` (spec-asserted). Also the
+      * artifact [[graft.GraftSession]] feeds `corpus_dup_profile`, so
+      * either declaration grants access.
+      */
+    def clusterKeep: DataFrame = {
+      guard("dedup_cluster_keep", "corpus_dup_profile")
+      keepDecision
+    }
 
     /** Full curation pipeline over the cached pairs — same result as
       * the registered `pipeline_curate` (spec-asserted).
       */
-    def curated: DataFrame = Curate.curateFrom(spark, sfDir, clusterKeep)
+    def curated: DataFrame = {
+      guard("pipeline_curate")
+      Curate.curateFrom(spark, sfDir, keepDecision)
+    }
 
     /** NB-gated curation over the cached pairs — same result as the
       * registered `pipeline_curate_nb` (spec-asserted).
       */
-    def curatedNb: DataFrame = Curate.curateNbFrom(spark, sfDir, clusterKeep)
+    def curatedNb: DataFrame = {
+      guard("pipeline_curate_nb")
+      Curate.curateNbFrom(spark, sfDir, keepDecision)
+    }
 
     /** Triangle cluster-quality diagnostic over the cached pairs —
       * same result as the registered `graph_triangles` (spec-asserted).
       */
-    def triangles: DataFrame = Graph.trianglesFrom(pairs)
+    def triangles: DataFrame = {
+      guard("graph_triangles")
+      Graph.trianglesFrom(pairs)
+    }
 
     /** Drop the cached pairs (idempotent; no-op on a pruned session —
       * nothing was persisted, and the keep path's checkpoints are

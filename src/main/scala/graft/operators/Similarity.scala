@@ -590,7 +590,7 @@ object Similarity {
         s"(> MaxBlockCells=$MaxBlockCells). Flat assignment holds k*$Dim " +
         "centroid rows on the driver and costs n*k distance evals - beyond " +
         "this bound use dedup_embedding_hier (the registered two-level " +
-        "quantizer: n*2*sqrt(k) evals, child centroids as a joined table, " +
+        "quantizer: n*(1+probe)*sqrt(k) evals, child centroids as a joined table, " +
         "same banding/prune stages); see the Scaladoc's scale-honesty note.")
     k.toInt
   }
@@ -680,7 +680,7 @@ object Similarity {
     * AQE-skew story; (c) assignment cost is n·k distance evals
     * (k = n/cap), the known quadratic-compute term of flat k-means —
     * at the 1e9-vector tier a deployment assigns hierarchically
-    * (two-level coarse quantizer, n·2·sqrt(k)) without changing any
+    * (two-level coarse quantizer, n·(1+probe)·sqrt(k)) without changing any
     * contract here, and the k·Dim driver-held centroid state at that
     * tier (~4M cells) moves to a joined table the same way — that
     * rework is REGISTERED as `dedup_embedding_hier` ([[hierStages]]),
@@ -889,7 +889,10 @@ object Similarity {
     *     `pqCells(.., BlockProbe)`, derived from the same constant in
     *     both the dataflow and the oracle SQL (probe-generic, r12).
     *
-    * Total assignment cost n·2·sqrt(k) evals and a handful of n-row
+    * Total assignment cost n·(1+probe)·sqrt(k) evals — one
+    * super-scan term (k1 ≈ sqrt(k) distance evals per vector) plus
+    * probe child scans of k/k1 ≈ sqrt(k) seeds each; at the default
+    * [[BlockProbe]] = 2 that is n·3·sqrt(k) — and a handful of n-row
     * shuffles, vs the flat path's n·k evals, k·Dim driver rows, and
     * k-scaled plan payload. The price is approximation: a vector's
     * true nearest child can hide in an unprobed super, so hier cells

@@ -184,12 +184,20 @@ class PlanSpec extends AnyFunSuite {
     // fold to TopKPerKey; this guard keeps them there. ann_ivf and
     // emb_kmeans have the n·K argmin IN their final plan (no
     // checkpoint hides it), so the plan text is the evidence.
+    // The negative is scoped to the REGRESSION SHAPE — a SortAggregate
+    // whose functions fold min/max over a struct — rather than banning
+    // SortAggregate anywhere in the plan (r12 advisor: an unrelated
+    // aggregate that a future Spark version legitimately plans as
+    // SortAggregate, e.g. an ObjectHashAggregate fallback for
+    // collect_list, must not fail the guard while the argmin fold is
+    // still on TopKPerKey).
+    val structFold = "(?s)SortAggregate[^\\n]*(?:min|max)\\(struct".r
     for (q <- Seq("ann_ivf", "emb_kmeans", "decontaminate_embedding")) {
       val p = plan(q)
       assert(p.contains("TopKPerKey"),
         s"$q no longer folds its argmin/argmax through TopKPerKey:\n$p")
-      assert(!p.contains("SortAggregate"),
-        s"$q reintroduced a SortAggregate fold:\n$p")
+      assert(structFold.findFirstIn(p).isEmpty,
+        s"$q reintroduced a min/max-over-struct SortAggregate fold:\n$p")
     }
   }
 

@@ -99,6 +99,23 @@ class SharedPairsSpec extends AnyFunSuite {
     } finally sh.release()
   }
 
+  test("pruned session refuses undeclared KEEP-ONLY members too (guard symmetry)") {
+    // r12 advisor: only `pairs` was guarded, so a session declared for
+    // one member silently served the others against a cache plan
+    // pruned without them — every accessor now checks its own names
+    val sh = Shared.pairGraphFor(spark, d, Set("pipeline_curate"))
+    try {
+      val e = intercept[IllegalArgumentException](sh.curatedNb)
+      assert(e.getMessage.contains("pipeline_curate_nb"))
+      val e2 = intercept[IllegalArgumentException](sh.clusterKeep)
+      assert(e2.getMessage.contains("dedup_cluster_keep"))
+      val e3 = intercept[IllegalArgumentException](sh.triangles)
+      assert(e3.getMessage.contains("graph_triangles"))
+      // the declared member still serves
+      assert(sh.curated.limit(1).count() >= 0)
+    } finally sh.release()
+  }
+
   test("pairGraphFor fails loudly on unknown or empty consumer sets") {
     val e = intercept[IllegalArgumentException](
       Shared.pairGraphFor(spark, d, Set("pipeline_curate", "q1_pricing_summary")))
