@@ -43,12 +43,15 @@ object Bench {
   /** Committed calm-window canary level (seconds) on the round's
     * reference hardware at local[32] — re-pin via
     * SPARK_GRAFT_CANARY_COMMITTED when the fleet hardware changes.
+    * Pinned to the IN-BENCH calm level, not the idle level: mid/end
+    * samples inherit the bench's own residual GC pressure, which is
+    * part of every calm window and must not read as external load.
     * Measured r13 on an idle box (load 4/32, only the bench JVM):
-    * medians 0.39-0.45 s over four independent runs (samples
-    * 0.37-0.57 s; start samples run slightly hot even after two
-    * warmups, which is why the flag uses the median).
+    * full-registry window medians 0.549/0.583 s (per-sample 0.39-0.61;
+    * start samples run cooler — they follow only the warmup);
+    * idle-JVM medians for reference: 0.39-0.45 s.
     */
-  private val CanaryCommittedSec = 0.43
+  private val CanaryCommittedSec = 0.57
 
   /** Ratio above which the window is flagged inflated — 1.5x clears
     * normal scheduler jitter (calm samples vary < 1.2x) while every

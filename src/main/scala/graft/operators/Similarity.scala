@@ -578,6 +578,18 @@ object Similarity {
     * which must NOT be attempted flat. 2^16 cells x CellCap = ~16.7M
     * augmented vectors covered, >100x the rehearsal tiers.
     */
+  /** Occupancy-skew ratio (hottest cell / mean occupancy) above which
+    * the frozen quantizer should be RETRAINED — the IVF operating
+    * discipline the blocked/hier operators and the streaming loop
+    * document: distribution drift piles arrivals into few cells,
+    * which costs candidate recall (in-cell banding never sees
+    * cross-cell pairs) and per-cell join width. 4x clears the benign
+    * variation a fresh Lloyd round leaves (measured: the registered
+    * assignment sits at ~2-3x right after training at the test SFs;
+    * a skew past 4 means cells no longer track the data).
+    */
+  private val RetrainSkew = 4.0
+
   private val MaxBlockCells = 1 << 16
 
   /** The loud driver-edge guard (the IdWatermark discipline: fail with
@@ -599,6 +611,7 @@ object Similarity {
   private[graft] def maxBlockCells: Int = MaxBlockCells
   private[graft] def blockBandPlan: (Int, Int) = (BlockBands, BlockBits)
   private[graft] def blockProbe: Int = BlockProbe
+  private[graft] def retrainSkew: Double = RetrainSkew
 
   /** Stage 1 of the blocked composition as a reusable TRAINER: seeds =
     * the first `k` vector ids (requires ids dense from 0), one
@@ -612,9 +625,20 @@ object Similarity {
     * and k·Dim centroid rows on the driver, never the corpus.
     */
   private[graft] def lloydCells(
-      aug: DataFrame, k: Int): (Array[Long], Array[Array[Long]]) = {
+      aug: DataFrame, k: Int): (Array[Long], Array[Array[Long]]) =
+    lloydCellsSeeded(aug, aug.filter(col("vec_id") < k))
+
+  /** [[lloydCells]] with CALLER-CHOSEN seeds — the re-block seam: a
+    * maintenance retrain runs over the accepted-vector store, whose
+    * ids are SURVIVORS (sparse), so "the first k ids" must come from
+    * [[lowestIdSeeds]] rather than a dense `vec_id < k` filter. Seed
+    * frame shape: any (vec_id, qa, ...) rows; cell ids = seed vec_ids,
+    * exactly the dense-path contract.
+    */
+  private[graft] def lloydCellsSeeded(
+      aug: DataFrame, seedFrame: DataFrame): (Array[Long], Array[Array[Long]]) = {
     import graft.functions.GraftFunctions
-    val seeds = aug.filter(col("vec_id") < k)
+    val seeds = seedFrame
       .select(col("vec_id"), col("qa")).collect().sortBy(_.getLong(0))
     val c0 = Array(seeds.map(_.getSeq[Long](1).toArray))
     val upd = aug
@@ -693,6 +717,43 @@ object Similarity {
     * ([[graft.functions.IndexLookup]] via `pqCells`) — zero
     * corpus-proportional literals in the plan text.
     */
+  /** Stage-1 (corpus-scaled Lloyd train + multi-probe assignment) of
+    * the blocked oracle as a reusable CTE chain — consumed by BOTH the
+    * registered `dedup_embedding_blocked` oracle and the
+    * `emb_cell_skew` trigger oracle, so the trigger measures the
+    * literal registered assignment (`asg` = primary cells,
+    * `asgp` = all probed cells). Expects `q` (the augmented corpus)
+    * in scope.
+    */
+  private def blockedStage1Sql: String = s"""    kcfg AS (
+      SELECT GREATEST(2, (count(*) * 2 + ${CellCap - 1}) // $CellCap) AS k
+      FROM embeddings),
+    c0 AS (SELECT vec_id AS cell, qa AS cvec, na AS nc FROM q
+           WHERE vec_id < (SELECT k FROM kcfg)),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT q.vec_id, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY q.na + c.nc - 2 * ${dotSql("q.qa", "c.cvec")}, c.cell) AS rk
+        FROM q, c0 c) WHERE rk = 1),
+    s1 AS (
+      SELECT a1.cell, r.i AS dim, SUM(q.qa[r.i]) AS sv, COUNT(*) AS n
+      FROM q JOIN a1 USING (vec_id)
+      CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS i) r
+      GROUP BY a1.cell, r.i),
+    c1 AS (
+      SELECT cell,
+        list(CAST(floor(CAST(sv AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS cvec
+      FROM s1 GROUP BY cell),
+    c1n AS (SELECT cell, cvec, ${normSql("cvec")} AS nc FROM c1),
+    asgp AS (
+      SELECT vec_id, cell, rk FROM (
+        SELECT q.vec_id, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY q.na + c.nc - 2 * ${dotSql("q.qa", "c.cvec")}, c.cell) AS rk
+        FROM q, c1n c) WHERE rk <= $BlockProbe),
+    asg AS (SELECT vec_id, cell FROM asgp WHERE rk = 1)"""
+
   /** The blocked composition's (result, in-cell verified pair
     * contract) — the pair frame is the BlockedDedupSpec seam for the
     * recall measurement against [[dedupEmbeddingWide]]'s full
@@ -708,7 +769,17 @@ object Similarity {
     * family's default entry point shares the one corpus read).
     */
   private[graft] def blockedStagesFrom(
-      s: SparkSession, d: String, aug: DataFrame): (DataFrame, DataFrame) = {
+      s: SparkSession, d: String, aug: DataFrame): (DataFrame, DataFrame) =
+    bandedPruneFrom(blockedAssign(s, d, aug))
+
+  /** STAGE 1 of the blocked composition alone — the corpus-scaled
+    * Lloyd training + multi-probe cell assignment, factored out (r13)
+    * so the occupancy-skew trigger query ([[cellSkew]]) measures the
+    * literal registered assignment rather than a re-implementation.
+    * Returns (vec_id, cell, cells, qa, na, cos_centroid).
+    */
+  private[graft] def blockedAssign(
+      s: SparkSession, d: String, aug: DataFrame): DataFrame = {
       import graft.functions.GraftFunctions
       import s.implicits._
       val augN = corpusCount(d, Tables.embeddings(s, d)) * 2
@@ -726,7 +797,7 @@ object Similarity {
       // which recovers the true near-dup pairs a single fragile cell
       // boundary would split (measured in BlockedDedupSpec: pair
       // recall vs the unblocked wide contract).
-      val withCc = aug
+      aug
         .withColumn("cells",
           GraftFunctions.pqCells(col("qa"), c1, cellIds, BlockProbe))
         .withColumn("cell", element_at(col("cells"), 1))
@@ -734,7 +805,6 @@ object Similarity {
         .withColumn("cos_centroid",
           cosine(dot(col("qa"), col("cvec")), col("na"), col("nc")))
         .select("vec_id", "cell", "cells", "qa", "na", "cos_centroid")
-      bandedPruneFrom(withCc)
   }
 
   /** Stages 2+3 of the blocked composition — in-cell banded near-dups
@@ -785,34 +855,7 @@ object Similarity {
     (s, d) => blockedStages(s, d)._1,
     Some(s"""WITH q0 AS ($quantizedSql),
     $augmentedHiSql,
-    kcfg AS (
-      SELECT GREATEST(2, (count(*) * 2 + ${CellCap - 1}) // $CellCap) AS k
-      FROM embeddings),
-    c0 AS (SELECT vec_id AS cell, qa AS cvec, na AS nc FROM q
-           WHERE vec_id < (SELECT k FROM kcfg)),
-    a1 AS (
-      SELECT vec_id, cell FROM (
-        SELECT q.vec_id, c.cell,
-          ROW_NUMBER() OVER (PARTITION BY q.vec_id
-            ORDER BY q.na + c.nc - 2 * ${dotSql("q.qa", "c.cvec")}, c.cell) AS rk
-        FROM q, c0 c) WHERE rk = 1),
-    s1 AS (
-      SELECT a1.cell, r.i AS dim, SUM(q.qa[r.i]) AS sv, COUNT(*) AS n
-      FROM q JOIN a1 USING (vec_id)
-      CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS i) r
-      GROUP BY a1.cell, r.i),
-    c1 AS (
-      SELECT cell,
-        list(CAST(floor(CAST(sv AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS cvec
-      FROM s1 GROUP BY cell),
-    c1n AS (SELECT cell, cvec, ${normSql("cvec")} AS nc FROM c1),
-    asgp AS (
-      SELECT vec_id, cell, rk FROM (
-        SELECT q.vec_id, c.cell,
-          ROW_NUMBER() OVER (PARTITION BY q.vec_id
-            ORDER BY q.na + c.nc - 2 * ${dotSql("q.qa", "c.cvec")}, c.cell) AS rk
-        FROM q, c1n c) WHERE rk <= $BlockProbe),
-    asg AS (SELECT vec_id, cell FROM asgp WHERE rk = 1),
+$blockedStage1Sql,
     cc AS (
       SELECT q.vec_id, a.cell, q.qa, q.na,
         ${cosineSql(dotSql("q.qa", "c.cvec"), "q.na", "c.nc")} AS cos_centroid
@@ -939,47 +982,87 @@ object Similarity {
     * recall monotone vs probe=2) instead of asserting it in prose;
     * production paths always pass the default.
     */
-  private[graft] def hierAssignFrom(
+  /** Exact-integer squared L2 on the quantization grid — the distance
+    * every hier assignment step folds over.
+    */
+  private def d2Col(qa: Column, na: Column, cv: Column, nc: Column): Column =
+    na + nc - lit(2L) * dot(qa, cv)
+
+  /** One floored-mean Lloyd update: per-key integer centroid from the
+    * assigned vectors (exact arithmetic, oracle-mirrored).
+    */
+  private def floorMeans(
+      assigned: DataFrame, key: String, vec: String): DataFrame =
+    assigned
+      .select(col(key), posexplode(col("qa")).as(Seq("dim", "v")))
+      .groupBy(key, "dim")
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .select(col(key), col("dim"),
+        floor(col("sv").cast(DoubleType) / col("n")).cast(LongType).as("c"))
+      .groupBy(key)
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as(vec))
+
+  // EVERY top-1 step in the hier family rides the bounded-heap
+  // TopKPerKey (k=1), never min(struct(..)): Min over a struct buffer
+  // is not HashAggregate-able, so Catalyst plans it as SortAggregate —
+  // a full sort of the n·k1-row scored stream per step. HierTierProbe
+  // measured that shape fatal at the paying tier (tier-1 already
+  // sorts n·k1 rows; carrying the 64-long vector payload inside the
+  // min-struct, as vTop1 once did, made it n·k1 × ~560 B ≈ 300 GB of
+  // sort spill — disk-full abort). TopKPerKey folds to one row per
+  // vector map-side with NO sort, and payload columns ride the heap
+  // entry (<= 1 row per key per partition), so the same steps are
+  // one linear exchange each. Ordering (-sd, tie) == the old
+  // min-struct (sd, tie) contract; sd is a LONG, so the operator's
+  // exact-integer order path applies.
+  private def top1Fold(
+      scored: DataFrame, key: String, ord: String, tie: String): DataFrame =
+    graft.plans.GraftOps.topKPerKey(
+      scored, Seq(col(key)), -col(ord), col(tie), 1)
+
+  /** The k LOWEST-id rows of `aug` — the Lloyd/hier seed rule
+    * generalized to SPARSE id spaces: a maintenance re-block retrains
+    * on the accepted-vector store, whose ids are survivors, so the
+    * dense `vec_id < k` filter would under-select. Selection is a
+    * bounded-heap global top-k over BARE IDS (8 bytes per heap entry,
+    * never the vector payload), then one equi-join fetches the seed
+    * rows back — no global sort of the corpus, no driver collect.
+    */
+  private[graft] def lowestIdSeeds(aug: DataFrame, k: Int): DataFrame = {
+    val ids = graft.plans.GraftOps.topKPerKey(
+      aug.select(lit(0L).as("g"), col("vec_id")),
+      Seq(col("g")), -col("vec_id"), col("vec_id"), k)
+      .select("vec_id")
+    aug.join(ids, "vec_id")
+  }
+
+  /** Levels 1-2 of the two-level quantizer TRAINING — factored from
+    * [[hierAssignFrom]] (r13) so the registered batch operator, the
+    * past-guard streaming bootstrap, and the maintenance re-block all
+    * train through the literal same code. `seeds(m)` supplies the m
+    * seed rows of (vec_id, qa, na, ...) shape — the dense rule
+    * (`vec_id < m`, registered path) or [[lowestIdSeeds]] (re-block
+    * over a sparse-id store). Returns (supC1, childC1): the k1-row
+    * super table (super, svec, sn) — collected once and re-localized,
+    * the one state small enough for the driver at any admitted
+    * tier — and the k-row child table (child, cvec, nc, super),
+    * localCheckpointed because three consumers re-read it (the
+    * "centroids as a joined table" state placement; never driver-held,
+    * never plan payload).
+    */
+  private[graft] def hierTrain(
       s: SparkSession, aug: DataFrame, augN: Long,
-      probe: Int = BlockProbe): DataFrame = {
+      seeds: Int => DataFrame): (DataFrame, DataFrame) = {
     import s.implicits._
-    require(probe >= 1, s"probe must be >= 1, got $probe")
     val k = (((augN + CellCap - 1) / CellCap) max 2L).toInt
     val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
-    def d2(qa: Column, na: Column, cv: Column, nc: Column): Column =
-      na + nc - lit(2L) * dot(qa, cv)
-    def floorMeans(assigned: DataFrame, key: String, vec: String): DataFrame =
-      assigned
-        .select(col(key), posexplode(col("qa")).as(Seq("dim", "v")))
-        .groupBy(key, "dim")
-        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
-        .select(col(key), col("dim"),
-          floor(col("sv").cast(DoubleType) / col("n")).cast(LongType).as("c"))
-        .groupBy(key)
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-          x => x.getField("c")).as(vec))
-    // EVERY top-1 step below rides the bounded-heap TopKPerKey (k=1),
-    // never min(struct(..)): Min over a struct buffer is not
-    // HashAggregate-able, so Catalyst plans it as SortAggregate — a
-    // full sort of the n·k1-row scored stream per step. HierTierProbe
-    // measured that shape fatal at the paying tier (tier-1 already
-    // sorts n·k1 rows; carrying the 64-long vector payload inside the
-    // min-struct, as vTop1 once did, made it n·k1 × ~560 B ≈ 300 GB of
-    // sort spill — disk-full abort). TopKPerKey folds to one row per
-    // vector map-side with NO sort, and payload columns ride the heap
-    // entry (<= 1 row per key per partition), so the same steps are
-    // one linear exchange each. Ordering (-sd, tie) == the old
-    // min-struct (sd, tie) contract; sd is a LONG, so the operator's
-    // exact-integer order path applies.
-    def top1(scored: DataFrame, key: String, ord: String, tie: String) =
-      graft.plans.GraftOps.topKPerKey(
-        scored, Seq(col(key)), -col(ord), col(tie), 1)
     // --- level 1: supers (one Lloyd round over the first k1 seeds) ---
-    val sup0 = aug.filter(col("vec_id") < k1)
+    val sup0 = seeds(k1)
       .select(col("vec_id").as("s0"), col("qa").as("sv0"), col("na").as("sn0"))
-    val sAssign1 = top1(aug.crossJoin(broadcast(sup0))
+    val sAssign1 = top1Fold(aug.crossJoin(broadcast(sup0))
       .select(col("vec_id"),
-        d2(col("qa"), col("na"), col("sv0"), col("sn0")).as("sd"),
+        d2Col(col("qa"), col("na"), col("sv0"), col("sn0")).as("sd"),
         col("s0").as("super")),
       "vec_id", "sd", "super")
       .select("vec_id", "super")
@@ -997,22 +1080,22 @@ object Similarity {
     // the seed's own vector rides the heap entry as payload (cv0/cn0
     // are constant within each child group, so they cannot affect the
     // (sd, super) ordering the old min-struct applied)
-    val childSeeds = top1(aug.filter(col("vec_id") < k)
+    val childSeeds = top1Fold(seeds(k)
       .crossJoin(broadcast(supC1))
       .select(col("vec_id").as("child"),
-        d2(col("qa"), col("na"), col("svec"), col("sn")).as("sd"),
+        d2Col(col("qa"), col("na"), col("svec"), col("sn")).as("sd"),
         col("super"), col("qa").as("cv0"), col("na").as("cn0")),
       "child", "sd", "super")
       .select("child", "super", "cv0", "cn0")
-    val vTop1 = top1(aug.crossJoin(broadcast(supC1))
+    val vTop1 = top1Fold(aug.crossJoin(broadcast(supC1))
       .select(col("vec_id"),
-        d2(col("qa"), col("na"), col("svec"), col("sn")).as("sd"),
+        d2Col(col("qa"), col("na"), col("svec"), col("sn")).as("sd"),
         col("super"), col("qa"), col("na")),
       "vec_id", "sd", "super")
       .select("vec_id", "super", "qa", "na")
-    val cAssign1 = top1(vTop1.join(childSeeds, "super")
+    val cAssign1 = top1Fold(vTop1.join(childSeeds, "super")
       .select(col("vec_id"),
-        d2(col("qa"), col("na"), col("cv0"), col("cn0")).as("cd"),
+        d2Col(col("qa"), col("na"), col("cv0"), col("cn0")).as("cd"),
         col("child")),
       "vec_id", "cd", "child")
       .select("vec_id", "child")
@@ -1025,32 +1108,50 @@ object Similarity {
       .withColumn("nc", dot(col("cvec"), col("cvec")))
       .join(childSeeds.select("child", "super"), "child")
       .localCheckpoint()
-    // --- final: top-2 supers-with-children, top-2 children in them ---
-    val supLive = supC1.join(childC1.select("super").distinct(), "super")
-    // Top-2 per key via the bounded-heap TopKPerKey operator (r12),
+    (supC1, childC1)
+  }
+
+  /** The final multi-probe assignment given a TRAINED two-level
+    * codebook — shared verbatim by the registered batch operator
+    * ([[hierAssignFrom]]), the past-guard streaming bootstrap, and the
+    * per-batch arrival assignment of a hier-codebook blocked stream
+    * ([[graft.streaming.EmbStream]]), so the three cannot drift.
+    * `supLive` = (super, svec, sn) supers WITH children only (a super
+    * can end up childless when no seed lands in it — probing one would
+    * strand the probe); `childC1` = (child, cvec, nc, super). Returns
+    * (vec_id, cell, cells): primary cell + the <= probe probed cells
+    * ordered best-first by (distance, child id) — the flat operator's
+    * `pqCells` contract.
+    */
+  private[graft] def hierCellsOf(aug: DataFrame, supLive: DataFrame,
+      childC1: DataFrame, probe: Int): DataFrame = {
+    require(probe >= 1, s"probe must be >= 1, got $probe")
+    // Top-probe per key via the bounded-heap TopKPerKey operator (r12),
     // not min-agg + join-back-and-min-again: the join formulation
     // re-SHUFFLES the scored frame it aggregates (n·k1 rows here,
-    // n·2·(k/k1) below — hundreds of GB at the paying tier
+    // n·probe·(k/k1) below — hundreds of GB at the paying tier
     // k > MaxBlockCells, where HierTierProbe measures this path),
-    // while TopKPerKey folds to <=2 rows per vector map-side before
-    // any exchange. Ordering (-sd, super): highest negated distance +
-    // lowest-id tie-break == the old min-struct (sd, super) contract,
-    // and sd stays a LONG so the operator's exact-integer order path
-    // applies — the oracle's `rk <= 2` window is unchanged.
+    // while TopKPerKey folds to <=probe rows per vector map-side
+    // before any exchange. Ordering (-sd, super): highest negated
+    // distance + lowest-id tie-break == the old min-struct (sd, super)
+    // contract, and sd stays a LONG so the operator's exact-integer
+    // order path applies — the oracle's `rk <= probe` window is
+    // unchanged.
     val vsd = aug.crossJoin(broadcast(supLive))
       .select(col("vec_id"),
-        d2(col("qa"), col("na"), col("svec"), col("sn")).as("sd"), col("super"))
+        d2Col(col("qa"), col("na"), col("svec"), col("sn")).as("sd"),
+        col("super"))
     val probes = graft.plans.GraftOps.topKPerKey(
       vsd, Seq(col("vec_id")), -col("sd"), col("super"), probe)
       .select("vec_id", "super")
     val candC = aug.join(probes, "vec_id")
       .join(childC1, "super")
-      .withColumn("cd", d2(col("qa"), col("na"), col("cvec"), col("nc")))
+      .withColumn("cd", d2Col(col("qa"), col("na"), col("cvec"), col("nc")))
     // the <= probe surviving children, ordered by (cd, child) —
     // the argmin order the oracle's ROW_NUMBER window uses — via one
     // tiny re-aggregate over the heap output (child ids are unique per
     // vector: each child is pinned to exactly one super)
-    val topc = graft.plans.GraftOps.topKPerKey(
+    graft.plans.GraftOps.topKPerKey(
       candC.select(col("vec_id"), col("cd"), col("child")),
       Seq(col("vec_id")), -col("cd"), col("child"), probe)
       .groupBy("vec_id")
@@ -1059,6 +1160,17 @@ object Similarity {
         x => x.getField("child")).as("cells"))
       .select(col("vec_id"), element_at(col("cells"), 1).as("cell"),
         col("cells"))
+  }
+
+  private[graft] def hierAssignFrom(
+      s: SparkSession, aug: DataFrame, augN: Long,
+      probe: Int = BlockProbe): DataFrame = {
+    require(probe >= 1, s"probe must be >= 1, got $probe")
+    val (supC1, childC1) = hierTrain(s, aug, augN,
+      m => aug.filter(col("vec_id") < m))
+    // --- final: top-probe supers-with-children, top-probe children ---
+    val supLive = supC1.join(childC1.select("super").distinct(), "super")
+    val topc = hierCellsOf(aug, supLive, childC1, probe)
     // the finished assignment table (IVF's code table) — what a
     // deployment materializes to storage before the dedup joins;
     // hierStages checkpoints it because bandedPruneFrom consumes it
@@ -1192,6 +1304,67 @@ object Similarity {
       (ded.keep_dup AND dm.vec_id IS NULL) AS keep
     FROM ded LEFT JOIN dom dm ON dm.vec_id = ded.vec_id
     ORDER BY ded.vec_id"""))
+
+  /** Cell-occupancy skew QA over the registered blocked assignment —
+    * THE RETRAIN TRIGGER of the frozen-quantizer lifecycle: the
+    * blocked/hier batch operators and the cell-blocked stream all
+    * freeze their Lloyd quantizer once index rows cite it, so
+    * distribution drift shows up as occupancy skew, never as wrong
+    * rows (verify stays exact cosine). This query is the documented
+    * monitoring step made a first-class, oracle-checked operator: one
+    * summary row — live cell count, corpus size, hottest/coldest cell,
+    * mean occupancy, skew = max/mean, and the `retrain` verdict at
+    * [[RetrainSkew]] — over the PRIMARY cells of the literal
+    * registered stage-1 assignment ([[blockedAssign]]; the oracle
+    * consumes the same stage-1 CTE chain as the blocked oracle, so
+    * the trigger cannot drift from the operator it monitors). The
+    * streaming twin ([[graft.streaming.EmbStream.indexCellSkew]])
+    * applies the same summary to a LIVE band index;
+    * [[graft.streaming.EmbStream.reblockIndex]] is the maintenance
+    * job a `retrain = true` row calls for.
+    *
+    * Scale: the assignment is the blocked operator's own (expression
+    * assignment, no extra shuffle); the occupancy aggregate is one
+    * k-row exchange and the summary folds k rows to 1 — strictly
+    * cheaper than the operator it monitors, as a trigger must be.
+    * Skew is computed as max_occ·cells/n_vecs (one exact integer
+    * product, ONE IEEE division) rather than max/avg (two divisions)
+    * so both engines hit identical doubles.
+    */
+  /** One-row skew summary over any (cell, occ) occupancy frame —
+    * shared by the registered `emb_cell_skew` trigger and the live
+    * index twin ([[graft.streaming.EmbStream.indexCellSkew]]), so the
+    * two verdicts cannot drift. Skew = max_occ·cells/n_vecs: one exact
+    * integer product then ONE IEEE division, bit-stable cross-engine.
+    */
+  private[graft] def occupancySummary(occ: DataFrame): DataFrame =
+    occ.agg(
+      count(lit(1)).as("cells"),
+      sum(col("occ")).as("n_vecs"),
+      max(col("occ")).as("max_occ"),
+      min(col("occ")).as("min_occ"))
+      .withColumn("avg_occ", col("n_vecs").cast(DoubleType) / col("cells"))
+      .withColumn("skew",
+        (col("max_occ") * col("cells")).cast(DoubleType) / col("n_vecs"))
+      .withColumn("retrain", col("skew") >= RetrainSkew)
+
+  val cellSkew = QueryDef(
+    "emb_cell_skew",
+    (s, d) => occupancySummary(
+      blockedAssign(s, d, augmentedHi(s, d))
+        .groupBy("cell").agg(count(lit(1)).as("occ"))),
+    Some(s"""WITH q0 AS ($quantizedSql),
+    $augmentedHiSql,
+    $blockedStage1Sql,
+    occ AS (SELECT cell, COUNT(*) AS occ FROM asg GROUP BY cell)
+    SELECT CAST(COUNT(*) AS BIGINT) AS cells,
+      CAST(SUM(occ) AS BIGINT) AS n_vecs,
+      CAST(MAX(occ) AS BIGINT) AS max_occ,
+      CAST(MIN(occ) AS BIGINT) AS min_occ,
+      CAST(SUM(occ) AS DOUBLE) / COUNT(*) AS avg_occ,
+      CAST(MAX(occ) * COUNT(*) AS DOUBLE) / SUM(occ) AS skew,
+      (CAST(MAX(occ) * COUNT(*) AS DOUBLE) / SUM(occ)) >= $RetrainSkew AS retrain
+    FROM occ"""))
 
   /** Streaming-twin plumbing ([[graft.streaming.EmbStream]]): the SAME
     * quantization, 16x4-bit banding, and verify threshold as
@@ -2462,7 +2635,7 @@ object Similarity {
 
   val defs: Seq[QueryDef] = Seq(annBruteforce, dedupEmbedding,
     dedupEmbeddingHi, dedupEmbeddingWide, dedupEmbeddingBlocked,
-    dedupEmbeddingHier, annLsh,
+    dedupEmbeddingHier, cellSkew, annLsh,
     annIvf, annIvfPq, embCentroid, dedupEmbeddingKeep, dimReduce,
     embQuantize, semanticPrune, mineHardNegatives, knnGraph,
     knnScoreDiffusion, kmeans, decontaminateEmbedding)

@@ -113,22 +113,45 @@ object Layout {
     require(parts.nonEmpty, s"compact: no part-* files under $dir")
     val totalBytes = parts.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(dir + "_compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(dir + "_compact_old")
-    fs.delete(tmp, true); fs.delete(old, true)
+    val tmp = dir + "_compact_tmp"
     // coalesce, not repartition: compaction must not pay a shuffle —
     // it only glues input splits into fewer write tasks
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    fs.delete(tmpPath, true)
     spark.read.parquet(dir).coalesce(nOut)
-      .write.mode("overwrite").parquet(tmp.toString)
-    if (!fs.rename(path, old)) {
-      throw new java.io.IOException(s"compact: could not move $path aside")
+      .write.mode("overwrite").parquet(tmp)
+    atomicReplace(spark, dir, tmp)
+    (parts.length, nOut)
+  }
+
+  /** Atomically install `tmpDir`'s contents as `dir0` via the
+    * two-rename pattern [[compact]] pioneered: the original moves
+    * aside (never deleted until the replacement is in place), the new
+    * dir renames in, the old dir is dropped last — a torn swap leaves
+    * either the old dir or the new dir intact, never a mix, and a
+    * failed install rolls the original back. The other maintenance
+    * jobs (e.g. [[graft.streaming.EmbStream.reblockIndex]]'s codebook
+    * + band-index rewrite) share this primitive so every artifact
+    * rewrite has the same failure semantics.
+    */
+  def atomicReplace(spark: org.apache.spark.sql.SparkSession,
+      dir0: String, tmpDir: String): Unit = {
+    val dir = dir0.stripSuffix("/")
+    val hconf = org.apache.spark.sql.graft.Bridge.newHadoopConf(spark)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(tmpDir.stripSuffix("/"))
+    require(fs.exists(tmp), s"atomicReplace: replacement $tmp does not exist")
+    val old = new org.apache.hadoop.fs.Path(dir + "_replace_old")
+    fs.delete(old, true)
+    if (fs.exists(path) && !fs.rename(path, old)) {
+      throw new java.io.IOException(s"atomicReplace: could not move $path aside")
     }
     if (!fs.rename(tmp, path)) {
       // roll the original back; data was never deleted
-      fs.rename(old, path)
-      throw new java.io.IOException(s"compact: could not install $tmp")
+      if (fs.exists(old)) fs.rename(old, path)
+      throw new java.io.IOException(s"atomicReplace: could not install $tmp")
     }
     fs.delete(old, true)
-    (parts.length, nOut)
   }
 }
