@@ -127,5 +127,67 @@ object Curate {
     WHERE n.nb_pred ORDER BY c.doc_id"""
     })
 
-  val defs: Seq[QueryDef] = Seq(curate, curateNb)
+  /** [[curateEmb]] body over injectable component frames — the
+    * [[Shared.EmbFamilySession]] seam (the session passes the blocked
+    * stages over its cached corpus scan and the decontamination over
+    * its cached pair stream); the registered query passes fresh ones.
+    */
+  private[operators] def curateEmbFrom(
+      blockedIn: org.apache.spark.sql.DataFrame,
+      deconIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val keep = blockedIn.filter(col("keep"))
+      .select(col("vec_id"), col("cell"), col("cos_centroid"))
+    deconIn.filter(!col("contaminated"))
+      .select(col("vec_id"), col("label"))
+      .join(keep, Seq("vec_id"))
+      .select("vec_id", "label", "cell", "cos_centroid")
+  }
+
+  /** The EMBEDDING-side flagship composition — the counterpart of
+    * [[curate]] for a vector corpus, closing the gap that the text
+    * side had a composed end-to-end proof (D16) while the embedding
+    * side's components (registered blocked dedup D5d, embedding
+    * decontamination D66, SemDeDup prune — D5d's own stage 3) were
+    * only verified separately: "give me the deduplicated,
+    * decontaminated training slice of this embedding corpus."
+    *
+    * Gates, each the literal registered component:
+    *  1. CANONICAL + PRUNED ([[Similarity.blockedStages]], the
+    *     registered 100-TB default): survivor of in-cell near-dup
+    *     first-copy-wins AND of the SemDeDup dominance prune
+    *     (`keep`) — over the family's augmentedHi benchmark corpus,
+    *     restricted back to raw train ids by the decontamination join.
+    *  2. UNCONTAMINATED ([[Similarity.decontaminateEmbedding]]): in
+    *     the train slice (never the benchmark slice itself) and no
+    *     benchmark vector within SemTau in its label block.
+    *
+    * Output: surviving train vectors with their audit columns
+    * (label, Lloyd cell, centroid cosine) — the mixer's input, like
+    * [[curate]]'s (lang, quality) row. The composed oracle joins the
+    * two independently hash-verified component oracles, so drift in
+    * EITHER component breaks this gate too.
+    *
+    * Scale: one vec_id equi-join over the two component plans — both
+    * 100x-proven; the composition adds no new shuffle class. NOT
+    * name-routed by [[graft.GraftSession]]: its dominant branch is the
+    * blocked path, whose session routing was built and measured SLOWER
+    * (r10 ReuseBench — Lloyd assignment, not the scan, dominates); the
+    * [[Shared.EmbFamilySession.curatedEmb]] seam stays available for
+    * callers whose caches are already hot.
+    */
+  val curateEmb = QueryDef(
+    "pipeline_curate_emb",
+    (s, d) => curateEmbFrom(
+      Similarity.blockedStages(s, d)._1,
+      Similarity.decontaminateEmbedding.fn(s, d)),
+    Some {
+      val blockedSql = Similarity.dedupEmbeddingBlocked.oracle.get
+      val deconSql = Similarity.decontaminateEmbedding.oracle.get
+      s"""SELECT t.vec_id, t.label, b.cell, b.cos_centroid
+    FROM ($deconSql) t JOIN ($blockedSql) b ON b.vec_id = t.vec_id
+    WHERE NOT t.contaminated AND b.keep
+    ORDER BY t.vec_id"""
+    })
+
+  val defs: Seq[QueryDef] = Seq(curate, curateNb, curateEmb)
 }

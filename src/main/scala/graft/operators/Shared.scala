@@ -255,10 +255,12 @@ object Shared {
     */
   val EmbPairsUsers: Set[String] = Set(
     "dedup_semantic_prune", "mine_hard_negatives", "emb_knn_graph",
-    "knn_score_diffusion", "decontaminate_embedding")
+    "knn_score_diffusion", "decontaminate_embedding",
+    "pipeline_curate_emb")
   val EmbCcUsers: Set[String] = Set("dedup_semantic_prune", "emb_centroid")
   val EmbDirectUsers: Set[String] = Set(
-    "decontaminate_embedding", "dedup_embedding_blocked")
+    "decontaminate_embedding", "dedup_embedding_blocked",
+    "pipeline_curate_emb")
 
   final class EmbFamilySession private[Shared] (
       spark: SparkSession, sfDir: String,
@@ -360,6 +362,21 @@ object Shared {
       guard("dedup_embedding_blocked")
       Similarity.blockedStagesFrom(spark, sfDir,
         Similarity.augmentedHiFrom(emb))._1
+    }
+
+    /** Same rows as registered `pipeline_curate_emb`, with BOTH
+      * component branches fed from this session's caches (the blocked
+      * stages over the cached corpus scan, the decontamination over
+      * the cached pair stream). Shares the blocked branch's measured
+      * caveat (see [[blocked]]): right when the session's caches are
+      * already hot for other members, not as a standalone speedup.
+      */
+    def curatedEmb: DataFrame = {
+      guard("pipeline_curate_emb")
+      Curate.curateEmbFrom(
+        Similarity.blockedStagesFrom(spark, sfDir,
+          Similarity.augmentedHiFrom(emb))._1,
+        Similarity.decontaminateEmbeddingFrom(emb, pairs))
     }
 
     /** Drop every cache this session materialized (idempotent; a

@@ -193,4 +193,17 @@ class SharedPairsSpec extends AnyFunSuite {
         sh.pageRank.select("doc_id").count())
     } finally sh.release()
   }
+
+  test("embFamily session serves pipeline_curate_emb (declared), refuses undeclared") {
+    val sh = Shared.embFamilyFor(spark, d,
+      Set("pipeline_curate_emb", "decontaminate_embedding"))
+    try {
+      val shared = sh.curatedEmb.collect().map(_.toSeq).toSet
+      val fresh = SparkEntry.queries("pipeline_curate_emb")(spark, d)
+        .collect().map(_.toSeq).toSet
+      assert(shared == fresh)
+      // a member outside the declared slice is still refused loudly
+      intercept[IllegalArgumentException](sh.semanticPrune)
+    } finally sh.release()
+  }
 }
