@@ -585,8 +585,9 @@ object Similarity {
     * which costs candidate recall (in-cell banding never sees
     * cross-cell pairs) and per-cell join width. 4x clears the benign
     * variation a fresh Lloyd round leaves (measured: the registered
-    * assignment sits at ~2-3x right after training at the test SFs;
-    * a skew past 4 means cells no longer track the data).
+    * assignment sits at 1.15-1.21x right after training at all three
+    * test SFs and 1.15x at the 100x store, REBLOCK_r13.json; a skew
+    * past 4 means cells no longer track the data).
     */
   private val RetrainSkew = 4.0
 
