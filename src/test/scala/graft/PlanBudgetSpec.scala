@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The global plan-shape regression net: every registered query's
+  * strategy-level (shuffle, broadcast, sort-aggregate, cartesian)
+  * node counts must equal the committed budget
+  * (src/test/resources/plan_budget.tsv) — see [[PlanBudget]] for why
+  * these four counters and why equality in both directions.
+  *
+  * Lesson this generalizes (r12): the SortAggregate argmin folds that
+  * sort-spilled ~300 GB at hier's paying tier were invisible to every
+  * small-SF correctness gate and were only found by a scale probe;
+  * the plan SHAPE had been sitting in `explain` output all along.
+  * PlanSpec pins that shape for the three queries the probe touched;
+  * this net pins the counts for all of them, so the next silent
+  * shuffle/sort/cartesian lands as a test diff in the same commit
+  * that introduces it.
+  */
+class PlanBudgetSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.sfDir
+
+  test("budget file and registry agree on the query set") {
+    val budget = PlanBudget.readCommitted()
+    val registry = SparkEntry.queries.keySet
+    assert(budget.keySet == registry,
+      s"plan-budget / registry drift — unpinned queries (add a line: " +
+        s"""sbt "Test/runMain graft.PlanBudget"): """ +
+        s"${(registry -- budget.keySet).toSeq.sorted.mkString(", ")}; " +
+        s"stale budget rows: " +
+        s"${(budget.keySet -- registry).toSeq.sorted.mkString(", ")}")
+  }
+
+  test("every registered query's plan-shape counts match the budget") {
+    val budget = PlanBudget.readCommitted()
+    val drifted = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      budget.get(name).flatMap { want =>
+        val got = PlanBudget.measure(spark, d, name)
+        if (got == want) None
+        else Some(s"$name: committed (shuffle=${want.shuffle}, " +
+          s"broadcast=${want.broadcast}, sortAgg=${want.sortAgg}, " +
+          s"cartesian=${want.cartesian}) but plan has (shuffle=${got.shuffle}, " +
+          s"broadcast=${got.broadcast}, sortAgg=${got.sortAgg}, " +
+          s"cartesian=${got.cartesian})")
+      }
+    }
+    assert(drifted.isEmpty,
+      "plan-shape drift (if intended, regenerate the budget with " +
+        """sbt "Test/runMain graft.PlanBudget" and review the diff):\n  """ +
+        drifted.mkString("\n  "))
+  }
+}
