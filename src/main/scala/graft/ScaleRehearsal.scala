@@ -125,13 +125,39 @@ object ScaleRehearsal {
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       // remaining tables: symlink, so any registered query can run
       for (t <- Seq("region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "events")) {
+          "orders", "lineitem")) {
         val link = outPath.resolve(s"$t.parquet")
         if (!java.nio.file.Files.exists(link))
           java.nio.file.Files.createSymbolicLink(
             link, java.nio.file.Paths.get(s"$src/$t.parquet"))
       }
       System.err.println(s"[scale] derived ${copies}x corpus at $out")
+    }
+    // events: derived OUTSIDE the documents guard (r13 — the events
+    // family had no scale tier at all; a pre-r13 corpus dir carries an
+    // unscaled symlink, which is deleted and replaced). Decorrelation
+    // here is id-space, not content: replicas shift event_id AND
+    // user_id by disjoint ranges, so the GROUP COUNT (users,
+    // user-hours, sessions) scales with copies while every per-group
+    // density (events per user, per hour, value/type distributions,
+    // the time range itself) is preserved — the right null hypothesis
+    // for the group-by/window/asof queries that consume this table.
+    // No content column changes, so there is nothing to decorrelate
+    // the way documents/embeddings need: events queries never compare
+    // rows across users.
+    val eventsOut = outPath.resolve("events.parquet")
+    if (java.nio.file.Files.isSymbolicLink(eventsOut))
+      java.nio.file.Files.delete(eventsOut)
+    if (!java.nio.file.Files.exists(eventsOut)) {
+      val ev = spark.read.parquet(s"$src/events.parquet")
+      (0 until copies).map { k =>
+        ev.select((col("event_id") + lit(k * Step)).as("event_id"),
+          col("ts"),
+          (col("user_id") + lit(k * Step)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(eventsOut.toString)
+      System.err.println(s"[scale] derived ${copies}x events at $eventsOut")
     }
 
     // warmup

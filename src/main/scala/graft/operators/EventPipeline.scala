@@ -303,9 +303,23 @@ object EventPipeline {
     * carrying their most recent event (latest ms; event_id breaks
     * same-millisecond ties, so the winner is unique and
     * deterministic). ONE partial+final max_by aggregate over the scan
-    * — no window sort, map-side combinable, the same aggregate-only
-    * shape the OHLC bars use. The streaming half of this semantic is
+    * — map-side combinable, the same aggregate-only shape the OHLC
+    * bars use. The streaming half of this semantic is
     * [[graft.streaming.EventStream.upsertSink]].
+    *
+    * Plan-shape adjudication (r13, surfaced by the plan-budget net):
+    * the struct tie-order and the string payload put immutable values
+    * in the aggregation buffer, so this plans as SortAggregate — the
+    * PARTIAL pass sorts each scan split by user_id before combining.
+    * The bounded-heap alternative (TopKPerKey k=1 for the latest row
+    * + a hash-agg count + co-partitioned join) was built and MEASURED
+    * both tiers: 0.36→0.41 s at sf0.1 and 1.9→2.6 s at 100x events
+    * (SCALE100_r13) — the per-split sort is cheaper than a second
+    * pass over the scan at every tier tried, because the sort runs in
+    * split-sized memory while the alternative pays the scan twice.
+    * Kept fused and pinned (sortAgg=2 in plan_budget.tsv); unlike the
+    * r12 spill class, the sorted stream here is the five-column raw
+    * scan, not a shuffled wide-payload candidate stream.
     */
   val latestState = QueryDef(
     "ep_latest_state",

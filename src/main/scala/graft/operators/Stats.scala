@@ -278,15 +278,25 @@ object Stats {
   /** Whole-table column profile — the data-quality triage every
     * pipeline runs on a new drop: per column, row/non-null/distinct
     * counts plus min/max (numeric and string kept in separate typed
-    * columns). ONE scan: all per-column aggregates sit in one
-    * Aggregate node (the multi-distinct Expand multiplies rows by the
-    * distinct-column count internally but never rescans), then the
-    * wide row explodes to long form. `ts` is profiled as epoch-ms —
-    * raw nanos exceed double's 2^53 integer range and min/max surface
-    * as DOUBLE here. At 100 TB the Expand is the dominant cost; the
-    * drop-in fix is swapping each count(distinct) for the mergeable
-    * HLL ([[approxDistinct]]'s aggregate]) — one pass, no Expand —
-    * kept exact here so the oracle can hash-match.
+    * columns). `ts` is profiled as epoch-ms — raw nanos exceed
+    * double's 2^53 integer range and min/max surface as DOUBLE here.
+    * At 100 TB the Expand is the dominant cost; the drop-in fix is
+    * swapping each count(distinct) for the mergeable HLL
+    * ([[approxDistinct]]'s aggregate]) — one pass, no Expand — kept
+    * exact here so the oracle can hash-match.
+    *
+    * TWO aggregates over the scan, deliberately not one (r13, found
+    * by the plan-budget net): min/max over the STRING columns carry
+    * string aggregation buffers, and one immutable buffer demotes the
+    * whole fused aggregate to SortAggregate — which sorted the
+    * 7x-EXPANDED multi-distinct stream on the grouped side of the
+    * exchange (the r12 spill class, riding on the profile's most
+    * expensive stream). Split, the distinct/count aggregate is all
+    * long buffers (HashAggregate over the Expand, no sort anywhere)
+    * and the min/max aggregate is UNGROUPED — an ungrouped
+    * SortAggregate has no ordering requirement, so it sorts nothing.
+    * The two one-row results meet in a broadcast cross join (the
+    * scalar-denominator idiom).
     */
   val profile = QueryDef(
     "q_profile", {
@@ -295,15 +305,16 @@ object Stats {
       (s, d) => {
         val e = Tables.events(s, d)
           .withColumn("ts_ms", Tables.eventTsMs).drop("ts")
-        val aggs =
+        val countAggs =
           Seq(count(lit(1)).as("n")) ++
             (numericCols ++ stringCols).flatMap { c =>
               Seq(count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c"))
-            } ++
-            numericCols.flatMap { c =>
-              Seq(min(col(c)).cast(DoubleType).as(s"mn_$c"),
-                max(col(c)).cast(DoubleType).as(s"mx_$c"))
-            } ++
+            }
+        val minMaxAggs =
+          numericCols.flatMap { c =>
+            Seq(min(col(c)).cast(DoubleType).as(s"mn_$c"),
+              max(col(c)).cast(DoubleType).as(s"mx_$c"))
+          } ++
             stringCols.flatMap { c =>
               Seq(min(col(c)).as(s"mns_$c"), max(col(c)).as(s"mxs_$c"))
             }
@@ -321,7 +332,8 @@ object Stats {
               lit(null).cast(DoubleType).as("max_num"),
               col(s"mns_$c").as("min_str"), col(s"mxs_$c").as("max_str"))
           }
-        e.agg(aggs.head, aggs.tail: _*)
+        e.agg(countAggs.head, countAggs.tail: _*)
+          .crossJoin(broadcast(e.agg(minMaxAggs.head, minMaxAggs.tail: _*)))
           .select(explode(array(rows: _*)).as("r"))
           .select("r.*")
       }

@@ -208,13 +208,27 @@ object Temporal {
     * store runs). ONE partial+final aggregate over the scan: open and
     * close are `min_by`/`max_by` on the unique composite order
     * (ms, event_id) — struct-ordered, so ties are impossible and the
-    * result is deterministic — which makes the whole bar map-side
-    * combinable with no window sort at all (the row_number
-    * formulation would force an exchange + per-key sort; this is the
-    * same aggregate-only shape a streaming OHLC needs). DuckDB's
-    * arg_min/arg_max take only scalar keys, so the oracle uses the
-    * order-equivalent HUGEINT composite ms*2^62 + event_id (valid
-    * while 0 <= event_id < 2^62 — event ids are dense from 0).
+    * result is deterministic. DuckDB's arg_min/arg_max take only
+    * scalar keys, so the oracle uses the order-equivalent HUGEINT
+    * composite ms*2^62 + event_id (valid while 0 <= event_id < 2^62 —
+    * event ids are dense from 0).
+    *
+    * Plan-shape adjudication (r13, surfaced by the plan-budget net):
+    * the struct order in the aggregation buffer demotes the bar to
+    * SortAggregate, whose PARTIAL pass sorts each four-column scan
+    * split by (user_id, hour_ms). The bounded-heap alternative (two
+    * TopKPerKey k=1 passes for open/close + a hash-agg for
+    * high/low/volume/sum + co-partitioned joins) was built and
+    * MEASURED both tiers: 0.47→0.60 s at sf0.1 and 5.1→41.6 s (8x
+    * WORSE) at 100x events (SCALE100_r13). The group count here is
+    * ~the OUTPUT row count (9.6M user-hours at 100x), so the
+    * alternative's three output-sized exchanges and two sort-merge
+    * joins dwarf one per-split sort of the raw scan — the opposite
+    * regime from the r12 spill class, whose folds compressed wide
+    * shuffled candidate streams with FEW groups. Kept fused and
+    * pinned (sortAgg=2 in plan_budget.tsv); the row_number window
+    * formulation would be worse than either (exchange + full per-key
+    * sort of the stream).
     */
   val ohlcResample = QueryDef(
     "q_ohlc_resample",

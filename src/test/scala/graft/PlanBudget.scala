@@ -3,22 +3,25 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.SparkPlan
 
-/** Strategy-level plan-shape counters for the global budget net
+/** Plan-shape counters for the global budget net
   * ([[PlanBudgetSpec]]): for one registered query, the number of
-  * shuffle exchanges, broadcast exchanges, sort-based aggregates, and
-  * cartesian products in the PRE-AQE physical plan (`sparkPlan`), main
+  * shuffle exchanges, broadcast exchanges, sort-based aggregates,
+  * cartesian products, and sorts in the prepared physical plan, main
   * tree plus physical subqueries.
   *
-  * Why these four: each is a plan shape whose silent appearance is a
+  * Why these five: each is a plan shape whose silent appearance is a
   * scale regression the small-SF row/hash gate cannot see — an extra
   * shuffle re-partitions the corpus, a broadcast that becomes a
   * shuffle loses the map-side join, a SortAggregate over a wide
   * payload is the r12 spill class (~300 GB at hier's paying tier,
-  * HIERTIER_r12.json), and a cartesian product is quadratic unless
-  * deliberately bounded. PlanSpec pins these shapes for a handful of
-  * queries it names; the budget pins the COUNT for every query, so a
-  * regression in any of the other ~150 still fails a test instead of
-  * waiting for a probe round to find it.
+  * HIERTIER_r12.json), a cartesian product is quadratic unless
+  * deliberately bounded, and a Sort is the spill class in its raw
+  * form (a join flipping broadcast→SMJ grows two of them; an
+  * accidental global orderBy grows one over the whole stream).
+  * PlanSpec pins these shapes for a handful of queries it names; the
+  * budget pins the COUNT for every query, so a regression in any of
+  * the other ~150 still fails a test instead of waiting for a probe
+  * round to find it.
   *
   * Measured on `executedPlan` with AQE DISABLED for the build:
   * exchanges are inserted by EnsureRequirements during preparation
@@ -42,8 +45,9 @@ object PlanBudget {
   val BudgetPath = "src/test/resources/plan_budget.tsv"
 
   final case class Counts(
-      shuffle: Int, broadcast: Int, sortAgg: Int, cartesian: Int) {
-    def tsv: String = s"$shuffle\t$broadcast\t$sortAgg\t$cartesian"
+      shuffle: Int, broadcast: Int, sortAgg: Int, cartesian: Int,
+      sorts: Int) {
+    def tsv: String = s"$shuffle\t$broadcast\t$sortAgg\t$cartesian\t$sorts"
   }
 
   /** Count the four budgeted node classes in `name`'s prepared
@@ -70,13 +74,14 @@ object PlanBudget {
         count(_.isInstanceOf[ShuffleExchangeExec]),
         count(_.isInstanceOf[BroadcastExchangeExec]),
         count(_.isInstanceOf[SortAggregateExec]),
-        count(_.isInstanceOf[CartesianProductExec]))
+        count(_.isInstanceOf[CartesianProductExec]),
+        count(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]))
     }
     counts
   }
 
   /** Parse the committed budget. Line format:
-    * `name<TAB>shuffle<TAB>broadcast<TAB>sortAgg<TAB>cartesian`;
+    * `name<TAB>shuffle<TAB>broadcast<TAB>sortAgg<TAB>cartesian<TAB>sorts`;
     * `#` comments and blank lines ignored.
     */
   def readCommitted(): Map[String, Counts] = {
@@ -86,9 +91,9 @@ object PlanBudget {
       .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { l =>
         val parts = l.split('\t')
-        require(parts.length == 5, s"malformed budget line: $l")
+        require(parts.length == 6, s"malformed budget line: $l")
         parts(0) -> Counts(parts(1).toInt, parts(2).toInt,
-          parts(3).toInt, parts(4).toInt)
+          parts(3).toInt, parts(4).toInt, parts(5).toInt)
       }.toMap
   }
 
@@ -102,7 +107,7 @@ object PlanBudget {
       """# Strategy-level plan-shape budget - PlanBudgetSpec fails on any drift.
         |# Regenerate after an INTENDED plan change (sbt "Test/runMain graft.PlanBudget")
         |# and review the diff: it is the plan-shape review.
-        |# name<TAB>shuffle_exchanges<TAB>broadcast_exchanges<TAB>sort_aggregates<TAB>cartesian_products
+        |# name<TAB>shuffle_exchanges<TAB>broadcast_exchanges<TAB>sort_aggregates<TAB>cartesian_products<TAB>sorts
         |""".stripMargin
     val rows = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val c = measure(spark, d, name)

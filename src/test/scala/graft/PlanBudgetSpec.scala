@@ -3,10 +3,10 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The global plan-shape regression net: every registered query's
-  * strategy-level (shuffle, broadcast, sort-aggregate, cartesian)
-  * node counts must equal the committed budget
+  * prepared-plan (shuffle, broadcast, sort-aggregate, cartesian,
+  * sort) node counts must equal the committed budget
   * (src/test/resources/plan_budget.tsv) — see [[PlanBudget]] for why
-  * these four counters and why equality in both directions.
+  * these five counters and why equality in both directions.
   *
   * Lesson this generalizes (r12): the SortAggregate argmin folds that
   * sort-spilled ~300 GB at hier's paying tier were invisible to every
@@ -40,9 +40,10 @@ class PlanBudgetSpec extends AnyFunSuite {
         if (got == want) None
         else Some(s"$name: committed (shuffle=${want.shuffle}, " +
           s"broadcast=${want.broadcast}, sortAgg=${want.sortAgg}, " +
-          s"cartesian=${want.cartesian}) but plan has (shuffle=${got.shuffle}, " +
-          s"broadcast=${got.broadcast}, sortAgg=${got.sortAgg}, " +
-          s"cartesian=${got.cartesian})")
+          s"cartesian=${want.cartesian}, sorts=${want.sorts}) but plan " +
+          s"has (shuffle=${got.shuffle}, broadcast=${got.broadcast}, " +
+          s"sortAgg=${got.sortAgg}, cartesian=${got.cartesian}, " +
+          s"sorts=${got.sorts})")
       }
     }
     assert(drifted.isEmpty,

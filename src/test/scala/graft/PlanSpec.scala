@@ -476,4 +476,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p17.contains("p_brand"), s"q17 should push the brand filter to the part scan:\n$p17")
     assert(p17.contains("BroadcastHashJoin"), s"q17 joins the part filter by broadcast:\n$p17")
   }
+
+  test("q_profile's remaining SortAggregates are ungrouped — the plan sorts nothing") {
+    // r13 (found by PlanBudgetSpec's net): the string min/max buffers
+    // demote their aggregate to SortAggregate, which is free ONLY
+    // while that aggregate stays ungrouped (no grouping keys -> no
+    // required child ordering). Fused with the multi-distinct expand
+    // it was grouped, and sorted the 7x-expanded stream post-shuffle
+    // (measured 2.26 -> 0.90 s at sf0.1 after the split). Pin the
+    // split: min/max may sort-aggregate, but no Sort node — and no
+    // SortAggregate with grouping keys — may appear anywhere.
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.aggregate.SortAggregateExec
+    // AQE off so executedPlan is the prepared tree (Sorts inserted by
+    // EnsureRequirements, not hidden inside AdaptiveSparkPlanExec) —
+    // the PlanBudget.measure convention.
+    TestSpark.withConfs("spark.sql.adaptive.enabled" -> "false") {
+      val p = SparkEntry.queries("q_profile")(spark, d)
+        .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan
+      val sorts = p.collect { case s: SortExec => s }
+      assert(sorts.isEmpty, s"q_profile must not sort anything:\n$p")
+      val grouped = p.collect {
+        case a: SortAggregateExec if a.groupingExpressions.nonEmpty => a
+      }
+      assert(grouped.isEmpty,
+        s"q_profile's sort-aggregates must stay ungrouped (sort-free):\n$p")
+    }
+  }
 }
