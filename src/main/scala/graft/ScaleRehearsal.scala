@@ -71,6 +71,28 @@ object ScaleRehearsal {
     // ---- derive the scaled corpus (idempotent) ----
     val outPath = java.nio.file.Paths.get(out)
     val Step = 1000000000L
+    // The replica count is STAMPED into the dir at derivation and
+    // re-checked on reuse: the events table derives under its own
+    // guard (added r13 — pre-r13 dirs carried an unscaled symlink),
+    // so without the stamp a stale dir could silently end up with
+    // documents at one factor and events at another, and every
+    // "scaled" measurement in it would be mislabeled.
+    val stamp = outPath.resolve("derived_copies.txt")
+    if (java.nio.file.Files.exists(stamp)) {
+      val stamped = new String(
+        java.nio.file.Files.readAllBytes(stamp), "UTF-8").trim.toInt
+      require(stamped == copies,
+        s"$out was derived with copies=$stamped but this run asks for " +
+          s"copies=$copies - delete the dir (or point " +
+          "SPARK_GRAFT_SCALE_DIR elsewhere) instead of measuring a " +
+          "mixed-factor corpus")
+    } else {
+      require(!java.nio.file.Files.exists(outPath.resolve("documents.parquet")),
+        s"$out holds a derived corpus with no copies stamp (pre-r13 " +
+          "layout) - delete it and re-derive so the factor is recorded")
+      java.nio.file.Files.createDirectories(outPath)
+      java.nio.file.Files.write(stamp, s"$copies\n".getBytes("UTF-8"))
+    }
     if (!java.nio.file.Files.exists(outPath.resolve("documents.parquet"))) {
       java.nio.file.Files.createDirectories(outPath)
       val abc = "abcdefghijklmnopqrstuvwxyz"
@@ -150,6 +172,15 @@ object ScaleRehearsal {
       java.nio.file.Files.delete(eventsOut)
     if (!java.nio.file.Files.exists(eventsOut)) {
       val ev = spark.read.parquet(s"$src/events.parquet")
+      // Disjointness of the per-replica id shift needs every base id
+      // below Step - a base tier past 1e9 events would silently
+      // overlap replica ranges (duplicate event_ids, colliding users)
+      // and break the decorrelation premise. Fail loudly instead.
+      val mx = ev.agg(max(col("event_id")), max(col("user_id"))).head()
+      require(mx.getLong(0) < Step && mx.getLong(1) < Step,
+        s"events ids exceed the replica step $Step (max event_id " +
+          s"${mx.getLong(0)}, max user_id ${mx.getLong(1)}) - raise " +
+          "Step before deriving this tier")
       (0 until copies).map { k =>
         ev.select((col("event_id") + lit(k * Step)).as("event_id"),
           col("ts"),

@@ -313,7 +313,7 @@ object EventPipeline {
     * PARTIAL pass sorts each scan split by user_id before combining.
     * The bounded-heap alternative (TopKPerKey k=1 for the latest row
     * + a hash-agg count + co-partitioned join) was built and MEASURED
-    * both tiers: 0.36→0.41 s at sf0.1 and 1.9→2.6 s at 100x events
+    * both tiers: 0.36→0.41 s at sf0.1 and 1.9→2.2 s at 100x events
     * (SCALE100_r13) — the per-split sort is cheaper than a second
     * pass over the scan at every tier tried, because the sort runs in
     * split-sized memory while the alternative pays the scan twice.

@@ -50,7 +50,7 @@ object PlanBudget {
     def tsv: String = s"$shuffle\t$broadcast\t$sortAgg\t$cartesian\t$sorts"
   }
 
-  /** Count the four budgeted node classes in `name`'s prepared
+  /** Count the five budgeted node classes in `name`'s prepared
     * physical plan (main tree + planned subqueries), built with AQE
     * off. Builds the query at `d` — eager builders (corpus counts,
     * Lloyd trains, fixed-point graph loops) run their build-time

@@ -34,21 +34,26 @@ class PlanBudgetSpec extends AnyFunSuite {
 
   test("every registered query's plan-shape counts match the budget") {
     val budget = PlanBudget.readCommitted()
+    // An unpinned query FAILS here too (not only in the keyset test):
+    // this test must stand alone — a filtered run that skips the
+    // keyset test must not let a never-pinned query pass unmeasured.
     val drifted = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      budget.get(name).flatMap { want =>
-        val got = PlanBudget.measure(spark, d, name)
-        if (got == want) None
-        else Some(s"$name: committed (shuffle=${want.shuffle}, " +
-          s"broadcast=${want.broadcast}, sortAgg=${want.sortAgg}, " +
-          s"cartesian=${want.cartesian}, sorts=${want.sorts}) but plan " +
-          s"has (shuffle=${got.shuffle}, broadcast=${got.broadcast}, " +
-          s"sortAgg=${got.sortAgg}, cartesian=${got.cartesian}, " +
-          s"sorts=${got.sorts})")
+      budget.get(name) match {
+        case None => Some(s"$name: not pinned in the budget file")
+        case Some(want) =>
+          val got = PlanBudget.measure(spark, d, name)
+          if (got == want) None
+          else Some(s"$name: committed (shuffle=${want.shuffle}, " +
+            s"broadcast=${want.broadcast}, sortAgg=${want.sortAgg}, " +
+            s"cartesian=${want.cartesian}, sorts=${want.sorts}) but plan " +
+            s"has (shuffle=${got.shuffle}, broadcast=${got.broadcast}, " +
+            s"sortAgg=${got.sortAgg}, cartesian=${got.cartesian}, " +
+            s"sorts=${got.sorts})")
       }
     }
     assert(drifted.isEmpty,
       "plan-shape drift (if intended, regenerate the budget with " +
-        """sbt "Test/runMain graft.PlanBudget" and review the diff):\n  """ +
+        "sbt \"Test/runMain graft.PlanBudget\" and review the diff):\n  " +
         drifted.mkString("\n  "))
   }
 }
