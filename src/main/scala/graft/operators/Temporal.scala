@@ -398,6 +398,12 @@ object Temporal {
       // 0.8 s) while the running frame over DESC hour is incremental
       // O(n) — one extra in-partition sort, no extra shuffle. (hour
       // is unique per user on the grid, so no tie subtleties.)
+      // Measured and kept r13: a variant carrying next-anchors via
+      // lead-over-hourly (dropping this desc re-sort) ran 1.5-2.3x
+      // WORSE at the 100x tier (SCALE100_r13) — the re-sort is
+      // exchange-free in-partition work, while the variant widened
+      // the dominant grid stream through its exchange and added two
+      // hourly-side exchanges.
       val wfRev = Window.partitionBy("user_id").orderBy(col("hour").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val obsHour = when(col("v").isNotNull, col("hour"))
