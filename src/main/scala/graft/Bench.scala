@@ -149,6 +149,13 @@ object Bench {
       // artifact's per-rep array shows WHERE it failed (null), not a
       // silently shorter array indistinguishable from a smaller run
       val repSlots = (1 to reps).map { rep =>
+        // Queries that persist an internal frame (the materialize-once
+        // ranking layouts, r13) would otherwise serve reps 2..n from
+        // the plan cache (CacheManager matches by canonicalized plan
+        // across builds) — the best-of-reps would then time a cache
+        // read while every other query times real work. Every rep
+        // starts cache-cold.
+        spark.catalog.clearCache()
         val (sh0, sp0) = settledCounters()
         val t0 = System.nanoTime()
         try {

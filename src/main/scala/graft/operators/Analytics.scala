@@ -351,35 +351,14 @@ object Analytics {
   val qDecile = QueryDef(
     "q_decile",
     (s, d) => {
-      val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val local = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_totalprice"))
-        .repartitionByRange(nParts, col("o_totalprice"), col("o_orderkey"))
-        .sortWithinPartitions("o_totalprice", "o_orderkey")
-        .withColumn("_mid", monotonically_increasing_id())
-        .withColumn("_pid", shiftright(col("_mid"), 33))
-        .withColumn("_lrn", col("_mid").bitwiseAND((1L << 33) - 1) + 1L)
-      // One row per shuffle partition: the running-sum window below is
-      // single-partition but over P rows, not the data.
-      val wCum = Window.orderBy("_pid")
-      val offsets = local.groupBy("_pid").agg(count(lit(1)).as("_c"))
-        .withColumn("_offset",
-          coalesce(sum("_c").over(wCum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("_n", sum("_c").over(
-          wCum.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-        .select("_pid", "_offset", "_n")
-      local.join(broadcast(offsets), "_pid")
-        .withColumn("rank", col("_lrn") + col("_offset"))
-        .withColumn("_q", expr("_n div 10"))
-        .withColumn("_r", col("_n") % 10)
-        // NTILE(10): first _r buckets hold _q+1 rows, the rest _q.
-        // (The otherwise branch never evaluates when _q = 0: every
-        // rank is <= _r * (_q + 1) = _n there.)
-        .withColumn("decile",
-          when(col("rank") <= col("_r") * (col("_q") + 1),
-            expr("(rank - 1) div (_q + 1) + 1"))
-            .otherwise(expr("_r + (rank - _r * (_q + 1) - 1) div _q + 1"))
-            .cast(LongType))
+      // Global NTILE without the single-partition window — the
+      // range-partition + per-partition-offsets discipline, ONE
+      // definition in GraftOps.ntileByRange (shared with the
+      // classify_calibration sweep since r13).
+      graft.plans.GraftOps.ntileByRange(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_totalprice"), col("o_orderkey")), 10)
+        .withColumnRenamed("bucket", "decile")
         .groupBy("decile")
         .agg(count(lit(1)).as("n_orders"),
           sumd(col("o_totalprice")).as("total_price"))

@@ -185,6 +185,99 @@ object Select {
     Some(nbOracleSql(
       "SELECT doc_id, lang = 'en' AS pos FROM documents", "lang_label")))
 
+  /** Threshold CALIBRATION sweep of the external-label classifier —
+    * the step a production quality pipeline runs between training the
+    * filter and deploying it: "at each candidate threshold, what
+    * fraction of the kept slice is truly positive (precision) and
+    * what fraction of all positives survives (recall)?" The deployed
+    * gate is then the knee of that curve, not a guessed constant.
+    *
+    * Contract: documents ranked by [[nbClassifyLang]]'s margin
+    * (descending, doc_id tie-break) and cut into 10 rank deciles —
+    * each decile boundary is a candidate threshold, reported as the
+    * decile's minimum margin. Per decile: bucket size and positive
+    * count, then CUMULATIVE kept-set stats from the top — cum_docs,
+    * cum_pos, precision_cum (cum_pos/cum_docs), recall_cum
+    * (cum_pos/total positives) and their F1. lang_label is the ground
+    * truth, exactly as in the classifier's own confusion contract.
+    *
+    * Scale shape: scoring is the classifier's own 100-TB plan; the
+    * global rank rides [[graft.plans.GraftOps.ntileByRange]] (range
+    * partition + per-partition offsets — q_decile's discipline, one
+    * shared definition, never a single-partition window over the
+    * data); everything after is decile-sized (a 10-row running
+    * window and scalar divisions). Doubles divide identically in both
+    * engines on identical inputs (the margins are hash-proven
+    * bit-equal by the classifier's own oracle), and F1 reuses the
+    * computed precision/recall columns so the op sequence matches the
+    * SQL exactly; cum_pos = 0 short-circuits F1 to 0.0 rather than
+    * tripping 0/0 NaN cross-engine comparison.
+    */
+  val nbCalibration = QueryDef(
+    "classify_calibration",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = nbClassifyLang.fn(s, d)
+        .select(col("doc_id"), col("lang_label"), col("nb_margin"))
+      val ranked = graft.plans.GraftOps.ntileByRange(
+        scored, Seq(col("nb_margin").desc, col("doc_id")), 10)
+        .withColumnRenamed("bucket", "decile")
+      val per = ranked.groupBy("decile").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("lang_label"), 1L).otherwise(0L)).as("n_pos"),
+        min(col("nb_margin")).as("threshold_margin"))
+      // 10-row frames (decile-sized, the aggregate-funnel exception)
+      val w10 = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      per
+        .withColumn("cum_docs", sum(col("n_docs")).over(w10))
+        .withColumn("cum_pos", sum(col("n_pos")).over(w10))
+        .withColumn("tot_pos", sum(col("n_pos")).over(wAll))
+        .withColumn("precision_cum",
+          col("cum_pos").cast(DoubleType) / col("cum_docs"))
+        .withColumn("recall_cum",
+          col("cum_pos").cast(DoubleType) / col("tot_pos"))
+        .withColumn("f1_cum",
+          when(col("cum_pos") > 0,
+            lit(2.0) * col("precision_cum") * col("recall_cum") /
+              (col("precision_cum") + col("recall_cum")))
+            .otherwise(lit(0.0)))
+        .select("decile", "threshold_margin", "n_docs", "n_pos",
+          "cum_docs", "cum_pos", "precision_cum", "recall_cum", "f1_cum")
+    },
+    Some(s"""WITH scored AS (${nbClassifyLang.oracle.get}),
+    ranked AS (
+      SELECT doc_id, lang_label, nb_margin,
+        CAST(NTILE(10) OVER (ORDER BY nb_margin DESC, doc_id) AS BIGINT) AS decile
+      FROM scored),
+    per AS (
+      SELECT decile, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN lang_label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        MIN(nb_margin) AS threshold_margin
+      FROM ranked GROUP BY decile),
+    cum AS (
+      SELECT decile, threshold_margin, n_docs, n_pos,
+        CAST(SUM(n_docs) OVER w AS BIGINT) AS cum_docs,
+        CAST(SUM(n_pos) OVER w AS BIGINT) AS cum_pos,
+        CAST(SUM(n_pos) OVER wa AS BIGINT) AS tot_pos
+      FROM per
+      WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING),
+             wa AS (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+    pr AS (
+      SELECT decile, threshold_margin, n_docs, n_pos, cum_docs, cum_pos,
+        CAST(cum_pos AS DOUBLE) / cum_docs AS precision_cum,
+        CAST(cum_pos AS DOUBLE) / tot_pos AS recall_cum
+      FROM cum)
+    SELECT decile, threshold_margin, CAST(n_docs AS BIGINT) AS n_docs,
+      n_pos, cum_docs, cum_pos, precision_cum, recall_cum,
+      CASE WHEN cum_pos > 0
+           THEN 2.0 * precision_cum * recall_cum / (precision_cum + recall_cum)
+           ELSE 0.0 END AS f1_cum
+    FROM pr ORDER BY decile"""))
+
   private val DsirB = 1024 // hashed-feature buckets
   private val DsirK = 100 // resample size
   private val DsirM = 1 << 20 // uniform-draw granularity
@@ -419,5 +512,6 @@ object Select {
         (score9 > 0).as("nb_pred"))
   }
 
-  val defs: Seq[QueryDef] = Seq(nbClassify, nbClassifyLang, dsir, mixDsir)
+  val defs: Seq[QueryDef] = Seq(nbClassify, nbClassifyLang, nbCalibration,
+    dsir, mixDsir)
 }

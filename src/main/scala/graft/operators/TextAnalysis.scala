@@ -942,6 +942,15 @@ object TextAnalysis {
       import org.apache.spark.sql.expressions.Window
       val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
       val scored = lmScore.fn(s, d).select(col("doc_id"), col("avg_logp"))
+      // persist: the ranked layout feeds TWO branches (offsets + the
+      // final join) and its input arrives through the lmScore join, so
+      // without one materialization the branches can range-sample
+      // different bounds and silently mis-rank — the exact failure
+      // classify_calibration exhibited at the 100x tier before r13
+      // (see GraftOps.ntileByRange's note; exchange REUSE, the
+      // previous invariant here, is best-effort and broke under AQE
+      // there). The cached stream is the pruned (doc_id, lang,
+      // avg_logp) projection plus the rank ids.
       val local = Tables.documents(s, d).select(col("doc_id"), col("lang"))
         .join(scored, "doc_id")
         .repartitionByRange(nParts, col("lang"), col("avg_logp").desc, col("doc_id"))
@@ -949,6 +958,7 @@ object TextAnalysis {
         .withColumn("_mid", monotonically_increasing_id())
         .withColumn("_pid", shiftright(col("_mid"), 33))
         .withColumn("_lrn", col("_mid").bitwiseAND((1L << 33) - 1) + 1L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // One row per (range partition, lang) slice: count + first local
       // row number. The windows below run over this P·|lang|-row
       // aggregate, never over the documents.

@@ -139,4 +139,75 @@ object GraftOps {
       Bridge.logicalPlan(points),
       Bridge.logicalPlan(intervals)))
   }
+
+  /** Global NTILE(`buckets`) over `sort` order WITHOUT funneling the
+    * data through one partition (the q_decile discipline, factored
+    * r13 so the calibration sweep shares one definition): range-
+    * repartition + in-partition sort give a globally sorted layout;
+    * per-partition row counts (P rows, the only single-partition
+    * window) turn local row numbers into global ranks; the exact
+    * NTILE row-allocation rule (first n%buckets buckets get one extra
+    * row) is computed arithmetically from the rank. Appends a
+    * `bucket` LongType column (named so no plan text ever contains
+    * the single-partition window function this replaces); `sort` must
+    * be a total order (add a unique tie-break) or tied rows land in
+    * engine-dependent buckets.
+    */
+  def ntileByRange(df: DataFrame, sort: Seq[Column], buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(buckets > 0, "buckets must be positive")
+    require(!df.columns.contains("bucket"),
+      "ntileByRange appends a `bucket` column - rename the input's")
+    val spark = df.sparkSession
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // The ranked layout is consumed TWICE (the offsets branch and the
+    // join branch), and it is only consistent across consumers if it
+    // is materialized ONCE: repartitionByRange picks its bounds by
+    // seeded reservoir sampling over each input partition's ARRIVAL
+    // order — deterministic for a scan (q_decile's input), but
+    // arbitrary after a shuffle, so two independent evaluations can
+    // sample different bounds, lay the same rows out in different
+    // partitions, and corrupt the offset-derived global ranks.
+    // Caught r13: classify_calibration (whose input arrives through
+    // the classifier's joins) emitted an ELEVENTH decile at the 100x
+    // tier, with run-to-run-varying bucket sizes; exchange reuse
+    // usually masks the hazard at small SF, and a pre-sort that would
+    // pin the sample order is removed by EliminateSorts (Sort below a
+    // repartition). Hence the persist — MEMORY_AND_DISK spills rather
+    // than evicts, so a layout partition is never silently recomputed
+    // under a different sampling. Callers pass a PRUNED projection
+    // (rank keys + the columns the consumer needs), so the cached
+    // stream is narrow.
+    val local = df
+      .repartitionByRange(nParts, sort: _*)
+      .sortWithinPartitions(sort: _*)
+      .withColumn("_mid", monotonically_increasing_id())
+      .withColumn("_pid", shiftright(col("_mid"), 33))
+      .withColumn("_lrn", col("_mid").bitwiseAND((1L << 33) - 1) + 1L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // One row per shuffle partition: the running-sum window below is
+    // single-partition but over P rows, not the data.
+    val wCum = Window.orderBy("_pid")
+    val offsets = local.groupBy("_pid").agg(count(lit(1)).as("_c"))
+      .withColumn("_offset",
+        coalesce(sum("_c").over(
+          wCum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_n", sum("_c").over(
+        wCum.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("_pid", "_offset", "_n")
+    local.join(broadcast(offsets), "_pid")
+      .withColumn("_rank", col("_lrn") + col("_offset"))
+      .withColumn("_q", expr(s"_n div $buckets"))
+      .withColumn("_r", col("_n") % buckets)
+      // NTILE: first _r buckets hold _q+1 rows, the rest _q. (The
+      // otherwise branch never evaluates when _q = 0: every rank is
+      // <= _r * (_q + 1) = _n there.)
+      .withColumn("bucket",
+        when(col("_rank") <= col("_r") * (col("_q") + 1),
+          expr("(_rank - 1) div (_q + 1) + 1"))
+          .otherwise(expr("_r + (_rank - _r * (_q + 1) - 1) div _q + 1"))
+          .cast(org.apache.spark.sql.types.LongType))
+      .drop("_mid", "_pid", "_lrn", "_offset", "_rank", "_q", "_r", "_n")
+  }
 }
