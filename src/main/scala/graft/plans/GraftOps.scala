@@ -178,7 +178,13 @@ object GraftOps {
     // than evicts, so a layout partition is never silently recomputed
     // under a different sampling. Callers pass a PRUNED projection
     // (rank keys + the columns the consumer needs), so the cached
-    // stream is narrow.
+    // stream is narrow. (q_skyline and dedup_substring guard the same
+    // hazard with an EAGER localCheckpoint(true); persist is chosen
+    // here because it keeps the builder lazy — Explain/PlanBudget can
+    // build the plan without running the ranking job — and is equally
+    // safe under partition loss: the range bounds live in the
+    // materialized RDD's partitioner, so a recomputed partition
+    // re-reads the same shuffle output under the same bounds.)
     val local = df
       .repartitionByRange(nParts, sort: _*)
       .sortWithinPartitions(sort: _*)
