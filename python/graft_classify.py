@@ -109,8 +109,15 @@ def make_score_batches(artifacts_dir):
             texts = batch.column("text")
             out = {name: [] for name in OUT_SCHEMA_ARROW.names}
             for i in range(batch.num_rows):
+                text = texts[i].as_py()
+                if text is None:
+                    # parity with the distributed scorer: Spark's
+                    # split(NULL) yields NULL, the token explode drops
+                    # it, and the doc never reaches the score output -
+                    # skip rather than crash the Arrow job (r13 review)
+                    continue
                 n_toks, margin, pred = score_tokens(
-                    texts[i].as_py(), llr, corr9, prior9)
+                    text, llr, corr9, prior9)
                 out["doc_id"].append(doc_ids[i].as_py())
                 out["n_toks"].append(n_toks)
                 out["nb_margin"].append(margin)

@@ -43,6 +43,9 @@ object Bench {
   /** Committed calm-window canary level (seconds) on the round's
     * reference hardware at local[32] — re-pin via
     * SPARK_GRAFT_CANARY_COMMITTED when the fleet hardware changes.
+    * The level is core-count-specific (the canary scales with cores),
+    * so the inflated flag only arms at local[32] or under an explicit
+    * SPARK_GRAFT_CANARY_COMMITTED pin.
     * Pinned to the IN-BENCH calm level, not the idle level: mid/end
     * samples inherit the bench's own residual GC pressure, which is
     * part of every calm window and must not read as external load.
@@ -205,16 +208,30 @@ object Bench {
     val canaryEnd = runCanary(spark)
     val canarySamples = Seq(canaryStart, canaryMid, canaryEnd).filter(_ >= 0)
     val canaryMedian = canarySamples.sorted.apply(canarySamples.size / 2)
-    val committed = sys.env.get("SPARK_GRAFT_CANARY_COMMITTED")
-      .map(_.toDouble).getOrElse(CanaryCommittedSec)
-    val canaryRatio = canaryMedian / committed
-    val inflated = canaryRatio > CanaryInflatedRatio
-    if (inflated) System.err.println(
-      f"[bench] WINDOW INFLATED: canary median $canaryMedian%.3f s = " +
-        f"$canaryRatio%.2fx its committed calm level ($committed%.3f s) - " +
-        "treat per-query regressions in this artifact as suspect")
-    val canaryJson =
-      f"""{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f,"median":$canaryMedian%.3f,"committed":$committed%.3f,"ratio":$canaryRatio%.2f,"inflated":$inflated}"""
+    // The built-in committed level is pinned at local[32] — the
+    // canary's wall time scales with cores, so comparing a local[4]
+    // run against it would self-flag every calm default-config window
+    // (r13 review). Off the reference core count, the flag needs an
+    // explicitly pinned level (SPARK_GRAFT_CANARY_COMMITTED) or stays
+    // off; the three samples still land in the artifact either way.
+    val committedOpt = sys.env.get("SPARK_GRAFT_CANARY_COMMITTED")
+      .map(_.toDouble)
+      .orElse(if (cpus == "32") Some(CanaryCommittedSec) else None)
+    val canaryJson = committedOpt match {
+      case Some(committed) =>
+        val canaryRatio = canaryMedian / committed
+        val inflated = canaryRatio > CanaryInflatedRatio
+        if (inflated) System.err.println(
+          f"[bench] WINDOW INFLATED: canary median $canaryMedian%.3f s = " +
+            f"$canaryRatio%.2fx its committed calm level ($committed%.3f s) - " +
+            "treat per-query regressions in this artifact as suspect")
+        f"""{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f,"median":$canaryMedian%.3f,"committed":$committed%.3f,"ratio":$canaryRatio%.2f,"inflated":$inflated}"""
+      case None =>
+        System.err.println(s"[bench] canary flag disabled: committed calm " +
+          s"level is pinned at local[32] but this run uses local[$cpus] - " +
+          "set SPARK_GRAFT_CANARY_COMMITTED to enable it here")
+        f"""{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f,"median":$canaryMedian%.3f,"committed":null,"ratio":null,"inflated":null}"""
+    }
 
     val total = results.collect { case (_, (v, _, _), _) if v >= 0 => v }.sum
     // failures surfaced explicitly: a broken query must not read as a

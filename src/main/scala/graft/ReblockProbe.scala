@@ -114,6 +114,13 @@ object ReblockProbe {
     val (cells0, skew0, retrain0) = skewRow()
     val v0 = verdicts()
     val flagged0 = v0.size
+    // every *_frac below divides by this: zero flagged arrivals means
+    // the sampling scheme found no planted dups to preserve — the
+    // probe would emit NaN (invalid JSON) and measure nothing
+    require(flagged0 > 0,
+      s"no sampled arrival was flagged against the store ($nSample " +
+        "arrivals) - the probe's planted-dup sampling found nothing to " +
+        "measure on this corpus; widen the sample before re-running")
 
     // 2. FLAT maintenance re-block (the steady-state job)
     val (_, flatSec) = timed(
@@ -128,42 +135,29 @@ object ReblockProbe {
     val (_, hierSec) = timed(
       EmbStream.reblockIndex(spark, centDir, bandDir, vecDir,
         maxCells = 256))
-    val isHier = EmbStream.loadCodebook(spark, centDir) match {
-      case EmbStream.HierCodebook => true
-      case _ => false
-    }
-    // hier codebook: verdicts through the joined-table assignment
+    val cbAfter = EmbStream.loadCodebook(spark, centDir)
+    require(cbAfter == EmbStream.HierCodebook,
+      s"expected a hier codebook after the seam-forced re-block, got $cbAfter")
+    // the require above means an emitted line always reads true; the
+    // field is retained for artifact-shape stability
+    val isHier = true
+    // hier codebook: the LITERAL production tail
+    // (EmbStream.dedupBatchBlockedFrom, same as v0/v1's path) over the
+    // joined-table assignment — a prior revision inlined ~20 lines of
+    // the candidate/verify chain here and had already drifted from the
+    // loop's semantics (r13 review: the copy omitted the arrivals' own
+    // band rows and the batch side of the verify union)
     val v2 = {
-      val cb = EmbStream.loadCodebook(spark, centDir)
-      require(cb == EmbStream.HierCodebook,
-        s"expected a hier codebook after the seam-forced re-block, got $cb")
       val (supLive, children) = EmbStream.hierCodebookFrames(spark, centDir)
       val qc = arrivals.join(
         Similarity.hierCellsOf(arrivals, supLive, children,
           Similarity.blockProbe).select("vec_id", "cells"), "vec_id")
         .select(col("vec_id"), col("cells"), col("qa"))
-      val bandRows = EmbStream.bandRowsOfCells(qc)
-      val arr = bandRows.select(col("cell"), col("band_id"), col("band_val"),
-        col("vec_id").as("i"))
-      val prior = spark.read.parquet(bandDir)
-        .select(col("cell"), col("band_id"), col("band_val"),
-          col("vec_id").as("j"))
-      val cand = arr.join(prior, Seq("cell", "band_id", "band_val"))
-        .filter(col("j") < col("i")).select("i", "j").dropDuplicates("i", "j")
-      // exact verify against the store (the shared tail's semantics,
-      // inlined: arrivals are disjoint from the store by BigOffset)
-      val qi = arrivals.select(col("vec_id").as("i"),
-        col("qa").as("qi"), col("na").as("ni"))
-      val qj = spark.read.parquet(vecDir).select(col("vec_id").as("j"),
-        col("qa").as("qj"), col("na").as("nj"))
-      graft.plans.GraftOps.topKPerKey(
-        cand.join(qi, "i").join(qj, "j")
-          .withColumn("cos", Similarity.cosineCol(
-            Similarity.dotCol(col("qi"), col("qj")), col("ni"), col("nj")))
-          .filter(col("cos") >= Similarity.nearDupTau)
-          .select(col("i").as("vec_id"), col("j"), col("cos")),
-        Seq(col("vec_id")), -col("j"), col("j"), 1)
-        .select("vec_id", "j").collect()
+      EmbStream.dedupBatchBlockedFrom(arrivals, qc,
+        spark.read.parquet(bandDir), spark.read.parquet(vecDir),
+        Similarity.nearDupTau)
+        .filter(col("partner_id").isNotNull)
+        .select("vec_id", "partner_id").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
     }
     val keptHier = v0.count { case (k2, p) => v2.get(k2).contains(p) }

@@ -250,8 +250,12 @@ object EmbStream {
       .computeIfAbsent(key, _ => new java.util.concurrent.atomic.AtomicLong)
       .incrementAndGet()
     val src = spark.read.parquet(centDir)
+    // A pre-r13 codebook has no `level` column at all (flat was the
+    // only regime) — it must load as flat, not crash the first batch
+    // after an upgrade on an AnalysisException (r13 review).
     val cb: Codebook =
-      if (!src.where(col("level") === 0).limit(1).isEmpty) HierCodebook
+      if (src.columns.contains("level") &&
+          !src.where(col("level") === 0).limit(1).isEmpty) HierCodebook
       else {
         // k rows collected ONCE per query lifetime, bounded by the
         // same MaxBlockCells ceiling the batch path's stage-1 collect
@@ -318,6 +322,63 @@ object EmbStream {
         .select(col("vec_id"), col("cells"), col("qa"))
   }
 
+  // --------------------------------------------------------------
+  // Codebook/index EPOCH markers: writeQuantizer stamps the same
+  // token into both dirs, and every batch requires the tokens to
+  // match. The two atomicReplace swaps in reblockIndex are each
+  // atomic but not atomic TOGETHER — a crash between them would
+  // install a new codebook against the old band index, and arrivals
+  // would then probe cells the index rows never cite: candidate
+  // recall silently collapses to ~0 with no error (r13 review). The
+  // marker turns that torn state into a loud first-batch failure
+  // naming the recovery (re-run reblockIndex). Underscore-prefixed,
+  // so parquet listing ignores it; a pre-epoch store (neither marker)
+  // skips the check.
+  // --------------------------------------------------------------
+
+  private val EpochFile = "_graft_epoch"
+
+  private def epochFs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(dir.stripSuffix("/"), EpochFile)
+    (p.getFileSystem(org.apache.spark.sql.graft.Bridge.newHadoopConf(spark)), p)
+  }
+
+  private[graft] def writeEpoch(spark: org.apache.spark.sql.SparkSession,
+      dir: String, token: String): Unit = {
+    val (fs, p) = epochFs(spark, dir)
+    val out = fs.create(p, true)
+    try out.write(token.getBytes("UTF-8")) finally out.close()
+  }
+
+  private[graft] def readEpoch(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[String] = {
+    val (fs, p) = epochFs(spark, dir)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        Some(new String(bytes, "UTF-8"))
+      } finally in.close()
+    }
+  }
+
+  private[graft] def requireConsistentEpochs(
+      spark: org.apache.spark.sql.SparkSession,
+      centDir: String, bandDir: String): Unit =
+    (readEpoch(spark, centDir), readEpoch(spark, bandDir)) match {
+      case (Some(a), Some(b)) if a != b =>
+        throw new IllegalStateException(
+          s"codebook ($centDir) and band index ($bandDir) carry different " +
+            s"retrain epochs ($a vs $b) - a re-block was torn between its " +
+            "two directory swaps; re-run EmbStream.reblockIndex to converge " +
+            "before processing batches (a mixed quantizer/index pair would " +
+            "silently collapse candidate recall, never fail verify)")
+      case _ => () // consistent, or a pre-epoch store
+    }
+
   /** Write the codebook + cell-keyed band index for corpus `q`
     * (quantized, ids dense from 0 under `seeds` = the dense rule; a
     * re-block passes [[Similarity.lowestIdSeeds]] because survivor ids
@@ -357,6 +418,11 @@ object EmbStream {
           .select(col("vec_id"), col("cells"), col("qa")))
         .write.mode("overwrite").parquet(bandDir)
     }
+    // both artifacts just came from THIS train: stamp the shared epoch
+    // (after the parquet writes — mode("overwrite") clears the dirs)
+    val epoch = java.util.UUID.randomUUID().toString
+    writeEpoch(spark, centDir, epoch)
+    writeEpoch(spark, bandDir, epoch)
     invalidateCodebook(centDir)
   }
 
@@ -402,9 +468,14 @@ object EmbStream {
     * Safety: run in the maintenance window (no concurrent appender),
     * like [[graft.sources.Layout.compact]] — each dir's swap is
     * atomic, and a reader between the two swaps degrades candidate
-    * RECALL only (verify stays exact cosine), never correctness.
-    * Verdict preservation — same accepted set, new cells — is
-    * spec-proven (EmbStreamBlockedSpec).
+    * RECALL only (verify stays exact cosine), never correctness. The
+    * two swaps are NOT atomic together: a crash between them would
+    * install the new codebook against the old index — a torn state
+    * the shared EPOCH marker turns into a loud first-batch failure
+    * ([[requireConsistentEpochs]]) naming the recovery (re-run this
+    * job) instead of a silent recall collapse. Verdict preservation —
+    * same accepted set, new cells — is spec-proven
+    * (EmbStreamBlockedSpec).
     */
   def reblockIndex(spark: org.apache.spark.sql.SparkSession,
       centDir: String, bandDir: String, vecDir: String,
@@ -466,7 +537,7 @@ object EmbStream {
     * identical exact-cosine semantics to the banded loop and the
     * batch operators.
     */
-  private def dedupBatchBlockedFrom(
+  private[graft] def dedupBatchBlockedFrom(
       batchQ: DataFrame, qCells: DataFrame, bandIndex: DataFrame,
       vecs: DataFrame, tau: Double): DataFrame = {
     val bandRows = bandRowsOfCells(qCells)
@@ -505,26 +576,34 @@ object EmbStream {
       bandDir: String, vecDir: String, verdictsDir: String, batchId: Long,
       tau: Double = Similarity.nearDupTau): Unit = {
     val spark = batch.sparkSession
+    requireConsistentEpochs(spark, centDir, bandDir)
     val cb = loadCodebook(spark, centDir)
     val q = Similarity.quantizeCols(batch).persist()
+    // assignment computed ONCE per batch and shared by the dedup and
+    // the survivor-append paths (r13 review: the survivors are a
+    // subset of q, and under a hier codebook re-assigning them paid
+    // the two-stage probe join a second time every batch)
+    val qCells = cellsOf(spark, centDir, cb, q).persist()
     try {
       IdWatermark.checkAndAdvance(q, "vec_id", bandDir, batchId, "embstream")
-      val verdicts = dedupBatchBlockedFrom(q, cellsOf(spark, centDir, cb, q),
+      val verdicts = dedupBatchBlockedFrom(q, qCells,
         spark.read.parquet(bandDir), spark.read.parquet(vecDir), tau)
         .persist()
       try {
         verdicts.write.mode("overwrite")
           .parquet(s"$verdictsDir/batch=$batchId")
-        val survivors = q.join(
-          verdicts.filter(col("partner_id").isNull).select("vec_id"),
-          Seq("vec_id"), "left_semi").persist()
+        val survivorIds = verdicts.filter(col("partner_id").isNull)
+          .select("vec_id")
+        val survivors = q.join(survivorIds, Seq("vec_id"), "left_semi")
+          .persist()
         try {
-          bandRowsOfCells(cellsOf(spark, centDir, cb, survivors))
+          bandRowsOfCells(
+            qCells.join(survivorIds, Seq("vec_id"), "left_semi"))
             .write.mode("append").parquet(bandDir)
           survivors.write.mode("append").parquet(vecDir)
         } finally survivors.unpersist()
       } finally verdicts.unpersist()
-    } finally q.unpersist()
+    } finally { qCells.unpersist(); q.unpersist() }
   }
 
   /** Start the BLOCKED streaming near-dup loop (bootstrap with

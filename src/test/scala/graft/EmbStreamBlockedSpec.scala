@@ -308,4 +308,59 @@ class EmbStreamBlockedSpec extends AnyFunSuite
     assert(hot.getBoolean(hot.fieldIndex("retrain")),
       s"skew ${hot.getDouble(hot.fieldIndex("skew"))} should trip retrain")
   }
+
+  test("a pre-r13 codebook (no level column) loads as flat, not as a crash") {
+    import spark.implicits._
+    val (centDir, bandDir, vecDir) = (tmp("legacyc"), tmp("legacyb"), tmp("legacyv"))
+    EmbStream.writeIndexBlocked(
+      Seq((0L, dirA), (1L, dirB), (2L, dirC)).toDF("vec_id", "embedding"),
+      centDir, bandDir, vecDir)
+    val (ids, cents) = EmbStream.readCodebook(spark, centDir)
+    // rewrite the codebook in the PRE-r13 layout: (idx, cell, cvec)
+    // only — the upgrade scenario is a durable store bootstrapped
+    // before the hier regime existed ("run once; the stream appends")
+    val legacyDir = tmp("legacyold")
+    spark.read.parquet(centDir).select("idx", "cell", "cvec")
+      .write.mode("overwrite").parquet(legacyDir)
+    val (ids2, cents2) = EmbStream.readCodebook(spark, legacyDir)
+    assert(ids2.toSeq == ids.toSeq, "legacy codebook cell ids must roundtrip")
+    assert(cents2.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq,
+      "legacy codebook centroids must roundtrip")
+  }
+
+  test("a torn re-block (mismatched epochs) fails the next batch loudly") {
+    import spark.implicits._
+    val (centDir, bandDir, vecDir, verdictsDir) =
+      (tmp("tornc"), tmp("tornb"), tmp("tornv"), tmp("torno"))
+    EmbStream.writeIndexBlocked(
+      Seq((0L, dirA), (1L, dirB)).toDF("vec_id", "embedding"),
+      centDir, bandDir, vecDir)
+    // the bootstrap stamped one shared epoch into both dirs
+    assert(EmbStream.readEpoch(spark, centDir).nonEmpty &&
+      EmbStream.readEpoch(spark, centDir) == EmbStream.readEpoch(spark, bandDir),
+      "bootstrap must stamp the same epoch into codebook and index")
+    val batch = Seq((100L, dirA)).toDF("vec_id", "embedding")
+    // healthy store: the batch processes
+    EmbStream.processBatchBlocked(batch, centDir, bandDir, vecDir,
+      verdictsDir, batchId = 0L)
+    // simulate the crash between reblockIndex's two swaps: the
+    // codebook carries a NEW epoch, the index still the old one
+    // (written through the same FS writer — a raw file overwrite would
+    // trip LocalFileSystem's .crc sidecar, not the epoch check)
+    EmbStream.writeEpoch(spark, centDir, "torn-retrain-epoch")
+    val e = intercept[IllegalStateException] {
+      EmbStream.processBatchBlocked(batch, centDir, bandDir, vecDir,
+        verdictsDir, batchId = 1L)
+    }
+    assert(e.getMessage.contains("reblockIndex"),
+      s"the torn-state error must name the recovery: ${e.getMessage}")
+    // a PRE-epoch store (neither marker) must still process — the
+    // check is an upgrade-compatible guard, not a new requirement
+    for (d <- Seq(centDir, bandDir); f <- Seq("_graft_epoch", "._graft_epoch.crc")) {
+      val p = java.nio.file.Paths.get(d, f)
+      if (java.nio.file.Files.exists(p)) java.nio.file.Files.delete(p)
+    }
+    EmbStream.processBatchBlocked(batch, centDir, bandDir, vecDir,
+      verdictsDir, batchId = 2L)
+  }
 }
