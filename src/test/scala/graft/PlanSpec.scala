@@ -497,6 +497,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p17.contains("BroadcastHashJoin"), s"q17 joins the part filter by broadcast:\n$p17")
   }
 
+  test("checkpointed two-phase layouts read the materialized RDD, not a re-planned exchange") {
+    // q_skyline and dedup_substring guard the same layout-consistency
+    // hazard as the ranking queries (see the cache-fed test) with an
+    // EAGER localCheckpoint(true): by plan time the range layout has
+    // already run once, so the final plan must consume it as an
+    // ExistingRDD scan and carry NO live range exchange — a re-planned
+    // exchange would re-sample bounds and desynchronize the branches.
+    // the AQE wrapper is a leaf to collect — match the plan TEXT
+    // (the finalized section only; AQE's toString repeats the tree
+    // under "== Initial Plan ==")
+    for (q <- Seq("q_skyline", "dedup_substring")) {
+      val text = SparkEntry.queries(q)(spark, d)
+        .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(text.contains("Scan ExistingRDD") || text.contains("Scan[obj"),
+        s"$q: expected the checkpointed layout as an RDD scan " +
+          s"(`Scan ExistingRDD`/`Scan[obj`):\n$text")
+      assert(!text.contains("rangepartitioning"),
+        s"$q: a live range exchange bypasses the checkpointed layout:\n$text")
+    }
+  }
+
   test("q_profile's remaining SortAggregates are ungrouped — the plan sorts nothing") {
     // r13 (found by PlanBudgetSpec's net): the string min/max buffers
     // demote their aggregate to SortAggregate, which is free ONLY
