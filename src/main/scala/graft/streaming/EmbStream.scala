@@ -213,9 +213,17 @@ object EmbStream {
   // PqCodes discipline): a racing first touch reads the frozen parquet
   // twice, harmlessly, and putIfAbsent keeps one canonical entry.
   // [[reblockIndex]] and [[writeIndexBlocked]] invalidate their dir's
-  // entry — the ONLY two writers of a codebook.
+  // entry — the ONLY two writers of a codebook IN THIS JVM. A writer
+  // in ANOTHER JVM (the maintenance re-block is an offline job) cannot
+  // invalidate here, so each entry also carries the store EPOCH it was
+  // loaded under and is revalidated against the marker on every hit —
+  // a cross-JVM re-block would otherwise leave this JVM assigning with
+  // the stale quantizer against the NEW index, the exact mixed state
+  // the epoch check exists to prevent, undetected because the two
+  // DIRS agree (r13 review of the r13 fix). The marker read is one
+  // tiny FS stat per batch, paid alongside requireConsistentEpochs.
   private val codebookCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Codebook]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Option[String], Codebook)]()
   private val codebookLoadCounts =
     new java.util.concurrent.ConcurrentHashMap[String,
       java.util.concurrent.atomic.AtomicLong]()
@@ -237,15 +245,16 @@ object EmbStream {
   private[graft] def invalidateCodebook(centDir: String): Unit =
     codebookCache.remove(cbKey(centDir))
 
-  /** The frozen codebook, loaded once per JVM per dir and cached (the
-    * regime probe + for flat codebooks the k-row collect both happen
-    * only on the first batch).
+  /** The frozen codebook, loaded once per JVM per dir PER EPOCH and
+    * cached (the regime probe + for flat codebooks the k-row collect
+    * both happen only on the first batch after a load or a re-block).
     */
   private[graft] def loadCodebook(
       spark: org.apache.spark.sql.SparkSession, centDir: String): Codebook = {
     val key = cbKey(centDir)
+    val epoch = readEpoch(spark, centDir)
     val cached = codebookCache.get(key)
-    if (cached != null) return cached
+    if (cached != null && cached._1 == epoch) return cached._2
     codebookLoadCounts
       .computeIfAbsent(key, _ => new java.util.concurrent.atomic.AtomicLong)
       .incrementAndGet()
@@ -265,8 +274,10 @@ object EmbStream {
         FlatCodebook(rows.map(_.getLong(1)),
           rows.map(_.getSeq[Long](2).toArray))
       }
-    codebookCache.putIfAbsent(key, cb)
-    codebookCache.get(key)
+    // plain put, not putIfAbsent: an epoch-mismatched stale entry must
+    // be REPLACED (racing same-epoch loads put identical content)
+    codebookCache.put(key, (epoch, cb))
+    cb
   }
 
   /** The flat codebook in codebook order — the historical accessor

@@ -363,4 +363,42 @@ class EmbStreamBlockedSpec extends AnyFunSuite
     EmbStream.processBatchBlocked(batch, centDir, bandDir, vecDir,
       verdictsDir, batchId = 2L)
   }
+
+  test("a re-block by ANOTHER JVM refreshes this JVM's cached codebook (epoch-validated)") {
+    import spark.implicits._
+    val (centDir, bandDir, vecDir) = (tmp("xjvmc"), tmp("xjvmb"), tmp("xjvmv"))
+    EmbStream.writeIndexBlocked(
+      Seq((0L, dirA), (1L, dirB)).toDF("vec_id", "embedding"),
+      centDir, bandDir, vecDir)
+    val (ids1, _) = EmbStream.readCodebook(spark, centDir)
+    val loads1 = EmbStream.codebookLoads(centDir)
+    // same epoch: a second read serves from cache, no new load
+    EmbStream.readCodebook(spark, centDir)
+    assert(EmbStream.codebookLoads(centDir) === loads1,
+      "same-epoch read must hit the cache")
+    // simulate an offline maintenance re-block in a DIFFERENT JVM:
+    // rewrite codebook + index + epochs directly, WITHOUT touching
+    // this JVM's invalidation path (which only same-JVM writers call)
+    val q2 = Similarity.quantizeCols(
+      Seq((0L, dirB), (1L, dirC)).toDF("vec_id", "embedding"))
+    val (ids2w, cents2w) = Similarity.lloydCellsSeeded(
+      q2, q2.filter(col("vec_id") < 2))
+    ids2w.zipWithIndex
+      .map { case (id, i) => (1, i, id, cents2w(i).toSeq,
+        None: Option[Long]) }
+      .toSeq.toDF("level", "idx", "cell", "cvec", "super")
+      .write.mode("overwrite").parquet(centDir)
+    EmbStream.writeEpoch(spark, centDir, "other-jvm-retrain")
+    EmbStream.writeEpoch(spark, bandDir, "other-jvm-retrain")
+    // the stale cache entry must NOT be served: the epoch changed, so
+    // the next load re-reads storage and sees the retrained centroids
+    val (ids3, cents3) = EmbStream.readCodebook(spark, centDir)
+    assert(EmbStream.codebookLoads(centDir) === loads1 + 1,
+      "epoch change must force a storage reload")
+    assert(ids3.toSeq == ids2w.toSeq &&
+      cents3.map(_.toSeq).toSeq == cents2w.map(_.toSeq).toSeq,
+      "the reload must surface the other JVM's retrained codebook")
+    assert(ids3.toSeq == ids1.toSeq,
+      "seed rule unchanged: cell ids still the two lowest vec_ids")
+  }
 }
