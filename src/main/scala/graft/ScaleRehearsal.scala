@@ -23,7 +23,18 @@ import org.apache.spark.sql.functions._
   *     preserved, but no shingle survives across replicas;
   *   - embeddings: per-replica circular shift of the vector (norms
   *     and pairwise geometry within a replica preserved; shifted
-  *     replicas mutually near-orthogonal on this corpus).
+  *     replicas mutually near-orthogonal on this corpus);
+  *   - events (r13 — the events family previously had no scale tier):
+  *     id-space decorrelation only — event_id AND user_id shift by
+  *     disjoint per-replica ranges, so the group count (users,
+  *     user-hours, sessions) scales with copies while every per-group
+  *     density and the time range are preserved; content columns
+  *     never compare across users, so nothing else needs permuting.
+  *
+  * The replica count is stamped into the derived dir
+  * (`derived_copies.txt`) and a reuse under a different factor
+  * refuses loudly — the events table derives under its own guard, so
+  * without the stamp a stale dir could silently mix factors.
   *
   * Expected shapes, which the printed ratios verify: the hash/band
   * blocked dedups, text statistics, and fixed-round graph loops scale
