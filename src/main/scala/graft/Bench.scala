@@ -40,21 +40,64 @@ object Bench {
     */
   private val CanaryRows = 64L << 20
 
-  /** Committed calm-window canary level (seconds) on the round's
-    * reference hardware at local[32] — re-pin via
-    * SPARK_GRAFT_CANARY_COMMITTED when the fleet hardware changes.
-    * The level is core-count-specific (the canary scales with cores),
-    * so the inflated flag only arms at local[32] or under an explicit
-    * SPARK_GRAFT_CANARY_COMMITTED pin.
-    * Pinned to the IN-BENCH calm level, not the idle level: mid/end
-    * samples inherit the bench's own residual GC pressure, which is
-    * part of every calm window and must not read as external load.
-    * Measured r13 on an idle box (load 4/32, only the bench JVM):
-    * full-registry window medians 0.549/0.583 s (per-sample 0.39-0.61;
-    * start samples run cooler — they follow only the warmup);
-    * idle-JVM medians for reference: 0.39-0.45 s.
+  /** Fallback committed calm-window canary level (seconds) on the
+    * round's reference hardware at local[32]. Since r14 this constant
+    * is only the BOOTSTRAP: the committed level self-re-pins from the
+    * artifact lineage (`canary_lineage.jsonl`, the last
+    * [[CanaryLineageN]] calm-window medians at the same core count —
+    * see [[resolveCommitted]]), so a hardware change needs at most one
+    * manual SPARK_GRAFT_CANARY_COMMITTED pin (or, off 32 cores, none:
+    * the first flag-off run seeds the lineage) instead of a constant
+    * edit per fleet change. Pinned to the IN-BENCH calm level, not the
+    * idle level: mid/end samples inherit the bench's own residual GC
+    * pressure, which is part of every calm window and must not read
+    * as external load. Measured r13 on an idle box (load 4/32, only
+    * the bench JVM): full-registry window medians 0.549/0.583 s
+    * (per-sample 0.39-0.61; start samples run cooler — they follow
+    * only the warmup); idle-JVM medians for reference: 0.39-0.45 s.
     */
   private val CanaryCommittedSec = 0.57
+
+  /** Calm-window medians the derived level reads (newest-last). */
+  private val CanaryLineageN = 5
+
+  private def lineagePath = java.nio.file.Paths.get(
+    sys.env.getOrElse("SPARK_GRAFT_CANARY_LINEAGE", "canary_lineage.jsonl"))
+
+  /** Committed calm level + its provenance, resolved in order:
+    * explicit env pin > median of the last [[CanaryLineageN]]
+    * calm-window medians at the same core count from the lineage
+    * sidecar > the local[32] bootstrap constant > disabled. Lineage
+    * entries written under a DISABLED flag (`"inflated":null`) count
+    * as calm-eligible — that is what lets non-reference hardware
+    * self-bootstrap: run 1 records its median with the flag off, run
+    * 2 derives from it. Entries that FLAGGED inflated never enter the
+    * derivation, so a hot window cannot ratchet the level up.
+    */
+  private[graft] def resolveCommitted(cpus: String,
+      lineage: java.nio.file.Path = lineagePath,
+      pin: Option[Double] =
+        sys.env.get("SPARK_GRAFT_CANARY_COMMITTED").map(_.toDouble))
+      : (Option[Double], String) =
+    pin match {
+      case Some(p) => (Some(p), "pinned")
+      case None =>
+        val calm =
+          if (!java.nio.file.Files.exists(lineage)) Seq.empty
+          else scala.jdk.CollectionConverters.ListHasAsScala(
+            java.nio.file.Files.readAllLines(lineage)).asScala.toSeq
+            .filter(l => l.contains(s""""cpus":$cpus,""") &&
+              !l.contains("\"inflated\":true"))
+            .flatMap { l =>
+              """"median":([0-9.]+)""".r.findFirstMatchIn(l)
+                .map(_.group(1).toDouble)
+            }
+        if (calm.nonEmpty) {
+          val last = calm.takeRight(CanaryLineageN).sorted
+          (Some(last(last.size / 2)), "derived")
+        } else if (cpus == "32") (Some(CanaryCommittedSec), "default")
+        else (None, "off")
+    }
 
   /** Ratio above which the window is flagged inflated — 1.5x clears
     * normal scheduler jitter (calm samples vary < 1.2x) while every
@@ -208,29 +251,43 @@ object Bench {
     val canaryEnd = runCanary(spark)
     val canarySamples = Seq(canaryStart, canaryMid, canaryEnd).filter(_ >= 0)
     val canaryMedian = canarySamples.sorted.apply(canarySamples.size / 2)
-    // The built-in committed level is pinned at local[32] — the
-    // canary's wall time scales with cores, so comparing a local[4]
-    // run against it would self-flag every calm default-config window
-    // (r13 review). Off the reference core count, the flag needs an
-    // explicitly pinned level (SPARK_GRAFT_CANARY_COMMITTED) or stays
-    // off; the three samples still land in the artifact either way.
-    val committedOpt = sys.env.get("SPARK_GRAFT_CANARY_COMMITTED")
-      .map(_.toDouble)
-      .orElse(if (cpus == "32") Some(CanaryCommittedSec) else None)
+    // The committed level scales with cores, so a level is only in
+    // force when one resolves for THIS core count (pin > lineage >
+    // local[32] bootstrap constant — see resolveCommitted); otherwise
+    // the flag stays off and the three samples still land in the
+    // artifact (and seed the lineage for the next run here).
+    val (committedOpt, provenance) = resolveCommitted(cpus)
     val canaryJson = committedOpt match {
       case Some(committed) =>
         val canaryRatio = canaryMedian / committed
         val inflated = canaryRatio > CanaryInflatedRatio
         if (inflated) System.err.println(
           f"[bench] WINDOW INFLATED: canary median $canaryMedian%.3f s = " +
-            f"$canaryRatio%.2fx its committed calm level ($committed%.3f s) - " +
-            "treat per-query regressions in this artifact as suspect")
-        f"""{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f,"median":$canaryMedian%.3f,"committed":$committed%.3f,"ratio":$canaryRatio%.2f,"inflated":$inflated}"""
+            f"$canaryRatio%.2fx its committed calm level ($committed%.3f s, " +
+            s"$provenance) - treat per-query regressions in this artifact " +
+            "as suspect")
+        f"""{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f,"median":$canaryMedian%.3f,"committed":$committed%.3f,"ratio":$canaryRatio%.2f,"inflated":$inflated,"provenance":"$provenance"}"""
       case None =>
-        System.err.println(s"[bench] canary flag disabled: committed calm " +
-          s"level is pinned at local[32] but this run uses local[$cpus] - " +
-          "set SPARK_GRAFT_CANARY_COMMITTED to enable it here")
-        f"""{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f,"median":$canaryMedian%.3f,"committed":null,"ratio":null,"inflated":null}"""
+        System.err.println(s"[bench] canary flag disabled: no committed calm " +
+          s"level resolves for local[$cpus] (no pin, no lineage at this core " +
+          "count) - this run's median seeds the lineage; set " +
+          "SPARK_GRAFT_CANARY_COMMITTED to arm the flag immediately")
+        f"""{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f,"median":$canaryMedian%.3f,"committed":null,"ratio":null,"inflated":null,"provenance":"$provenance"}"""
+    }
+    // Append this window to the lineage sidecar (full-registry runs
+    // only — a filtered run's GC/cache profile is not a calm-window
+    // comparable). Inflated windows are appended too (the history
+    // should show them) but never enter the derived level.
+    if (filter.isEmpty) {
+      val entry = committedOpt match {
+        case Some(c) =>
+          f"""{"cpus":$cpus,"median":$canaryMedian%.3f,"committed":$c%.3f,"ratio":${canaryMedian / c}%.2f,"inflated":${canaryMedian / c > CanaryInflatedRatio},"provenance":"$provenance"}"""
+        case None =>
+          f"""{"cpus":$cpus,"median":$canaryMedian%.3f,"committed":null,"ratio":null,"inflated":null,"provenance":"$provenance"}"""
+      }
+      java.nio.file.Files.write(lineagePath, (entry + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     }
 
     val total = results.collect { case (_, (v, _, _), _) if v >= 0 => v }.sum

@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Derivation of the scaled rehearsal corpus — factored out of
+  * [[ScaleRehearsal]] (r14) so the scale-tier invariant gate
+  * ([[ScaleGate]]) measures the SAME corpus the rehearsal times, and
+  * so the derivation's crash-consistency story lives in one place:
+  *
+  *  - the `derived_copies.txt` stamp is written AFTER every table
+  *    derives (r13 review: a stamp written first would let a crash
+  *    mid-derivation leave a stamped dir whose partially-written
+  *    parquet dirs pass bare-existence guards on rerun and get
+  *    silently measured as a valid scaled corpus);
+  *  - per-table reuse is gated on Spark's `_SUCCESS` marker, not bare
+  *    directory existence, for the same reason;
+  *  - a dir with NO stamp re-derives every table unconditionally
+  *    (mode overwrite), because without the stamp the factor of any
+  *    leftover table is unknowable — this also upgrades pre-r13
+  *    layouts in place instead of refusing.
+  *
+  * The derivation itself is unchanged from the r12/r13 rehearsals
+  * (documents: per-replica affine a-z permutation; embeddings:
+  * circular shift x sign flip; events: disjoint id-range shifts;
+  * TPC-H tables symlinked) — see the per-table comments for why each
+  * decorrelation is the right null hypothesis for its query family.
+  */
+object ScaleCorpus {
+
+  /** Disjoint per-replica id offset — also the constant the gate's
+    * events-linearity law divides by.
+    */
+  val Step = 1000000000L
+
+  private def hasSuccess(dir: java.nio.file.Path): Boolean =
+    java.nio.file.Files.exists(dir.resolve("_SUCCESS"))
+
+  /** Idempotently derive the `copies`x corpus from `src` into `out`;
+    * returns once every table is present and the stamp is written.
+    */
+  def ensure(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
+    val outPath = java.nio.file.Paths.get(out)
+    val stamp = outPath.resolve("derived_copies.txt")
+    val stamped = java.nio.file.Files.exists(stamp)
+    if (stamped) {
+      val prev = new String(
+        java.nio.file.Files.readAllBytes(stamp), "UTF-8").trim.toInt
+      require(prev == copies,
+        s"$out was derived with copies=$prev but this run asks for " +
+          s"copies=$copies - delete the dir (or point " +
+          "SPARK_GRAFT_SCALE_DIR elsewhere) instead of measuring a " +
+          "mixed-factor corpus")
+    }
+    java.nio.file.Files.createDirectories(outPath)
+    // Reuse = stamp present AND the table's own _SUCCESS marker; an
+    // unstamped dir re-derives everything (factor of leftovers unknown).
+    def fresh(table: String): Boolean =
+      !stamped || !hasSuccess(outPath.resolve(s"$table.parquet"))
+
+    if (fresh("documents")) {
+      val abc = "abcdefghijklmnopqrstuvwxyz"
+      // Per-replica AFFINE letter permutation i -> i*stride + rot mod
+      // 26 (stride coprime to 26): 12x26 = 312 distinct permutations,
+      // so decorrelation holds past the 26 plain rotations (replica 0
+      // = identity). Word shapes/lengths/whitespace — and so every
+      // shingle/token statistic — are preserved; no multi-letter word
+      // (hence effectively no shingle) survives across replicas.
+      val strides = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+      require(copies <= strides.size * 26,
+        s"affine permutation family supports <= ${strides.size * 26} replicas")
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      // The decorrelation argument needs EVERY content character to be
+      // permuted: an uppercase/digit/punctuation token would survive
+      // verbatim across replicas and reintroduce exactly the
+      // cross-replica near-dups the derivation exists to exclude.
+      val nonAlpha = docs.filter(col("text").rlike("[^a-z ]")).count()
+      require(nonAlpha == 0,
+        s"$nonAlpha documents contain characters outside [a-z ] — the " +
+          "affine a-z permutation cannot decorrelate them; extend the " +
+          "permutation alphabet before deriving")
+      (0 until copies).map { k =>
+        val (stride, rot) = (strides(k / 26), k % 26)
+        val img = (0 until 26).map(i => abc((i * stride + rot) % 26)).mkString
+        docs.select((col("doc_id") + lit(k * Step)).as("doc_id"),
+          translate(col("text"), abc, img).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      System.err.println(s"[scale] derived ${copies}x documents at $out")
+    }
+
+    if (fresh("embeddings")) {
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      val dim = 64
+      // Per-replica circular shift x sign flip: 128 decorrelated
+      // variants (negation preserves norms and within-replica pairwise
+      // cosines; a replica and its negated twin see each other at
+      // MINUS the original cosine — never a near-dup at positive tau).
+      require(copies <= 2 * dim,
+        s"shift x sign family supports <= ${2 * dim} replicas")
+      (0 until copies).map { k =>
+        val sh = k % dim
+        val shifted =
+          if (sh == 0) col("embedding")
+          else concat(slice(col("embedding"), sh + 1, dim - sh),
+            slice(col("embedding"), 1, sh))
+        val signed =
+          if (k < dim) shifted
+          else transform(shifted, x => -x)
+        emb.select((col("vec_id") + lit(k * Step)).as("vec_id"),
+          signed.as("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      System.err.println(s"[scale] derived ${copies}x embeddings at $out")
+    }
+
+    // events: id-space decorrelation only — event_id AND user_id shift
+    // by disjoint per-replica ranges, so the GROUP COUNT (users,
+    // user-hours, sessions) scales with copies while every per-group
+    // density (events per user, per hour, value/type distributions,
+    // the time range itself) is preserved — the right null hypothesis
+    // for the group-by/window/asof queries that consume this table.
+    // Content columns never compare across users, so nothing else
+    // needs permuting. (A pre-r13 dir carries an unscaled symlink,
+    // which is deleted and replaced.)
+    val eventsOut = outPath.resolve("events.parquet")
+    if (java.nio.file.Files.isSymbolicLink(eventsOut))
+      java.nio.file.Files.delete(eventsOut)
+    if (fresh("events")) {
+      val ev = spark.read.parquet(s"$src/events.parquet")
+      // Disjointness of the per-replica id shift needs every base id
+      // below Step - a base tier past 1e9 events would silently
+      // overlap replica ranges (duplicate event_ids, colliding users)
+      // and break the decorrelation premise. Fail loudly instead.
+      val mx = ev.agg(max(col("event_id")), max(col("user_id"))).head()
+      require(mx.getLong(0) < Step && mx.getLong(1) < Step,
+        s"events ids exceed the replica step $Step (max event_id " +
+          s"${mx.getLong(0)}, max user_id ${mx.getLong(1)}) - raise " +
+          "Step before deriving this tier")
+      (0 until copies).map { k =>
+        ev.select((col("event_id") + lit(k * Step)).as("event_id"),
+          col("ts"),
+          (col("user_id") + lit(k * Step)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(eventsOut.toString)
+      System.err.println(s"[scale] derived ${copies}x events at $eventsOut")
+    }
+
+    // remaining tables: symlink, so any registered query can run
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem")) {
+      val link = outPath.resolve(s"$t.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(s"$src/$t.parquet"))
+    }
+
+    // Stamp LAST: its presence now certifies a complete derivation,
+    // so a crash anywhere above leaves an unstamped dir that fully
+    // re-derives on the next run.
+    java.nio.file.Files.write(stamp, s"$copies\n".getBytes("UTF-8"))
+  }
+}

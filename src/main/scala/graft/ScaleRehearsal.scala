@@ -79,128 +79,9 @@ object ScaleRehearsal {
       listener.bytes.get()
     }
 
-    // ---- derive the scaled corpus (idempotent) ----
-    val outPath = java.nio.file.Paths.get(out)
-    val Step = 1000000000L
-    // The replica count is STAMPED into the dir at derivation and
-    // re-checked on reuse: the events table derives under its own
-    // guard (added r13 — pre-r13 dirs carried an unscaled symlink),
-    // so without the stamp a stale dir could silently end up with
-    // documents at one factor and events at another, and every
-    // "scaled" measurement in it would be mislabeled.
-    val stamp = outPath.resolve("derived_copies.txt")
-    if (java.nio.file.Files.exists(stamp)) {
-      val stamped = new String(
-        java.nio.file.Files.readAllBytes(stamp), "UTF-8").trim.toInt
-      require(stamped == copies,
-        s"$out was derived with copies=$stamped but this run asks for " +
-          s"copies=$copies - delete the dir (or point " +
-          "SPARK_GRAFT_SCALE_DIR elsewhere) instead of measuring a " +
-          "mixed-factor corpus")
-    } else {
-      require(!java.nio.file.Files.exists(outPath.resolve("documents.parquet")),
-        s"$out holds a derived corpus with no copies stamp (pre-r13 " +
-          "layout) - delete it and re-derive so the factor is recorded")
-      java.nio.file.Files.createDirectories(outPath)
-      java.nio.file.Files.write(stamp, s"$copies\n".getBytes("UTF-8"))
-    }
-    if (!java.nio.file.Files.exists(outPath.resolve("documents.parquet"))) {
-      java.nio.file.Files.createDirectories(outPath)
-      val abc = "abcdefghijklmnopqrstuvwxyz"
-      // Per-replica AFFINE letter permutation i -> i*stride + rot mod
-      // 26 (stride coprime to 26): 12x26 = 312 distinct permutations,
-      // so decorrelation holds past the 26 plain rotations (replica 0
-      // = identity as before). Word shapes/lengths/whitespace — and so
-      // every shingle/token statistic — are preserved; no multi-letter
-      // word (hence effectively no shingle) survives across replicas.
-      val strides = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
-      require(copies <= strides.size * 26,
-        s"affine permutation family supports <= ${strides.size * 26} replicas")
-      val docs = spark.read.parquet(s"$src/documents.parquet")
-      // The decorrelation argument needs EVERY content character to be
-      // permuted: an uppercase/digit/punctuation token would survive
-      // verbatim across replicas and reintroduce exactly the
-      // cross-replica near-dups the derivation exists to exclude.
-      // Fail fast rather than silently measure a confounded corpus.
-      val nonAlpha = docs.filter(col("text").rlike("[^a-z ]")).count()
-      require(nonAlpha == 0,
-        s"$nonAlpha documents contain characters outside [a-z ] — the " +
-          "affine a-z permutation cannot decorrelate them; extend the " +
-          "permutation alphabet before deriving")
-      (0 until copies).map { k =>
-        val (stride, rot) = (strides(k / 26), k % 26)
-        val img = (0 until 26).map(i => abc((i * stride + rot) % 26)).mkString
-        docs.select((col("doc_id") + lit(k * Step)).as("doc_id"),
-          translate(col("text"), abc, img).as("text"),
-          col("lang"), col("source"), col("n_chars"))
-      }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$out/documents.parquet")
-      val emb = spark.read.parquet(s"$src/embeddings.parquet")
-      val dim = 64
-      // Per-replica circular shift x sign flip: 128 decorrelated
-      // variants (negation preserves norms and within-replica pairwise
-      // cosines; a replica and its negated twin see each other at
-      // MINUS the original cosine — never a near-dup at positive tau).
-      require(copies <= 2 * dim,
-        s"shift x sign family supports <= ${2 * dim} replicas")
-      (0 until copies).map { k =>
-        val sh = k % dim
-        val shifted =
-          if (sh == 0) col("embedding")
-          else concat(slice(col("embedding"), sh + 1, dim - sh),
-            slice(col("embedding"), 1, sh))
-        val signed =
-          if (k < dim) shifted
-          else transform(shifted, x => -x)
-        emb.select((col("vec_id") + lit(k * Step)).as("vec_id"),
-          signed.as("embedding"), col("label"))
-      }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-      // remaining tables: symlink, so any registered query can run
-      for (t <- Seq("region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem")) {
-        val link = outPath.resolve(s"$t.parquet")
-        if (!java.nio.file.Files.exists(link))
-          java.nio.file.Files.createSymbolicLink(
-            link, java.nio.file.Paths.get(s"$src/$t.parquet"))
-      }
-      System.err.println(s"[scale] derived ${copies}x corpus at $out")
-    }
-    // events: derived OUTSIDE the documents guard (r13 — the events
-    // family had no scale tier at all; a pre-r13 corpus dir carries an
-    // unscaled symlink, which is deleted and replaced). Decorrelation
-    // here is id-space, not content: replicas shift event_id AND
-    // user_id by disjoint ranges, so the GROUP COUNT (users,
-    // user-hours, sessions) scales with copies while every per-group
-    // density (events per user, per hour, value/type distributions,
-    // the time range itself) is preserved — the right null hypothesis
-    // for the group-by/window/asof queries that consume this table.
-    // No content column changes, so there is nothing to decorrelate
-    // the way documents/embeddings need: events queries never compare
-    // rows across users.
-    val eventsOut = outPath.resolve("events.parquet")
-    if (java.nio.file.Files.isSymbolicLink(eventsOut))
-      java.nio.file.Files.delete(eventsOut)
-    if (!java.nio.file.Files.exists(eventsOut)) {
-      val ev = spark.read.parquet(s"$src/events.parquet")
-      // Disjointness of the per-replica id shift needs every base id
-      // below Step - a base tier past 1e9 events would silently
-      // overlap replica ranges (duplicate event_ids, colliding users)
-      // and break the decorrelation premise. Fail loudly instead.
-      val mx = ev.agg(max(col("event_id")), max(col("user_id"))).head()
-      require(mx.getLong(0) < Step && mx.getLong(1) < Step,
-        s"events ids exceed the replica step $Step (max event_id " +
-          s"${mx.getLong(0)}, max user_id ${mx.getLong(1)}) - raise " +
-          "Step before deriving this tier")
-      (0 until copies).map { k =>
-        ev.select((col("event_id") + lit(k * Step)).as("event_id"),
-          col("ts"),
-          (col("user_id") + lit(k * Step)).as("user_id"),
-          col("event_type"), col("value"), col("props"))
-      }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(eventsOut.toString)
-      System.err.println(s"[scale] derived ${copies}x events at $eventsOut")
-    }
+    // ---- derive the scaled corpus (idempotent; stamp written after
+    // all tables, reuse gated on _SUCCESS — see ScaleCorpus) ----
+    ScaleCorpus.ensure(spark, src, out, copies)
 
     // warmup
     Tables.documents(spark, src).groupBy("lang").count().collect()

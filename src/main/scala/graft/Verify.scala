@@ -54,6 +54,11 @@ object Verify {
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the materialize-once ranking layouts (GraftOps.ntileByRange)
+      // persist internally and cannot unpersist themselves — without
+      // this, cached layouts accumulate across the 161-query run
+      // (r13 review; Bench clears per rep for the same reason)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

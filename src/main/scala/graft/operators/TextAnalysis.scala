@@ -950,7 +950,10 @@ object TextAnalysis {
       // (see GraftOps.ntileByRange's note; exchange REUSE, the
       // previous invariant here, is best-effort and broke under AQE
       // there). The cached stream is the pruned (doc_id, lang,
-      // avg_logp) projection plus the rank ids.
+      // avg_logp) projection plus the rank ids. Cache lifetime is the
+      // caller's, as for GraftOps.ntileByRange (see its Scaladoc):
+      // Bench clears per rep, Verify per query; a long-lived session
+      // should clearCache between ranking queries.
       val local = Tables.documents(s, d).select(col("doc_id"), col("lang"))
         .join(scored, "doc_id")
         .repartitionByRange(nParts, col("lang"), col("avg_logp").desc, col("doc_id"))

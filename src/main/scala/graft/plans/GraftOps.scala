@@ -152,6 +152,16 @@ object GraftOps {
     * the single-partition window function this replaces); `sort` must
     * be a total order (add a unique tie-break) or tied rows land in
     * engine-dependent buckets.
+    *
+    * CACHE LIFETIME: the materialize-once persist is load-bearing (the
+    * consistency argument below) and the helper cannot unpersist it —
+    * the returned frame is lazy and still reads the cached layout when
+    * the CALLER finally acts on it. A harness that owns the session
+    * must therefore clear the cache between queries (`Bench` clears
+    * per rep, `Verify` per query); a long-lived user session that
+    * calls ranking queries repeatedly should do the same or cached
+    * layouts accumulate until executor-storage eviction-to-disk pages
+    * them out.
     */
   def ntileByRange(df: DataFrame, sort: Seq[Column], buckets: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -159,6 +169,15 @@ object GraftOps {
     require(buckets > 0, "buckets must be positive")
     require(!df.columns.contains("bucket"),
       "ntileByRange appends a `bucket` column - rename the input's")
+    // The working columns are dropped at the end, so an input already
+    // carrying one of these names would silently collide with the
+    // helper's internals (wrong ranks, or a caller column swallowed by
+    // the final drop) — fail loudly instead (r13 review).
+    val clash = df.columns.toSet
+      .intersect(Set("_mid", "_pid", "_lrn", "_offset", "_rank", "_q", "_r", "_n"))
+    require(clash.isEmpty,
+      s"ntileByRange uses working columns ${clash.mkString(", ")} internally" +
+        " - rename the input's before ranking")
     val spark = df.sparkSession
     val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // The ranked layout is consumed TWICE (the offsets branch and the

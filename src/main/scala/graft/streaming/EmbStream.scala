@@ -380,14 +380,23 @@ object EmbStream {
       spark: org.apache.spark.sql.SparkSession,
       centDir: String, bandDir: String): Unit =
     (readEpoch(spark, centDir), readEpoch(spark, bandDir)) match {
-      case (Some(a), Some(b)) if a != b =>
+      case (Some(a), Some(b)) if a == b => () // consistent post-epoch store
+      case (None, None) => () // legitimate pre-epoch store: skip the check
+      // EXACTLY-ONE marker is also torn (r13 review): reblockIndex
+      // installs centDir first, so a crash between its two swaps on a
+      // PRE-epoch store leaves (Some, None) — the same new-codebook/
+      // old-index pair the two-token mismatch arm catches, and letting
+      // it fall through as "pre-epoch" would process batches with
+      // silently collapsed candidate recall, the exact failure this
+      // marker exists to catch.
+      case (a, b) =>
         throw new IllegalStateException(
-          s"codebook ($centDir) and band index ($bandDir) carry different " +
-            s"retrain epochs ($a vs $b) - a re-block was torn between its " +
+          s"codebook ($centDir, epoch ${a.getOrElse("<none>")}) and band " +
+            s"index ($bandDir, epoch ${b.getOrElse("<none>")}) carry " +
+            "inconsistent retrain epochs - a re-block was torn between its " +
             "two directory swaps; re-run EmbStream.reblockIndex to converge " +
             "before processing batches (a mixed quantizer/index pair would " +
             "silently collapse candidate recall, never fail verify)")
-      case _ => () // consistent, or a pre-epoch store
     }
 
   /** Write the codebook + cell-keyed band index for corpus `q`

@@ -362,6 +362,30 @@ class EmbStreamBlockedSpec extends AnyFunSuite
     }
     EmbStream.processBatchBlocked(batch, centDir, bandDir, vecDir,
       verdictsDir, batchId = 2L)
+    // HALF-UPGRADED torn state (r13 review): a crash between
+    // reblockIndex's two swaps on a PRE-epoch store leaves exactly one
+    // marker — (Some, None) when centDir swapped first, (None, Some)
+    // for the mirror-ordered maintenance job. Both are the same
+    // new-codebook/old-index hazard and must fail, not fall through as
+    // "pre-epoch store".
+    EmbStream.writeEpoch(spark, centDir, "half-upgrade-epoch")
+    val eHalf = intercept[IllegalStateException] {
+      EmbStream.processBatchBlocked(batch, centDir, bandDir, vecDir,
+        verdictsDir, batchId = 3L)
+    }
+    assert(eHalf.getMessage.contains("reblockIndex"),
+      s"the (Some, None) torn state must name the recovery: ${eHalf.getMessage}")
+    for (f <- Seq("_graft_epoch", "._graft_epoch.crc")) {
+      val p = java.nio.file.Paths.get(centDir, f)
+      if (java.nio.file.Files.exists(p)) java.nio.file.Files.delete(p)
+    }
+    EmbStream.writeEpoch(spark, bandDir, "half-upgrade-epoch")
+    val eMirror = intercept[IllegalStateException] {
+      EmbStream.processBatchBlocked(batch, centDir, bandDir, vecDir,
+        verdictsDir, batchId = 3L)
+    }
+    assert(eMirror.getMessage.contains("reblockIndex"),
+      s"the (None, Some) torn state must name the recovery: ${eMirror.getMessage}")
   }
 
   test("a re-block by ANOTHER JVM refreshes this JVM's cached codebook (epoch-validated)") {

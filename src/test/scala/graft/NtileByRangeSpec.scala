@@ -48,4 +48,16 @@ class NtileByRangeSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("bucket"))
   }
+
+  test("refuses an input that collides with the helper's working columns") {
+    // an input already carrying _rank (or any internal name) would
+    // silently mis-rank or lose the caller's column to the final drop
+    for (bad <- Seq("_mid", "_pid", "_lrn", "_offset", "_rank", "_q", "_r", "_n")) {
+      val in = df(5).withColumn(bad, col("v"))
+      val e = intercept[IllegalArgumentException] {
+        graft.plans.GraftOps.ntileByRange(in, Seq(col("v")), 2)
+      }
+      assert(e.getMessage.contains(bad), s"$bad must be refused: ${e.getMessage}")
+    }
+  }
 }
