@@ -189,5 +189,191 @@ object Curate {
     ORDER BY t.vec_id"""
     })
 
-  val defs: Seq[QueryDef] = Seq(curate, curateNb, curateEmb)
+  private val ShardT = 10000L
+  private val ShardBinTokens = 512L
+
+  /** The curated-doc token/hash projection both shard stages read:
+    * doc_id, source, whitespace token count, and BOTH ordering hashes
+    * (the budget fill's `budget:` salt and the packer's `pack:` salt
+    * — the literal component salts, so the composed semantics on the
+    * curated slice are exactly the registered components'), in one
+    * documents scan.
+    */
+  private def shardBase(s: org.apache.spark.sql.SparkSession, d: String,
+      curated: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .join(curated.select("doc_id"), "doc_id")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " "))
+          .cast(org.apache.spark.sql.types.LongType).as("n_tokens"),
+        TextAnalysis.hash60(concat(lit("budget:"), col("text"))).as("h"),
+        TextAnalysis.hash60(concat(lit("pack:"), col("text"))).as("h_pack"))
+
+  /** [[shard]] body over an injectable curated frame — the same seam
+    * style as [[curateFrom]]; the registered query passes the fresh
+    * pipeline_curate output.
+    */
+  private[operators] def shardFrom(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      curated: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // Materialize once: the base projection embeds the WHOLE curate
+    // pipeline and is consumed by four plan branches (budget masses,
+    // the budget cumsum's offsets + local window, and through
+    // `selected` the pack cumsum's pair again) — uncached, the curate
+    // subtree re-evaluates per branch (measured 11.3 s vs 6.5 s for
+    // curate alone at sf0.1). The cached stream is the narrow
+    // (doc_id, source, n_tokens, h, h_pack) projection; lifetime is
+    // the caller's, as for GraftOps.ntileByRange (Bench clears per
+    // rep, Verify per query). Unlike the ranking layouts this persist
+    // is a cost saving, not a consistency requirement — every stage
+    // here is hash-deterministic.
+    val base = shardBase(s, d, curated)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // budgets derive from the CURATED corpus (the semantics is "cut a
+    // training shard from what curation kept", not from raw mass)
+    val budgets = Sampling.sourceBudgets(base, ShardT)
+    val selected = Sampling.shardedCumTokens(base, "source")
+      .join(broadcast(budgets), "source")
+      .filter(col("cum_tokens") - col("n_tokens") < col("budget"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("h_pack").as("h"))
+    // pack the selected docs per source under the packer's own hash
+    // order — a SECOND two-phase sharded prefix sum, same machinery
+    Sampling.shardedCumTokens(selected, "source")
+      .withColumn("start_offset",
+        (col("cum_tokens") - col("n_tokens")) % ShardBinTokens)
+      .withColumn("bin_id",
+        expr(s"(cum_tokens - n_tokens) div $ShardBinTokens"))
+      .select("doc_id", "source", "n_tokens", "bin_id", "start_offset")
+  }
+
+  /** The TRAINING-SHARD end-to-end composition — the one user workflow
+    * the registry still verified only piecewise (r13 verdict #6):
+    * curate (D16) → temperature token-budget fill per source (D22b,
+    * budgets over the CURATED mass) → sequence-pack the selected docs
+    * (D20's concat-and-chunk, per source). "Cut me a 10k-token
+    * training shard from the curated corpus" — the query a training
+    * team actually ships to the dataloader.
+    *
+    * Scale shape: one documents scan feeds both stage hashes; the two
+    * prefix sums are the components' own two-phase sharded machinery
+    * (no window ever spans a whole source — see
+    * [[Sampling.shardedCumTokens]]); budgets broadcast at
+    * sources-count size. The composed oracle nests the hash-verified
+    * curate oracle and the components' literal window formulations,
+    * so drift in ANY stage breaks the gate.
+    */
+  val shard = QueryDef(
+    "pipeline_shard",
+    (s, d) => shardFrom(s, d, curate.fn(s, d)),
+    Some {
+      val curateSql = curate.oracle.get
+      val h60 = TextAnalysis.hash60Sql
+      s"""WITH cur AS ($curateSql),
+    docs AS (
+      SELECT d.doc_id, d.source,
+        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        ${h60("'budget:' || d.text")} AS h,
+        ${h60("'pack:' || d.text")} AS hp
+      FROM documents d JOIN cur c ON c.doc_id = d.doc_id),
+    mass AS (SELECT source, SUM(n_tokens) AS mass FROM docs GROUP BY source),
+    scored AS (SELECT source, SQRT(CAST(mass AS DOUBLE)) AS w_raw FROM mass),
+    norm AS (SELECT ${graft.Det.dsum("w_raw")} AS denom FROM scored),
+    budgets AS (
+      SELECT source, CAST(FLOOR($ShardT * (w_raw / denom)) AS BIGINT) AS budget
+      FROM scored, norm),
+    cum AS (
+      SELECT d.source, d.doc_id, d.n_tokens, d.hp, b.budget,
+        CAST(SUM(d.n_tokens) OVER (PARTITION BY d.source ORDER BY d.h, d.doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      FROM docs d JOIN budgets b ON d.source = b.source),
+    sel AS (
+      SELECT source, doc_id, n_tokens, hp FROM cum
+      WHERE cum_tokens - n_tokens < budget),
+    packed AS (
+      SELECT source, doc_id, n_tokens,
+        CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY hp, doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM sel)
+    SELECT doc_id, source, n_tokens,
+      CAST((cum_tokens - n_tokens) // $ShardBinTokens AS BIGINT) AS bin_id,
+      CAST((cum_tokens - n_tokens) % $ShardBinTokens AS BIGINT) AS start_offset
+    FROM packed ORDER BY doc_id"""
+    })
+
+  /** [[graft.ScaleGate]]'s invariant suite for [[shard]] — the laws
+    * the composition guarantees at ANY tier, checkable from the
+    * output alone (plus the component frames for the subset/budget
+    * laws): (invariant, pass, detail) triples.
+    *
+    * The pack CONTIGUITY law is the strong one: decode each doc's
+    * global start position as bin_id * [[ShardBinTokens]] +
+    * start_offset; per source, sorted starts must begin at 0 and each
+    * next start must equal the previous start + its doc's n_tokens.
+    * That pins the entire second prefix sum — the exact two-phase
+    * ranking machinery whose AQE inconsistency produced the r13
+    * 11th-decile bug — from observable output.
+    */
+  private[graft] def shardChecksFor(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[(String, Boolean, String)] = {
+    val out = shard.fn(s, d).persist()
+    try {
+      val rows = out.count()
+      val distinct = out.select("doc_id").distinct().count()
+      val curated = curate.fn(s, d).select("doc_id")
+      val orphans = out.join(curated, Seq("doc_id"), "left_anti").count()
+      val badOffset = out.filter(col("start_offset") < 0 ||
+        col("start_offset") >= ShardBinTokens || col("bin_id") < 0).count()
+      // pack contiguity per source (selected-per-source is budget-
+      // bounded, so the collect is small at any tier)
+      val contViolations = out
+        .select(col("source"),
+          (col("bin_id") * ShardBinTokens + col("start_offset")).as("start"),
+          col("n_tokens"))
+        .collect().groupBy(_.getString(0)).toSeq.flatMap { case (src, rs) =>
+          val spans = rs.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+          val startsAtZero =
+            if (spans.head._1 != 0L)
+              Seq(s"$src: first start ${spans.head._1} != 0") else Seq.empty
+          val gaps = spans.sliding(2).collect {
+            case Array((s0, n0), (s1, _)) if s0 + n0 != s1 =>
+              s"$src: start $s1 != $s0 + $n0"
+          }
+          startsAtZero ++ gaps
+        }
+      // budget law: per source, selected tokens reach the budget
+      // (unless the source exhausted) and overshoot by less than one
+      // doc (the greedy fill keeps exactly the crossing doc)
+      val base = shardBase(s, d, curate.fn(s, d))
+      val budgets = Sampling.sourceBudgets(base, ShardT)
+      val curatedPerSource = base.groupBy("source")
+        .agg(count(lit(1)).as("n_curated"))
+      val budgetViolations = out.groupBy("source")
+        .agg(sum("n_tokens").as("t"), count(lit(1)).as("n_sel"),
+          max("n_tokens").as("max_n"))
+        .join(budgets, "source").join(curatedPerSource, "source")
+        .collect().flatMap { r =>
+          val (src, t, nSel, maxN, budget, nCur) =
+            (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+              r.getLong(4), r.getLong(5))
+          val reached = t >= budget || nSel == nCur
+          val bounded = t < budget + maxN
+          if (reached && bounded) None
+          else Some(s"$src: tokens=$t budget=$budget selected=$nSel " +
+            s"curated=$nCur max_doc=$maxN")
+        }
+      Seq(
+        ("every shard doc is curated (shard ⊆ pipeline_curate), one row each",
+          rows == distinct && orphans == 0,
+          s"rows=$rows distinct=$distinct orphans=$orphans"),
+        (s"pack offsets decode: 0 <= start_offset < $ShardBinTokens, bin_id >= 0",
+          badOffset == 0, s"violations=$badOffset"),
+        ("per-source packed spans are contiguous from 0 (the full prefix-sum law)",
+          contViolations.isEmpty, contViolations.take(5).mkString("; ")),
+        ("per-source fill reaches its budget and overshoots by < one doc",
+          budgetViolations.isEmpty, budgetViolations.take(5).mkString("; ")))
+    } finally { out.unpersist(); () }
+  }
+
+  val defs: Seq[QueryDef] = Seq(curate, curateNb, curateEmb, shard)
 }

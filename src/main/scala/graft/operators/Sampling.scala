@@ -95,7 +95,7 @@ object Sampling {
     * shard local cumsums + a broadcast exclusive shard-offset join.
     * Input needs (key, doc_id, n_tokens, h).
     */
-  private def shardedCumTokens(docs: org.apache.spark.sql.DataFrame,
+  private[operators] def shardedCumTokens(docs: org.apache.spark.sql.DataFrame,
       key: String): org.apache.spark.sql.DataFrame = {
     val withShard = docs.withColumn("shard", shiftright(col("h"), 52))
     val offsets = withShard.groupBy(key, "shard")
