@@ -129,8 +129,16 @@ object DocStream {
     * included; idempotence is spec-proven by invoking this twice),
     * survivors' band rows append to the index.
     */
+  /** `seam` is the crash-injection surface for the torn-batch
+    * recovery specs (r13 verdict #3): invoked with `"post-verdicts"`
+    * between the two writes — a spec-thrown exception there models a
+    * crash after the verdict overwrite but before the index append,
+    * the exact two-write tear the replay-convergence argument above
+    * must survive. Production callers leave the no-op default.
+    */
   def processBatch(batch: DataFrame, indexDir: String,
-      verdictsDir: String, batchId: Long): Unit = {
+      verdictsDir: String, batchId: Long,
+      seam: String => Unit = _ => ()): Unit = {
     val spark = batch.sparkSession
     val cached = batch.persist()
     try {
@@ -146,6 +154,7 @@ object DocStream {
         try {
           verdicts.write.mode("overwrite")
             .parquet(s"$verdictsDir/batch=$batchId")
+          seam("post-verdicts")
           banded.join(
               verdicts.filter(col("partner_id").isNull).select("doc_id"),
               Seq("doc_id"), "left_semi")

@@ -138,9 +138,17 @@ object EmbStream {
     * counts included; idempotence is spec-proven by invoking this
     * twice), survivors' band rows and vectors append to the stores.
     */
+  /** `seam` is the crash-injection surface for the torn-batch
+    * recovery specs (r13 verdict #3): `"post-verdicts"` fires between
+    * the verdict overwrite and the band append, `"mid-append"`
+    * between the band append and the vector append — the two tears a
+    * crash can leave in this three-write batch. Production callers
+    * leave the no-op default.
+    */
   def processBatch(batch: DataFrame, bandDir: String, vecDir: String,
       verdictsDir: String, batchId: Long,
-      tau: Double = Similarity.nearDupTau): Unit = {
+      tau: Double = Similarity.nearDupTau,
+      seam: String => Unit = _ => ()): Unit = {
     val spark = batch.sparkSession
     val q = Similarity.quantizeCols(batch).persist()
     try {
@@ -151,12 +159,14 @@ object EmbStream {
       try {
         verdicts.write.mode("overwrite")
           .parquet(s"$verdictsDir/batch=$batchId")
+        seam("post-verdicts")
         val survivors = q.join(
           verdicts.filter(col("partner_id").isNull).select("vec_id"),
           Seq("vec_id"), "left_semi").persist()
         try {
           Similarity.dedupBandRows(survivors)
             .write.mode("append").parquet(bandDir)
+          seam("mid-append")
           survivors.write.mode("append").parquet(vecDir)
         } finally survivors.unpersist()
       } finally verdicts.unpersist()
@@ -592,9 +602,15 @@ object EmbStream {
     * the joined tables, flat ones through the reference-object
     * expression — the index schema and verify tail are identical.
     */
+  /** `seam`: crash-injection surface for the torn-batch recovery
+    * specs, as in [[processBatch]] — `"post-verdicts"` and
+    * `"mid-append"` model the two possible tears between this batch's
+    * three writes. Production callers leave the no-op default.
+    */
   def processBatchBlocked(batch: DataFrame, centDir: String,
       bandDir: String, vecDir: String, verdictsDir: String, batchId: Long,
-      tau: Double = Similarity.nearDupTau): Unit = {
+      tau: Double = Similarity.nearDupTau,
+      seam: String => Unit = _ => ()): Unit = {
     val spark = batch.sparkSession
     requireConsistentEpochs(spark, centDir, bandDir)
     val cb = loadCodebook(spark, centDir)
@@ -612,6 +628,7 @@ object EmbStream {
       try {
         verdicts.write.mode("overwrite")
           .parquet(s"$verdictsDir/batch=$batchId")
+        seam("post-verdicts")
         val survivorIds = verdicts.filter(col("partner_id").isNull)
           .select("vec_id")
         val survivors = q.join(survivorIds, Seq("vec_id"), "left_semi")
@@ -620,6 +637,7 @@ object EmbStream {
           bandRowsOfCells(
             qCells.join(survivorIds, Seq("vec_id"), "left_semi"))
             .write.mode("append").parquet(bandDir)
+          seam("mid-append")
           survivors.write.mode("append").parquet(vecDir)
         } finally survivors.unpersist()
       } finally verdicts.unpersist()

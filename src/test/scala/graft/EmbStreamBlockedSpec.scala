@@ -388,6 +388,94 @@ class EmbStreamBlockedSpec extends AnyFunSuite
       s"the (None, Some) torn state must name the recovery: ${eMirror.getMessage}")
   }
 
+  // ------------------------------------------------------------------
+  // Torn-BATCH recovery (r13 verdict #3): the per-batch loop is
+  // verdict-overwrite THEN band-append THEN vector-append with no
+  // transaction across them. A crash can land between any two
+  // (post-verdicts / mid-append) or after all three but before the
+  // checkpoint commit (post-commit). Replay from the checkpoint must
+  // converge to the uninterrupted run: verdict rows identical, band
+  // index and vector store identical as SETS (the post-commit replay
+  // re-appends — duplicates are tolerated by min-id semantics and
+  // must not change verdicts).
+  // ------------------------------------------------------------------
+
+  // four mutually orthogonal quarter-support directions: near-dups
+  // exist only within a quarter, so batch 1 carries both a dup of an
+  // earlier survivor AND a fresh survivor of its own (a batch with no
+  // survivors would make the append tear vacuous)
+  private def quarter(qi: Int): Seq[Double] =
+    Seq.tabulate(64)(i => if (i / 16 == qi) 0.5 + 0.01 * i else 0.0)
+  private val tornB1 = Seq((10L, quarter(2)), (11L, quarter(2)), (12L, quarter(0)))
+  private val tornB2 = Seq((20L, quarter(2)), (21L, quarter(1)), (22L, quarter(3)))
+
+  private def bootstrapTorn(): (String, String, String) = {
+    import spark.implicits._
+    val (centDir, bandDir, vecDir) = (tmp("tbc"), tmp("tbb"), tmp("tbv"))
+    EmbStream.writeIndexBlocked(
+      Seq((0L, quarter(0)), (1L, quarter(1))).toDF("vec_id", "embedding"),
+      centDir, bandDir, vecDir)
+    (centDir, bandDir, vecDir)
+  }
+
+  for (crashPoint <- Seq("post-verdicts", "mid-append", "post-commit"))
+    test(s"blocked loop: a crash at $crashPoint converges on checkpoint replay") {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      // uninterrupted reference
+      val (refCent, refBand, refVec) = bootstrapTorn()
+      val refOut = tmp("tbrefout")
+      EmbStream.processBatchBlocked(tornB1.toDF("vec_id", "embedding"),
+        refCent, refBand, refVec, refOut, 0L)
+      EmbStream.processBatchBlocked(tornB2.toDF("vec_id", "embedding"),
+        refCent, refBand, refVec, refOut, 1L)
+      // torn run through a real checkpointed stream
+      val (centDir, bandDir, vecDir) = bootstrapTorn()
+      val (verdictsDir, ckpt) = (tmp("tbout"), tmp("tbckpt"))
+      val input = MemoryStream[(Long, Seq[Double])]
+      @volatile var armed = true
+      def start() = input.toDF().toDF("vec_id", "embedding").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          EmbStream.processBatchBlocked(batch, centDir, bandDir, vecDir,
+            verdictsDir, id,
+            seam = pt => if (pt == crashPoint && id == 1 && armed) {
+              armed = false
+              throw new RuntimeException(s"injected crash at $pt")
+            })
+          if (crashPoint == "post-commit" && id == 1 && armed) {
+            armed = false
+            throw new RuntimeException("injected crash before the batch commit")
+          }
+        }
+        .option("checkpointLocation", ckpt).start()
+      val q1 = start()
+      input.addData(tornB1: _*)
+      q1.processAllAvailable()
+      input.addData(tornB2: _*)
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+        q1.awaitTermination()
+      }
+      q1.stop()
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+
+      assert(verdictMap(spark.read.parquet(verdictsDir)) ===
+        verdictMap(spark.read.parquet(refOut)),
+        "recovered verdicts diverged from the uninterrupted run")
+      assert(spark.read.parquet(verdictsDir).count() ===
+        spark.read.parquet(refOut).count(),
+        "recovery duplicated or dropped verdict rows")
+      def rowSet(dir: String, cols: String*) =
+        spark.read.parquet(dir).select(cols.head, cols.tail: _*)
+          .distinct().collect().map(_.mkString("|")).toSet
+      assert(rowSet(bandDir, "vec_id", "cell", "band_id", "band_val") ===
+        rowSet(refBand, "vec_id", "cell", "band_id", "band_val"),
+        "recovered band index diverged (as a set)")
+      assert(rowSet(vecDir, "vec_id") === rowSet(refVec, "vec_id"),
+        "recovered vector store diverged (as a set)")
+    }
+
   test("a re-block by ANOTHER JVM refreshes this JVM's cached codebook (epoch-validated)") {
     import spark.implicits._
     val (centDir, bandDir, vecDir) = (tmp("xjvmc"), tmp("xjvmb"), tmp("xjvmv"))

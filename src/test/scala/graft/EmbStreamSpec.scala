@@ -125,4 +125,78 @@ class EmbStreamSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     assert(afterMap === got, s"replay changed verdict values: $afterMap")
   }
+
+  // Torn-batch recovery for the BANDED loop (r13 verdict #3; the
+  // blocked twin's cases live in EmbStreamBlockedSpec): a crash
+  // between the verdict overwrite and the band append, or between the
+  // band append and the vector append, must converge on checkpoint
+  // replay to the uninterrupted run — verdicts identical, stores
+  // identical as sets.
+  for (crashPoint <- Seq("post-verdicts", "mid-append"))
+    test(s"banded loop: a crash at $crashPoint converges on checkpoint replay") {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      def quarter(qi: Int): Seq[Double] =
+        Seq.tabulate(64)(i => if (i / 16 == qi) 0.5 + 0.01 * i else 0.0)
+      // batch 0: survivor 10 + dup 11; batch 1 (the crashed one):
+      // dup-of-survivor 20, dup-of-corpus 21, AND fresh survivor 22 —
+      // so the torn appends have rows to lose
+      val b1 = Seq((10L, quarter(2)), (11L, quarter(2)), (12L, quarter(0)))
+      val b2 = Seq((20L, quarter(2)), (21L, quarter(1)), (22L, quarter(3)))
+      def bootstrap(): (String, String) = {
+        val (bandDir, vecDir) = (tmp("tnb"), tmp("tnv"))
+        EmbStream.writeIndex(
+          Seq((0L, quarter(0)), (1L, quarter(1))).toDF("vec_id", "embedding"),
+          bandDir, vecDir)
+        (bandDir, vecDir)
+      }
+      def verdictMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      // uninterrupted reference
+      val (refBand, refVec) = bootstrap()
+      val refOut = tmp("tnrefout")
+      EmbStream.processBatch(b1.toDF("vec_id", "embedding"),
+        refBand, refVec, refOut, 0L)
+      EmbStream.processBatch(b2.toDF("vec_id", "embedding"),
+        refBand, refVec, refOut, 1L)
+      // torn run
+      val (bandDir, vecDir) = bootstrap()
+      val (verdictsDir, ckpt) = (tmp("tnout"), tmp("tnckpt"))
+      val input = MemoryStream[(Long, Seq[Double])]
+      @volatile var armed = true
+      def start() = input.toDF().toDF("vec_id", "embedding").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          EmbStream.processBatch(batch, bandDir, vecDir, verdictsDir, id,
+            seam = pt => if (pt == crashPoint && id == 1 && armed) {
+              armed = false
+              throw new RuntimeException(s"injected crash at $pt")
+            })
+        }
+        .option("checkpointLocation", ckpt).start()
+      val q1 = start()
+      input.addData(b1: _*)
+      q1.processAllAvailable()
+      input.addData(b2: _*)
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+        q1.awaitTermination()
+      }
+      q1.stop()
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+
+      assert(verdictMap(spark.read.parquet(verdictsDir)) ===
+        verdictMap(spark.read.parquet(refOut)),
+        "recovered verdicts diverged from the uninterrupted run")
+      def rowSet(dir: String) = spark.read.parquet(dir)
+        .distinct().collect().map(_.mkString("|")).toSet
+      assert(rowSet(bandDir) === rowSet(refBand),
+        "recovered band index diverged (as a set)")
+      assert(spark.read.parquet(vecDir).select("vec_id").distinct()
+        .collect().map(_.getLong(0)).toSet ===
+        spark.read.parquet(refVec).select("vec_id").distinct()
+          .collect().map(_.getLong(0)).toSet,
+        "recovered vector store diverged (as a set)")
+    }
 }
