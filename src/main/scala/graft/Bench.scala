@@ -225,12 +225,29 @@ object Bench {
       (name, runs.minByOption(_._1).getOrElse((-1.0, -1L, -1L)),
         repSlots.map(_.map(_._1)))
     }
-    val qs = results.map { case (k, (t, _, _), _) => "\"" + k + "\":" + t }
+    // BASELINE LANE (r13 verdict #7): queries carrying machine
+    // steering (supersededBy — measured quadratics kept as pedagogical
+    // baselines with a registered linear successor) still RUN every
+    // window (their history and steering stay alive) but report in a
+    // separate `baseline` object, not the headline maps: the headline
+    // is what a user following the steering would actually pay.
+    val baselineNames = results.collect {
+      case (k, _, _) if SparkEntry.defsByName(k).supersededBy.nonEmpty => k
+    }.toSet
+    val (blResults, hlResults) =
+      results.partition { case (k, _, _) => baselineNames.contains(k) }
+    val qs = hlResults.map { case (k, (t, _, _), _) => "\"" + k + "\":" + t }
       .mkString("{", ",", "}")
-    val shuffles = results.map { case (k, (_, sh, _), _) => "\"" + k + "\":" + sh }
+    val shuffles = hlResults.map { case (k, (_, sh, _), _) => "\"" + k + "\":" + sh }
       .mkString("{", ",", "}")
-    val spills = results.map { case (k, (_, _, sp), _) => "\"" + k + "\":" + sp }
+    val spills = hlResults.map { case (k, (_, _, sp), _) => "\"" + k + "\":" + sp }
       .mkString("{", ",", "}")
+    val baselineJson = {
+      val bq = blResults.map { case (k, (t, _, _), _) => "\"" + k + "\":" + t }
+        .mkString("{", ",", "}")
+      val bTotal = blResults.collect { case (_, (v, _, _), _) if v >= 0 => v }.sum
+      s"""{"queries":$bq,"total":$bTotal}"""
+    }
     // Per-rep traces IN the artifact (r8 verdict, bench-evidence
     // hygiene): the round-to-round drift analyses kept reconstructing
     // rep-1-codegen vs sustained-slowness from stderr scrollback; the
@@ -240,7 +257,7 @@ object Bench {
     // has exactly `reps` slots; a failed rep is a literal JSON `null`
     // in its slot so partial failures stay visible in the artifact —
     // consumers must tolerate nulls when treating reps as numeric.
-    val repsJson = results.map { case (k, _, rs) =>
+    val repsJson = hlResults.map { case (k, _, rs) =>
       "\"" + k + "\":" +
         rs.map(_.map(_.toString).getOrElse("null")).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -290,13 +307,15 @@ object Bench {
         java.nio.file.StandardOpenOption.APPEND)
     }
 
-    val total = results.collect { case (_, (v, _, _), _) if v >= 0 => v }.sum
-    // failures surfaced explicitly: a broken query must not read as a
-    // smaller (better) total
+    // headline total excludes the baseline lane (reported separately)
+    val total = hlResults.collect { case (_, (v, _, _), _) if v >= 0 => v }.sum
+    // failures surfaced explicitly ACROSS BOTH LANES: a broken query
+    // must not read as a smaller (better) total, and a baseline-lane
+    // break must not hide either
     val failed = results.collect { case (k, (v, _, _), _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"shuffle_bytes":$shuffles,"spill_bytes":$spills,"reps":$repsJson,"canary":$canaryJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"shuffle_bytes":$shuffles,"spill_bytes":$spills,"reps":$repsJson,"baseline":$baselineJson,"canary":$canaryJson,"sf":"$sfDir"}"""
     println(line)
     // Also persist next to the repo: the driver captures stdout tails,
     // which has truncated the per-query map before — the file is the

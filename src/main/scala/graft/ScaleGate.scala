@@ -353,7 +353,8 @@ object ScaleGate {
     * when registered).
     */
   def checksFor(spark: SparkSession, baseDir: String, scaledDir: String,
-      copies: Int, family: Seq[String]): Seq[Check] =
+      copies: Int, family: Seq[String],
+      onCheck: Check => Unit = _ => ()): Seq[Check] =
     family.flatMap { q =>
       val run: Seq[Check] =
         try q match {
@@ -385,6 +386,7 @@ object ScaleGate {
       // the persists above (and the ranking queries' internal
       // materialize-once layouts) must not accumulate across the gate
       spark.catalog.clearCache()
+      run.foreach(onCheck)
       run
     }
 
@@ -411,12 +413,12 @@ object ScaleGate {
     require(unknown.isEmpty, s"gate family names not in the registry: " +
       unknown.mkString(", "))
 
-    val checks = checksFor(spark, src, out, copies, family)
-    checks.foreach { c =>
+    // per-query streaming progress: a 100x run takes tens of minutes,
+    // and an all-at-the-end dump would hide where a hang or OOM landed
+    val checks = checksFor(spark, src, out, copies, family, c =>
       System.err.println(
         s"[gate] ${if (c.pass) "PASS" else "FAIL"} ${c.query}: ${c.invariant}" +
-          (if (c.detail.nonEmpty) s" (${c.detail})" else ""))
-    }
+          (if (c.detail.nonEmpty) s" (${c.detail})" else "")))
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val json = checks.map(c =>
       s"""{"query":"${c.query}","invariant":"${esc(c.invariant)}","pass":${c.pass},"detail":"${esc(c.detail)}"}""")
