@@ -61,7 +61,8 @@ object ScaleGate {
     (LinearEventQueries ++ Seq(
       "q_watermark_audit", "classify_calibration", "q_decile",
       "text_ppl_bucket", "dedup_cluster_keep", "dedup_minhash_lsh",
-      "dedup_embedding_blocked", "emb_cell_skew", "mix_kl",
+      "dedup_embedding_blocked", "dedup_embedding_hier",
+      "corpus_dup_profile", "emb_cell_skew", "mix_kl",
       "pipeline_curate", "pipeline_curate_emb", "pipeline_shard") ++ extra)
       .distinct
 
@@ -248,8 +249,13 @@ object ScaleGate {
     } finally { out.unpersist(); () }
   }
 
-  private def checkBlocked(spark: SparkSession, dir: String): Seq[Check] = {
-    val q = "dedup_embedding_blocked"
+  /** Shared by dedup_embedding_blocked AND dedup_embedding_hier —
+    * stages 2-3 are literally the same code (bandedPruneFrom), so the
+    * verdict-frame laws are identical; gating both means the
+    * 1e9-tier hier assignment path is law-checked too.
+    */
+  private def checkBlocked(spark: SparkSession, dir: String,
+      q: String): Seq[Check] = {
     val out = SparkEntry.queries(q)(spark, dir).persist()
     try {
       val (rows, distinct) = countDistinctOf(out, "vec_id")
@@ -273,6 +279,32 @@ object ScaleGate {
         check(q, "keep ⇒ keep_dup (SemDeDup prunes only among survivors)",
           keepImplies == 0, s"violations=$keepImplies"))
     } finally { out.unpersist(); () }
+  }
+
+  /** corpus_dup_profile algebra: per row n_docs = cluster_size x
+    * n_clusters; the profile ACCOUNTS FOR the whole corpus (sum of
+    * n_docs = documents count — the singleton row is defined as the
+    * unclustered remainder, so a drift in either side breaks this);
+    * one row per cluster_size; sizes >= 1 with counts >= 0.
+    */
+  private def checkDupProfile(spark: SparkSession, dir: String): Seq[Check] = {
+    val q = "corpus_dup_profile"
+    val rows = SparkEntry.queries(q)(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    val badAlgebra = rows.collect {
+      case (sz, nc, nd) if nd != sz * nc || sz < 1 || nc < 0 =>
+        s"size=$sz clusters=$nc docs=$nd"
+    }
+    Seq(
+      check(q, "per-row algebra: n_docs = cluster_size x n_clusters, sizes >= 1",
+        badAlgebra.isEmpty, badAlgebra.mkString("; ")),
+      check(q, "one row per cluster size",
+        rows.map(_._1).distinct.length == rows.length,
+        s"sizes=${rows.map(_._1).sorted.mkString(",")}"),
+      check(q, "the profile accounts for every corpus document (sum n_docs = corpus)",
+        rows.map(_._3).sum == docs,
+        s"sum=${rows.map(_._3).sum} corpus=$docs"))
   }
 
   private def checkCellSkew(spark: SparkSession, dir: String): Seq[Check] = {
@@ -367,7 +399,9 @@ object ScaleGate {
           case "text_ppl_bucket" => checkPplBucket(spark, scaledDir)
           case "dedup_cluster_keep" => checkClusterKeep(spark, scaledDir)
           case "dedup_minhash_lsh" => checkMinhashPairs(spark, scaledDir)
-          case "dedup_embedding_blocked" => checkBlocked(spark, scaledDir)
+          case "dedup_embedding_blocked" | "dedup_embedding_hier" =>
+            checkBlocked(spark, scaledDir, q)
+          case "corpus_dup_profile" => checkDupProfile(spark, scaledDir)
           case "emb_cell_skew" => checkCellSkew(spark, scaledDir)
           case "mix_kl" => checkMixKl(spark, baseDir, scaledDir, copies)
           case "pipeline_curate" => checkCurate(spark, scaledDir)

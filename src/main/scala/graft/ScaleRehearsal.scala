@@ -109,6 +109,10 @@ object ScaleRehearsal {
       val sh = shuffleNow() - sh0
       val rows = df.count() // untimed: result-size sanity for the density story
       df.unpersist()
+      // queries with an internal materialize-once persist (the ranking
+      // layouts, pipeline_shard's base projection) must not leak cache
+      // entries into the next measurement (the Verify/Bench discipline)
+      spark.catalog.clearCache()
       (secs, sh, rows)
     }
 
