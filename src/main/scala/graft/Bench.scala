@@ -58,21 +58,32 @@ object Bench {
     */
   private val CanaryCommittedSec = 0.57
 
-  /** Calm-window medians the derived level reads (newest-last). */
+  /** Lineage windows the derived level reads (newest-last). */
   private val CanaryLineageN = 5
 
   private def lineagePath = java.nio.file.Paths.get(
     sys.env.getOrElse("SPARK_GRAFT_CANARY_LINEAGE", "canary_lineage.jsonl"))
 
   /** Committed calm level + its provenance, resolved in order:
-    * explicit env pin > median of the last [[CanaryLineageN]]
-    * calm-window medians at the same core count from the lineage
-    * sidecar > the local[32] bootstrap constant > disabled. Lineage
-    * entries written under a DISABLED flag (`"inflated":null`) count
-    * as calm-eligible — that is what lets non-reference hardware
-    * self-bootstrap: run 1 records its median with the flag off, run
-    * 2 derives from it. Entries that FLAGGED inflated never enter the
-    * derivation, so a hot window cannot ratchet the level up.
+    * explicit env pin > MINIMUM of the last [[CanaryLineageN]] window
+    * medians at the same core count from the lineage sidecar > the
+    * local[32] bootstrap constant > disabled.
+    *
+    * Min, not median, and over ALL recent windows, not just
+    * calm-flagged ones (r14 review, two findings): a median of
+    * calm-eligible windows RATCHETS under sustained sub-threshold
+    * drift — each window < 1.5x the already-drifted level enters the
+    * pool and compounds (observed live: 0.57 → 0.60 → 0.71 in two
+    * runs with zero flags) — and a flag-off first window on new
+    * hardware would seed the level from a possibly load-inflated
+    * median with nothing to audit it. The MIN is immune to both: one
+    * calm window anywhere in the last N pins the level at calm, a hot
+    * window can never raise it, and a hot bootstrap seed is displaced
+    * by the first calm window that follows. The cost is a slightly
+    * optimistic level (ratios read a few percent high vs the old
+    * median basis — the 1.5x flag threshold has the headroom, calm
+    * windows vary < 1.2x). A genuine hardware slowdown converges
+    * after N windows (the old fast minima age out).
     */
   private[graft] def resolveCommitted(cpus: String,
       lineage: java.nio.file.Path = lineagePath,
@@ -82,20 +93,18 @@ object Bench {
     pin match {
       case Some(p) => (Some(p), "pinned")
       case None =>
-        val calm =
+        val medians =
           if (!java.nio.file.Files.exists(lineage)) Seq.empty
           else scala.jdk.CollectionConverters.ListHasAsScala(
             java.nio.file.Files.readAllLines(lineage)).asScala.toSeq
-            .filter(l => l.contains(s""""cpus":$cpus,""") &&
-              !l.contains("\"inflated\":true"))
+            .filter(_.contains(s""""cpus":$cpus,"""))
             .flatMap { l =>
               """"median":([0-9.]+)""".r.findFirstMatchIn(l)
                 .map(_.group(1).toDouble)
             }
-        if (calm.nonEmpty) {
-          val last = calm.takeRight(CanaryLineageN).sorted
-          (Some(last(last.size / 2)), "derived")
-        } else if (cpus == "32") (Some(CanaryCommittedSec), "default")
+        if (medians.nonEmpty)
+          (Some(medians.takeRight(CanaryLineageN).min), "derived")
+        else if (cpus == "32") (Some(CanaryCommittedSec), "default")
         else (None, "off")
     }
 
@@ -242,11 +251,22 @@ object Bench {
       .mkString("{", ",", "}")
     val spills = hlResults.map { case (k, (_, _, sp), _) => "\"" + k + "\":" + sp }
       .mkString("{", ",", "}")
+    // the lane keeps the FULL telemetry shape (reps/shuffle/spill) —
+    // the r8 per-rep-traces-in-the-artifact rule applies to both
+    // lanes; only the headline membership changes (r14 review)
     val baselineJson = {
       val bq = blResults.map { case (k, (t, _, _), _) => "\"" + k + "\":" + t }
         .mkString("{", ",", "}")
+      val bSh = blResults.map { case (k, (_, sh, _), _) => "\"" + k + "\":" + sh }
+        .mkString("{", ",", "}")
+      val bSp = blResults.map { case (k, (_, _, sp), _) => "\"" + k + "\":" + sp }
+        .mkString("{", ",", "}")
+      val bReps = blResults.map { case (k, _, rs) =>
+        "\"" + k + "\":" +
+          rs.map(_.map(_.toString).getOrElse("null")).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
       val bTotal = blResults.collect { case (_, (v, _, _), _) if v >= 0 => v }.sum
-      s"""{"queries":$bq,"total":$bTotal}"""
+      s"""{"queries":$bq,"total":$bTotal,"shuffle_bytes":$bSh,"spill_bytes":$bSp,"reps":$bReps}"""
     }
     // Per-rep traces IN the artifact (r8 verdict, bench-evidence
     // hygiene): the round-to-round drift analyses kept reconstructing
@@ -274,33 +294,43 @@ object Bench {
     // the flag stays off and the three samples still land in the
     // artifact (and seed the lineage for the next run here).
     val (committedOpt, provenance) = resolveCommitted(cpus)
+    // Locale-pinned decimal formatting (r14 review): the f-interpolator
+    // follows the default locale, and a comma-decimal JVM (de_DE, ...)
+    // would write "median":0,710 — invalid JSON that resolveCommitted's
+    // dot-decimal regex would misread as 0, flagging every window
+    // inflated against a zero level forever.
+    def d3(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+    def d2(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
     val canaryJson = committedOpt match {
       case Some(committed) =>
         val canaryRatio = canaryMedian / committed
         val inflated = canaryRatio > CanaryInflatedRatio
         if (inflated) System.err.println(
-          f"[bench] WINDOW INFLATED: canary median $canaryMedian%.3f s = " +
-            f"$canaryRatio%.2fx its committed calm level ($committed%.3f s, " +
+          s"[bench] WINDOW INFLATED: canary median ${d3(canaryMedian)} s = " +
+            s"${d2(canaryRatio)}x its committed calm level (${d3(committed)} s, " +
             s"$provenance) - treat per-query regressions in this artifact " +
             "as suspect")
-        f"""{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f,"median":$canaryMedian%.3f,"committed":$committed%.3f,"ratio":$canaryRatio%.2f,"inflated":$inflated,"provenance":"$provenance"}"""
+        s"""{"start":${d3(canaryStart)},"mid":${d3(canaryMid)},"end":${d3(canaryEnd)},"median":${d3(canaryMedian)},"committed":${d3(committed)},"ratio":${d2(canaryRatio)},"inflated":$inflated,"provenance":"$provenance"}"""
       case None =>
         System.err.println(s"[bench] canary flag disabled: no committed calm " +
           s"level resolves for local[$cpus] (no pin, no lineage at this core " +
           "count) - this run's median seeds the lineage; set " +
           "SPARK_GRAFT_CANARY_COMMITTED to arm the flag immediately")
-        f"""{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f,"median":$canaryMedian%.3f,"committed":null,"ratio":null,"inflated":null,"provenance":"$provenance"}"""
+        s"""{"start":${d3(canaryStart)},"mid":${d3(canaryMid)},"end":${d3(canaryEnd)},"median":${d3(canaryMedian)},"committed":null,"ratio":null,"inflated":null,"provenance":"$provenance"}"""
     }
     // Append this window to the lineage sidecar (full-registry runs
     // only — a filtered run's GC/cache profile is not a calm-window
-    // comparable). Inflated windows are appended too (the history
-    // should show them) but never enter the derived level.
+    // comparable). Every window is appended, hot or calm — the
+    // min-of-last-N derivation makes eligibility filtering
+    // unnecessary, and the history should show the hot windows.
     if (filter.isEmpty) {
       val entry = committedOpt match {
         case Some(c) =>
-          f"""{"cpus":$cpus,"median":$canaryMedian%.3f,"committed":$c%.3f,"ratio":${canaryMedian / c}%.2f,"inflated":${canaryMedian / c > CanaryInflatedRatio},"provenance":"$provenance"}"""
+          s"""{"cpus":$cpus,"median":${d3(canaryMedian)},"committed":${d3(c)},"ratio":${d2(canaryMedian / c)},"inflated":${canaryMedian / c > CanaryInflatedRatio},"provenance":"$provenance"}"""
         case None =>
-          f"""{"cpus":$cpus,"median":$canaryMedian%.3f,"committed":null,"ratio":null,"inflated":null,"provenance":"$provenance"}"""
+          s"""{"cpus":$cpus,"median":${d3(canaryMedian)},"committed":null,"ratio":null,"inflated":null,"provenance":"$provenance"}"""
       }
       java.nio.file.Files.write(lineagePath, (entry + "\n").getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,

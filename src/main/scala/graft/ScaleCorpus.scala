@@ -148,10 +148,16 @@ object ScaleCorpus {
       System.err.println(s"[scale] derived ${copies}x events at $eventsOut")
     }
 
-    // remaining tables: symlink, so any registered query can run
+    // remaining tables: symlink, so any registered query can run. An
+    // UNSTAMPED dir re-targets existing links too (r14 review): a
+    // crashed earlier derivation from a DIFFERENT src leaves its
+    // symlinks behind, and skipping them while re-deriving the content
+    // tables from the current src would stamp a mixed-source corpus.
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem")) {
       val link = outPath.resolve(s"$t.parquet")
+      if (!stamped && java.nio.file.Files.isSymbolicLink(link))
+        java.nio.file.Files.delete(link)
       if (!java.nio.file.Files.exists(link))
         java.nio.file.Files.createSymbolicLink(
           link, java.nio.file.Paths.get(s"$src/$t.parquet"))

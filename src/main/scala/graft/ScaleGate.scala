@@ -207,10 +207,23 @@ object ScaleGate {
       val canonAbove = out.filter(col("canonical_id") > col("doc_id")).count()
       val partnerMissing = out.select(col("canonical_id").as("doc_id")).distinct()
         .join(out.select("doc_id"), Seq("doc_id"), "left_anti").count()
-      val clusterStats = out.groupBy("canonical_id")
-        .agg(count(lit(1)).as("sz"),
-          sum(when(col("keep"), 1L).otherwise(0L)).as("keeps"))
-        .agg(min("sz"), min("keeps"), max("keeps")).head()
+      // an empty frame is legitimate (a corpus/tier with no near-dups
+      // emits nothing) and must read as a vacuous PASS, not an NPE on
+      // the all-null min/max row (r14 review)
+      val clusterCheck =
+        if (rows == 0)
+          check(q, "every cluster has >= 2 members and exactly one keeper",
+            pass = true, "vacuous: no near-dup clusters at this tier")
+        else {
+          val st = out.groupBy("canonical_id")
+            .agg(count(lit(1)).as("sz"),
+              sum(when(col("keep"), 1L).otherwise(0L)).as("keeps"))
+            .agg(min("sz"), min("keeps"), max("keeps")).head()
+          check(q, "every cluster has >= 2 members and exactly one keeper",
+            st.getLong(0) >= 2 && st.getLong(1) == 1 && st.getLong(2) == 1,
+            s"min_size=${st.getLong(0)} keeps(min,max)=" +
+              s"(${st.getLong(1)},${st.getLong(2)})")
+        }
       Seq(
         check(q, "doc_id unique and every id in the corpus (keep ⊆ corpus)",
           rows == distinct && orphans == 0,
@@ -220,11 +233,7 @@ object ScaleGate {
           s"keepLaw violations=$keepLaw canonical>doc=$canonAbove"),
         check(q, "every canonical_id is itself a cluster member (partner ∈ cluster)",
           partnerMissing == 0, s"missing=$partnerMissing"),
-        check(q, "every cluster has >= 2 members and exactly one keeper",
-          clusterStats.getLong(0) >= 2 && clusterStats.getLong(1) == 1 &&
-            clusterStats.getLong(2) == 1,
-          s"min_size=${clusterStats.getLong(0)} keeps(min,max)=" +
-            s"(${clusterStats.getLong(1)},${clusterStats.getLong(2)})"))
+        clusterCheck)
     } finally { out.unpersist(); () }
   }
 
@@ -453,7 +462,20 @@ object ScaleGate {
       System.err.println(
         s"[gate] ${if (c.pass) "PASS" else "FAIL"} ${c.query}: ${c.invariant}" +
           (if (c.detail.nonEmpty) s" (${c.detail})" else "")))
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // Full JSON string escape incl. control chars (r14 review): the
+    // failure path puts e.getMessage into detail, and Spark exception
+    // messages are routinely multi-line - a raw newline would make the
+    // artifact unparseable exactly when it carries failure evidence
+    // (the Verify.q escaper rule).
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val json = checks.map(c =>
       s"""{"query":"${c.query}","invariant":"${esc(c.invariant)}","pass":${c.pass},"detail":"${esc(c.detail)}"}""")
       .mkString(

@@ -316,12 +316,18 @@ object Curate {
     */
   private[graft] def shardChecksFor(s: org.apache.spark.sql.SparkSession,
       d: String): Seq[(String, Boolean, String)] = {
-    val out = shard.fn(s, d).persist()
+    // ONE evaluation of the curate pipeline feeds all three consumers
+    // (the shard under check, the subset law, and the budget-law
+    // recomputation) — uncached, each would re-run the whole curate
+    // plan, minutes apiece at the 100x gate tier (r14 review)
+    val curated = curate.fn(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = shardFrom(s, d, curated).persist()
     try {
       val rows = out.count()
       val distinct = out.select("doc_id").distinct().count()
-      val curated = curate.fn(s, d).select("doc_id")
-      val orphans = out.join(curated, Seq("doc_id"), "left_anti").count()
+      val orphans = out.join(curated.select("doc_id"),
+        Seq("doc_id"), "left_anti").count()
       val badOffset = out.filter(col("start_offset") < 0 ||
         col("start_offset") >= ShardBinTokens || col("bin_id") < 0).count()
       // pack contiguity per source (selected-per-source is budget-
@@ -344,7 +350,7 @@ object Curate {
       // budget law: per source, selected tokens reach the budget
       // (unless the source exhausted) and overshoot by less than one
       // doc (the greedy fill keeps exactly the crossing doc)
-      val base = shardBase(s, d, curate.fn(s, d))
+      val base = shardBase(s, d, curated)
       val budgets = Sampling.sourceBudgets(base, ShardT)
       val curatedPerSource = base.groupBy("source")
         .agg(count(lit(1)).as("n_curated"))
@@ -372,7 +378,7 @@ object Curate {
           contViolations.isEmpty, contViolations.take(5).mkString("; ")),
         ("per-source fill reaches its budget and overshoots by < one doc",
           budgetViolations.isEmpty, budgetViolations.take(5).mkString("; ")))
-    } finally { out.unpersist(); () }
+    } finally { out.unpersist(); curated.unpersist(); () }
   }
 
   val defs: Seq[QueryDef] = Seq(curate, curateNb, curateEmb, shard)

@@ -128,8 +128,8 @@ object DocStream {
     * batchId — a replay — REPLACES the previous output, row counts
     * included; idempotence is spec-proven by invoking this twice),
     * survivors' band rows append to the index.
-    */
-  /** `seam` is the crash-injection surface for the torn-batch
+    *
+    * `seam` is the crash-injection surface for the torn-batch
     * recovery specs (r13 verdict #3): invoked with `"post-verdicts"`
     * between the two writes — a spec-thrown exception there models a
     * crash after the verdict overwrite but before the index append,

@@ -137,8 +137,8 @@ object EmbStream {
     * same batchId — a replay — REPLACES the previous output, row
     * counts included; idempotence is spec-proven by invoking this
     * twice), survivors' band rows and vectors append to the stores.
-    */
-  /** `seam` is the crash-injection surface for the torn-batch
+    *
+    * `seam` is the crash-injection surface for the torn-batch
     * recovery specs (r13 verdict #3): `"post-verdicts"` fires between
     * the verdict overwrite and the band append, `"mid-append"`
     * between the band append and the vector append — the two tears a
@@ -601,8 +601,8 @@ object EmbStream {
     * the first batch ([[loadCodebook]]); hier codebooks assign through
     * the joined tables, flat ones through the reference-object
     * expression — the index schema and verify tail are identical.
-    */
-  /** `seam`: crash-injection surface for the torn-batch recovery
+    *
+    * `seam`: crash-injection surface for the torn-batch recovery
     * specs, as in [[processBatch]] — `"post-verdicts"` and
     * `"mid-append"` model the two possible tears between this batch's
     * three writes. Production callers leave the no-op default.

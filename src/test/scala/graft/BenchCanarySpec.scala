@@ -3,10 +3,13 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The canary's committed-level resolution (Bench.resolveCommitted):
-  * pin > lineage-derived > local[32] bootstrap constant > off — and
-  * the lineage derivation must ignore inflated windows (a hot window
-  * must never ratchet the calm level up) while accepting flag-off
-  * windows (the non-reference-hardware self-bootstrap).
+  * pin > lineage-derived > local[32] bootstrap constant > off. The
+  * derived level is the MINIMUM of the last N window medians at the
+  * same core count (r14 review): a median-of-calm scheme ratchets
+  * upward under sustained sub-threshold drift and can be poisoned by
+  * a hot flag-off bootstrap window; the min is immune to both — a hot
+  * window can never raise it, and one calm window anywhere in the
+  * last N pins it at calm.
   */
 class BenchCanarySpec extends AnyFunSuite {
 
@@ -31,41 +34,61 @@ class BenchCanarySpec extends AnyFunSuite {
       (Some(0.8), "pinned"))
   }
 
-  test("calm lineage windows at the same core count derive the level") {
+  test("the derived level is the min of the recent windows at this core count") {
     val lineage = tmpLineage(
       entry(32, 0.50, Some(false)),
       entry(32, 0.60, Some(false)),
       entry(32, 0.55, Some(false)))
-    val (level, prov) = Bench.resolveCommitted("32", lineage, pin = None)
-    assert(prov == "derived")
-    assert(level.contains(0.55), "median of the three calm medians")
+    assert(Bench.resolveCommitted("32", lineage, pin = None) ==
+      (Some(0.50), "derived"))
   }
 
-  test("only the last N calm windows enter; older history is ignored") {
-    // five old fast windows, then five newer slow ones: the derived
-    // level must track the NEWER five (the self-re-pin semantics)
+  test("sustained sub-threshold drift cannot ratchet the level (the live r14 sequence)") {
+    // the literal sequence the median-of-calm scheme compounded on:
+    // bootstrap 0.57 -> window 0.600 (1.05x, calm) -> window 0.710
+    // (1.18x vs the drifted level, calm) — the level must stay pinned
+    // at the calmest recent window, not follow the drift
+    val lineage = tmpLineage(
+      entry(32, 0.600, Some(false)),
+      entry(32, 0.710, Some(false)))
+    assert(Bench.resolveCommitted("32", lineage, pin = None) ==
+      (Some(0.600), "derived"),
+      "the drifted window must not become the new calm level")
+  }
+
+  test("only the last N windows enter; older history ages out") {
+    // five old fast windows, then five newer slow ones: a genuine
+    // hardware slowdown converges once the fast minima age out
     val lineage = tmpLineage(
       (Seq.fill(5)(0.30) ++ Seq.fill(5)(0.60))
         .map(m => entry(32, m, Some(false))): _*)
-    val (level, prov) = Bench.resolveCommitted("32", lineage, pin = None)
-    assert(prov == "derived" && level.contains(0.60))
+    assert(Bench.resolveCommitted("32", lineage, pin = None) ==
+      (Some(0.60), "derived"))
   }
 
-  test("inflated windows never enter the derivation") {
+  test("a hot window can never raise the level") {
     val lineage = tmpLineage(
       entry(32, 0.50, Some(false)),
-      entry(32, 2.50, Some(true)), // a hot window must not ratchet the level
+      entry(32, 2.50, Some(true)), // a flagged-hot window is harmless under min
       entry(32, 0.52, Some(false)))
-    val (level, prov) = Bench.resolveCommitted("32", lineage, pin = None)
-    assert(prov == "derived")
-    assert(level.exists(_ < 1.0), s"hot window leaked into the level: $level")
+    assert(Bench.resolveCommitted("32", lineage, pin = None) ==
+      (Some(0.50), "derived"))
   }
 
-  test("flag-off windows are calm-eligible (non-32-core self-bootstrap)") {
-    val lineage = tmpLineage(entry(4, 3.10, None), entry(4, 3.30, None))
-    val (level, prov) = Bench.resolveCommitted("4", lineage, pin = None)
-    assert(prov == "derived" && level.contains(3.30),
-      "run 1/2 seeded the lineage with the flag off; run 3 must derive")
+  test("flag-off windows seed the level (non-32-core self-bootstrap)") {
+    val lineage = tmpLineage(entry(4, 3.30, None), entry(4, 3.10, None))
+    assert(Bench.resolveCommitted("4", lineage, pin = None) ==
+      (Some(3.10), "derived"),
+      "runs 1/2 seeded the lineage with the flag off; run 3 must derive")
+  }
+
+  test("a hot flag-off bootstrap window is displaced by the first calm one") {
+    // the poisoned-seed scenario: run 1 on new hardware lands under
+    // co-tenant load (median 6.0, flag off), run 2 is calm (3.1) —
+    // the min takes the calm window, so the poison never sticks
+    val lineage = tmpLineage(entry(4, 6.00, None), entry(4, 3.10, None))
+    assert(Bench.resolveCommitted("4", lineage, pin = None) ==
+      (Some(3.10), "derived"))
   }
 
   test("other core counts' entries are invisible") {
@@ -74,12 +97,6 @@ class BenchCanarySpec extends AnyFunSuite {
       (Some(0.57), "default"), "local[32] falls back to the bootstrap constant")
     assert(Bench.resolveCommitted("8", lineage, pin = None) == (None, "off"),
       "off the reference count with no lineage at it, the flag stays off")
-  }
-
-  test("an all-inflated lineage falls back rather than deriving") {
-    val lineage = tmpLineage(entry(32, 2.50, Some(true)))
-    assert(Bench.resolveCommitted("32", lineage, pin = None) ==
-      (Some(0.57), "default"))
   }
 
   test("a missing lineage file resolves like an empty one") {
