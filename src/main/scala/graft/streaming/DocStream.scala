@@ -140,6 +140,7 @@ object DocStream {
       verdictsDir: String, batchId: Long,
       seam: String => Unit = _ => ()): Unit = {
     val spark = batch.sparkSession
+    graft.sources.Layout.requireNoMaintenance(spark, indexDir)
     val cached = batch.persist()
     try {
       IdWatermark.checkAndAdvance(cached, "doc_id", indexDir, batchId, "docstream")

@@ -150,6 +150,7 @@ object EmbStream {
       tau: Double = Similarity.nearDupTau,
       seam: String => Unit = _ => ()): Unit = {
     val spark = batch.sparkSession
+    graft.sources.Layout.requireNoMaintenance(spark, bandDir)
     val q = Similarity.quantizeCols(batch).persist()
     try {
       IdWatermark.checkAndAdvance(q, "vec_id", bandDir, batchId, "embstream")
@@ -495,9 +496,13 @@ object EmbStream {
     * the cell guard since bootstrap re-blocks INTO the hier regime —
     * per-batch assignment follows the codebook automatically.
     *
-    * Safety: run in the maintenance window (no concurrent appender),
-    * like [[graft.sources.Layout.compact]] — each dir's swap is
-    * atomic, and a reader between the two swaps degrades candidate
+    * Safety: the maintenance window (no concurrent appender) is
+    * ENFORCED via [[graft.sources.Layout.withMaintenanceLock]] on the
+    * band index (r14 — was documented discipline): appending batches
+    * refuse while the lock is held, and a crashed job leaves the lock
+    * behind so everything refuses conservatively until the operator
+    * verifies consistency and deletes it. Each dir's swap is
+    * atomic, and a READER between the two swaps degrades candidate
     * RECALL only (verify stays exact cosine), never correctness. The
     * two swaps are NOT atomic together: a crash between them would
     * install the new codebook against the old index — a torn state
@@ -509,18 +514,24 @@ object EmbStream {
     */
   def reblockIndex(spark: org.apache.spark.sql.SparkSession,
       centDir: String, bandDir: String, vecDir: String,
-      maxCells: Int = Similarity.maxBlockCells): Unit = {
-    val q = spark.read.parquet(vecDir).persist()
-    try {
-      val centTmp = centDir.stripSuffix("/") + "_reblock_tmp"
-      val bandTmp = bandDir.stripSuffix("/") + "_reblock_tmp"
-      writeQuantizer(spark, q, q.count(), centTmp, bandTmp, maxCells,
-        m => Similarity.lowestIdSeeds(q, m))
-      graft.sources.Layout.atomicReplace(spark, centDir, centTmp)
-      graft.sources.Layout.atomicReplace(spark, bandDir, bandTmp)
-      invalidateCodebook(centDir)
-    } finally q.unpersist()
-  }
+      maxCells: Int = Similarity.maxBlockCells): Unit =
+    // The maintenance window is ENFORCED since r14 (was documented
+    // discipline): one lock on the band index covers the whole
+    // codebook+index job — processBatchBlocked probes it per batch, so
+    // an appender cannot race the swaps, and a second re-block refuses.
+    graft.sources.Layout.withMaintenanceLock(spark, bandDir,
+      "EmbStream.reblockIndex") {
+      val q = spark.read.parquet(vecDir).persist()
+      try {
+        val centTmp = centDir.stripSuffix("/") + "_reblock_tmp"
+        val bandTmp = bandDir.stripSuffix("/") + "_reblock_tmp"
+        writeQuantizer(spark, q, q.count(), centTmp, bandTmp, maxCells,
+          m => Similarity.lowestIdSeeds(q, m))
+        graft.sources.Layout.atomicReplace(spark, centDir, centTmp)
+        graft.sources.Layout.atomicReplace(spark, bandDir, bandTmp)
+        invalidateCodebook(centDir)
+      } finally q.unpersist()
+    }
 
   /** Occupancy-skew summary of a LIVE band index — the streaming twin
     * of the oracle-checked `emb_cell_skew` trigger (same summary
@@ -612,6 +623,7 @@ object EmbStream {
       tau: Double = Similarity.nearDupTau,
       seam: String => Unit = _ => ()): Unit = {
     val spark = batch.sparkSession
+    graft.sources.Layout.requireNoMaintenance(spark, bandDir)
     requireConsistentEpochs(spark, centDir, bandDir)
     val cb = loadCodebook(spark, centDir)
     val q = Similarity.quantizeCols(batch).persist()

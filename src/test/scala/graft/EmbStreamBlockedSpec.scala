@@ -388,6 +388,37 @@ class EmbStreamBlockedSpec extends AnyFunSuite
       s"the (None, Some) torn state must name the recovery: ${eMirror.getMessage}")
   }
 
+  test("the maintenance lock fences appenders out of a re-block window") {
+    import spark.implicits._
+    val (centDir, bandDir, vecDir, verdictsDir) =
+      (tmp("mlc"), tmp("mlb"), tmp("mlv"), tmp("mlo"))
+    EmbStream.writeIndexBlocked(
+      Seq((0L, dirA), (1L, dirB)).toDF("vec_id", "embedding"),
+      centDir, bandDir, vecDir)
+    val batch = Seq((100L, dirC)).toDF("vec_id", "embedding")
+    EmbStream.processBatchBlocked(batch, centDir, bandDir, vecDir,
+      verdictsDir, batchId = 0L)
+    // a lock on the band index (an in-flight or crashed reblockIndex)
+    // must refuse the appending batch with the recovery-naming message
+    val lockFile = java.nio.file.Paths.get(s"$bandDir.maintenance")
+    java.nio.file.Files.writeString(lockFile, "EmbStream.reblockIndex pid=0")
+    val e = intercept[IllegalStateException] {
+      EmbStream.processBatchBlocked(batch, centDir, bandDir, vecDir,
+        verdictsDir, batchId = 1L)
+    }
+    assert(e.getMessage.contains("maintenance lock") &&
+      e.getMessage.contains("delete the lock"),
+      s"batch refusal must name the lock and recovery: ${e.getMessage}")
+    java.nio.file.Files.delete(lockFile) // the documented operator recovery
+    // the real job takes and releases the lock itself — and batches
+    // run again after it
+    EmbStream.reblockIndex(spark, centDir, bandDir, vecDir)
+    assert(!java.nio.file.Files.exists(lockFile),
+      "reblockIndex must release its lock on completion")
+    EmbStream.processBatchBlocked(batch, centDir, bandDir, vecDir,
+      verdictsDir, batchId = 1L)
+  }
+
   // ------------------------------------------------------------------
   // Torn-BATCH recovery (r13 verdict #3): the per-batch loop is
   // verdict-overwrite THEN band-append THEN vector-append with no

@@ -88,6 +88,46 @@ class LayoutSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("the maintenance lock excludes a second job, releases on both exits") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_mlock").toString
+    try {
+      val mdir = s"$base/store"
+      Seq((1L, "a")).toDF("id", "v").write.parquet(mdir)
+      val lockFile = new java.io.File(s"$mdir.maintenance")
+      // exclusion: a second maintenance job inside the window refuses,
+      // naming the holder and the recovery
+      sources.Layout.withMaintenanceLock(spark, mdir, "job-one") {
+        assert(lockFile.exists(), "lock must be on disk inside the window")
+        val e = intercept[IllegalStateException] {
+          sources.Layout.withMaintenanceLock(spark, mdir, "job-two") { fail() }
+        }
+        assert(e.getMessage.contains("job-one") &&
+          e.getMessage.contains("delete the lock"),
+          s"refusal must name the holder and the recovery: ${e.getMessage}")
+      }
+      assert(!lockFile.exists(), "lock must release on normal completion")
+      // release on exception too: an exception means no torn state the
+      // lock could protect (old-or-new swap + epoch guard cover those)
+      intercept[RuntimeException] {
+        sources.Layout.withMaintenanceLock(spark, mdir, "job-three") {
+          throw new RuntimeException("body failed")
+        }
+      }
+      assert(!lockFile.exists(), "lock must release when the body throws")
+      // a crash-leftover lock (created out-of-band) blocks compaction
+      // with the recovery message
+      java.nio.file.Files.writeString(lockFile.toPath, "crashed pid=0")
+      val e2 = intercept[IllegalStateException] {
+        sources.Layout.compact(spark, mdir)
+      }
+      assert(e2.getMessage.contains("crashed pid=0"))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(base)).deleteRecursively()
+    }
+  }
+
   test("withZ handles int columns, large domains, and negative values") {
     import spark.implicits._
     // int columns whose product with 65536 overflows Int, plus a
