@@ -62,7 +62,8 @@ object ScaleGate {
       "q_watermark_audit", "classify_calibration", "q_decile",
       "text_ppl_bucket", "dedup_cluster_keep", "dedup_minhash_lsh",
       "dedup_embedding_blocked", "dedup_embedding_hier",
-      "corpus_dup_profile", "emb_cell_skew", "mix_kl",
+      "corpus_dup_profile", "graph_pagerank", "graph_label_prop",
+      "emb_cell_skew", "mix_kl",
       "pipeline_curate", "pipeline_curate_emb", "pipeline_shard") ++ extra)
       .distinct
 
@@ -316,6 +317,60 @@ object ScaleGate {
         s"sum=${rows.map(_._3).sum} corpus=$docs"))
   }
 
+  /** graph_pagerank laws from the fixed-point arithmetic itself:
+    * every node holds at least the teleport floor (0.15e9 in the
+    * 1e9-scale integers), the double column is exactly rank9/1e9,
+    * total rank never exceeds n (integer floor division only LOSES
+    * mass, never creates it), and the node set is corpus documents.
+    */
+  private def checkPagerank(spark: SparkSession, dir: String): Seq[Check] = {
+    val q = "graph_pagerank"
+    val out = SparkEntry.queries(q)(spark, dir).persist()
+    try {
+      val (rows, distinct) = countDistinctOf(out, "doc_id")
+      val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      val orphans = out.join(docs, Seq("doc_id"), "left_anti").count()
+      val belowFloor = out.filter(col("rank9") < 150000000L).count()
+      val inconsistent = out.filter(
+        col("rank") =!= col("rank9").cast("double") / 1e9).count()
+      val total = if (rows == 0) 0L
+        else out.agg(sum(col("rank9"))).head().getLong(0)
+      Seq(
+        check(q, "one row per graph node, nodes ⊆ corpus",
+          rows == distinct && orphans == 0,
+          s"rows=$rows distinct=$distinct orphans=$orphans"),
+        check(q, "every rank >= the teleport floor; rank = rank9 / 1e9 exactly",
+          belowFloor == 0 && inconsistent == 0,
+          s"below_floor=$belowFloor inconsistent=$inconsistent"),
+        check(q, "total rank <= n (integer floor division only loses mass)",
+          total <= rows * 1000000000L,
+          s"total9=$total n*1e9=${rows * 1000000000L}"))
+    } finally { out.unpersist(); () }
+  }
+
+  /** graph_label_prop: communities are node-labelled — every assigned
+    * community id is itself a node of the output (the min-label
+    * propagation can only ever assign an EXISTING node's id), one row
+    * per node, nodes ⊆ corpus.
+    */
+  private def checkLabelProp(spark: SparkSession, dir: String): Seq[Check] = {
+    val q = "graph_label_prop"
+    val out = SparkEntry.queries(q)(spark, dir).persist()
+    try {
+      val (rows, distinct) = countDistinctOf(out, "doc_id")
+      val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      val orphans = out.join(docs, Seq("doc_id"), "left_anti").count()
+      val ghostCommunities = out.select(col("community").as("doc_id")).distinct()
+        .join(out.select("doc_id"), Seq("doc_id"), "left_anti").count()
+      Seq(
+        check(q, "one row per graph node, nodes ⊆ corpus",
+          rows == distinct && orphans == 0,
+          s"rows=$rows distinct=$distinct orphans=$orphans"),
+        check(q, "every community id is itself a node (labels ∈ node set)",
+          ghostCommunities == 0, s"ghost communities=$ghostCommunities"))
+    } finally { out.unpersist(); () }
+  }
+
   private def checkCellSkew(spark: SparkSession, dir: String): Seq[Check] = {
     val q = "emb_cell_skew"
     val rows = SparkEntry.queries(q)(spark, dir).collect()
@@ -411,6 +466,8 @@ object ScaleGate {
           case "dedup_embedding_blocked" | "dedup_embedding_hier" =>
             checkBlocked(spark, scaledDir, q)
           case "corpus_dup_profile" => checkDupProfile(spark, scaledDir)
+          case "graph_pagerank" => checkPagerank(spark, scaledDir)
+          case "graph_label_prop" => checkLabelProp(spark, scaledDir)
           case "emb_cell_skew" => checkCellSkew(spark, scaledDir)
           case "mix_kl" => checkMixKl(spark, baseDir, scaledDir, copies)
           case "pipeline_curate" => checkCurate(spark, scaledDir)
