@@ -174,11 +174,16 @@ object Layout {
     val holder =
       s"$job pid=${ProcessHandle.current.pid} started=${java.time.Instant.now}"
     // exists() first only for a better message; create(overwrite=false)
-    // is the atomic arbiter either way
+    // is the atomic arbiter either way. A create failure with NO lock
+    // on disk is a genuine IO error (permissions, transient store
+    // fault) and must surface as itself, not masquerade as "held".
     if (fs.exists(lock)) throw heldError(fs, lock, dir0)
     val out =
       try fs.create(lock, false)
-      catch { case _: java.io.IOException => throw heldError(fs, lock, dir0) }
+      catch {
+        case e: java.io.IOException =>
+          if (fs.exists(lock)) throw heldError(fs, lock, dir0) else throw e
+      }
     try out.write(holder.getBytes("UTF-8")) finally out.close()
     try body finally fs.delete(lock, false)
   }
