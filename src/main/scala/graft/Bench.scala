@@ -43,8 +43,8 @@ object Bench {
   /** Fallback committed calm-window canary level (seconds) on the
     * round's reference hardware at local[32]. Since r14 this constant
     * is only the BOOTSTRAP: the committed level self-re-pins from the
-    * artifact lineage (`canary_lineage.jsonl`, the last
-    * [[CanaryLineageN]] calm-window medians at the same core count —
+    * artifact lineage (`canary_lineage.jsonl`, the MIN of the last
+    * [[CanaryLineageN]] window medians at the same core count —
     * see [[resolveCommitted]]), so a hardware change needs at most one
     * manual SPARK_GRAFT_CANARY_COMMITTED pin (or, off 32 cores, none:
     * the first flag-off run seeds the lineage) instead of a constant
