@@ -75,6 +75,7 @@ final class GraftSession(val spark: SparkSession, val sfDir: String,
       operators.Dedup.dupProfileFrom(spark, sfDir, ngram.clusterKeep)
     case "pipeline_curate"      => ngram.curated
     case "pipeline_curate_nb"   => ngram.curatedNb
+    case "pipeline_shard"       => ngram.curatedShard
     case "graph_triangles"      => ngram.triangles
     case "graph_pagerank"       => Graph.pageRankFrom(ngram.pairs)
     case "graph_label_prop"     => Graph.labelPropFrom(ngram.pairs)

@@ -52,7 +52,7 @@ object Shared {
     */
   val KeepOnlyMembers: Set[String] = Set(
     "dedup_cluster_keep", "pipeline_curate", "pipeline_curate_nb",
-    "corpus_dup_profile")
+    "pipeline_shard", "corpus_dup_profile")
 
   /** Pair-graph family members that read the raw pair frame directly
     * (each re-scans `pairs`, so those sessions DO want the persist).
@@ -143,6 +143,16 @@ object Shared {
     def curatedNb: DataFrame = {
       guard("pipeline_curate_nb")
       Curate.curateNbFrom(spark, sfDir, keepDecision)
+    }
+
+    /** Training-shard composition over the cached pairs — same result
+      * as the registered `pipeline_shard` (spec-asserted): the
+      * curate stage rides the session's keep decision, the budget/pack
+      * stages are the query's own.
+      */
+    def curatedShard: DataFrame = {
+      guard("pipeline_shard")
+      Curate.shardFrom(spark, sfDir, Curate.curateFrom(spark, sfDir, keepDecision))
     }
 
     /** Triangle cluster-quality diagnostic over the cached pairs —

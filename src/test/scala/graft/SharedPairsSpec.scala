@@ -29,6 +29,11 @@ class SharedPairsSpec extends AnyFunSuite {
       val curNbFresh = SparkEntry.queries("pipeline_curate_nb")(spark, d)
         .collect().map(_.toSeq).toSet
       assert(curNbShared == curNbFresh)
+
+      val shardShared = sh.curatedShard.collect().map(_.toSeq).toSet
+      val shardFresh = SparkEntry.queries("pipeline_shard")(spark, d)
+        .collect().map(_.toSeq).toSet
+      assert(shardShared == shardFresh)
     } finally sh.release()
   }
 
