@@ -58,11 +58,50 @@ object Bench {
     */
   private val CanaryCommittedSec = 0.57
 
+  /** Rows in the IO-canary parquet fixture (~90 MB on disk: two
+    * 32-char high-entropy md5 hex columns + two longs per row, so
+    * snappy cannot compress the bulk away and the probe moves real
+    * bytes).
+    */
+  private val CanaryIoRows = 1500000L
+
+  /** Fallback committed calm level (seconds) for the IO canary on the
+    * round's reference hardware at local[32] — the bootstrap for the
+    * same self-re-pinning lineage scheme the CPU canary uses. Measured
+    * r15 (full probe: 112 MB fixture scan + one full hash exchange of
+    * every byte + noop sink): in-bench window medians 0.593/0.709 s,
+    * per-sample 0.52-0.99 — wider variance than the CPU probe (the
+    * shuffle path shares disk with the bench itself), which the 1.5x
+    * threshold still clears by 2x headroom against the r14 incident's
+    * 2.1x signal.
+    *
+    * WHY A SECOND AXIS (r14 What's-wrong 1, the round's live
+    * false-negative): the CPU canary read 0.97x (calm) on a driver
+    * window where byte-identical code ran +22% wall and the
+    * shuffle-heavy queries ran 2.1x — the synthetic range+agg probe is
+    * CPU-bound and blind to IO/page-cache/co-tenant shuffle pressure,
+    * which is exactly the axis that governed that window. This probe
+    * is shaped like the blind spot: a fixed parquet scan (decode +
+    * page-cache-sensitive read) through ONE full exchange (shuffle
+    * write + read of ~90 MB through the local disk path) into the
+    * noop sink. The window flags inflated when EITHER axis trips, and
+    * the artifact names which fired.
+    */
+  private val CanaryIoCommittedSec = 0.60
+
   /** Lineage windows the derived level reads (newest-last). */
   private val CanaryLineageN = 5
 
+  /** Lineage entries kept per core count on append (r14 What's-wrong
+    * 4: the sidecar grew one line per window forever).
+    */
+  private val CanaryLineageKeep = 50
+
   private def lineagePath = java.nio.file.Paths.get(
     sys.env.getOrElse("SPARK_GRAFT_CANARY_LINEAGE", "canary_lineage.jsonl"))
+
+  private def ioFixturePath = sys.env.getOrElse(
+    "SPARK_GRAFT_CANARY_IO_DIR", "target/canary_io_fixture.parquet")
 
   /** Committed calm level + its provenance, resolved in order:
     * explicit env pin > MINIMUM of the last [[CanaryLineageN]] window
@@ -90,6 +129,24 @@ object Bench {
       pin: Option[Double] =
         sys.env.get("SPARK_GRAFT_CANARY_COMMITTED").map(_.toDouble))
       : (Option[Double], String) =
+    resolveLevel(cpus, lineage, pin, "median", CanaryCommittedSec)
+
+  /** The IO axis' committed level — same pin > lineage-min > bootstrap
+    * lattice over the `median_io` lineage field. Pre-r15 lineage lines
+    * carry no `median_io` and simply don't contribute, so the axis
+    * bootstraps from the constant (or its own pin) until the lineage
+    * accumulates post-r15 windows.
+    */
+  private[graft] def resolveCommittedIo(cpus: String,
+      lineage: java.nio.file.Path = lineagePath,
+      pin: Option[Double] =
+        sys.env.get("SPARK_GRAFT_CANARY_COMMITTED_IO").map(_.toDouble))
+      : (Option[Double], String) =
+    resolveLevel(cpus, lineage, pin, "median_io", CanaryIoCommittedSec)
+
+  private def resolveLevel(cpus: String, lineage: java.nio.file.Path,
+      pin: Option[Double], field: String, bootstrap32: Double)
+      : (Option[Double], String) =
     pin match {
       case Some(p) => (Some(p), "pinned")
       case None =>
@@ -97,16 +154,59 @@ object Bench {
           if (!java.nio.file.Files.exists(lineage)) Seq.empty
           else scala.jdk.CollectionConverters.ListHasAsScala(
             java.nio.file.Files.readAllLines(lineage)).asScala.toSeq
-            .filter(_.contains(s""""cpus":$cpus,"""))
+            // a torn trailing line (crash mid-append) must not enter
+            // the pool: `"median":0.` would regex-parse as 0.0 and the
+            // MIN would pin the level at zero, flagging every window
+            // for the next N runs (r14 advice). A complete entry ends
+            // with '}' and carries a strictly positive median.
+            .filter(l => l.endsWith("}") && l.contains(s""""cpus":$cpus,"""))
             .flatMap { l =>
-              """"median":([0-9.]+)""".r.findFirstMatchIn(l)
+              ("\"" + field + "\":([0-9.]+)").r.findFirstMatchIn(l)
                 .map(_.group(1).toDouble)
             }
+            .filter(_ > 0.0)
         if (medians.nonEmpty)
           (Some(medians.takeRight(CanaryLineageN).min), "derived")
-        else if (cpus == "32") (Some(CanaryCommittedSec), "default")
+        else if (cpus == "32") (Some(bootstrap32), "default")
         else (None, "off")
     }
+
+  /** EITHER-axis flag decision + attribution: `(inflated, axis)` where
+    * axis names what fired (`"cpu"`, `"io"`, `"cpu+io"`). An axis with
+    * no committed level (ratio None) cannot fire; with BOTH axes
+    * unresolved the flag itself is undetermined (None), matching the
+    * single-axis behavior off the reference core count.
+    */
+  private[graft] def flagAxes(cpuRatio: Option[Double],
+      ioRatio: Option[Double]): (Option[Boolean], Option[String]) = {
+    if (cpuRatio.isEmpty && ioRatio.isEmpty) (None, None)
+    else {
+      val cpuHot = cpuRatio.exists(_ > CanaryInflatedRatio)
+      val ioHot = ioRatio.exists(_ > CanaryIoInflatedRatio)
+      val axis = (cpuHot, ioHot) match {
+        case (true, true) => Some("cpu+io")
+        case (true, false) => Some("cpu")
+        case (false, true) => Some("io")
+        case _ => None
+      }
+      (Some(cpuHot || ioHot), axis)
+    }
+  }
+
+  /** Bound the lineage sidecar on append: keep the newest
+    * [[CanaryLineageKeep]] entries PER CORE COUNT (other counts'
+    * history must not be evicted by a busy one), preserving order.
+    */
+  private[graft] def trimLineage(lines: Seq[String],
+      keep: Int = CanaryLineageKeep): Seq[String] = {
+    def cpusOf(l: String): String =
+      """"cpus":([0-9]+)""".r.findFirstMatchIn(l).map(_.group(1)).getOrElse("?")
+    // select by INDEX, not line content — two windows can serialize to
+    // identical lines, and a content set would evict keepers too
+    val keepIdx = lines.zipWithIndex.groupBy { case (l, _) => cpusOf(l) }
+      .flatMap { case (_, ls) => ls.takeRight(keep).map(_._2) }.toSet
+    lines.zipWithIndex.collect { case (l, i) if keepIdx(i) => l }
+  }
 
   /** Ratio above which the window is flagged inflated — 1.5x clears
     * normal scheduler jitter (calm samples vary < 1.2x) while every
@@ -115,6 +215,12 @@ object Bench {
     */
   private val CanaryInflatedRatio = 1.5
 
+  /** IO-axis flag threshold — same 1.5x basis as the CPU axis (calm
+    * samples measured r15 vary < 1.25x; the r14 incident's
+    * shuffle-heavy queries ran 2.1x, well past it).
+    */
+  private val CanaryIoInflatedRatio = 1.5
+
   private def runCanary(spark: SparkSession): Double = {
     import org.apache.spark.sql.functions._
     val t0 = System.nanoTime()
@@ -122,6 +228,43 @@ object Bench {
       .select((col("id") % 9973).as("k"), col("id").as("v"))
       .groupBy("k")
       .agg(sum("v").as("s"), avg("v").as("a"), max("v").as("m"))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Build the IO-canary fixture if absent (gated on `_SUCCESS`, like
+    * every other reuse in the repo). Content is DETERMINISTIC (md5 /
+    * xxhash64 of the row id — no clock, no rng), so every window
+    * probes byte-identical data; the md5 hex columns are high-entropy
+    * so the parquet encoder cannot compress the bulk away. Build time
+    * is never measured — the fixture persists across windows.
+    */
+  private def ensureIoFixture(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    val dir = ioFixturePath
+    val success = new java.io.File(dir, "_SUCCESS")
+    if (!success.isFile) {
+      spark.range(CanaryIoRows)
+        .select(col("id"),
+          md5(col("id").cast("string")).as("a"),
+          md5(concat(lit("io-canary:"), col("id").cast("string"))).as("b"),
+          xxhash64(col("id")).as("k"))
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  /** One IO-canary sample: scan the fixed fixture, move EVERY byte
+    * through one hash exchange (shuffle write + read on the local disk
+    * path), materialize via the noop sink. Constant work by
+    * construction — wall time varies only with IO/page-cache/shuffle
+    * pressure (plus the decode CPU both axes share).
+    */
+  private def runCanaryIo(spark: SparkSession, fixture: String): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    spark.read.parquet(fixture)
+      .repartition(col("k"))
       .write.format("noop").mode("overwrite").save()
     (System.nanoTime() - t0) / 1e9
   }
@@ -195,11 +338,21 @@ object Bench {
     // one warmup measured insufficient, start samples stayed ~20% hot)
     runCanary(spark); runCanary(spark)
     val canaryStart = runCanary(spark)
+    // IO axis: build-or-reuse the fixture (never timed), same
+    // two-warmup discipline (warmup 1 additionally pulls the fixture
+    // into the page cache — a cold-cache first sample reads as load)
+    val ioFixture = ensureIoFixture(spark)
+    runCanaryIo(spark, ioFixture); runCanaryIo(spark, ioFixture)
+    val canaryIoStart = runCanaryIo(spark, ioFixture)
     var canaryMid = -1.0
+    var canaryIoMid = -1.0
     val midIdx = selected.size / 2
 
     val results = selected.zipWithIndex.map { case ((name, fn), qIdx) =>
-      if (qIdx == midIdx) canaryMid = runCanary(spark)
+      if (qIdx == midIdx) {
+        canaryMid = runCanary(spark)
+        canaryIoMid = runCanaryIo(spark, ioFixture)
+      }
       // each rep keeps its slot: a failed rep rides as None so the
       // artifact's per-rep array shows WHERE it failed (null), not a
       // silently shorter array indistinguishable from a smaller run
@@ -286,14 +439,20 @@ object Bench {
     // transient, not a whole inflated window — the per-sample values
     // stay in the artifact for exactly that attribution).
     val canaryEnd = runCanary(spark)
-    val canarySamples = Seq(canaryStart, canaryMid, canaryEnd).filter(_ >= 0)
-    val canaryMedian = canarySamples.sorted.apply(canarySamples.size / 2)
-    // The committed level scales with cores, so a level is only in
+    val canaryIoEnd = runCanaryIo(spark, ioFixture)
+    def median3(s: Seq[Double]): Double = {
+      val v = s.filter(_ >= 0)
+      v.sorted.apply(v.size / 2)
+    }
+    val canaryMedian = median3(Seq(canaryStart, canaryMid, canaryEnd))
+    val canaryIoMedian = median3(Seq(canaryIoStart, canaryIoMid, canaryIoEnd))
+    // The committed levels scale with cores, so a level is only in
     // force when one resolves for THIS core count (pin > lineage >
     // local[32] bootstrap constant — see resolveCommitted); otherwise
-    // the flag stays off and the three samples still land in the
-    // artifact (and seed the lineage for the next run here).
+    // that axis stays off and its samples still land in the artifact
+    // (and seed the lineage for the next run here).
     val (committedOpt, provenance) = resolveCommitted(cpus)
+    val (committedIoOpt, provenanceIo) = resolveCommittedIo(cpus)
     // Locale-pinned decimal formatting (r14 review): the f-interpolator
     // follows the default locale, and a comma-decimal JVM (de_DE, ...)
     // would write "median":0,710 — invalid JSON that resolveCommitted's
@@ -303,38 +462,66 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
     def d2(x: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
-    val canaryJson = committedOpt match {
-      case Some(committed) =>
-        val canaryRatio = canaryMedian / committed
-        val inflated = canaryRatio > CanaryInflatedRatio
-        if (inflated) System.err.println(
-          s"[bench] WINDOW INFLATED: canary median ${d3(canaryMedian)} s = " +
-            s"${d2(canaryRatio)}x its committed calm level (${d3(committed)} s, " +
-            s"$provenance) - treat per-query regressions in this artifact " +
-            "as suspect")
-        s"""{"start":${d3(canaryStart)},"mid":${d3(canaryMid)},"end":${d3(canaryEnd)},"median":${d3(canaryMedian)},"committed":${d3(committed)},"ratio":${d2(canaryRatio)},"inflated":$inflated,"provenance":"$provenance"}"""
-      case None =>
-        System.err.println(s"[bench] canary flag disabled: no committed calm " +
-          s"level resolves for local[$cpus] (no pin, no lineage at this core " +
-          "count) - this run's median seeds the lineage; set " +
-          "SPARK_GRAFT_CANARY_COMMITTED to arm the flag immediately")
-        s"""{"start":${d3(canaryStart)},"mid":${d3(canaryMid)},"end":${d3(canaryEnd)},"median":${d3(canaryMedian)},"committed":null,"ratio":null,"inflated":null,"provenance":"$provenance"}"""
+    val cpuRatio = committedOpt.map(canaryMedian / _)
+    val ioRatio = committedIoOpt.map(canaryIoMedian / _)
+    val (inflatedOpt, axisOpt) = flagAxes(cpuRatio, ioRatio)
+    if (inflatedOpt.contains(true)) System.err.println(
+      s"[bench] WINDOW INFLATED (axis: ${axisOpt.get}): cpu canary median " +
+        s"${d3(canaryMedian)} s = ${cpuRatio.map(d2).getOrElse("n/a")}x " +
+        s"committed (${committedOpt.map(d3).getOrElse("n/a")}, $provenance); " +
+        s"io canary median ${d3(canaryIoMedian)} s = " +
+        s"${ioRatio.map(d2).getOrElse("n/a")}x committed " +
+        s"(${committedIoOpt.map(d3).getOrElse("n/a")}, $provenanceIo) - " +
+        "treat per-query regressions in this artifact as suspect " +
+        "(io-axis flags hit the shuffle-heavy queries hardest)")
+    if (inflatedOpt.isEmpty) System.err.println(
+      s"[bench] canary flag disabled: no committed calm level resolves for " +
+        s"local[$cpus] on either axis (no pin, no lineage at this core " +
+        "count) - this run's medians seed the lineage; set " +
+        "SPARK_GRAFT_CANARY_COMMITTED / _IO to arm the flag immediately")
+    // Per-axis objects + the either-axis flag and attribution (r14
+    // What's-wrong 1: the CPU-only canary read 0.97x calm on a +22%
+    // IO-pressured window; the artifact now carries both axes and
+    // names which fired). Axis fields are NULLABLE like before.
+    def axisJson(start: Double, mid: Double, end: Double, med: Double,
+        committed: Option[Double], ratio: Option[Double], threshold: Double,
+        prov: String): String = {
+      val c = committed.map(d3).getOrElse("null")
+      val r = ratio.map(d2).getOrElse("null")
+      val infl = ratio.map(x => (x > threshold).toString).getOrElse("null")
+      s"""{"start":${d3(start)},"mid":${d3(mid)},"end":${d3(end)},"median":${d3(med)},"committed":$c,"ratio":$r,"inflated":$infl,"provenance":"$prov"}"""
+    }
+    val canaryJson = {
+      val cpuJ = axisJson(canaryStart, canaryMid, canaryEnd, canaryMedian,
+        committedOpt, cpuRatio, CanaryInflatedRatio, provenance)
+      val ioJ = axisJson(canaryIoStart, canaryIoMid, canaryIoEnd,
+        canaryIoMedian, committedIoOpt, ioRatio, CanaryIoInflatedRatio,
+        provenanceIo)
+      val infl = inflatedOpt.map(_.toString).getOrElse("null")
+      val axis = axisOpt.map("\"" + _ + "\"").getOrElse("null")
+      s"""{"cpu":$cpuJ,"io":$ioJ,"inflated":$infl,"axis":$axis}"""
     }
     // Append this window to the lineage sidecar (full-registry runs
     // only — a filtered run's GC/cache profile is not a calm-window
     // comparable). Every window is appended, hot or calm — the
     // min-of-last-N derivation makes eligibility filtering
-    // unnecessary, and the history should show the hot windows.
+    // unnecessary, and the history should show the hot windows. The
+    // file is TRIMMED to the newest CanaryLineageKeep entries per core
+    // count on every append (r14 What's-wrong 4: unbounded growth).
     if (filter.isEmpty) {
-      val entry = committedOpt match {
-        case Some(c) =>
-          s"""{"cpus":$cpus,"median":${d3(canaryMedian)},"committed":${d3(c)},"ratio":${d2(canaryMedian / c)},"inflated":${canaryMedian / c > CanaryInflatedRatio},"provenance":"$provenance"}"""
-        case None =>
-          s"""{"cpus":$cpus,"median":${d3(canaryMedian)},"committed":null,"ratio":null,"inflated":null,"provenance":"$provenance"}"""
-      }
-      java.nio.file.Files.write(lineagePath, (entry + "\n").getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
+      def optJson(o: Option[Double], f: Double => String): String =
+        o.map(f).getOrElse("null")
+      val entry =
+        s"""{"cpus":$cpus,"median":${d3(canaryMedian)},"committed":${optJson(committedOpt, d3)},"ratio":${optJson(cpuRatio, d2)},"inflated":${cpuRatio.map(r => (r > CanaryInflatedRatio).toString).getOrElse("null")},"median_io":${d3(canaryIoMedian)},"committed_io":${optJson(committedIoOpt, d3)},"ratio_io":${optJson(ioRatio, d2)},"inflated_io":${ioRatio.map(r => (r > CanaryIoInflatedRatio).toString).getOrElse("null")},"provenance":"$provenance","provenance_io":"$provenanceIo"}"""
+      val existing =
+        if (java.nio.file.Files.exists(lineagePath))
+          scala.jdk.CollectionConverters.ListHasAsScala(
+            java.nio.file.Files.readAllLines(lineagePath)).asScala.toSeq
+            .filter(_.nonEmpty)
+        else Seq.empty
+      val trimmed = trimLineage(existing :+ entry)
+      java.nio.file.Files.write(lineagePath,
+        trimmed.mkString("", "\n", "\n").getBytes("UTF-8"))
     }
 
     // headline total excludes the baseline lane (reported separately)

@@ -42,15 +42,33 @@ object ScaleCorpus {
   def ensure(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
     val outPath = java.nio.file.Paths.get(out)
     val stamp = outPath.resolve("derived_copies.txt")
-    val stamped = java.nio.file.Files.exists(stamp)
+    // Canonicalize src for the stamp so the same corpus reached via a
+    // different spelling (trailing slash, symlinked parent) still
+    // matches on reuse.
+    val srcReal = java.nio.file.Paths.get(src).toRealPath().toString
+    // The stamp records the factor AND the source (r14 advice: a
+    // factor-only stamp reused under a different SPARK_GRAFT_SF_DIR
+    // silently serves tables derived from the OLD source — mislabeled
+    // corpus, wrong base-vs-scaled comparisons). A pre-r15 stamp
+    // (factor only, source unknowable) is treated as UNSTAMPED: the
+    // dir fully re-derives, mirroring the unknown-factor rule.
+    val stampLines: Seq[String] =
+      if (java.nio.file.Files.exists(stamp))
+        new String(java.nio.file.Files.readAllBytes(stamp), "UTF-8")
+          .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      else Seq.empty
+    val stamped = stampLines.size >= 2
     if (stamped) {
-      val prev = new String(
-        java.nio.file.Files.readAllBytes(stamp), "UTF-8").trim.toInt
+      val prev = stampLines.head.toInt
       require(prev == copies,
         s"$out was derived with copies=$prev but this run asks for " +
           s"copies=$copies - delete the dir (or point " +
           "SPARK_GRAFT_SCALE_DIR elsewhere) instead of measuring a " +
           "mixed-factor corpus")
+      require(stampLines(1) == srcReal,
+        s"$out was derived from ${stampLines(1)} but this run asks for " +
+          s"$srcReal - delete the dir (or point SPARK_GRAFT_SCALE_DIR " +
+          "elsewhere) instead of measuring a mixed-source corpus")
     }
     java.nio.file.Files.createDirectories(outPath)
     // Reuse = stamp present AND the table's own _SUCCESS marker; an
@@ -165,7 +183,9 @@ object ScaleCorpus {
 
     // Stamp LAST: its presence now certifies a complete derivation,
     // so a crash anywhere above leaves an unstamped dir that fully
-    // re-derives on the next run.
-    java.nio.file.Files.write(stamp, s"$copies\n".getBytes("UTF-8"))
+    // re-derives on the next run. Line 1 = factor, line 2 = canonical
+    // source dir — both must match on reuse.
+    java.nio.file.Files.write(stamp,
+      s"$copies\n$srcReal\n".getBytes("UTF-8"))
   }
 }

@@ -184,13 +184,41 @@ object Layout {
         case e: java.io.IOException =>
           if (fs.exists(lock)) throw heldError(fs, lock, dir0) else throw e
       }
-    try out.write(holder.getBytes("UTF-8")) finally out.close()
+    // if stamping the holder fails (transient IO after the create
+    // succeeded), delete the just-created lock before rethrowing —
+    // otherwise one flaky write wedges every batch and maintenance
+    // job behind a lock nobody holds until a human deletes it
+    try { try out.write(holder.getBytes("UTF-8")) finally out.close() }
+    catch {
+      case e: Throwable =>
+        try fs.delete(lock, false)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
     try body finally fs.delete(lock, false)
   }
 
   /** Refuse (loudly, naming the holder and the recovery) when a
     * maintenance job holds the lock on `dir0` — called by the
     * per-batch append paths before touching the store.
+    *
+    * CONTRACT — this is a one-shot probe, not a lease. A lock
+    * acquired AFTER the probe returns does not abort the in-flight
+    * batch, so the guarantee is directional: a maintenance job that
+    * starts first excludes every later batch, but a batch that
+    * started first can still be racing when maintenance begins. The
+    * batch loops narrow (not close) that window by re-probing
+    * immediately before each append; the residual window is the
+    * single `write.parquet` that follows a re-probe. Closing it fully
+    * needs a participating store (a table format's optimistic commit)
+    * or a quiescence handshake — on plain parquet the operational
+    * discipline stands: drain or stop the streams before maintenance,
+    * and the probe converts "forgot to" from silent loss into a
+    * near-certain loud refusal. A batch append that does slip through
+    * compact's read-then-swap is DROPPED by the swap (the swap
+    * installs the pre-append snapshot) — recoverable by replaying the
+    * batch (verdicts are idempotent per batch-id partition; survivor
+    * re-appends are verdict-neutral, proven by the torn-batch specs).
     */
   def requireNoMaintenance(spark: org.apache.spark.sql.SparkSession,
       dir0: String): Unit = {

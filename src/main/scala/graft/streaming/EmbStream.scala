@@ -150,7 +150,13 @@ object EmbStream {
       tau: Double = Similarity.nearDupTau,
       seam: String => Unit = _ => ()): Unit = {
     val spark = batch.sparkSession
+    // fence EVERY directory this batch appends to — compact(vecDir)
+    // locks at <vecDir>.maintenance, which a bandDir-only probe would
+    // sail past (r14 advice: an append racing compact's read-then-swap
+    // window is silently dropped when the swap installs the pre-append
+    // snapshot)
     graft.sources.Layout.requireNoMaintenance(spark, bandDir)
+    graft.sources.Layout.requireNoMaintenance(spark, vecDir)
     val q = Similarity.quantizeCols(batch).persist()
     try {
       IdWatermark.checkAndAdvance(q, "vec_id", bandDir, batchId, "embstream")
@@ -165,9 +171,15 @@ object EmbStream {
           verdicts.filter(col("partner_id").isNull).select("vec_id"),
           Seq("vec_id"), "left_semi").persist()
         try {
+          // re-probe at the append seam: the batch-start probe is
+          // one-shot, so a lock acquired while the verdict write ran
+          // would otherwise race the rest of this batch (see the
+          // residual-race contract on requireNoMaintenance)
+          graft.sources.Layout.requireNoMaintenance(spark, bandDir)
           Similarity.dedupBandRows(survivors)
             .write.mode("append").parquet(bandDir)
           seam("mid-append")
+          graft.sources.Layout.requireNoMaintenance(spark, vecDir)
           survivors.write.mode("append").parquet(vecDir)
         } finally survivors.unpersist()
       } finally verdicts.unpersist()
@@ -501,7 +513,12 @@ object EmbStream {
     * band index (r14 — was documented discipline): appending batches
     * refuse while the lock is held, and a crashed job leaves the lock
     * behind so everything refuses conservatively until the operator
-    * verifies consistency and deletes it. Each dir's swap is
+    * verifies consistency and deletes it. The fence is directional
+    * (see the residual-race contract on
+    * [[graft.sources.Layout.requireNoMaintenance]]): a batch already
+    * past its final re-probe when the lock lands can still race one
+    * append — the operational "drain streams first" discipline covers
+    * that last write; the lock covers every other ordering. Each dir's swap is
     * atomic, and a READER between the two swaps degrades candidate
     * RECALL only (verify stays exact cosine), never correctness. The
     * two swaps are NOT atomic together: a crash between them would
@@ -517,8 +534,9 @@ object EmbStream {
       maxCells: Int = Similarity.maxBlockCells): Unit =
     // The maintenance window is ENFORCED since r14 (was documented
     // discipline): one lock on the band index covers the whole
-    // codebook+index job — processBatchBlocked probes it per batch, so
-    // an appender cannot race the swaps, and a second re-block refuses.
+    // codebook+index job — processBatchBlocked probes it at batch
+    // start and again before each append, so an appender that starts
+    // after the lock lands refuses, and a second re-block refuses.
     graft.sources.Layout.withMaintenanceLock(spark, bandDir,
       "EmbStream.reblockIndex") {
       val q = spark.read.parquet(vecDir).persist()
@@ -623,7 +641,10 @@ object EmbStream {
       tau: Double = Similarity.nearDupTau,
       seam: String => Unit = _ => ()): Unit = {
     val spark = batch.sparkSession
+    // fence both append targets — see the processBatch comment on why
+    // a bandDir-only probe misses compact(vecDir)'s lock
     graft.sources.Layout.requireNoMaintenance(spark, bandDir)
+    graft.sources.Layout.requireNoMaintenance(spark, vecDir)
     requireConsistentEpochs(spark, centDir, bandDir)
     val cb = loadCodebook(spark, centDir)
     val q = Similarity.quantizeCols(batch).persist()
@@ -646,10 +667,13 @@ object EmbStream {
         val survivors = q.join(survivorIds, Seq("vec_id"), "left_semi")
           .persist()
         try {
+          // re-probe at the append seam (same contract as processBatch)
+          graft.sources.Layout.requireNoMaintenance(spark, bandDir)
           bandRowsOfCells(
             qCells.join(survivorIds, Seq("vec_id"), "left_semi"))
             .write.mode("append").parquet(bandDir)
           seam("mid-append")
+          graft.sources.Layout.requireNoMaintenance(spark, vecDir)
           survivors.write.mode("append").parquet(vecDir)
         } finally survivors.unpersist()
       } finally verdicts.unpersist()

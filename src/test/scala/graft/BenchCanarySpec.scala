@@ -106,4 +106,115 @@ class BenchCanarySpec extends AnyFunSuite {
       (Some(0.57), "default"))
     assert(Bench.resolveCommitted("16", p, pin = None) == (None, "off"))
   }
+
+  // -------------------------------------------------------------
+  // Torn-line guard (r14 advice): a crash mid-append leaves a partial
+  // trailing line; its fragment must never enter the min pool.
+
+  test("a torn trailing line cannot pin the level at zero") {
+    // `"median":0.` regex-parses as 0.0; unguarded, the min would pin
+    // the level at 0 and flag every window (ratio = Infinity) for the
+    // next N runs
+    val lineage = tmpLineage(
+      entry(32, 0.50, Some(false)),
+      """{"cpus":32,"median":0.""")
+    assert(Bench.resolveCommitted("32", lineage, pin = None) ==
+      (Some(0.50), "derived"))
+  }
+
+  test("a non-positive median is ignored even in a complete line") {
+    val lineage = tmpLineage(
+      """{"cpus":32,"median":0,"committed":null,"ratio":null,"inflated":null,"provenance":"off"}""",
+      entry(32, 0.52, Some(false)))
+    assert(Bench.resolveCommitted("32", lineage, pin = None) ==
+      (Some(0.52), "derived"))
+  }
+
+  test("a lineage of ONLY torn lines falls back to the bootstrap") {
+    val lineage = tmpLineage("""{"cpus":32,"median":0.""")
+    assert(Bench.resolveCommitted("32", lineage, pin = None) ==
+      (Some(0.57), "default"))
+  }
+
+  // -------------------------------------------------------------
+  // IO axis (r15): same lattice over the `median_io` field.
+
+  private def entryIo(cpus: Int, cpuMedian: Double, ioMedian: Double): String =
+    s"""{"cpus":$cpus,"median":$cpuMedian,"committed":0.57,"ratio":1.0,"inflated":false,"median_io":$ioMedian,"committed_io":0.60,"ratio_io":1.0,"inflated_io":false,"provenance":"default","provenance_io":"default"}"""
+
+  test("io level derives from median_io, independent of the cpu medians") {
+    val lineage = tmpLineage(
+      entryIo(32, 0.40, 0.70),
+      entryIo(32, 0.80, 0.65))
+    assert(Bench.resolveCommittedIo("32", lineage, pin = None) ==
+      (Some(0.65), "derived"))
+    assert(Bench.resolveCommitted("32", lineage, pin = None) ==
+      (Some(0.40), "derived"),
+      "the cpu axis must not read the io medians")
+  }
+
+  test("pre-r15 lines (no median_io) leave the io axis on its bootstrap") {
+    val lineage = tmpLineage(entry(32, 0.50, Some(false)))
+    assert(Bench.resolveCommittedIo("32", lineage, pin = None) ==
+      (Some(0.60), "default"))
+    assert(Bench.resolveCommittedIo("8", lineage, pin = None) == (None, "off"))
+  }
+
+  test("an io pin wins and reads as pinned") {
+    val lineage = tmpLineage(entryIo(32, 0.40, 0.40))
+    assert(Bench.resolveCommittedIo("32", lineage, pin = Some(0.9)) ==
+      (Some(0.9), "pinned"))
+  }
+
+  // -------------------------------------------------------------
+  // Either-axis flag + attribution.
+
+  test("the r14 driver window flags on the io axis (the live false-negative, replayed)") {
+    // the incident: cpu canary 0.97x (calm) on a window where
+    // byte-identical code ran +22% wall and shuffle-heavy queries hit
+    // 2.1x — an io probe shaped like the blind spot reads the pressure
+    assert(Bench.flagAxes(Some(0.97), Some(2.1)) == (Some(true), Some("io")))
+  }
+
+  test("cpu-only and both-axes attributions") {
+    assert(Bench.flagAxes(Some(1.8), Some(0.9)) == (Some(true), Some("cpu")))
+    assert(Bench.flagAxes(Some(1.8), Some(1.8)) == (Some(true), Some("cpu+io")))
+    assert(Bench.flagAxes(Some(1.0), Some(1.0)) == (Some(false), None))
+  }
+
+  test("an unresolved axis cannot fire; both unresolved leaves the flag undetermined") {
+    assert(Bench.flagAxes(None, Some(2.0)) == (Some(true), Some("io")))
+    assert(Bench.flagAxes(Some(2.0), None) == (Some(true), Some("cpu")))
+    assert(Bench.flagAxes(None, None) == (None, None))
+  }
+
+  test("exactly at the threshold is calm (strictly-greater flag)") {
+    assert(Bench.flagAxes(Some(1.5), Some(1.5)) == (Some(false), None))
+  }
+
+  // -------------------------------------------------------------
+  // Lineage trim on append (r14 What's-wrong 4).
+
+  test("trim keeps the newest N entries per core count, preserving order") {
+    val lines = (1 to 60).map(i => entry(32, i / 100.0, Some(false))) ++
+      (1 to 3).map(i => entry(4, i.toDouble, None))
+    val trimmed = Bench.trimLineage(lines, keep = 50)
+    assert(trimmed.count(_.contains("\"cpus\":32")) == 50)
+    assert(trimmed.count(_.contains("\"cpus\":4")) == 3,
+      "a busy core count must not evict another count's history")
+    // the newest 32-core entries survive (11..60), oldest dropped
+    assert(trimmed.head.contains(s""""median":${11 / 100.0}"""))
+    assert(trimmed.last == entry(4, 3.0, None))
+  }
+
+  test("trim keeps duplicates that fall inside the window") {
+    // two identical windows (same medians serialize to the same line):
+    // index-based selection must keep both when both are recent
+    val dup = entry(32, 0.50, Some(false))
+    assert(Bench.trimLineage(Seq(dup, dup), keep = 50) == Seq(dup, dup))
+    // ...and drop only the OLD occurrence when the window is exceeded
+    val lines = dup +: (1 to 50).map(i => entry(32, i / 100.0, Some(false)))
+    val trimmed = Bench.trimLineage(lines :+ dup, keep = 50)
+    assert(trimmed.size == 50 && trimmed.last == dup)
+  }
 }

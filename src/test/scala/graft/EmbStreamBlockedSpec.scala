@@ -419,6 +419,47 @@ class EmbStreamBlockedSpec extends AnyFunSuite
       verdictsDir, batchId = 1L)
   }
 
+  test("a vector-store maintenance lock fences both batch loops (r14 advice)") {
+    import spark.implicits._
+    // compact(vecDir) locks at <vecDir>.maintenance — a bandDir-only
+    // probe would sail past it and the append racing the compact swap
+    // would be silently dropped when the swap installs the pre-append
+    // snapshot; both loops must refuse on EVERY dir they append to
+    val (centDir, bandDir, vecDir, verdictsDir) =
+      (tmp("vlc"), tmp("vlb"), tmp("vlv"), tmp("vlo"))
+    EmbStream.writeIndexBlocked(
+      Seq((0L, dirA), (1L, dirB)).toDF("vec_id", "embedding"),
+      centDir, bandDir, vecDir)
+    val batch = Seq((100L, dirC)).toDF("vec_id", "embedding")
+    val lockFile = java.nio.file.Paths.get(s"$vecDir.maintenance")
+    java.nio.file.Files.writeString(lockFile, "Layout.compact pid=0")
+    val eBlocked = intercept[IllegalStateException] {
+      EmbStream.processBatchBlocked(batch, centDir, bandDir, vecDir,
+        verdictsDir, batchId = 0L)
+    }
+    assert(eBlocked.getMessage.contains("maintenance lock"),
+      s"blocked loop must refuse on the vector-store lock: ${eBlocked.getMessage}")
+    // the FLAT loop appends to the same two stores — same fence
+    val (bandDir2, vecDir2, verdictsDir2) = (tmp("vfb"), tmp("vfv"), tmp("vfo"))
+    EmbStream.writeIndex(
+      Seq((0L, dirA)).toDF("vec_id", "embedding"), bandDir2, vecDir2)
+    val lock2 = java.nio.file.Paths.get(s"$vecDir2.maintenance")
+    java.nio.file.Files.writeString(lock2, "Layout.compact pid=0")
+    val eFlat = intercept[IllegalStateException] {
+      EmbStream.processBatch(batch, bandDir2, vecDir2, verdictsDir2,
+        batchId = 0L)
+    }
+    assert(eFlat.getMessage.contains("maintenance lock"),
+      s"flat loop must refuse on the vector-store lock: ${eFlat.getMessage}")
+    // recovery: delete the locks, both loops run
+    java.nio.file.Files.delete(lockFile)
+    java.nio.file.Files.delete(lock2)
+    EmbStream.processBatchBlocked(batch, centDir, bandDir, vecDir,
+      verdictsDir, batchId = 0L)
+    EmbStream.processBatch(batch, bandDir2, vecDir2, verdictsDir2,
+      batchId = 0L)
+  }
+
   // ------------------------------------------------------------------
   // Torn-BATCH recovery (r13 verdict #3): the per-batch loop is
   // verdict-overwrite THEN band-append THEN vector-append with no

@@ -39,6 +39,42 @@ class ScaleGateSpec extends AnyFunSuite {
       s"a wrong factor must violate linearity: $checks")
   }
 
+  test("a stamped dir refuses reuse under a different source (r14 advice)") {
+    // a factor-only stamp reused under a different SPARK_GRAFT_SF_DIR
+    // would silently serve tables derived from the OLD source — the
+    // stamp now records the source and refuses the mismatch the same
+    // way it refuses a mixed factor
+    ScaleCorpus.ensure(spark, src, out, copies)
+    val e = intercept[IllegalArgumentException] {
+      ScaleCorpus.ensure(spark, "/root/testdata/sf0.001", out, copies)
+    }
+    assert(e.getMessage.contains("mixed-source"), e.getMessage)
+  }
+
+  test("a pre-r15 factor-only stamp is treated as unstamped and upgraded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scale_up")
+    try {
+      // old-format stamp (factor only, source unknowable) + a leftover
+      // table: the derivation must NOT trust either — full re-derive,
+      // then a two-line stamp
+      java.nio.file.Files.write(dir.resolve("derived_copies.txt"),
+        "2\n".getBytes("UTF-8"))
+      ScaleCorpus.ensure(spark, "/root/testdata/sf0.001", dir.toString, 2)
+      val lines = new String(java.nio.file.Files.readAllBytes(
+        dir.resolve("derived_copies.txt")), "UTF-8")
+        .split("\n").map(_.trim).filter(_.nonEmpty)
+      assert(lines.length == 2 && lines(0) == "2" &&
+        lines(1).endsWith("sf0.001"), lines.mkString("|"))
+      // and the derived corpus is real: documents scaled 2x
+      val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+      val scaled = spark.read.parquet(s"$dir/documents.parquet").count()
+      assert(scaled == 2 * base)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
+  }
+
   test("the NTILE law rejects a shifted allocation (negative case)") {
     // 23 rows over 4 buckets: law is 6/6/6/5 — 5/6/6/6 must fail
     val good = ScaleGate.ntileLaw("t", Seq((1L, 6L), (2L, 6L), (3L, 6L), (4L, 5L)), 4)
