@@ -56,7 +56,12 @@ object ScaleGate {
     "ts_interp", "ts_fill_forward", "q_scd2", "q_asof_join_custom",
     "q_anomaly_hourly", "q_range_frame", "ep_latest_state")
 
-  /** All gated queries, in the order the main runs them. */
+  /** All gated queries, in the order the main runs them. The second
+    * block is the r15 widening (r14 verdict #2): packing, sampling,
+    * segment/substring dedup, BPE, winnowing/decontamination, chunking
+    * and the events-derivation funnel/retention/histogram families,
+    * each under the laws its family guarantees at tier.
+    */
   def gatedQueries(extra: Seq[String] = Seq.empty): Seq[String] =
     (LinearEventQueries ++ Seq(
       "q_watermark_audit", "classify_calibration", "q_decile",
@@ -64,7 +69,14 @@ object ScaleGate {
       "dedup_embedding_blocked", "dedup_embedding_hier",
       "corpus_dup_profile", "graph_pagerank", "graph_label_prop",
       "emb_cell_skew", "mix_kl",
-      "pipeline_curate", "pipeline_curate_emb", "pipeline_shard") ++ extra)
+      "pipeline_curate", "pipeline_curate_emb", "pipeline_shard") ++ Seq(
+      "sample_split_hash", "sample_stratified", "sample_token_budget",
+      "pack_sequences", "pack_bfd",
+      "dedup_exact", "dedup_segments", "dedup_substring",
+      "bpe_train", "text_tokenize_bpe", "text_winnow", "text_chunk",
+      "decontaminate_ngram", "decontaminate_substring",
+      "decontaminate_winnow",
+      "q_funnel", "q_retention", "q_histogram") ++ extra)
       .distinct
 
   // ------------------------------------------------------------------
@@ -444,6 +456,469 @@ object ScaleGate {
     } finally { out.unpersist(); () }
   }
 
+  // ------------------------------------------------------------------
+  // r15 widened families (verdict #2). Each law suite takes the
+  // query's OUTPUT frame (plus recomputed corpus facts where a law
+  // needs them), so ScaleGateSpec drives the same law code with
+  // doctored frames as negative cases — a gate that cannot fail is
+  // not a gate.
+  // ------------------------------------------------------------------
+
+  private def corpusIds(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet").select("doc_id")
+
+  /** (doc_id, words) recomputed with the operators' own whitespace
+    * convention — the corpus fact several laws compare against.
+    */
+  private def docWordCounts(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("words"))
+
+  private def idSetLaw(q: String, out: DataFrame, docs: DataFrame,
+      complete: Boolean): Check = {
+    val (rows, distinct) = countDistinctOf(out, "doc_id")
+    val orphans = out.select("doc_id")
+      .join(docs, Seq("doc_id"), "left_anti").count()
+    if (complete) {
+      val total = docs.count()
+      check(q, "one row per corpus document (unique, complete)",
+        rows == distinct && rows == total && orphans == 0,
+        s"rows=$rows distinct=$distinct corpus=$total orphans=$orphans")
+    } else
+      check(q, "doc_id unique and ⊆ corpus",
+        rows == distinct && orphans == 0,
+        s"rows=$rows distinct=$distinct orphans=$orphans")
+  }
+
+  private[graft] def splitLaws(out: DataFrame): Seq[Check] = {
+    val q = "sample_split_hash"
+    val mism = out.filter(col("bucket") < 0 || col("bucket") >= 100 ||
+      col("split") =!= when(col("bucket") < 90, "train")
+        .when(col("bucket") < 95, "val").otherwise("test")).count()
+    val shares = out.groupBy("split").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = shares.values.sum.toDouble.max(1.0)
+    // 3σ binomial band + 1% absolute slack: the split is a pure hash
+    // function, so at any tier the shares are a fixed draw from the
+    // 90/5/5 Bernoulli — a systematic skew (wrong modulus, drifted
+    // thresholds) lands far outside this band while hash noise never
+    // does
+    val bad = Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05).collect {
+      case (s0, p) if math.abs(shares.getOrElse(s0, 0L) / n - p) >
+          3.0 * math.sqrt(p * (1 - p) / n) + 0.01 =>
+        f"$s0=${shares.getOrElse(s0, 0L) / n}%.4f expected=$p n=${n.toLong}"
+    }
+    Seq(
+      check(q, "bucket ∈ [0,100) and split follows the 90/5/5 thresholds",
+        mism == 0, s"violations=$mism"),
+      check(q, "split shares within 3σ+1% of 90/5/5",
+        bad.isEmpty, bad.mkString("; ")))
+  }
+
+  private[graft] def stratifiedLaws(out: DataFrame,
+      strata: DataFrame): Seq[Check] = {
+    val q = "sample_stratified"
+    val per = out.groupBy("lang").agg(count(lit(1)).as("picked"),
+      min("pick_rank").as("mn"), max("pick_rank").as("mx"),
+      count_distinct(col("pick_rank")).as("dr"))
+    val bad = per.join(strata, Seq("lang"), "full_outer")
+      .select(coalesce(col("picked"), lit(0L)).as("picked"),
+        coalesce(col("mn"), lit(0L)).as("mn"),
+        coalesce(col("mx"), lit(0L)).as("mx"),
+        coalesce(col("dr"), lit(0L)).as("dr"),
+        coalesce(col("n_docs"), lit(-1L)).as("n_docs"))
+      .filter(col("picked") =!= least(lit(20L), col("n_docs")) ||
+        (col("picked") > 0 &&
+          (col("mn") =!= 1L || col("mx") =!= col("picked") ||
+            col("dr") =!= col("picked")))).count()
+    Seq(check(q,
+      "per-language quota exact: picked = min(20, stratum), ranks are 1..picked",
+      bad == 0, s"violating languages=$bad"))
+  }
+
+  /** The concat-and-chunk packing chain: reconstructing each doc's
+    * global start as bin_id*cap + offset, the starts must form the
+    * exclusive prefix sums of the doc lengths in SOME total order —
+    * provable without sorting: starts distinct, exactly one zero per
+    * language, and every end (start + n) is another doc's start except
+    * exactly one per language, which equals the language's total token
+    * mass.
+    */
+  private[graft] def packChainLaws(q: String, out: DataFrame,
+      cap: Long): Seq[Check] = {
+    val pos = out.select(col("lang"), col("n_tokens"),
+      (col("bin_id") * cap + col("start_offset")).as("start"))
+      .withColumn("end", col("start") + col("n_tokens")).persist()
+    try {
+      val badRange = out.filter(col("start_offset") < 0 ||
+        col("start_offset") >= cap || col("bin_id") < 0 ||
+        col("n_tokens") < 1).count()
+      val langs = pos.select("lang").distinct().count()
+      val zeroStarts = pos.filter(col("start") === 0).count()
+      val starts = pos.select("lang", "start")
+      val dupStarts = starts.count() - starts.distinct().count()
+      val totals = pos.groupBy("lang").agg(sum("n_tokens").as("mass"))
+      val residual = pos.select(col("lang"), col("end").as("start"))
+        .join(starts, Seq("lang", "start"), "left_anti").persist()
+      try {
+        val residualCount = residual.count()
+        val badFinal = residual.join(totals, "lang")
+          .filter(col("start") =!= col("mass")).count()
+        Seq(
+          check(q, s"offsets in [0,$cap), bins >= 0, docs non-empty",
+            badRange == 0, s"violations=$badRange"),
+          check(q, "exactly one stream origin per language; starts distinct",
+            zeroStarts == langs && dupStarts == 0,
+            s"zero_starts=$zeroStarts langs=$langs dup_starts=$dupStarts"),
+          check(q, "token stream is gapless: every doc end is another doc's " +
+            "start except one per language, which equals the language mass",
+            residualCount == langs && badFinal == 0,
+            s"residuals=$residualCount langs=$langs bad_final=$badFinal"))
+      } finally { residual.unpersist(); () }
+    } finally { pos.unpersist(); () }
+  }
+
+  /** BFD structural laws. The ≤-half-fill law is the open-only-when-
+    * nothing-fits invariant: were two bins of a group ≤ cap/2 full,
+    * the later one's opening item (≤ its final fill ≤ cap/2) would
+    * have fit the earlier one's ≥ cap/2 free space — contradiction.
+    */
+  private[graft] def bfdLaws(out: DataFrame, cap: Long): Seq[Check] = {
+    val q = "pack_bfd"
+    val bins = out.groupBy("lang", "shard", "bin_id")
+      .agg(sum("n_tokens").as("fill")).persist()
+    try {
+      val over = bins.filter(col("fill") > cap).count()
+      val perGroup = bins.groupBy("lang", "shard")
+        .agg(max("bin_id").as("mx"), count(lit(1)).as("nb"),
+          sum(when(col("fill") <= cap / 2, 1L).otherwise(0L)).as("halfEmpty"))
+        .persist()
+      try {
+        val badContig = perGroup.filter(col("mx") =!= col("nb") - 1).count()
+        val badHalf = perGroup.filter(col("halfEmpty") > 1).count()
+        Seq(
+          check(q, s"bin capacity: no bin over $cap tokens",
+            over == 0, s"violations=$over"),
+          check(q, "bin ids contiguous 0..n-1 per (lang, shard)",
+            badContig == 0, s"violations=$badContig"),
+          check(q, "at most one bin per (lang, shard) at <= half fill " +
+            "(BFD opens a bin only when nothing fits)",
+            badHalf == 0, s"violations=$badHalf"))
+      } finally { perGroup.unpersist(); () }
+    } finally { bins.unpersist(); () }
+  }
+
+  private[graft] def budgetLaws(out: DataFrame, budgets: DataFrame,
+      masses: DataFrame): Seq[Check] = {
+    val q = "sample_token_budget"
+    val (rows, distinct) = countDistinctOf(out, "doc_id")
+    val per = out.groupBy("source").agg(
+      max("cum_tokens").as("max_cum"),
+      sum("n_tokens").as("sel_mass"),
+      max(col("cum_tokens") - col("n_tokens")).as("max_start"))
+      .join(budgets, "source").join(masses, "source").persist()
+    try {
+      val badPrefix = per.filter(col("max_cum") =!= col("sel_mass")).count()
+      val overBudget = per.filter(col("max_start") >= col("budget")).count()
+      val underFill = per.filter(
+        col("max_cum") < least(col("budget"), col("mass"))).count()
+      Seq(
+        check(q, "doc_id unique", rows == distinct,
+          s"rows=$rows distinct=$distinct"),
+        check(q, "selection is the exact prefix of the packing order " +
+          "(max cum_tokens = selected mass)",
+          badPrefix == 0, s"violations=$badPrefix"),
+        check(q, "every kept doc starts under its source budget; the budget " +
+          "is reached (overshoot < one doc)",
+          overBudget == 0 && underFill == 0,
+          s"start_over=$overBudget under_fill=$underFill"))
+    } finally { per.unpersist(); () }
+  }
+
+  private[graft] def exactDedupLaws(out: DataFrame,
+      docs: DataFrame): Seq[Check] = {
+    val q = "dedup_exact"
+    val total = docs.count()
+    val st = out.agg(count(lit(1)), count_distinct(col("content_md5")),
+      coalesce(sum("n_copies"), lit(0L)),
+      coalesce(sum(when(col("n_copies") < 1, 1L).otherwise(0L)), lit(0L)))
+      .head()
+    val (rows, distinctMd5, sumCopies, badCopies) =
+      (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+    val orphanKeep = out.select(col("keep_id").as("doc_id"))
+      .join(docs, Seq("doc_id"), "left_anti").count()
+    Seq(
+      check(q, "groups account for every corpus document (sum n_copies = corpus)",
+        sumCopies == total, s"sum=$sumCopies corpus=$total"),
+      check(q, "one row per content hash; keepers ∈ corpus; n_copies >= 1",
+        rows == distinctMd5 && orphanKeep == 0 && badCopies == 0,
+        s"rows=$rows distinct=$distinctMd5 orphan_keepers=$orphanKeep " +
+          s"bad_copies=$badCopies"))
+  }
+
+  private[graft] def segmentLaws(out: DataFrame, words: DataFrame,
+      segWords: Int): Seq[Check] = {
+    val q = "dedup_segments"
+    val j = out.join(words, "doc_id").persist()
+    try {
+      val badSegCount = j.filter(col("n_segs") =!=
+        ceil(col("words").cast("double") / segWords).cast("long")).count()
+      val cleanWords = when(col("clean_text") === "", lit(0L))
+        .otherwise(size(split(col("clean_text"), " ")).cast("long"))
+      val badKept = j.filter(col("n_kept_segs") < 0 ||
+        col("n_kept_segs") > col("n_segs") ||
+        ((col("clean_text") === "") =!= (col("n_kept_segs") === 0L)) ||
+        cleanWords > col("words") ||
+        cleanWords > col("n_kept_segs") * segWords ||
+        cleanWords < col("n_kept_segs")).count()
+      Seq(
+        check(q, s"n_segs = ceil(words/$segWords) for every document",
+          badSegCount == 0, s"violations=$badSegCount"),
+        check(q, "0 <= kept <= segs; clean-text word mass consistent with " +
+          "the kept segments (each 1..segWords words, empty ⟺ none kept)",
+          badKept == 0, s"violations=$badKept"))
+    } finally { j.unpersist(); () }
+  }
+
+  /** Maximal-span laws shared by dedup_substring and
+    * decontaminate_substring (same mergeSpans machinery): exact length
+    * arithmetic with the family minimum, spans per doc disjoint AND
+    * non-mergeable (a merged output can never have two spans whose
+    * covered windows were ≤ L apart — the island break fires only past
+    * L, so consecutive spans satisfy start > prev_end + 1), and spans
+    * inside the document. `trainMod` adds the decontamination
+    * train-side-only law.
+    */
+  private[graft] def spanLaws(q: String, out: DataFrame, words: DataFrame,
+      minLen: Int, trainMod: Option[Long]): Seq[Check] = {
+    import org.apache.spark.sql.expressions.Window
+    val badLen = out.filter(
+      col("n_tokens") =!= col("span_end") - col("span_start") + 1 ||
+        col("n_tokens") < minLen || col("span_start") < 1).count()
+    val w = Window.partitionBy("doc_id").orderBy("span_start")
+    val overlap = out.withColumn("prev_end", lag("span_end", 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        col("span_start") <= col("prev_end") + 1).count()
+    val outOfDoc = out.join(words, "doc_id")
+      .filter(col("span_end") > col("words")).count()
+    val base = Seq(
+      check(q, s"spans >= $minLen tokens with exact length arithmetic",
+        badLen == 0, s"violations=$badLen"),
+      check(q, "spans per document are maximal (disjoint, non-mergeable)",
+        overlap == 0, s"violations=$overlap"),
+      check(q, "spans lie within their document",
+        outOfDoc == 0, s"violations=$outOfDoc"))
+    trainMod match {
+      case Some(m) =>
+        val benchLeak = out.filter(col("doc_id") % m === 0).count()
+        base :+ check(q, s"flagged spans are train docs only (doc_id % $m != 0)",
+          benchLeak == 0, s"bench-doc spans=$benchLeak")
+      case None => base
+    }
+  }
+
+  /** Greedy BPE training laws over the collected (rank, left, right,
+    * merged, cnt) rows: contiguous ranks, merged concatenation, and
+    * the max-frequency argument — a pair created by a merge occurs at
+    * most as often as the merged token, itself at most the selected
+    * max, so the selected counts are non-increasing.
+    */
+  private[graft] def bpeTrainLaws(
+      rows: Seq[(Long, String, String, String, Long)], k: Int): Seq[Check] = {
+    val q = "bpe_train"
+    val ranks = rows.map(_._1).sorted
+    val badMerge = rows.filter { case (_, a, b, m, _) => m != a + b }
+    val cnts = rows.sortBy(_._1).map(_._5)
+    val nonInc = cnts.zip(cnts.drop(1)).forall { case (x, y) => x >= y }
+    Seq(
+      check(q, s"merge ranks are exactly 1..$k",
+        ranks == (1L to k.toLong), s"ranks=${ranks.mkString(",")}"),
+      check(q, "merged = left || right for every merge",
+        badMerge.isEmpty, badMerge.take(3).mkString("; ")),
+      check(q, "selected pair counts are non-increasing and >= 1 " +
+        "(greedy max-frequency)",
+        nonInc && cnts.forall(_ >= 1), s"cnts=${cnts.mkString(",")}"))
+  }
+
+  private[graft] def bpeTokenizeLaws(out: DataFrame,
+      docs: DataFrame): Seq[Check] = {
+    val q = "text_tokenize_bpe"
+    val badBounds = out.filter(col("n_bpe_tokens") < col("n_words") ||
+      col("n_bpe_tokens") > col("n_word_chars") || col("n_words") < 1).count()
+    Seq(
+      idSetLaw(q, out, docs, complete = false),
+      check(q, "tokenization partitions every word: " +
+        "n_words <= n_bpe_tokens <= n_word_chars",
+        badBounds == 0, s"violations=$badBounds"))
+  }
+
+  private[graft] def winnowLaws(out: DataFrame,
+      words: DataFrame): Seq[Check] = {
+    val q = "text_winnow"
+    val per = out.groupBy("doc_id").agg(count(lit(1)).as("n_fps"),
+      min("fp").as("mn"), max("fp").as("mx")).persist()
+    try {
+      val docsTotal = words.count()
+      val covered = per.count()
+      val badRange = per.filter(col("mn") < 0 ||
+        col("mx") > (1L << 32) - 1).count()
+      val tooMany = per.join(words, "doc_id")
+        .filter(col("n_fps") > greatest(lit(1L), col("words") - 2)).count()
+      Seq(
+        check(q, "every corpus document carries at least one fingerprint",
+          covered == docsTotal, s"covered=$covered corpus=$docsTotal"),
+        check(q, "fingerprints are 32-bit; per-doc count <= max(1, #grams)",
+          badRange == 0 && tooMany == 0,
+          s"range_violations=$badRange too_many=$tooMany"))
+    } finally { per.unpersist(); () }
+  }
+
+  private[graft] def decontNgramLaws(out: DataFrame, docs: DataFrame,
+      benchMod: Long): Seq[Check] = {
+    val q = "decontaminate_ngram"
+    val benchLeak = out.filter(col("doc_id") % benchMod === 0).count()
+    val badCounts = out.filter(col("n3_shingles_shared") < 1 ||
+      col("n3_benchmark_docs") < 1 || col("n5_shingles_shared") < 0 ||
+      ((col("n5_shingles_shared") > 0) =!= (col("n5_benchmark_docs") > 0)))
+      .count()
+    Seq(
+      idSetLaw(q, out, docs, complete = false),
+      check(q, s"flags are train-side only (doc_id % $benchMod != 0)",
+        benchLeak == 0, s"bench-doc flags=$benchLeak"),
+      check(q, "every flag carries a 3-gram hit; 5-gram hit counts consistent",
+        badCounts == 0, s"violations=$badCounts"))
+  }
+
+  private[graft] def decontWinnowLaws(out: DataFrame, docs: DataFrame,
+      benchMod: Long): Seq[Check] = {
+    val q = "decontaminate_winnow"
+    val benchLeak = out.filter(col("doc_id") % benchMod === 0).count()
+    val badCounts = out.filter(col("fps_shared") < 1 ||
+      col("benchmark_docs") < 1).count()
+    Seq(
+      idSetLaw(q, out, docs, complete = false),
+      check(q, s"flags are train-side only with >= 1 shared fingerprint " +
+        s"and >= 1 benchmark doc (doc_id % $benchMod != 0)",
+        benchLeak == 0 && badCounts == 0,
+        s"bench_leak=$benchLeak bad_counts=$badCounts"))
+  }
+
+  private[graft] def chunkLaws(out: DataFrame, words: DataFrame,
+      w: Int, stride: Int): Seq[Check] = {
+    val q = "text_chunk"
+    val badTok = out.filter(col("n_chunk_tokens") < 1 ||
+      col("n_chunk_tokens") > w).count()
+    val per = out.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"),
+      max("chunk_idx").as("mx"),
+      count_distinct(col("chunk_idx")).as("d"))
+      .join(words, "doc_id").persist()
+    try {
+      val badContig = per.filter(col("d") =!= col("n_chunks") ||
+        col("mx") =!= col("n_chunks") - 1).count()
+      val badCount = per.filter(col("n_chunks") =!=
+        when(col("words") <= w, lit(1L))
+          .otherwise(ceil((col("words") - w).cast("double") / stride)
+            .cast("long") + 1L)).count()
+      val lastLaw = out.join(per.select("doc_id", "mx", "words"), "doc_id")
+        .filter(col("chunk_idx") === col("mx"))
+        .filter(col("n_chunk_tokens") =!=
+          least(lit(w.toLong), col("words") - col("mx") * stride)).count()
+      Seq(
+        check(q, s"chunk sizes in [1,$w]", badTok == 0, s"violations=$badTok"),
+        check(q, "chunk indexes contiguous 0..n-1; chunk-count law exact " +
+          s"(1 if words <= $w else ceil((words-$w)/$stride)+1)",
+          badContig == 0 && badCount == 0,
+          s"contig=$badContig count=$badCount"),
+        check(q, "the last chunk ends exactly at the document end",
+          lastLaw == 0, s"violations=$lastLaw"))
+    } finally { per.unpersist(); () }
+  }
+
+  private def checkFunnel(spark: SparkSession, baseDir: String,
+      scaledDir: String, copies: Int): Seq[Check] = {
+    val q = "q_funnel"
+    val b = SparkEntry.queries(q)(spark, baseDir).head()
+    val s0 = SparkEntry.queries(q)(spark, scaledDir).collect()
+    val oneRow = check(q, "exactly one report row by contract",
+      s0.length == 1, s"rows=${s0.length}")
+    if (s0.length != 1) Seq(oneRow)
+    else {
+      val s = s0(0)
+      val (nv, nc, np) = (s.getLong(0), s.getLong(1), s.getLong(2))
+      def fr(a: Long, d: Long) = math.floor(a.toDouble / d * 1e6) / 1e6
+      val ratesOk =
+        if (nv == 0) s.isNullAt(3) && s.isNullAt(4)
+        else !s.isNullAt(3) && !s.isNullAt(4) &&
+          s.getDouble(3) == fr(nc, nv) && s.getDouble(4) == fr(np, nv)
+      Seq(oneRow,
+        check(q, s"stage user counts scale exactly ${copies}x " +
+          "(per-user journeys are replica-invariant)",
+          nv == copies * b.getLong(0) && nc == copies * b.getLong(1) &&
+            np == copies * b.getLong(2),
+          s"base=(${b.getLong(0)},${b.getLong(1)},${b.getLong(2)}) " +
+            s"scaled=($nv,$nc,$np) copies=$copies"),
+        check(q, "funnel monotone: views >= clicks >= purchases >= 0",
+          nv >= nc && nc >= np && np >= 0, s"($nv,$nc,$np)"),
+        check(q, "conversion rates are the floor-quantized count ratios",
+          ratesOk, s"click=${s.get(3)} purchase=${s.get(4)}"))
+    }
+  }
+
+  private def checkRetention(spark: SparkSession, baseDir: String,
+      scaledDir: String, copies: Int): Seq[Check] = {
+    val q = "q_retention"
+    def grid(dir: String) = SparkEntry.queries(q)(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val base = grid(baseDir)
+    val scaled = grid(scaledDir)
+    val sameKeys = check(q, "same (cohort, offset) grid at both tiers",
+      base.keySet == scaled.keySet,
+      s"base_only=${(base.keySet -- scaled.keySet).take(3)} " +
+        s"scaled_only=${(scaled.keySet -- base.keySet).take(3)}")
+    val viol = base.toSeq.collect {
+      case (k, n) if scaled.get(k).exists(_ != copies * n) =>
+        s"$k base=$n scaled=${scaled(k)}"
+    }
+    val negOffset = scaled.keys.count(_._2 < 0)
+    val cohortMax = scaled.groupBy(_._1._1).collect {
+      case (cw, cells)
+          if !cells.get((cw, 0L)).exists(w0 => cells.values.forall(_ <= w0)) =>
+        s"cohort=$cw week0=${cells.get((cw, 0L))}"
+    }
+    Seq(sameKeys,
+      check(q, s"per-(cohort, offset) active counts scale exactly ${copies}x",
+        viol.isEmpty, viol.take(3).mkString("; ")),
+      check(q, "offsets >= 0 and week-0 is each cohort's maximum " +
+        "(everyone is active in their first week)",
+        negOffset == 0 && cohortMax.isEmpty,
+        s"neg_offsets=$negOffset bad_cohorts=${cohortMax.take(3).mkString("; ")}"))
+  }
+
+  private def checkHistogram(spark: SparkSession, baseDir: String,
+      scaledDir: String, copies: Int): Seq[Check] = {
+    val q = "q_histogram"
+    def grid(dir: String) = SparkEntry.queries(q)(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val base = grid(baseDir)
+    val scaled = grid(scaledDir)
+    val sameKeys = check(q, "same value buckets at both tiers",
+      base.keySet == scaled.keySet,
+      s"base_only=${(base.keySet -- scaled.keySet).take(3)} " +
+        s"scaled_only=${(scaled.keySet -- base.keySet).take(3)}")
+    val viol = base.toSeq.collect {
+      case (k, (n, s)) if scaled.get(k).exists { case (ns, ss) =>
+          ns != copies * n ||
+            math.abs(ss - copies * s) > 1e-6 * math.max(1.0, copies * s.abs)
+        } =>
+        s"bucket=$k base=($n,$s) scaled=${scaled(k)}"
+    }
+    Seq(sameKeys,
+      check(q, s"per-bucket counts scale exactly ${copies}x, sums within " +
+        "float tolerance (value distribution is replica-invariant)",
+        viol.isEmpty, viol.take(3).mkString("; ")))
+  }
+
   /** Run every gated invariant for `family` (defaults to all gated
     * queries present in the registry — pipeline_shard joins the list
     * when registered).
@@ -475,6 +950,81 @@ object ScaleGate {
           case "pipeline_shard" => operators.Curate.shardChecksFor(
             spark, scaledDir).map { case (inv, pass, det) =>
               check(q, inv, pass, det) }
+          case "sample_split_hash" =>
+            val out = SparkEntry.queries(q)(spark, scaledDir)
+            idSetLaw(q, out, corpusIds(spark, scaledDir), complete = true) +:
+              splitLaws(out)
+          case "sample_stratified" =>
+            val out = SparkEntry.queries(q)(spark, scaledDir)
+            val strata = spark.read.parquet(s"$scaledDir/documents.parquet")
+              .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+            idSetLaw(q, out, corpusIds(spark, scaledDir), complete = false) +:
+              stratifiedLaws(out, strata)
+          case "sample_token_budget" =>
+            val docs = operators.Sampling.budgetTokenCols(
+              spark.read.parquet(s"$scaledDir/documents.parquet")
+                .select(col("doc_id"), col("source"), col("text"))).persist()
+            try {
+              val budgets = operators.Sampling.sourceBudgets(docs, 10000L)
+              val masses = docs.groupBy("source")
+                .agg(sum("n_tokens").as("mass"))
+              budgetLaws(SparkEntry.queries(q)(spark, scaledDir),
+                budgets, masses)
+            } finally { docs.unpersist(); () }
+          case "pack_sequences" =>
+            val out = SparkEntry.queries(q)(spark, scaledDir)
+            idSetLaw(q, out, corpusIds(spark, scaledDir), complete = true) +:
+              packChainLaws(q, out, 512L)
+          case "pack_bfd" =>
+            val out = SparkEntry.queries(q)(spark, scaledDir)
+            idSetLaw(q, out, corpusIds(spark, scaledDir), complete = true) +:
+              bfdLaws(out, operators.Sampling.BfdCap)
+          case "dedup_exact" =>
+            exactDedupLaws(SparkEntry.queries(q)(spark, scaledDir),
+              corpusIds(spark, scaledDir))
+          case "dedup_segments" =>
+            val out = SparkEntry.queries(q)(spark, scaledDir)
+            idSetLaw(q, out, corpusIds(spark, scaledDir), complete = true) +:
+              segmentLaws(out, docWordCounts(spark, scaledDir),
+                operators.Corpus.SegWords)
+          case "dedup_substring" =>
+            spanLaws(q, SparkEntry.queries(q)(spark, scaledDir),
+              docWordCounts(spark, scaledDir),
+              operators.Substring.MinRepeatTokens, trainMod = None)
+          case "decontaminate_substring" =>
+            spanLaws(q, SparkEntry.queries(q)(spark, scaledDir),
+              docWordCounts(spark, scaledDir),
+              operators.Contamination.SubstrL,
+              trainMod = Some(operators.Contamination.SubstrBenchMod.toLong))
+          case "bpe_train" =>
+            bpeTrainLaws(SparkEntry.queries(q)(spark, scaledDir).collect()
+              .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+                r.getString(3), r.getLong(4))).toSeq,
+              operators.Bpe.NumMerges)
+          case "text_tokenize_bpe" =>
+            bpeTokenizeLaws(SparkEntry.queries(q)(spark, scaledDir),
+              corpusIds(spark, scaledDir))
+          case "text_winnow" =>
+            winnowLaws(SparkEntry.queries(q)(spark, scaledDir),
+              docWordCounts(spark, scaledDir))
+          case "text_chunk" =>
+            chunkLaws(SparkEntry.queries(q)(spark, scaledDir),
+              docWordCounts(spark, scaledDir),
+              operators.TextAnalysis.ChunkW, operators.TextAnalysis.ChunkS)
+          case "decontaminate_ngram" =>
+            decontNgramLaws(SparkEntry.queries(q)(spark, scaledDir),
+              corpusIds(spark, scaledDir),
+              operators.Contamination.BenchMod.toLong)
+          case "decontaminate_winnow" =>
+            decontWinnowLaws(SparkEntry.queries(q)(spark, scaledDir),
+              corpusIds(spark, scaledDir),
+              operators.Contamination.BenchMod.toLong)
+          case "q_funnel" =>
+            checkFunnel(spark, baseDir, scaledDir, copies)
+          case "q_retention" =>
+            checkRetention(spark, baseDir, scaledDir, copies)
+          case "q_histogram" =>
+            checkHistogram(spark, baseDir, scaledDir, copies)
           case other =>
             Seq(bad(other, "gated query has an invariant suite",
               s"no invariant suite registered for $other"))

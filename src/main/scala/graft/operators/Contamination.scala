@@ -130,8 +130,8 @@ object Contamination {
     * slice is doc_id % [[SubstrBenchMod]] = 0 — wider than the n-gram
     * screen's 1/53 so the diagnostic exercises at the test scales.
     */
-  private[operators] val SubstrL = 13
-  private[operators] val SubstrBenchMod = 11
+  private[graft] val SubstrL = 13
+  private[graft] val SubstrBenchMod = 11
 
   val decontaminateSubstring = QueryDef(
     "decontaminate_substring",

@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
   */
 object Corpus {
 
-  private val SegWords = 8
+  private[graft] val SegWords = 8
 
   /** Cross-document segment dedup, the C4-family pass at the
     * granularity this corpus supports (texts are single-line word

@@ -206,8 +206,8 @@ object Sampling {
       CAST(ROUND(100000 * (w_raw / denom)) AS BIGINT) AS target_docs
     FROM scored, norm"""))
 
-  private val BfdCap = 512L
-  private val BfdShards = 8
+  private[graft] val BfdCap = 512L
+  private[graft] val BfdShards = 8
 
   /** Whole-document best-fit-decreasing packing — the NO-SPLIT
     * companion to [[packSequences]]: `pack_sequences` tiles the token

@@ -53,7 +53,7 @@ object Substring {
     * synthetic docs cap at ~100 tokens (at 50 the test corpora still
     * have hits, but the boundary-straddling cases thin out).
     */
-  private[operators] val MinRepeatTokens = 20
+  private[graft] val MinRepeatTokens = 20
 
   /** Positional L-grams: (doc_id, pos [1-based], h = xxhash64 of the
     * space-joined window). Window-lead construction (split once,

@@ -487,8 +487,8 @@ object TextAnalysis {
       })
   }
 
-  private val ChunkW = 32
-  private val ChunkS = 24
+  private[graft] val ChunkW = 32
+  private[graft] val ChunkS = 24
 
   /** Overlapping token-window chunking — the RAG / context-window
     * preprocessing step: each document becomes windows of [[ChunkW]]

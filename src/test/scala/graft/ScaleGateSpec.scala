@@ -24,7 +24,8 @@ class ScaleGateSpec extends AnyFunSuite {
       s"gated queries missing from the registry: " +
         ScaleGate.gatedQueries().filterNot(SparkEntry.queries.contains))
     val checks = ScaleGate.checksFor(spark, src, out, copies, family)
-    assert(checks.size >= 30, s"expected a full check sweep, got ${checks.size}")
+    assert(checks.size >= 100,
+      s"expected the full r15 check sweep (109 laws), got ${checks.size}")
     val failed = checks.filterNot(_.pass)
     assert(failed.isEmpty, "violated scale invariants:\n" + failed
       .map(c => s"  ${c.query}: ${c.invariant} (${c.detail})").mkString("\n"))
@@ -73,6 +74,204 @@ class ScaleGateSpec extends AnyFunSuite {
       import scala.reflect.io.Directory
       new Directory(dir.toFile).deleteRecursively()
     }
+  }
+
+  // -------------------------------------------------------------
+  // Negative cases for the r15 widened law families: each suite is
+  // driven with a doctored frame that a correct operator can never
+  // emit — the law must FAIL on it.
+
+  private def fails(checks: Seq[ScaleGate.Check], hint: String): Unit =
+    assert(checks.exists(!_.pass), s"$hint must fail: $checks")
+  private def passes(checks: Seq[ScaleGate.Check]): Unit =
+    assert(checks.forall(_.pass), s"law must accept a valid frame: $checks")
+
+  test("split laws reject a split/bucket mismatch and a skewed share (negative)") {
+    import spark.implicits._
+    // bucket 10 labelled "test": threshold law fires
+    fails(ScaleGate.splitLaws(
+      Seq((1L, 10L, "test"), (2L, 92L, "val")).toDF("doc_id", "bucket", "split")),
+      "a mislabeled bucket")
+    // everything train: the 90/5/5 share band fires
+    fails(ScaleGate.splitLaws(
+      (1L to 400L).map(i => (i, i % 90, "train"))
+        .toDF("doc_id", "bucket", "split")),
+      "an all-train split")
+  }
+
+  test("stratified laws reject an over-quota pick and a rank gap (negative)") {
+    import spark.implicits._
+    val strata = Seq(("en", 100L)).toDF("lang", "n_docs")
+    fails(ScaleGate.stratifiedLaws(
+      (1L to 21L).map(i => (i, "en", i)).toDF("doc_id", "lang", "pick_rank"),
+      strata), "21 picks against a quota of 20")
+    fails(ScaleGate.stratifiedLaws(
+      (1L to 20L).map(i => (i, "en", if (i == 5) 21L else i))
+        .toDF("doc_id", "lang", "pick_rank"),
+      strata), "a gapped rank sequence")
+    passes(ScaleGate.stratifiedLaws(
+      (1L to 20L).map(i => (i, "en", i)).toDF("doc_id", "lang", "pick_rank"),
+      strata))
+  }
+
+  test("pack chain laws reject duplicate origins and a gapped stream (negative)") {
+    import spark.implicits._
+    // two docs both claiming the stream origin
+    fails(ScaleGate.packChainLaws("pack_sequences",
+      Seq((1L, "en", 10L, 0L, 0L), (2L, "en", 5L, 0L, 0L))
+        .toDF("doc_id", "lang", "n_tokens", "bin_id", "start_offset"), 512L),
+      "two docs at start 0")
+    // doc 2 starts at 11, doc 1 ends at 10: a one-token gap
+    fails(ScaleGate.packChainLaws("pack_sequences",
+      Seq((1L, "en", 10L, 0L, 0L), (2L, "en", 5L, 0L, 11L))
+        .toDF("doc_id", "lang", "n_tokens", "bin_id", "start_offset"), 512L),
+      "a gapped token stream")
+    passes(ScaleGate.packChainLaws("pack_sequences",
+      Seq((1L, "en", 10L, 0L, 0L), (2L, "en", 5L, 0L, 10L))
+        .toDF("doc_id", "lang", "n_tokens", "bin_id", "start_offset"), 512L))
+  }
+
+  test("BFD laws reject an over-capacity bin, a skipped id, and two half-empty bins (negative)") {
+    import spark.implicits._
+    def bfd(rows: (Long, String, Long, Long, Long)*) =
+      rows.toDF("doc_id", "lang", "shard", "bin_id", "n_tokens")
+    fails(ScaleGate.bfdLaws(
+      bfd((1L, "en", 0L, 0L, 300L), (2L, "en", 0L, 0L, 300L)), 512L),
+      "a 600-token bin")
+    fails(ScaleGate.bfdLaws(
+      bfd((1L, "en", 0L, 0L, 400L), (2L, "en", 0L, 2L, 400L)), 512L),
+      "bin id 1 skipped")
+    fails(ScaleGate.bfdLaws(
+      bfd((1L, "en", 0L, 0L, 100L), (2L, "en", 0L, 1L, 100L)), 512L),
+      "two bins at <= half fill")
+    passes(ScaleGate.bfdLaws(
+      bfd((1L, "en", 0L, 0L, 400L), (2L, "en", 0L, 1L, 400L)), 512L))
+  }
+
+  test("budget laws reject a non-prefix selection and a doc starting past budget (negative)") {
+    import spark.implicits._
+    val budgets = Seq(("web", 100L)).toDF("source", "budget")
+    val masses = Seq(("web", 1000L)).toDF("source", "mass")
+    def out(rows: (String, Long, Long, Long)*) =
+      rows.toDF("source", "doc_id", "n_tokens", "cum_tokens")
+    // cum jumps over a missing doc: max_cum != selected mass
+    fails(ScaleGate.budgetLaws(
+      out(("web", 1L, 50L, 50L), ("web", 2L, 30L, 110L)), budgets, masses),
+      "a non-prefix selection")
+    // a kept doc starting at the budget boundary
+    fails(ScaleGate.budgetLaws(
+      out(("web", 1L, 100L, 100L), ("web", 2L, 30L, 130L)), budgets, masses),
+      "a doc starting at cum=budget")
+    passes(ScaleGate.budgetLaws(
+      out(("web", 1L, 80L, 80L), ("web", 2L, 30L, 110L)), budgets, masses))
+  }
+
+  test("exact-dedup laws reject a lost document (negative)") {
+    import spark.implicits._
+    val docs = (1L to 10L).toDF("doc_id")
+    fails(ScaleGate.exactDedupLaws(
+      Seq(("aa", 1L, 9L)).toDF("content_md5", "keep_id", "n_copies"), docs),
+      "9 accounted of 10 docs")
+    passes(ScaleGate.exactDedupLaws(
+      Seq(("aa", 1L, 9L), ("bb", 10L, 1L))
+        .toDF("content_md5", "keep_id", "n_copies"), docs))
+  }
+
+  test("segment laws reject a wrong segment count and a ghost clean text (negative)") {
+    import spark.implicits._
+    val words = Seq((1L, 16L)).toDF("doc_id", "words")
+    def seg(nSegs: Long, nKept: Long, clean: String) =
+      Seq((1L, nSegs, nKept, clean))
+        .toDF("doc_id", "n_segs", "n_kept_segs", "clean_text")
+    fails(ScaleGate.segmentLaws(seg(3L, 0L, ""), words, 8),
+      "16 words is 2 segments, not 3")
+    fails(ScaleGate.segmentLaws(seg(2L, 0L, "a b c"), words, 8),
+      "clean text with zero kept segments")
+    passes(ScaleGate.segmentLaws(seg(2L, 1L, "a b c d e f g h"), words, 8))
+  }
+
+  test("span laws reject overlap, bad arithmetic, out-of-doc, and a bench leak (negative)") {
+    import spark.implicits._
+    val words = Seq((1L, 100L), (11L, 100L)).toDF("doc_id", "words")
+    def spans(rows: (Long, Long, Long, Long)*) =
+      rows.toDF("doc_id", "span_start", "span_end", "n_tokens")
+    fails(ScaleGate.spanLaws("s", spans((1L, 1L, 25L, 25L), (1L, 20L, 50L, 31L)),
+      words, 20, None), "overlapping spans")
+    fails(ScaleGate.spanLaws("s", spans((1L, 1L, 25L, 20L)),
+      words, 20, None), "length arithmetic off")
+    fails(ScaleGate.spanLaws("s", spans((1L, 90L, 120L, 31L)),
+      words, 20, None), "span past the document end")
+    fails(ScaleGate.spanLaws("s", spans((11L, 1L, 25L, 25L)),
+      words, 20, Some(11L)), "a span on a benchmark doc")
+    passes(ScaleGate.spanLaws("s", spans((1L, 1L, 25L, 25L), (1L, 30L, 60L, 31L)),
+      words, 20, Some(11L)))
+  }
+
+  test("BPE train laws reject an increasing count and a bad concat (negative)") {
+    fails(ScaleGate.bpeTrainLaws(
+      Seq((1L, "a", "b", "ab", 5L), (2L, "c", "d", "cd", 9L)), 2),
+      "count rising across merges")
+    fails(ScaleGate.bpeTrainLaws(
+      Seq((1L, "a", "b", "ba", 5L)), 1), "merged != left || right")
+    fails(ScaleGate.bpeTrainLaws(
+      Seq((1L, "a", "b", "ab", 5L), (3L, "c", "d", "cd", 4L)), 2),
+      "a rank gap")
+    passes(ScaleGate.bpeTrainLaws(
+      Seq((1L, "a", "b", "ab", 5L), (2L, "c", "d", "cd", 4L)), 2))
+  }
+
+  test("BPE tokenize laws reject fewer tokens than words (negative)") {
+    import spark.implicits._
+    val docs = Seq(1L).toDF("doc_id")
+    fails(ScaleGate.bpeTokenizeLaws(
+      Seq((1L, 10L, 50L, 8L))
+        .toDF("doc_id", "n_words", "n_word_chars", "n_bpe_tokens"), docs),
+      "8 tokens for 10 words")
+    passes(ScaleGate.bpeTokenizeLaws(
+      Seq((1L, 10L, 50L, 23L))
+        .toDF("doc_id", "n_words", "n_word_chars", "n_bpe_tokens"), docs))
+  }
+
+  test("winnow laws reject an unfingerprinted doc and an oversized fp (negative)") {
+    import spark.implicits._
+    val words = Seq((1L, 50L), (2L, 50L)).toDF("doc_id", "words")
+    fails(ScaleGate.winnowLaws(Seq((1L, 123L)).toDF("doc_id", "fp"), words),
+      "doc 2 carries no fingerprint")
+    fails(ScaleGate.winnowLaws(
+      Seq((1L, 123L), (2L, 1L << 33)).toDF("doc_id", "fp"), words),
+      "a 33-bit fingerprint")
+    passes(ScaleGate.winnowLaws(
+      Seq((1L, 123L), (2L, 456L)).toDF("doc_id", "fp"), words))
+  }
+
+  test("decontamination laws reject a bench-side flag and inconsistent hits (negative)") {
+    import spark.implicits._
+    def ngram(rows: (Long, Long, Long, Long, Long)*) =
+      rows.toDF("doc_id", "n3_shingles_shared", "n3_benchmark_docs",
+        "n5_shingles_shared", "n5_benchmark_docs")
+    val docs = (1L to 106L).toDF("doc_id")
+    fails(ScaleGate.decontNgramLaws(ngram((53L, 2L, 1L, 0L, 0L)), docs, 53L),
+      "a flag on a benchmark doc")
+    fails(ScaleGate.decontNgramLaws(ngram((2L, 2L, 1L, 3L, 0L)), docs, 53L),
+      "5-gram shingles without a benchmark doc")
+    passes(ScaleGate.decontNgramLaws(ngram((2L, 2L, 1L, 1L, 1L)), docs, 53L))
+    fails(ScaleGate.decontWinnowLaws(
+      Seq((2L, 0L, 1L)).toDF("doc_id", "fps_shared", "benchmark_docs"),
+      docs, 53L), "a flag with zero shared fingerprints")
+  }
+
+  test("chunk laws reject a short last chunk and an index gap (negative)") {
+    import spark.implicits._
+    val words = Seq((1L, 56L)).toDF("doc_id", "words")
+    def chunks(rows: (Long, Long, Long)*) =
+      rows.map { case (d, i, n) => (d, i, n, "x") }
+        .toDF("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text")
+    // 56 words, W=32, S=24: 2 chunks, last = 56 - 24 = 32 tokens
+    passes(ScaleGate.chunkLaws(chunks((1L, 0L, 32L), (1L, 1L, 32L)), words, 32, 24))
+    fails(ScaleGate.chunkLaws(chunks((1L, 0L, 32L), (1L, 1L, 30L)), words, 32, 24),
+      "a last chunk 2 tokens short")
+    fails(ScaleGate.chunkLaws(chunks((1L, 0L, 32L), (1L, 2L, 32L)), words, 32, 24),
+      "a skipped chunk index")
   }
 
   test("the NTILE law rejects a shifted allocation (negative case)") {
