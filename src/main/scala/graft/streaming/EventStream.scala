@@ -78,7 +78,15 @@ object EventStream {
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")))
     val ok = col("p._corrupt").isNull && col("p.id").isNotNull
     val valid = parsed.filter(ok)
-      .select(col("p.id").as("id"), col("p.type").as("eventType"),
+      // type coalesces to "" exactly like the reference's InputEvent
+      // default (Events.kt:5, `val type: String = ""`): a valid event
+      // missing its type field stays VALID with an empty type. Also
+      // load-bearing downstream: enrich's replay-stable sort keys on
+      // eventType, and a null there NPEs the stateful stage — found
+      // live by the LocalPipelineMain end-to-end smoke, whose
+      // generator emits exactly this shape ('{"id":"user-1"}').
+      .select(col("p.id").as("id"),
+        coalesce(col("p.type"), lit("")).as("eventType"),
         coalesce(col("p.timestamp"), lit(0L)).as("timestamp"),
         coalesce(col("p.data"), map()).as("data"))
     val errors = parsed.filter(!ok)
