@@ -201,9 +201,16 @@ object ScaleStream {
     val listener = new ProgressListener
     spark.streams.addListener(listener)
     val t0 = System.nanoTime()
+    // repartition the arriving batch before the loop body: each slice
+    // is ONE file = one scan partition, so without it the whole
+    // batch's signature/quantize work runs on a single core (observed
+    // live at 100x: ~20 min/batch at load 1.5 on 32 cores). A Kafka
+    // deployment gets this parallelism natively from the topic's
+    // partitions; one small exchange per batch restores it here.
+    val par = spark.sparkContext.defaultParallelism
     val q = start(
       spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-        .parquet(backlogDir),
+        .parquet(backlogDir).repartition(par),
       s"$work/ckpt_$loop")
     try q.awaitTermination()
     finally spark.streams.removeListener(listener)

@@ -88,6 +88,53 @@ class LayoutSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("a hard-killed compact's full crash state refuses peers and recovers (r14 verdict #7)") {
+    import spark.implicits._
+    // the EXACT on-disk state a kill -9 mid-compact leaves behind: the
+    // maintenance lock (holder string with a dead pid) AND the
+    // half-written _compact_tmp dir, original data untouched
+    val base = java.nio.file.Files.createTempDirectory("graft_mkill").toString
+    try {
+      val mdir = s"$base/store"
+      (0 until 5).foreach { i =>
+        Seq((i.toLong, s"row$i")).toDF("id", "v")
+          .coalesce(1).write.mode("append").parquet(mdir)
+      }
+      val before = spark.read.parquet(mdir).collect().map(_.toString).sorted
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$mdir.maintenance"),
+        "Layout.compact pid=99999 started=2026-08-16T00:00:00Z")
+      Seq((99L, "partial")).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"${mdir}_compact_tmp")
+      // every peer refuses, naming the dead holder and the recovery
+      val e1 = intercept[IllegalStateException] {
+        sources.Layout.requireNoMaintenance(spark, mdir)
+      }
+      assert(e1.getMessage.contains("pid=99999") &&
+        e1.getMessage.contains("delete the lock"), e1.getMessage)
+      val e2 = intercept[IllegalStateException] {
+        sources.Layout.compact(spark, mdir)
+      }
+      assert(e2.getMessage.contains("pid=99999"), e2.getMessage)
+      // the conservative failure preserved the data
+      assert(spark.read.parquet(mdir).collect()
+        .map(_.toString).sorted === before)
+      // documented operator recovery: verify consistency, delete the
+      // lock — the re-run then clears the stale tmp itself and the
+      // data survives byte-identical
+      java.nio.file.Files.delete(java.nio.file.Paths.get(s"$mdir.maintenance"))
+      val (nb, na) = sources.Layout.compact(spark, mdir)
+      assert(nb == 5 && na == 1, s"$nb -> $na")
+      assert(spark.read.parquet(mdir).collect()
+        .map(_.toString).sorted === before)
+      val leftovers = new java.io.File(base).listFiles().map(_.getName)
+      assert(!leftovers.exists(_.contains("_compact")), leftovers.mkString(", "))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(base)).deleteRecursively()
+    }
+  }
+
   test("the maintenance lock excludes a second job, releases on both exits") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_mlock").toString
