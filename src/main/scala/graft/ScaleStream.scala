@@ -173,8 +173,8 @@ object ScaleStream {
         e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
   }
 
-  final case class LoopResult(loop: String, arrivals: Long, batches: Int,
-    wallSec: Double, perBatchMs: Seq[(Long, Long, Long)],
+  final case class LoopResult(loop: String, copies: Int, arrivals: Long,
+    batches: Int, wallSec: Double, perBatchMs: Seq[(Long, Long, Long)],
     checks: Seq[Check])
 
   /** Drive one loop end-to-end; `bootstrapAndStart` gets
@@ -222,7 +222,7 @@ object ScaleStream {
         .unionByName(verdicts.select(col(idCol))))
     val survivors = verdicts.filter(col("partner_id").isNull).count()
     val growth = growthLaw(loop, store, acceptedAfter(), nBoot, survivors)
-    LoopResult(loop, arrivals, listener.rows.size, wall,
+    LoopResult(loop, copies, arrivals, listener.rows.size, wall,
       listener.rows.toSeq, laws ++ Seq(partnerLaw, growth))
   }
 
@@ -268,7 +268,7 @@ object ScaleStream {
       val checks = r.checks.map(c =>
         s"""{"invariant":"${esc(c.invariant)}","pass":${c.pass},"detail":"${esc(c.detail)}"}""")
         .mkString("[", ",", "]")
-      s"""{"loop":"${r.loop}","arrivals":${r.arrivals},"batches":${r.batches},"wall_sec":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(r.wallSec))},"per_batch":$batches,"checks":$checks}"""
+      s"""{"loop":"${r.loop}","copies":${r.copies},"arrivals":${r.arrivals},"batches":${r.batches},"wall_sec":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(r.wallSec))},"per_batch":$batches,"checks":$checks}"""
     }.mkString(
       s"""{"copies":$copies,"slices":$slices,"scaled":"$scaledDir","n_checks":${allChecks.size},"n_failed":${allChecks.count(!_.pass)},"loops":[""",
       ",\n", "]}")
@@ -284,6 +284,19 @@ object ScaleStream {
   /** The three loops, shared by the main (100x) and ScaleStreamSpec
     * (3x inside `sbt test`).
     */
+  /** Tier cap for the FLAT emb loop (B25): it is the registered
+    * measured-quadratic BASELINE — every arriving vector's band bucket
+    * grows with the whole accepted index, the degeneration the blocked
+    * loop (B29) exists to fix, exactly the batch family's
+    * dedup_embedding → dedup_embedding_blocked `supersededBy` story.
+    * Measured live at the 100x tier: ONE 49.5k-arrival batch against a
+    * ~450k-vector flat band index wrote > 78 GB of join shuffle and
+    * exhausted the disk. The baseline therefore rehearses its laws at
+    * min(copies, 10) — still a real multi-replica, multi-batch
+    * checkpointed run — while its successor carries the full tier.
+    */
+  private[graft] val FlatLoopMaxCopies = 10
+
   private[graft] def runAll(spark: SparkSession, scaledDir: String,
       copies: Int, slices: Int, work: String,
       onLoop: LoopResult => Unit = _ => ()): Seq[LoopResult] = {
@@ -305,8 +318,10 @@ object ScaleStream {
       () => spark.read.parquet(s"$work/doc_index").select("doc_id"))
     onLoop(doc)
 
+    val flatCopies = math.min(copies, FlatLoopMaxCopies)
     val flat = runLoop(spark, "B25_embstream_flat", scaledDir, "embeddings",
-      "vec_id", Seq("vec_id", "embedding"), copies, slices, work)(
+      "vec_id", Seq("vec_id", "embedding"), flatCopies,
+      math.min(slices, flatCopies - 1), work)(
       base => {
         EmbStream.writeIndex(base, s"$work/emb_band", s"$work/emb_vec")
         base.count()
