@@ -76,7 +76,10 @@ object ScaleGate {
       "bpe_train", "text_tokenize_bpe", "text_winnow", "text_chunk",
       "decontaminate_ngram", "decontaminate_substring",
       "decontaminate_winnow",
-      "q_funnel", "q_retention", "q_histogram") ++ extra)
+      "q_funnel", "q_retention", "q_histogram") ++ Seq(
+      "dedup_norm_exact", "corpus_stats", "mix_weights", "vocab_oov",
+      "text_quality", "text_tokens", "text_entropy",
+      "text_langid_confusion", "q_percentiles", "q_corr_stats") ++ extra)
       .distinct
 
   // ------------------------------------------------------------------
@@ -919,6 +922,209 @@ object ScaleGate {
         viol.isEmpty, viol.take(3).mkString("; ")))
   }
 
+  // ------------------------------------------------------------------
+  // r15 batch 2: the corpus-report and per-doc scoring families, plus
+  // the two remaining events/lineitem statistics with exact cross-tier
+  // laws.
+  // ------------------------------------------------------------------
+
+  private[graft] def normExactLaws(out: DataFrame,
+      docs: DataFrame): Seq[Check] = {
+    val q = "dedup_norm_exact"
+    val rowBad = out.filter(
+      ((col("doc_id") === col("canonical_id")) =!= col("keep")) ||
+        col("canonical_id") > col("doc_id")).count()
+    val grpBad = out.groupBy("canon_hash")
+      .agg(count(lit(1)).as("n"), min("dup_count").as("mnd"),
+        max("dup_count").as("mxd"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("keeps"),
+        count_distinct(col("canonical_id")).as("dc"),
+        min("doc_id").as("mnid"), max("canonical_id").as("mxc"))
+      .filter(col("n") =!= col("mnd") || col("n") =!= col("mxd") ||
+        col("keeps") =!= 1L || col("dc") =!= 1L ||
+        col("mxc") =!= col("mnid")).count()
+    Seq(
+      idSetLaw(q, out, docs, complete = true),
+      check(q, "keep ⟺ doc = canonical; canonical <= doc",
+        rowBad == 0, s"violations=$rowBad"),
+      check(q, "per hash group: dup_count exact, one keeper, one canonical = min id",
+        grpBad == 0, s"violating groups=$grpBad"))
+  }
+
+  private[graft] def corpusStatsLaws(out: DataFrame,
+      facts: DataFrame): Seq[Check] = {
+    // facts: (source, fact_docs, fact_chars) recomputed from the corpus
+    val q = "corpus_stats"
+    val j = out.join(facts, Seq("source"), "full_outer").persist()
+    try {
+      val mismatch = j.filter(col("n_docs").isNull || col("fact_docs").isNull ||
+        col("n_docs") =!= col("fact_docs") ||
+        col("total_chars") =!= col("fact_chars")).count()
+      val rowBad = j.filter(col("n_dup_docs") < 0 ||
+        col("n_dup_docs") > col("n_docs") || col("n_langs") < 1 ||
+        col("avg_quality").isNull).count()
+      Seq(
+        check(q, "per-source docs and chars equal an independent recomputation " +
+          "(and the report covers every source)",
+          mismatch == 0, s"mismatched_sources=$mismatch"),
+        check(q, "0 <= dup docs <= docs; >= 1 language; quality present",
+          rowBad == 0, s"violations=$rowBad"))
+    } finally { j.unpersist(); () }
+  }
+
+  private[graft] def mixWeightsLaws(out: DataFrame,
+      corpusDocs: Long): Seq[Check] = {
+    val q = "mix_weights"
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val totalDocs = rows.map(_._2).sum
+    val shareSum = rows.map(_._3).sum
+    val badRows = rows.collect {
+      case (l, n, s, t) if n < 1 || s <= 0 || s > 1 ||
+          math.abs(t - 100000L * s) > 0.5 + 1e-6 =>
+        s"$l n=$n share=$s target=$t"
+    }
+    Seq(
+      check(q, "language doc counts account for the whole corpus",
+        totalDocs == corpusDocs, s"sum=$totalDocs corpus=$corpusDocs"),
+      // 1e-6, not ulps: each share is an independent double division
+      // by the same denominator, and the sum of x_i/S legitimately
+      // misses 1 by a few ulps per language (observed 6e-9 at 5
+      // languages) — a wrong denominator or a dropped language shifts
+      // the sum by orders more
+      check(q, "shares form a simplex (sum 1 within float tolerance, each " +
+        "in (0,1]); targets are the rounded share of 100k",
+        math.abs(shareSum - 1.0) < 1e-6 && badRows.isEmpty,
+        s"share_sum=$shareSum bad=${badRows.mkString("; ")}"))
+  }
+
+  private[graft] def vocabOovLaws(out: DataFrame,
+      docs: DataFrame): Seq[Check] = {
+    val q = "vocab_oov"
+    val bad = out.filter(col("n_tokens") < 1 || col("n_oov") < 0 ||
+      col("n_oov") > col("n_tokens") ||
+      col("oov_rate") =!=
+        col("n_oov").cast("double") / col("n_tokens")).count()
+    Seq(
+      idSetLaw(q, out, docs, complete = true),
+      check(q, "0 <= oov <= tokens; rate is exactly the count ratio",
+        bad == 0, s"violations=$bad"))
+  }
+
+  private[graft] def qualityLaws(out: DataFrame,
+      docs: DataFrame): Seq[Check] = {
+    val q = "text_quality"
+    val recompute = col("uniq_ratio") * 0.5 +
+      (lit(1.0) - col("stopword_ratio")) * 0.3 +
+      least(col("avg_word_len") / 10.0, lit(1.0)) * 0.2
+    val bad = out.filter(col("n_uniq_words") > col("n_words") ||
+      col("uniq_ratio") =!=
+        col("n_uniq_words").cast("double") / col("n_words") ||
+      col("stopword_ratio") < 0 || col("stopword_ratio") > 1 ||
+      col("quality_score") =!= recompute).count()
+    Seq(
+      idSetLaw(q, out, docs, complete = true),
+      check(q, "score components and the weighted score recompute exactly " +
+        "from the row's own counts",
+        bad == 0, s"violations=$bad"))
+  }
+
+  private[graft] def tokensLaws(out: DataFrame,
+      docs: DataFrame): Seq[Check] = {
+    val q = "text_tokens"
+    val bad = out.filter(col("n_ws_tokens") < 1 || col("n_bpe_tokens") < 0 ||
+      (col("chars_per_token").isNull =!= (col("n_bpe_tokens") === 0L)) ||
+      (col("chars_per_token").isNotNull && col("chars_per_token") <= 0))
+      .count()
+    Seq(
+      idSetLaw(q, out, docs, complete = true),
+      check(q, "token counts positive; chars/token NULL exactly when no " +
+        "BPE token matches, else positive",
+        bad == 0, s"violations=$bad"))
+  }
+
+  private[graft] def entropyLaws(out: DataFrame,
+      docs: DataFrame): Seq[Check] = {
+    val q = "text_entropy"
+    val bad = out.filter(col("n_distinct_tokens") < 1 ||
+      col("n_distinct_tokens") > col("n_tokens") ||
+      col("token_entropy") < -1e-9 ||
+      col("token_entropy") >
+        log(col("n_distinct_tokens").cast("double")) + 1e-6).count()
+    Seq(
+      idSetLaw(q, out, docs, complete = true),
+      check(q, "0 <= entropy <= ln(distinct tokens) (uniform maximizes); " +
+        "distinct <= total",
+        bad == 0, s"violations=$bad"))
+  }
+
+  private[graft] def confusionLaws(out: DataFrame,
+      corpusDocs: Long): Seq[Check] = {
+    import org.apache.spark.sql.expressions.Window
+    val q = "text_langid_confusion"
+    val total = out.agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0)
+    val langTot = sum(col("n_docs")).over(Window.partitionBy("lang"))
+    val bad = out.withColumn("expect",
+      floor(col("n_docs").cast("double") / langTot.cast("double") * 1e6) / 1e6)
+      .filter(col("rate") =!= col("expect") ||
+        col("rate") <= 0 || col("rate") > 1).count()
+    Seq(
+      check(q, "the confusion matrix accounts for every document",
+        total == corpusDocs, s"sum=$total corpus=$corpusDocs"),
+      check(q, "rates are the floor-quantized per-declared-language shares",
+        bad == 0, s"violations=$bad"))
+  }
+
+  /** q_percentiles cross-tier law: the id-shift derivation copies
+    * every (event_type, value) verbatim per replica, so the scaled
+    * multiset is exactly `copies` interleaved copies of the base one —
+    * and ceil(ceil(p·c·n)/c) = ceil(p·n) for any integer c, so the
+    * explicit order-statistic at ceil(p·n) is IDENTICAL at both tiers
+    * while n_events scales exactly.
+    */
+  private def checkPercentiles(spark: SparkSession, baseDir: String,
+      scaledDir: String, copies: Int): Seq[Check] = {
+    val q = "q_percentiles"
+    def grid(dir: String) = SparkEntry.queries(q)(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val base = grid(baseDir)
+    val scaled = grid(scaledDir)
+    val sameKeys = check(q, "same event types at both tiers",
+      base.keySet == scaled.keySet,
+      s"base=${base.keySet.toSeq.sorted} scaled=${scaled.keySet.toSeq.sorted}")
+    val viol = base.toSeq.collect {
+      case (t, (n, p50, p90, p99)) if scaled.get(t).exists { case (ns, a, b, c) =>
+          ns != copies * n || a != p50 || b != p90 || c != p99
+        } =>
+        s"$t base=($n,$p50,$p90,$p99) scaled=${scaled(t)}"
+    }
+    val mono = scaled.collect {
+      case (t, (_, a, b, c)) if !(a <= b && b <= c) => s"$t ($a,$b,$c)"
+    }
+    Seq(sameKeys,
+      check(q, s"percentile VALUES identical across tiers, n_events exactly " +
+        s"${copies}x (c-copies multiset + the ceil identity)",
+        viol.isEmpty, viol.take(3).mkString("; ")),
+      check(q, "p50 <= p90 <= p99", mono.isEmpty, mono.mkString("; ")))
+  }
+
+  private def checkCorrStats(spark: SparkSession, dir: String): Seq[Check] = {
+    val q = "q_corr_stats"
+    val rows = SparkEntry.queries(q)(spark, dir).collect()
+    val n = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    val total = rows.map(_.getLong(1)).sum
+    val badCorr = rows.collect {
+      case r if math.abs(r.getDouble(3)) > 1.0 + 1e-9 =>
+        s"${r.getString(0)} corr=${r.getDouble(3)}"
+    }
+    Seq(
+      check(q, "groups account for every lineitem row",
+        total == n, s"sum=$total lineitem=$n"),
+      check(q, "correlation within [-1, 1]",
+        badCorr.isEmpty, badCorr.mkString("; ")))
+  }
+
   /** Run every gated invariant for `family` (defaults to all gated
     * queries present in the registry — pipeline_shard joins the list
     * when registered).
@@ -1019,6 +1225,35 @@ object ScaleGate {
             decontWinnowLaws(SparkEntry.queries(q)(spark, scaledDir),
               corpusIds(spark, scaledDir),
               operators.Contamination.BenchMod.toLong)
+          case "dedup_norm_exact" =>
+            normExactLaws(SparkEntry.queries(q)(spark, scaledDir),
+              corpusIds(spark, scaledDir))
+          case "corpus_stats" =>
+            val facts = spark.read.parquet(s"$scaledDir/documents.parquet")
+              .groupBy("source").agg(count(lit(1)).as("fact_docs"),
+                sum(length(col("text"))).as("fact_chars"))
+            corpusStatsLaws(SparkEntry.queries(q)(spark, scaledDir), facts)
+          case "mix_weights" =>
+            mixWeightsLaws(SparkEntry.queries(q)(spark, scaledDir),
+              corpusIds(spark, scaledDir).count())
+          case "vocab_oov" =>
+            vocabOovLaws(SparkEntry.queries(q)(spark, scaledDir),
+              corpusIds(spark, scaledDir))
+          case "text_quality" =>
+            qualityLaws(SparkEntry.queries(q)(spark, scaledDir),
+              corpusIds(spark, scaledDir))
+          case "text_tokens" =>
+            tokensLaws(SparkEntry.queries(q)(spark, scaledDir),
+              corpusIds(spark, scaledDir))
+          case "text_entropy" =>
+            entropyLaws(SparkEntry.queries(q)(spark, scaledDir),
+              corpusIds(spark, scaledDir))
+          case "text_langid_confusion" =>
+            confusionLaws(SparkEntry.queries(q)(spark, scaledDir),
+              corpusIds(spark, scaledDir).count())
+          case "q_percentiles" =>
+            checkPercentiles(spark, baseDir, scaledDir, copies)
+          case "q_corr_stats" => checkCorrStats(spark, scaledDir)
           case "q_funnel" =>
             checkFunnel(spark, baseDir, scaledDir, copies)
           case "q_retention" =>

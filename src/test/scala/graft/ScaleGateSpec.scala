@@ -24,8 +24,8 @@ class ScaleGateSpec extends AnyFunSuite {
       s"gated queries missing from the registry: " +
         ScaleGate.gatedQueries().filterNot(SparkEntry.queries.contains))
     val checks = ScaleGate.checksFor(spark, src, out, copies, family)
-    assert(checks.size >= 100,
-      s"expected the full r15 check sweep (109 laws), got ${checks.size}")
+    assert(checks.size >= 125,
+      s"expected the full r15 check sweep (131 laws), got ${checks.size}")
     val failed = checks.filterNot(_.pass)
     assert(failed.isEmpty, "violated scale invariants:\n" + failed
       .map(c => s"  ${c.query}: ${c.invariant} (${c.detail})").mkString("\n"))
@@ -272,6 +272,59 @@ class ScaleGateSpec extends AnyFunSuite {
       "a last chunk 2 tokens short")
     fails(ScaleGate.chunkLaws(chunks((1L, 0L, 32L), (1L, 2L, 32L)), words, 32, 24),
       "a skipped chunk index")
+  }
+
+  test("batch-2 law suites reject doctored frames (negative)") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L).toDF("doc_id")
+    // two keepers in one hash group
+    fails(ScaleGate.normExactLaws(
+      Seq((1L, "h", 1L, true, 2L), (2L, "h", 1L, true, 2L))
+        .toDF("doc_id", "canon_hash", "canonical_id", "keep", "dup_count"),
+      docs), "two keepers in a group")
+    // keep flag contradicting canonical
+    fails(ScaleGate.normExactLaws(
+      Seq((1L, "h", 1L, false, 1L)).toDF(
+        "doc_id", "canon_hash", "canonical_id", "keep", "dup_count"),
+      Seq(1L).toDF("doc_id")), "keep=false on the canonical row")
+    // oov exceeding tokens
+    fails(ScaleGate.vocabOovLaws(
+      Seq((1L, 5L, 7L, 1.4), (2L, 5L, 0L, 0.0))
+        .toDF("doc_id", "n_tokens", "n_oov", "oov_rate"), docs),
+      "oov above token count")
+    // a drifted quality score
+    fails(ScaleGate.qualityLaws(
+      Seq((1L, 10L, 10L, 8L, 0.8, 0.1, 4.0, 0.99),
+        (2L, 10L, 10L, 8L, 0.8, 0.1, 4.0,
+          0.8 * 0.5 + 0.9 * 0.3 + 0.4 * 0.2))
+        .toDF("doc_id", "n_chars_actual", "n_words", "n_uniq_words",
+          "uniq_ratio", "stopword_ratio", "avg_word_len", "quality_score"),
+      docs), "a score off its own components")
+    // entropy above the uniform bound
+    fails(ScaleGate.entropyLaws(
+      Seq((1L, 10L, 4L, 2.0), (2L, 10L, 4L, 1.0))
+        .toDF("doc_id", "n_tokens", "n_distinct_tokens", "token_entropy"),
+      docs), "entropy above ln(distinct)")
+    // chars_per_token present on a zero-token doc
+    fails(ScaleGate.tokensLaws(
+      Seq((1L, 3L, 0L, Some(2.5)), (2L, 3L, 2L, Some(2.5)))
+        .toDF("doc_id", "n_ws_tokens", "n_bpe_tokens", "chars_per_token"),
+      docs), "a ratio on a tokenless doc")
+    // shares not a simplex
+    fails(ScaleGate.mixWeightsLaws(
+      Seq(("en", 2L, 0.7, 70000L)).toDF("lang", "n_docs", "mix_share",
+        "target_docs"), corpusDocs = 2L), "shares summing to 0.7")
+    // a mis-quantized confusion rate
+    fails(ScaleGate.confusionLaws(
+      Seq(("en", "en", 2L, 0.5)).toDF("lang", "predicted_lang", "n_docs",
+        "rate"), corpusDocs = 2L), "rate not the floor-quantized share")
+    // corpus-stats per-source drift
+    fails(ScaleGate.corpusStatsLaws(
+      Seq(("web", 5L, 1L, 100L, 0.5, 0L))
+        .toDF("source", "n_docs", "n_langs", "total_chars", "avg_quality",
+          "n_dup_docs"),
+      Seq(("web", 6L, 100L)).toDF("source", "fact_docs", "fact_chars")),
+      "a doc count off the recomputation")
   }
 
   test("the NTILE law rejects a shifted allocation (negative case)") {
