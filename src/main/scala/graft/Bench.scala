@@ -208,6 +208,66 @@ object Bench {
     lines.zipWithIndex.collect { case (l, i) if keepIdx(i) => l }
   }
 
+  /** Per-query lineage floors (r15 verdict #1): the two-axis canary
+    * names an INFLATED window but cannot RANK two CALM ones — r15's
+    * committed window (156.8 s) and the driver's byte-identical rerun
+    * (118.7 s) differed 1.32x with both axes calm, so cross-round
+    * committed totals were window noise inside the 1.5x trip band.
+    * Each full-registry window now records its per-query best-of-reps
+    * map (`q_mins`, both lanes) in the lineage entry; a query's FLOOR
+    * is the MIN of its q_mins over the last [[CanaryLineageN]] q_mins-
+    * bearing windows at the same core count — the same no-ratchet /
+    * no-poisoned-seed argument as [[resolveCommitted]] (a hot window
+    * can never raise a floor; a genuine slowdown converges as fast
+    * minima age out). Floors resolve from HISTORY (before this
+    * window's own append), so a faster-than-history window reads < 1.0
+    * and a slower one > 1.0 — code-attributable drift is then a
+    * per-query floor-ratio shift against a COMMON floor, needing no
+    * byte-identical rerun. Returns (floors, windowsContributing).
+    */
+  private[graft] def resolveQueryFloors(cpus: String,
+      lineage: java.nio.file.Path = lineagePath)
+      : (Map[String, Double], Int) = {
+    val qMinsRe = """"q_mins":\{([^{}]*)\}""".r
+    val pairRe = """"([^"]+)":([0-9.]+)""".r
+    val maps =
+      if (!java.nio.file.Files.exists(lineage)) Seq.empty
+      else scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(lineage)).asScala.toSeq
+        // same torn-line guard as resolveLevel: a crash mid-write must
+        // not contribute a truncated q_mins fragment to the min pool
+        .filter(l => l.endsWith("}") && l.contains(s""""cpus":$cpus,"""))
+        .flatMap(l => qMinsRe.findFirstMatchIn(l).map(_.group(1)))
+        .takeRight(CanaryLineageN)
+        .map(body => pairRe.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter(_._2 > 0.0).toMap)
+    (maps.flatten.groupMapReduce(_._1)(_._2)(math.min), maps.size)
+  }
+
+  /** One window's floor report: per-query ratio-to-floor plus
+    * `floor_total` (sum of floors) and `window_vs_floor` (this
+    * window's sum over the same queries / floor_total), over the
+    * queries present in BOTH the window (successful) and the floor
+    * map. Factored on plain values so the spec can replay the r15
+    * calm-vs-calm incident as two distinguishable reports.
+    */
+  private[graft] def floorReport(windowTimes: Seq[(String, Double)],
+      floors: Map[String, Double])
+      : (Option[Double], Option[Double], Seq[(String, Double)]) = {
+    val joined = windowTimes.collect {
+      case (q, t) if t >= 0 && floors.get(q).exists(_ > 0.0) =>
+        (q, t, floors(q))
+    }
+    if (joined.isEmpty) (None, None, Seq.empty)
+    else {
+      val floorTotal = joined.map(_._3).sum
+      val windowSum = joined.map(_._2).sum
+      (Some(floorTotal), Some(windowSum / floorTotal),
+        joined.map { case (q, t, f) => (q, t / f) })
+    }
+  }
+
   /** Ratio above which the window is flagged inflated — 1.5x clears
     * normal scheduler jitter (calm samples vary < 1.2x) while every
     * historical load window (r10/r11/r12: totals 15-30% high with
@@ -508,11 +568,29 @@ object Bench {
     // unnecessary, and the history should show the hot windows. The
     // file is TRIMMED to the newest CanaryLineageKeep entries per core
     // count on every append (r14 What's-wrong 4: unbounded growth).
+    // Per-query floors resolve from HISTORY, before this window's own
+    // entry lands — a faster-than-history window reads < 1.0 per
+    // query, a slower one > 1.0 (see resolveQueryFloors).
+    val (floors, floorWindows) = resolveQueryFloors(cpus)
+    val floorJson = {
+      val windowTimes = results.map { case (k, (t, _, _), _) => (k, t) }
+      val (floorTotalOpt, windowVsFloorOpt, ratios) =
+        floorReport(windowTimes, floors)
+      val rj = ratios.sortBy(_._1)
+        .map { case (q, r) => "\"" + q + "\":" + d2(r) }
+        .mkString("{", ",", "}")
+      s"""{"total":${floorTotalOpt.map(d3).getOrElse("null")},"window_vs_floor":${windowVsFloorOpt.map(d2).getOrElse("null")},"windows":$floorWindows,"queries":$rj}"""
+    }
     if (filter.isEmpty) {
       def optJson(o: Option[Double], f: Double => String): String =
         o.map(f).getOrElse("null")
+      // per-query best-of-reps across BOTH lanes — the floor source
+      // for future windows at this core count
+      val qMinsJson = results.collect {
+        case (k, (t, _, _), _) if t >= 0 => "\"" + k + "\":" + d3(t)
+      }.mkString("{", ",", "}")
       val entry =
-        s"""{"cpus":$cpus,"median":${d3(canaryMedian)},"committed":${optJson(committedOpt, d3)},"ratio":${optJson(cpuRatio, d2)},"inflated":${cpuRatio.map(r => (r > CanaryInflatedRatio).toString).getOrElse("null")},"median_io":${d3(canaryIoMedian)},"committed_io":${optJson(committedIoOpt, d3)},"ratio_io":${optJson(ioRatio, d2)},"inflated_io":${ioRatio.map(r => (r > CanaryIoInflatedRatio).toString).getOrElse("null")},"provenance":"$provenance","provenance_io":"$provenanceIo"}"""
+        s"""{"cpus":$cpus,"median":${d3(canaryMedian)},"committed":${optJson(committedOpt, d3)},"ratio":${optJson(cpuRatio, d2)},"inflated":${cpuRatio.map(r => (r > CanaryInflatedRatio).toString).getOrElse("null")},"median_io":${d3(canaryIoMedian)},"committed_io":${optJson(committedIoOpt, d3)},"ratio_io":${optJson(ioRatio, d2)},"inflated_io":${ioRatio.map(r => (r > CanaryIoInflatedRatio).toString).getOrElse("null")},"provenance":"$provenance","provenance_io":"$provenanceIo","q_mins":$qMinsJson}"""
       val existing =
         if (java.nio.file.Files.exists(lineagePath))
           scala.jdk.CollectionConverters.ListHasAsScala(
@@ -520,8 +598,23 @@ object Bench {
             .filter(_.nonEmpty)
         else Seq.empty
       val trimmed = trimLineage(existing :+ entry)
-      java.nio.file.Files.write(lineagePath,
+      // Atomic replace (r15 advice): the in-place truncate-and-write
+      // could lose the whole history on a crash mid-write, and two
+      // concurrent runs sharing the sidecar would read-modify-write
+      // over each other. A sibling temp file + ATOMIC_MOVE bounds the
+      // damage to losing ONE run's single appended entry.
+      val dir = lineagePath.toAbsolutePath.getParent
+      val tmp = java.nio.file.Files.createTempFile(dir, ".canary_lineage", ".tmp")
+      java.nio.file.Files.write(tmp,
         trimmed.mkString("", "\n", "\n").getBytes("UTF-8"))
+      try java.nio.file.Files.move(tmp, lineagePath.toAbsolutePath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          java.nio.file.Files.move(tmp, lineagePath.toAbsolutePath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     }
 
     // headline total excludes the baseline lane (reported separately)
@@ -532,7 +625,7 @@ object Bench {
     val failed = results.collect { case (k, (v, _, _), _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"shuffle_bytes":$shuffles,"spill_bytes":$spills,"reps":$repsJson,"baseline":$baselineJson,"canary":$canaryJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"shuffle_bytes":$shuffles,"spill_bytes":$spills,"reps":$repsJson,"baseline":$baselineJson,"canary":$canaryJson,"floor":$floorJson,"sf":"$sfDir"}"""
     println(line)
     // Also persist next to the repo: the driver captures stdout tails,
     // which has truncated the per-query map before — the file is the

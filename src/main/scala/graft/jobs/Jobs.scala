@@ -294,9 +294,13 @@ object LocalPipelineMain {
     // before the watermark), and the flush row's own windows must be
     // absent
     val keyCols = Seq("userId", "windowStart", "windowEnd")
+    // null-safe value compare (r15 advice): =!= yields NULL when a
+    // counter is NULL on exactly one side of a matched key, and the
+    // filter would then NOT count the row — a one-sided NULL counter
+    // must read as a mismatch, not pass silently.
     val mismatched = streamed.join(batchMetrics, keyCols, "full_outer")
       .filter(streamed.columns.filterNot(keyCols.contains).map(c =>
-        streamed(c) =!= batchMetrics(c)).reduce(_ || _) ||
+        !(streamed(c) <=> batchMetrics(c))).reduce(_ || _) ||
         streamed(keyCols.head).isNull || batchMetrics(keyCols.head).isNull)
       .count()
     val state = spark.read.parquet(s"$dir/state").persist()

@@ -148,7 +148,8 @@ object EmbStream {
   def processBatch(batch: DataFrame, bandDir: String, vecDir: String,
       verdictsDir: String, batchId: Long,
       tau: Double = Similarity.nearDupTau,
-      seam: String => Unit = _ => ()): Unit = {
+      seam: String => Unit = _ => (),
+      batchPartitions: Option[Int] = None): Unit = {
     val spark = batch.sparkSession
     // fence EVERY directory this batch appends to — compact(vecDir)
     // locks at <vecDir>.maintenance, which a bandDir-only probe would
@@ -157,7 +158,10 @@ object EmbStream {
     // snapshot)
     graft.sources.Layout.requireNoMaintenance(spark, bandDir)
     graft.sources.Layout.requireNoMaintenance(spark, vecDir)
-    val q = Similarity.quantizeCols(batch).persist()
+    // [[BatchPar]]: the quantize below is the dominant per-batch CPU —
+    // a one-partition file-source batch would run it on one core
+    val q = Similarity.quantizeCols(BatchPar(batch, batchPartitions))
+      .persist()
     try {
       IdWatermark.checkAndAdvance(q, "vec_id", bandDir, batchId, "embstream")
       val verdicts = dedupBatch(q,
@@ -639,7 +643,8 @@ object EmbStream {
   def processBatchBlocked(batch: DataFrame, centDir: String,
       bandDir: String, vecDir: String, verdictsDir: String, batchId: Long,
       tau: Double = Similarity.nearDupTau,
-      seam: String => Unit = _ => ()): Unit = {
+      seam: String => Unit = _ => (),
+      batchPartitions: Option[Int] = None): Unit = {
     val spark = batch.sparkSession
     // fence both append targets — see the processBatch comment on why
     // a bandDir-only probe misses compact(vecDir)'s lock
@@ -647,7 +652,9 @@ object EmbStream {
     graft.sources.Layout.requireNoMaintenance(spark, vecDir)
     requireConsistentEpochs(spark, centDir, bandDir)
     val cb = loadCodebook(spark, centDir)
-    val q = Similarity.quantizeCols(batch).persist()
+    // [[BatchPar]]: same one-core file-source hazard as processBatch
+    val q = Similarity.quantizeCols(BatchPar(batch, batchPartitions))
+      .persist()
     // assignment computed ONCE per batch and shared by the dedup and
     // the survivor-append paths (r13 review: the survivors are a
     // subset of q, and under a hier codebook re-assigning them paid
@@ -682,16 +689,23 @@ object EmbStream {
 
   /** Start the BLOCKED streaming near-dup loop (bootstrap with
     * [[writeIndexBlocked]] first — the codebook must exist).
+    *
+    * `batchPartitions`: set for FILE-source runs — see [[BatchPar]]
+    * (a one-file-per-trigger batch arrives as one scan partition and
+    * the quantize serializes onto one core; measured r15 at 100x:
+    * ~20 min/batch on 32 cores). Leave `None` on Kafka — topic
+    * partitions parallelize the batch natively.
     */
   def dedupIndexedStreamBlocked(
       embs: DataFrame, centDir: String, bandDir: String, vecDir: String,
       verdictsDir: String, checkpoint: String,
       tau: Double = Similarity.nearDupTau,
-      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      batchPartitions: Option[Int] = None): StreamingQuery =
     embs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatchBlocked(batch, centDir, bandDir, vecDir, verdictsDir,
-          batchId, tau)
+          batchId, tau, batchPartitions = batchPartitions)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -699,15 +713,20 @@ object EmbStream {
 
   /** Start the streaming near-dup loop. `embs` is a streaming
     * DataFrame of (vec_id LONG, embedding ARRAY<numeric>).
+    *
+    * `batchPartitions`: file-source parallelism seam — see
+    * [[dedupIndexedStreamBlocked]] and [[BatchPar]].
     */
   def dedupIndexedStream(
       embs: DataFrame, bandDir: String, vecDir: String,
       verdictsDir: String, checkpoint: String,
       tau: Double = Similarity.nearDupTau,
-      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      batchPartitions: Option[Int] = None): StreamingQuery =
     embs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, bandDir, vecDir, verdictsDir, batchId, tau)
+        processBatch(batch, bandDir, vecDir, verdictsDir, batchId, tau,
+          batchPartitions = batchPartitions)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

@@ -207,6 +207,73 @@ class BenchCanarySpec extends AnyFunSuite {
     assert(trimmed.last == entry(4, 3.0, None))
   }
 
+  // -------------------------------------------------------------
+  // Per-query lineage floors (r15 verdict #1): the canary names an
+  // inflated window but cannot rank two CALM ones — floors make two
+  // calm windows comparable against a common per-query minimum.
+
+  private def entryQ(cpus: Int, qMins: Seq[(String, Double)]): String = {
+    val qj = qMins.map { case (q, t) => "\"" + q + "\":" + t }
+      .mkString("{", ",", "}")
+    s"""{"cpus":$cpus,"median":0.50,"committed":0.57,"ratio":0.88,"inflated":false,"median_io":0.55,"committed_io":0.60,"ratio_io":0.92,"inflated_io":false,"provenance":"default","provenance_io":"default","q_mins":$qj}"""
+  }
+
+  test("a query's floor is the min of its q_mins across recent windows") {
+    val lineage = tmpLineage(
+      entryQ(32, Seq("qa" -> 1.50, "qb" -> 3.00)),
+      entryQ(32, Seq("qa" -> 1.20, "qb" -> 3.40, "qc" -> 0.80)))
+    val (floors, windows) = Bench.resolveQueryFloors("32", lineage)
+    assert(windows == 2)
+    assert(floors == Map("qa" -> 1.20, "qb" -> 3.00, "qc" -> 0.80))
+  }
+
+  test("floors are per core count; pre-r16 lines (no q_mins) and torn lines contribute nothing") {
+    val lineage = tmpLineage(
+      entryQ(4, Seq("qa" -> 9.00)),
+      entry(32, 0.50, Some(false)), // pre-r16: no q_mins map
+      """{"cpus":32,"median":0.50,"q_mins":{"qa":0.""", // torn mid-write
+      entryQ(32, Seq("qa" -> 1.10)))
+    val (floors, windows) = Bench.resolveQueryFloors("32", lineage)
+    assert(windows == 1 && floors == Map("qa" -> 1.10),
+      "the 4-core entry, the floor-less entry and the torn line are all invisible")
+    assert(Bench.resolveQueryFloors("8", lineage)._1.isEmpty)
+  }
+
+  test("only the last N q_mins-bearing windows enter; older minima age out") {
+    val lines = (1 to 7).map(i => entryQ(32, Seq("qa" -> (10.0 - i))))
+    val (floors, _) = Bench.resolveQueryFloors("32", tmpLineage(lines: _*))
+    // last 5 entries carry qa = 7,6,5,4,3 — the old 9/8 minima are out
+    assert(floors == Map("qa" -> 3.0))
+  }
+
+  test("the r15 calm-vs-calm incident is distinguishable via the floor report") {
+    // the live pair: byte-identical trees, both canary axes calm,
+    // committed window 156.8 s vs the driver rerun 118.7 s — a 1.32x
+    // gap the 1.5x trip band could not see. Against a common floor
+    // (seeded by the calm rerun's own minima), the slow window reads
+    // 1.32x and the fast one 1.0x: ranked, not noise.
+    val floors = Map("q_heavy" -> 80.0, "q_mid" -> 30.0, "q_light" -> 8.7)
+    val calmRerun = Seq(("q_heavy", 80.0), ("q_mid", 30.0), ("q_light", 8.7))
+    val slowWindow = Seq(("q_heavy", 106.0), ("q_mid", 39.0), ("q_light", 11.8))
+    val (ftA, rA, _) = Bench.floorReport(calmRerun, floors)
+    val (ftB, rB, perQ) = Bench.floorReport(slowWindow, floors)
+    assert(ftA == ftB && ftA.contains(118.7), "common floor_total")
+    assert(math.abs(rA.get - 1.0) < 0.001, "the calm rerun reads 1.0x its floor")
+    assert(rB.get > 1.25 && rB.get < 1.40,
+      s"the slow window reads ~1.32x the same floor (got ${rB.get})")
+    assert(perQ.toMap.apply("q_heavy") > 1.3,
+      "per-query attribution survives in the report")
+  }
+
+  test("floor report joins only queries with a positive floor and a successful time") {
+    val floors = Map("qa" -> 2.0, "qz" -> 0.0)
+    val window = Seq(("qa", 3.0), ("qb", 5.0), ("qz", 1.0), ("qf", -1.0))
+    val (ft, r, perQ) = Bench.floorReport(window, floors)
+    assert(ft.contains(2.0) && r.contains(1.5) && perQ == Seq(("qa", 1.5)),
+      "qb has no floor, qz a zero floor, qf failed — none may enter")
+    assert(Bench.floorReport(window, Map.empty) == (None, None, Seq.empty))
+  }
+
   test("trim keeps duplicates that fall inside the window") {
     // two identical windows (same medians serialize to the same line):
     // index-based selection must keep both when both are recent
