@@ -188,4 +188,77 @@ object ScaleCorpus {
     java.nio.file.Files.write(stamp,
       s"$copies\n$srcReal\n".getBytes("UTF-8"))
   }
+
+  /** Derive the TPC-H relational tables at `copies`x (r15 verdict #4:
+    * the C-family joins the gate) — id-space decorrelation with key
+    * shifts CONSISTENT ACROSS TABLES so every join stays within its
+    * replica (the same argument as the events derivation):
+    *
+    *   customer.c_custkey / orders.o_custkey   += k·Step
+    *   orders.o_orderkey  / lineitem.l_orderkey += k·Step
+    *   supplier.s_suppkey / lineitem.l_suppkey  += k·Step
+    *   part.p_partkey     / lineitem.l_partkey  += k·Step
+    *
+    * nation/region stay SHARED dims (their keys are never shifted —
+    * each replica references the same 25 nations), so per-nation
+    * groups keep their identity while their contents scale. Every
+    * per-key density (lineitems per order, orders per customer, date
+    * and value distributions) is preserved verbatim, which is what
+    * the gate's laws assert: counts and decimal sums scale exactly
+    * ×copies, averages and shares are invariant, and a top-N row at
+    * tier is a replica of a base top row.
+    *
+    * OWN STAMP (`derived_tpch.txt`, same factor+source rules as
+    * [[ensure]]'s): pre-r16 corpora — where these tables are symlinks
+    * to the base — upgrade in place without re-deriving the content
+    * tables. Symlinks are replaced; a stamped-matching dir is reused.
+    */
+  def ensureTpch(spark: SparkSession, src: String, out: String,
+      copies: Int): Unit = {
+    val outPath = java.nio.file.Paths.get(out)
+    val stamp = outPath.resolve("derived_tpch.txt")
+    val srcReal = java.nio.file.Paths.get(src).toRealPath().toString
+    val stampLines: Seq[String] =
+      if (java.nio.file.Files.exists(stamp))
+        new String(java.nio.file.Files.readAllBytes(stamp), "UTF-8")
+          .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      else Seq.empty
+    val stamped = stampLines.size >= 2 &&
+      stampLines.head.toInt == copies && stampLines(1) == srcReal
+    java.nio.file.Files.createDirectories(outPath)
+    // (table, shifted key columns) — all other columns ride verbatim
+    val shifts: Seq[(String, Seq[String])] = Seq(
+      "customer" -> Seq("c_custkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey", "l_suppkey", "l_partkey"),
+      "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"))
+    shifts.foreach { case (table, keys) =>
+      val target = outPath.resolve(s"$table.parquet")
+      val reusable = stamped && !java.nio.file.Files.isSymbolicLink(target) &&
+        hasSuccess(target)
+      if (!reusable) {
+        if (java.nio.file.Files.isSymbolicLink(target))
+          java.nio.file.Files.delete(target)
+        val base = spark.read.parquet(s"$src/$table.parquet")
+        // disjointness needs every base key below Step (the events
+        // derivation's rule) — fail loudly, never overlap silently
+        val mxRow = base.agg(max(col(keys.head)),
+          keys.tail.map(k => max(col(k))): _*).head()
+        val mx = keys.indices.map(mxRow.getLong).max
+        require(mx < Step,
+          s"$table keys exceed the replica step $Step (max $mx) - " +
+            "raise Step before deriving this tier")
+        (0 until copies).map { k =>
+          base.select(base.columns.toSeq.map { c =>
+            if (keys.contains(c)) (col(c) + lit(k * Step)).as(c) else col(c)
+          }: _*)
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(target.toString)
+        System.err.println(s"[scale] derived ${copies}x $table at $target")
+      }
+    }
+    java.nio.file.Files.write(stamp,
+      s"$copies\n$srcReal\n".getBytes("UTF-8"))
+  }
 }

@@ -54,7 +54,25 @@ object ScaleGate {
   val LinearEventQueries: Seq[String] = Seq(
     "agg_window_tumbling", "agg_window_sliding", "q_sessionize",
     "ts_interp", "ts_fill_forward", "q_scd2", "q_asof_join_custom",
-    "q_anomaly_hourly", "q_range_frame", "ep_latest_state")
+    "q_anomaly_hourly", "q_range_frame", "ep_latest_state",
+    // r16 widening: per-user / per-event outputs under the same
+    // events derivation — window/frame breadth (q_window_funcs,
+    // q_moving_avg), resampling (per (user, hour) rows), the as-of
+    // family, CEP strict-next pairs, and the per-user aggregates
+    "agg_type_counts", "agg_type_counts_salted", "q_window_funcs",
+    "q_moving_avg", "q_ohlc_resample", "q_asof_join", "q_asof_nearest",
+    "q_pattern_match", "q_time_decay")
+
+  /** Row-linear queries over the DOCUMENT and (r16) TPC-H replica
+    * derivations — per-entity outputs (one row per lineitem-group /
+    * customer / orderkey / asset), so rows scale exactly ×copies by
+    * the same argument as the events family. q_avg_qty_filter keeps
+    * linearity BECAUSE the per-part average filter is computed within
+    * a replica (partkeys are replica-disjoint).
+    */
+  val LinearScaledQueries: Seq[String] = Seq(
+    "q_argmin_join", "q_avg_qty_filter", "q_exists_semijoin",
+    "q_full_outer", "q_except", "multimodal_meta")
 
   /** All gated queries, in the order the main runs them. The second
     * block is the r15 widening (r14 verdict #2): packing, sampling,
@@ -79,7 +97,13 @@ object ScaleGate {
       "q_funnel", "q_retention", "q_histogram") ++ Seq(
       "dedup_norm_exact", "corpus_stats", "mix_weights", "vocab_oov",
       "text_quality", "text_tokens", "text_entropy",
-      "text_langid_confusion", "q_percentiles", "q_corr_stats") ++ extra)
+      "text_langid_confusion", "q_percentiles", "q_corr_stats") ++
+      // r16 widening: the TPC-H C-family under the ensureTpch
+      // derivation (groupwise scaled equality + top-N stability),
+      // row-linear doc/TPC-H queries, ANN, multimodal
+      LinearScaledQueries ++ TierLaws.map(_.q) ++ TopNLaws.map(_.q) ++ Seq(
+      "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_ivf_pq",
+      "multimodal_near_dup", "q15_top_supplier") ++ extra)
       .distinct
 
   // ------------------------------------------------------------------
@@ -111,6 +135,320 @@ object ScaleGate {
   private def countDistinctOf(df: DataFrame, c: String): (Long, Long) = {
     val r = df.agg(count(lit(1)), count_distinct(col(c))).head()
     (r.getLong(0), r.getLong(1))
+  }
+
+  // ------------------------------------------------------------------
+  // generic tier-comparison engine (r16 widening: the TPC-H C-family
+  // joins the gate on the ScaleCorpus.ensureTpch derivation)
+  // ------------------------------------------------------------------
+
+  /** A groupwise tier-comparison law: the replica derivations keep
+    * every group KEY's identity (nation names, flags, years, bucket
+    * ids — never replica-shifted) while each group's contents become
+    * `copies` verbatim copies, so at tier the SAME groups appear with
+    *   - `countCols` exactly ×copies (integer counts, including
+    *     distinct-counts of shifted keys: replica id ranges are
+    *     disjoint, so distincts add),
+    *   - `extensiveCols` ×copies within 1e-9 relative (decimal sums
+    *     scale exactly; only the final double cast can move the last
+    *     ulp),
+    *   - `invariantCols` identical (averages, shares, ratios — same
+    *     multiset per group, `copies` times over).
+    */
+  final case class TierLaw(q: String, keys: Seq[String],
+      countCols: Seq[String] = Seq.empty,
+      extensiveCols: Seq[String] = Seq.empty,
+      invariantCols: Seq[String] = Seq.empty)
+
+  private val RelEps = 1e-9
+
+  private def relEq(a: Double, b: Double): Boolean =
+    (a == b) || math.abs(a - b) <=
+      RelEps * math.max(math.abs(a), math.abs(b))
+
+  private def anyEq(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Double, y: Double) => relEq(x, y)
+    case (x, y) => x == y
+  }
+
+  /** Run [[TierLaw]] over collected base/scaled outputs (both are
+    * group-summary-sized by construction). Null group keys (rollup /
+    * grouping-set super-rows) compare as plain Scala nulls.
+    */
+  private[graft] def tierCompare(law: TierLaw, base: DataFrame,
+      scaled: DataFrame, copies: Int): Seq[Check] = {
+    def keyed(df: DataFrame): Map[Seq[Any], org.apache.spark.sql.Row] =
+      df.collect().map(r => law.keys.map(k => r.getAs[Any](k)) -> r).toMap
+    val b = keyed(base)
+    val s = keyed(scaled)
+    val sameKeys = check(law.q, "same groups at both tiers",
+      b.keySet == s.keySet && b.nonEmpty,
+      s"base_groups=${b.size} scaled_groups=${s.size} " +
+        s"base_only=${(b.keySet -- s.keySet).take(3)} " +
+        s"scaled_only=${(s.keySet -- b.keySet).take(3)}")
+    def viol(cols: Seq[String], kind: String)(
+        cmp: (org.apache.spark.sql.Row, org.apache.spark.sql.Row, String) => Boolean) =
+      b.toSeq.flatMap { case (k, br) =>
+        s.get(k).toSeq.flatMap { sr =>
+          cols.filterNot(c => cmp(br, sr, c))
+            .map(c => s"group=$k col=$c base=${br.getAs[Any](c)} scaled=${sr.getAs[Any](c)}")
+        }
+      }
+    val badCounts = viol(law.countCols, "count") { (br, sr, c) =>
+      sr.getLong(sr.fieldIndex(c)) == copies * br.getLong(br.fieldIndex(c))
+    }
+    val badExt = viol(law.extensiveCols, "extensive") { (br, sr, c) =>
+      relEq(sr.getDouble(sr.fieldIndex(c)),
+        copies * br.getDouble(br.fieldIndex(c)))
+    }
+    val badInv = viol(law.invariantCols, "invariant") { (br, sr, c) =>
+      anyEq(br.getAs[Any](c), sr.getAs[Any](c))
+    }
+    Seq(sameKeys,
+      check(law.q, s"count columns scale exactly ${copies}x per group",
+        badCounts.isEmpty, badCounts.take(3).mkString("; ")),
+      check(law.q, s"extensive columns scale ${copies}x (1e-9 rel)",
+        badExt.isEmpty, badExt.take(3).mkString("; ")),
+      check(law.q, "invariant columns identical across tiers",
+        badInv.isEmpty, badInv.take(3).mkString("; ")))
+      .filterNot(c => c.invariant.startsWith("count columns") && law.countCols.isEmpty)
+      .filterNot(c => c.invariant.startsWith("extensive columns") && law.extensiveCols.isEmpty)
+      .filterNot(c => c.invariant.startsWith("invariant columns") && law.invariantCols.isEmpty)
+  }
+
+  /** The declared tier-comparison laws. Events-table entries need only
+    * the base derivation; TPC-H entries run on [[ScaleCorpus.ensureTpch]].
+    */
+  private[graft] val TierLaws: Seq[TierLaw] = Seq(
+    TierLaw("q1_pricing_summary", Seq("l_returnflag", "l_linestatus"),
+      countCols = Seq("count_order"),
+      extensiveCols = Seq("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"),
+      invariantCols = Seq("avg_qty", "avg_price", "avg_disc")),
+    TierLaw("q4_order_priority", Seq("o_orderpriority"),
+      countCols = Seq("order_count")),
+    TierLaw("q5_local_supplier", Seq("n_name"),
+      extensiveCols = Seq("revenue")),
+    TierLaw("q6_forecast_revenue", Seq.empty,
+      extensiveCols = Seq("revenue")),
+    TierLaw("q7_nation_volume", Seq("supp_nation", "cust_nation", "l_year"),
+      extensiveCols = Seq("revenue")),
+    TierLaw("q12_priority_shipping", Seq("l_linestatus"),
+      countCols = Seq("high_line_count", "low_line_count")),
+    TierLaw("q14_promo_revenue", Seq.empty,
+      invariantCols = Seq("promo_revenue")), // a share: scale-invariant
+    TierLaw("q17_small_qty_revenue", Seq.empty,
+      extensiveCols = Seq("avg_yearly")), // sum/7: extensive
+    TierLaw("q19_disjunctive", Seq.empty, extensiveCols = Seq("revenue")),
+    TierLaw("q22_idle_customers", Seq("segment"),
+      countCols = Seq("numcust"), extensiveCols = Seq("totacctbal")),
+    // q21 groups by s_name, which replicas SHARE (derived from the
+    // base suppkey's name string) - the per-name waiting count
+    // therefore scales x copies and the top-10 name set is stable
+    // (uniform scaling preserves the ranking, ties break on s_name)
+    TierLaw("q21_waiting_supplier", Seq("s_name"),
+      countCols = Seq("numwait")),
+    TierLaw("q_count_distribution", Seq("n_orders"),
+      countCols = Seq("n_customers")),
+    TierLaw("q_grouping_sets",
+      Seq("o_orderpriority", "o_orderstatus", "o_year", "g_pri", "g_status", "g_year"),
+      countCols = Seq("n_orders"), extensiveCols = Seq("total_price")),
+    TierLaw("q_rollup", Seq("n_name", "o_year"),
+      countCols = Seq("n_orders"), extensiveCols = Seq("total_price")),
+    TierLaw("q_cube", Seq("o_orderpriority", "o_year"),
+      countCols = Seq("n_orders"), extensiveCols = Seq("total_price")),
+    TierLaw("q_distinct_agg", Seq("l_returnflag"),
+      countCols = Seq("distinct_orders", "distinct_parts", "distinct_supps", "n_rows")),
+    TierLaw("q_market_share", Seq("o_year", "n_name"),
+      extensiveCols = Seq("revenue"), invariantCols = Seq("mkt_share")),
+    TierLaw("q_agg_merge", Seq("week", "event_type"),
+      countCols = Seq("n_events"), extensiveCols = Seq("sum_value")),
+    TierLaw("multimodal_dedup", Seq("mime"),
+      // md5 dedup: within-replica dup structure mirrors the base
+      // (affine permutation preserves byte equality inside a replica)
+      // and cross-replica collisions are impossible (permuted bytes
+      // differ), so even the UNIQUE counts scale exactly
+      countCols = Seq("n_assets", "n_unique", "bytes_total", "bytes_unique")))
+
+  /** Top-N stability law: at tier every candidate is a replica of a
+    * base candidate with an IDENTICAL measure (same per-group multiset
+    * → bit-identical decimal-sum-cast-double), so the scaled top-N's
+    * value-tuples are a subset of the base top-N's value-tuples
+    * (specifically replicas of the base head), the maximum measure is
+    * unchanged, and the row count still hits N (the derivation only
+    * adds candidates). `valueCols` exclude replica-shifted ids/names.
+    */
+  final case class TopNLaw(q: String, n: Int, measure: String,
+      valueCols: Seq[String])
+
+  private[graft] def topNCompare(law: TopNLaw, base: DataFrame,
+      scaled: DataFrame): Seq[Check] = {
+    val cols = (law.valueCols :+ law.measure).distinct
+    def tuples(df: DataFrame): Seq[Seq[Any]] =
+      df.collect().map(r => cols.map(c => r.getAs[Any](c))).toSeq
+    val b = tuples(base)
+    val s = tuples(scaled)
+    def maxM(ts: Seq[Seq[Any]]): Any = ts.map(_.last).maxBy {
+      case d: Double => d
+      case l: Long => l.toDouble
+      case other => throw new IllegalArgumentException(s"measure $other")
+    }
+    val alien = s.filterNot(b.toSet)
+    Seq(
+      check(law.q, s"still exactly ${law.n} rows at tier",
+        s.size == law.n, s"rows=${s.size}"),
+      check(law.q, "every tier row is a replica of a base top row (value-tuple subset)",
+        alien.isEmpty, s"alien=${alien.take(2)}"),
+      check(law.q, "the top measure is tier-invariant",
+        b.nonEmpty && s.nonEmpty && anyEq(maxM(b), maxM(s)),
+        s"base_max=${if (b.nonEmpty) maxM(b) else "-"} scaled_max=${if (s.nonEmpty) maxM(s) else "-"}"))
+  }
+
+  private[graft] val TopNLaws: Seq[TopNLaw] = Seq(
+    TopNLaw("q3_shipping_priority", 10, "revenue",
+      Seq("o_orderdate", "o_orderpriority")),
+    TopNLaw("q10_returned_items", 20, "revenue",
+      Seq("c_acctbal", "c_mktsegment", "n_name")),
+    TopNLaw("q18_large_orders", 100, "o_totalprice",
+      Seq("o_orderdate", "total_qty")),
+    TopNLaw("q_top_customers", 15, "total_spend",
+      Seq("c_mktsegment", "n_orders")),
+    TopNLaw("q_topk_per_key", 15, "total_spend",
+      Seq("c_mktsegment", "n_orders")))
+
+  // ------------------------------------------------------------------
+  // ANN family (r16): membership + ordering + cross-tier monotonicity
+  // ------------------------------------------------------------------
+
+  /** Structural laws over one ANN output's collected rows
+    * ((qid, rank, vec_id, cosine)): dense ranks from 1 per query,
+    * cosine non-increasing with rank, valid range.
+    */
+  private[graft] def annStructure(q: String,
+      rows: Seq[(Long, Long, Long, Double)]): Seq[Check] = {
+    val byQ = rows.groupBy(_._1)
+    val badRank = byQ.collect {
+      case (qid, rs) if rs.map(_._2).sorted != (1L to rs.size.toLong) => qid
+    }
+    val badSort = byQ.collect {
+      case (qid, rs) if rs.sortBy(_._2).map(_._4)
+        .sliding(2).exists(p => p.size == 2 && p(0) < p(1) - 1e-12) => qid
+    }
+    val badRange = rows.filter(r => r._4.isNaN || math.abs(r._4) > 1.0 + 1e-9)
+    Seq(
+      check(q, "ranks dense from 1 per query", badRank.isEmpty,
+        s"bad_qids=${badRank.take(3)}"),
+      check(q, "cosine non-increasing with rank", badSort.isEmpty,
+        s"bad_qids=${badSort.take(3)}"),
+      check(q, "cosine within [-1, 1]", badRange.isEmpty,
+        s"bad=${badRange.take(2)}"))
+  }
+
+  /** Positional cross-run law. For the exact query (`ann_bruteforce`)
+    * `other` is the BASE tier and `atLeast = true`: the base corpus is
+    * replica 0 of the scaled corpus, so exact top-k at tier can only
+    * improve positionally. For the approximate queries `other` is the
+    * exact scaled run and `atLeast = false`: an approximation can
+    * never beat exact search at any position. Recall vs `other` rides
+    * in the detail as telemetry.
+    */
+  private[graft] def annPositional(q: String, inv: String,
+      rows: Seq[(Long, Long, Long, Double)],
+      other: Seq[(Long, Long, Long, Double)],
+      atLeast: Boolean): Check = {
+    val o = other.map(r => (r._1, r._2) -> r._4).toMap
+    val shared = rows.flatMap(r => o.get((r._1, r._2)).map(c => (r, c)))
+    val viol = shared.filter { case (r, c) =>
+      if (atLeast) r._4 < c - 1e-12 else r._4 > c + 1e-12
+    }
+    val otherIds = other.groupBy(_._1)
+      .map { case (qid, rs) => qid -> rs.map(_._3).toSet }
+    val hits = rows.count(r => otherIds.get(r._1).exists(_.contains(r._3)))
+    val recall =
+      if (rows.isEmpty) 0.0 else hits.toDouble / rows.size
+    check(q, inv, viol.isEmpty && shared.nonEmpty,
+      f"violations=${viol.size} shared=${shared.size} recall=$recall%.3f")
+  }
+
+  private def annRows(df: DataFrame): Seq[(Long, Long, Long, Double)] =
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+
+  private def checkAnn(spark: SparkSession, q: String, baseDir: String,
+      scaledDir: String): Seq[Check] = {
+    val out = SparkEntry.queries(q)(spark, scaledDir).persist()
+    try {
+      val alien = out.join(
+        spark.read.parquet(s"$scaledDir/embeddings.parquet")
+          .select(col("vec_id")),
+        Seq("vec_id"), "left_anti").count()
+      val rows = annRows(out)
+      val membership = check(q,
+        "every neighbor id exists in the scaled corpus",
+        alien == 0 && rows.nonEmpty, s"alien=$alien rows=${rows.size}")
+      val cross =
+        if (q == "ann_bruteforce")
+          annPositional(q,
+            "exact top-k at tier positionally >= the base tier (superset search)",
+            rows, annRows(SparkEntry.queries(q)(spark, baseDir)),
+            atLeast = true)
+        else
+          annPositional(q,
+            "approximate top-k positionally <= the exact scaled run",
+            rows,
+            annRows(SparkEntry.queries("ann_bruteforce")(spark, scaledDir)),
+            atLeast = false)
+      (membership +: annStructure(q, rows)) :+ cross
+    } finally { out.unpersist(); () }
+  }
+
+  /** q15 returns EVERY supplier achieving the max revenue - at tier
+    * the replicas of the base winner(s) all tie, so rows scale exactly
+    * x copies while the winning revenue itself is tier-invariant.
+    */
+  private def checkTopSupplierTies(spark: SparkSession, baseDir: String,
+      scaledDir: String, copies: Int): Seq[Check] = {
+    val q = "q15_top_supplier"
+    val b = SparkEntry.queries(q)(spark, baseDir).collect()
+      .map(_.getAs[Double]("total_revenue"))
+    val s = SparkEntry.queries(q)(spark, scaledDir).collect()
+      .map(_.getAs[Double]("total_revenue"))
+    Seq(
+      check(q, s"winner replicas all tie: exactly ${copies}x the base rows",
+        b.nonEmpty && s.length == copies * b.length,
+        s"base=${b.length} scaled=${s.length}"),
+      check(q, "the winning revenue is tier-invariant",
+        b.nonEmpty && s.nonEmpty && s.forall(v => relEq(v, b.max)),
+        s"base_max=${if (b.nonEmpty) b.max else -1} scaled=${s.take(3).mkString(",")}"))
+  }
+
+  private def checkNearDupMedia(spark: SparkSession, baseDir: String,
+      scaledDir: String, copies: Int): Seq[Check] = {
+    val q = "multimodal_near_dup"
+    val out = SparkEntry.queries(q)(spark, scaledDir).persist()
+    try {
+      val st = out.agg(count(lit(1)),
+        sum(when(col("canonical_id") > col("doc_id"), 1L).otherwise(0L)),
+        sum(when(col("keep") =!= (col("canonical_id") === col("doc_id")), 1L)
+          .otherwise(0L))).head()
+      val (n, cyc, keepBad) = (st.getLong(0), st.getLong(1), st.getLong(2))
+      // groups are keyed (mime, phash) - the query's own window key
+      val badGroups = out.groupBy("mime", "phash")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("keeps"),
+          max("group_size").as("gmax"), min("group_size").as("gmin"))
+        .filter(col("keeps") =!= 1 || col("gmax") =!= col("n") ||
+          col("gmin") =!= col("n")).count()
+      val base = SparkEntry.queries(q)(spark, baseDir).count()
+      Seq(
+        check(q, s"one row per asset: exactly ${copies}x the base tier",
+          n == copies * base, s"base=$base scaled=$n"),
+        check(q, "canonical is the min id of its group (no forward edges)",
+          cyc == 0, s"violations=$cyc"),
+        check(q, "keep iff canonical (one keeper per asset)",
+          keepBad == 0, s"violations=$keepBad"),
+        check(q, "per-phash group: one keeper, group_size consistent",
+          badGroups == 0, s"bad_groups=$badGroups"))
+    } finally { out.unpersist(); () }
   }
 
   // ------------------------------------------------------------------
@@ -1135,8 +1473,23 @@ object ScaleGate {
     family.flatMap { q =>
       val run: Seq[Check] =
         try q match {
-          case _ if LinearEventQueries.contains(q) =>
+          case _ if LinearEventQueries.contains(q) ||
+              LinearScaledQueries.contains(q) =>
             checkLinearity(spark, q, baseDir, scaledDir, copies)
+          case _ if TierLaws.exists(_.q == q) =>
+            val law = TierLaws.find(_.q == q).get
+            tierCompare(law, SparkEntry.queries(q)(spark, baseDir),
+              SparkEntry.queries(q)(spark, scaledDir), copies)
+          case _ if TopNLaws.exists(_.q == q) =>
+            val law = TopNLaws.find(_.q == q).get
+            topNCompare(law, SparkEntry.queries(q)(spark, baseDir),
+              SparkEntry.queries(q)(spark, scaledDir))
+          case "ann_bruteforce" | "ann_lsh" | "ann_ivf" | "ann_ivf_pq" =>
+            checkAnn(spark, q, baseDir, scaledDir)
+          case "multimodal_near_dup" =>
+            checkNearDupMedia(spark, baseDir, scaledDir, copies)
+          case "q15_top_supplier" =>
+            checkTopSupplierTies(spark, baseDir, scaledDir, copies)
           case "q_watermark_audit" =>
             checkWatermarkAudit(spark, baseDir, scaledDir, copies)
           case "classify_calibration" => checkCalibration(spark, scaledDir)
@@ -1290,6 +1643,9 @@ object ScaleGate {
     spark.sparkContext.setLogLevel("ERROR")
     plans.GraftOps.install(spark)
     ScaleCorpus.ensure(spark, src, out, copies)
+    // r16: the C-family laws need the TPC-H tables derived, not
+    // symlinked (own stamp - upgrades a pre-r16 corpus in place)
+    ScaleCorpus.ensureTpch(spark, src, out, copies)
 
     val family = sys.env.get("SPARK_GRAFT_GATE_FAMILY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

@@ -17,18 +17,80 @@ class ScaleGateSpec extends AnyFunSuite {
 
   test("every gated family law holds on the 3x sf0.01 derivation") {
     ScaleCorpus.ensure(spark, src, out, copies)
+    ScaleCorpus.ensureTpch(spark, src, out, copies)
     val family = ScaleGate.gatedQueries().filter(SparkEntry.queries.contains)
     // every gated query must actually be registered — a typo'd gate
     // list would silently skip a family
     assert(family.size == ScaleGate.gatedQueries().size,
       s"gated queries missing from the registry: " +
         ScaleGate.gatedQueries().filterNot(SparkEntry.queries.contains))
+    assert(family.size >= 80,
+      s"the r16 widening targets >= 80 gated queries, got ${family.size}")
     val checks = ScaleGate.checksFor(spark, src, out, copies, family)
-    assert(checks.size >= 125,
-      s"expected the full r15 check sweep (131 laws), got ${checks.size}")
+    assert(checks.size >= 185,
+      s"expected the full r16 check sweep, got ${checks.size}")
     val failed = checks.filterNot(_.pass)
     assert(failed.isEmpty, "violated scale invariants:\n" + failed
       .map(c => s"  ${c.query}: ${c.invariant} (${c.detail})").mkString("\n"))
+  }
+
+  test("tier-comparison laws reject drifted counts, sums, and invariants (negative)") {
+    import spark.implicits._
+    val law = ScaleGate.TierLaw("l", Seq("k"), countCols = Seq("n"),
+      extensiveCols = Seq("s"), invariantCols = Seq("a"))
+    def f(rows: (String, Long, Double, Double)*) =
+      rows.toDF("k", "n", "s", "a")
+    val base = f(("x", 2L, 10.0, 5.0))
+    assert(ScaleGate.tierCompare(law, base, f(("x", 6L, 30.0, 5.0)), 3)
+      .forall(_.pass), "a clean 3x scale must pass")
+    assert(ScaleGate.tierCompare(law, base, f(("x", 5L, 30.0, 5.0)), 3)
+      .exists(!_.pass), "a drifted count must fail")
+    assert(ScaleGate.tierCompare(law, base, f(("x", 6L, 31.0, 5.0)), 3)
+      .exists(!_.pass), "a drifted sum must fail")
+    assert(ScaleGate.tierCompare(law, base, f(("x", 6L, 30.0, 5.1)), 3)
+      .exists(!_.pass), "a drifted invariant must fail")
+    assert(ScaleGate.tierCompare(law, base,
+      f(("x", 6L, 30.0, 5.0), ("y", 3L, 1.0, 1.0)), 3)
+      .exists(!_.pass), "a novel group at tier must fail")
+    assert(ScaleGate.tierCompare(law, base.limit(0), base.limit(0), 3)
+      .exists(!_.pass), "vacuously-equal empty outputs must fail")
+  }
+
+  test("top-N stability laws reject a lost row, an alien tuple, and a drifted max (negative)") {
+    import spark.implicits._
+    val law = ScaleGate.TopNLaw("l", 2, "rev", Seq("d"))
+    def f(rows: (String, Double)*) = rows.toDF("d", "rev")
+    val base = f(("a", 10.0), ("b", 9.0))
+    assert(ScaleGate.topNCompare(law, base, f(("a", 10.0), ("a", 10.0)))
+      .forall(_.pass), "tier rows that replicate the base head must pass")
+    assert(ScaleGate.topNCompare(law, base, f(("a", 10.0)))
+      .exists(!_.pass), "a lost row must fail")
+    assert(ScaleGate.topNCompare(law, base, f(("a", 10.0), ("c", 8.0)))
+      .exists(!_.pass), "an alien value-tuple must fail")
+    assert(ScaleGate.topNCompare(law, base, f(("b", 9.0), ("b", 9.0)))
+      .exists(!_.pass), "a drifted top measure must fail")
+  }
+
+  test("ANN laws reject sparse ranks, unsorted scores, and positional violations (negative)") {
+    val ok = Seq((1L, 1L, 10L, 0.9), (1L, 2L, 11L, 0.8))
+    assert(ScaleGate.annStructure("l", ok).forall(_.pass))
+    assert(ScaleGate.annStructure("l", Seq((1L, 2L, 10L, 0.9)))
+      .exists(!_.pass), "a rank gap must fail")
+    assert(ScaleGate.annStructure("l",
+      Seq((1L, 1L, 10L, 0.7), (1L, 2L, 11L, 0.8)))
+      .exists(!_.pass), "an unsorted score must fail")
+    assert(ScaleGate.annStructure("l", Seq((1L, 1L, 10L, 1.5)))
+      .exists(!_.pass), "an out-of-range cosine must fail")
+    // approximate beating exact at a shared position is impossible
+    assert(!ScaleGate.annPositional("l", "i",
+      Seq((1L, 1L, 10L, 0.95)), ok, atLeast = false).pass)
+    // exact at tier dipping below the base tier breaks superset search
+    assert(!ScaleGate.annPositional("l", "i",
+      Seq((1L, 1L, 10L, 0.85)), ok, atLeast = true).pass)
+    assert(ScaleGate.annPositional("l", "i",
+      Seq((1L, 1L, 10L, 0.95)), ok, atLeast = true).pass)
+    assert(!ScaleGate.annPositional("l", "i", Seq.empty, ok,
+      atLeast = true).pass, "no shared positions means the probe read nothing")
   }
 
   test("the linearity law actually fails under a wrong factor (negative case)") {
