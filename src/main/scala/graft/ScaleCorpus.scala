@@ -76,7 +76,18 @@ object ScaleCorpus {
     def fresh(table: String): Boolean =
       !stamped || !hasSuccess(outPath.resolve(s"$table.parquet"))
 
+    // pre-flight disk guard (r15 verdict #6): a derivation writes
+    // roughly copies x the source table - refuse BEFORE the multi-GB
+    // write instead of filling the volume mid-derivation
+    def guardTable(table: String): Unit =
+      DiskGuard.require(out, DiskGuard.Projection(
+        s"${copies}x derivation of $src/$table.parquet",
+        DiskGuard.dirBytes(s"$src/$table.parquet") * copies,
+        "lower SPARK_GRAFT_SCALE_COPIES or point SPARK_GRAFT_SCALE_DIR " +
+          "at a larger volume"))
+
     if (fresh("documents")) {
+      guardTable("documents")
       val abc = "abcdefghijklmnopqrstuvwxyz"
       // Per-replica AFFINE letter permutation i -> i*stride + rot mod
       // 26 (stride coprime to 26): 12x26 = 312 distinct permutations,
@@ -109,6 +120,7 @@ object ScaleCorpus {
     }
 
     if (fresh("embeddings")) {
+      guardTable("embeddings")
       val emb = spark.read.parquet(s"$src/embeddings.parquet")
       val dim = 64
       // Per-replica circular shift x sign flip: 128 decorrelated
@@ -146,6 +158,7 @@ object ScaleCorpus {
     if (java.nio.file.Files.isSymbolicLink(eventsOut))
       java.nio.file.Files.delete(eventsOut)
     if (fresh("events")) {
+      guardTable("events")
       val ev = spark.read.parquet(s"$src/events.parquet")
       // Disjointness of the per-replica id shift needs every base id
       // below Step - a base tier past 1e9 events would silently
@@ -238,6 +251,11 @@ object ScaleCorpus {
       val reusable = stamped && !java.nio.file.Files.isSymbolicLink(target) &&
         hasSuccess(target)
       if (!reusable) {
+        DiskGuard.require(out, DiskGuard.Projection(
+          s"${copies}x derivation of $src/$table.parquet",
+          DiskGuard.dirBytes(s"$src/$table.parquet") * copies,
+          "lower SPARK_GRAFT_SCALE_COPIES or point SPARK_GRAFT_SCALE_DIR " +
+            "at a larger volume"))
         if (java.nio.file.Files.isSymbolicLink(target))
           java.nio.file.Files.delete(target)
         val base = spark.read.parquet(s"$src/$table.parquet")

@@ -49,10 +49,35 @@ object ScaleStream {
     * → monotone mtimes → the file source's one-file-per-trigger
     * batches arrive in id order). Returns the arrival count.
     */
+  /** Expected banded-join candidate rows for a batch of `arrBandRows`
+    * arrival band rows against the current index, assuming arrivals
+    * hash proportionally to the index buckets (exact for the
+    * replica-derived rehearsal corpus, a fair estimate under drift):
+    * sum over buckets of idx_b·arr_b = arrBandRows·Σidx_b² / idxRows.
+    * This is the number the 78-GB incident needed BEFORE the join ran.
+    */
+  private[graft] def projectedJoinCandidates(index: DataFrame,
+      arrBandRows: Long): Long = {
+    val st = index.groupBy("band_id", "band_val")
+      .agg(count(lit(1)).as("b"))
+      .agg(coalesce(sum(col("b") * col("b")), lit(0L)),
+        coalesce(sum(col("b")), lit(0L))).head()
+    val (sumSq, idxRows) = (st.getLong(0), st.getLong(1))
+    if (idxRows == 0) 0L
+    else (arrBandRows.toDouble * sumSq / idxRows).toLong
+  }
+
   private[graft] def writeBacklog(spark: SparkSession, src: String,
       idCol: String, cols: Seq[String], outDir: String, copies: Int,
       slices: Int): Long = {
     val step = ScaleCorpus.Step
+    // the backlog rewrites roughly the table's own volume — refuse
+    // before writing when that alone would crowd the volume
+    DiskGuard.require(outDir, DiskGuard.Projection(
+      s"backlog rewrite of $src",
+      DiskGuard.dirBytes(src),
+      "point SPARK_GRAFT_STREAM_WORK at a larger volume or lower " +
+        "SPARK_GRAFT_SCALE_COPIES"))
     val out = java.nio.file.Paths.get(outDir)
     org.apache.commons.io.FileUtils.deleteDirectory(out.toFile)
     java.nio.file.Files.createDirectories(out)
@@ -347,10 +372,33 @@ object ScaleStream {
         EmbStream.writeIndex(base, s"$work/emb_band", s"$work/emb_vec")
         base.count()
       },
-      (src, ckpt) => EmbStream.dedupIndexedStream(
-        src, s"$work/emb_band", s"$work/emb_vec",
-        s"$work/emb_verdicts", ckpt, trigger = Trigger.AvailableNow(),
-        batchPartitions = Some(spark.sparkContext.defaultParallelism)),
+      (src, ckpt) => {
+        // THE 78-GB LESSON, as a pre-flight number: project the LAST
+        // batch's banded-join candidate volume (index grown by all
+        // survivors, arrivals hashing proportionally) and refuse
+        // before the first trigger instead of filling the disk
+        // mid-run. The flat loop is the measured-quadratic baseline —
+        // this guard is exactly why it is also tier-capped.
+        val bootBand = spark.read.parquet(s"$work/emb_band")
+        val bootVecs = spark.read.parquet(s"$work/emb_vec").count()
+        val arrivalsTotal = (flatCopies - 1).toLong * bootVecs
+        val perSlice = math.max(1L,
+          arrivalsTotal / math.min(slices, flatCopies - 1))
+        val bands = bootBand.select("band_id").distinct().count()
+        val growth = (bootVecs + arrivalsTotal).toDouble / math.max(1L, bootVecs)
+        val candLast = (projectedJoinCandidates(bootBand, perSlice * bands) *
+          growth * growth).toLong
+        DiskGuard.require(work, DiskGuard.Projection(
+          s"B25 flat-loop band join, final batch (~$candLast candidate rows x 32 B)",
+          candLast * 32L,
+          "lower SPARK_GRAFT_SCALE_COPIES (the flat baseline is " +
+            "tier-capped at 10x for exactly this quadratic; B29 blocked " +
+            "carries the full tier) or free disk under SPARK_GRAFT_STREAM_WORK"))
+        EmbStream.dedupIndexedStream(
+          src, s"$work/emb_band", s"$work/emb_vec",
+          s"$work/emb_verdicts", ckpt, trigger = Trigger.AvailableNow(),
+          batchPartitions = Some(spark.sparkContext.defaultParallelism))
+      },
       () => spark.read.parquet(s"$work/emb_vec").count(),
       s"$work/emb_verdicts", "accepted-vector store",
       replicaLaws = false,

@@ -85,6 +85,11 @@ object ScaleStreamState {
     */
   private[graft] def writeEventsBacklog(spark: SparkSession,
       scaledDir: String, outDir: String, slices: Int): (Long, Long) = {
+    DiskGuard.require(outDir, DiskGuard.Projection(
+      s"time-sliced events backlog rewrite of $scaledDir/events.parquet",
+      DiskGuard.dirBytes(s"$scaledDir/events.parquet"),
+      "point SPARK_GRAFT_STREAM_WORK at a larger volume or lower " +
+        "SPARK_GRAFT_SCALE_COPIES"))
     val out = java.nio.file.Paths.get(outDir)
     org.apache.commons.io.FileUtils.deleteDirectory(out.toFile)
     java.nio.file.Files.createDirectories(out)
