@@ -100,6 +100,37 @@ object Bench {
   private def lineagePath = java.nio.file.Paths.get(
     sys.env.getOrElse("SPARK_GRAFT_CANARY_LINEAGE", "canary_lineage.jsonl"))
 
+  /** The JVM heap, the SECOND environment axis a lineage comparison
+    * must hold fixed (measured live r16: the same tree ran the
+    * allocation-heavy cluster — ann_*, classify_*, bpe_train,
+    * corpus_stats, text_langid — 3-4x SLOWER under -Xmx96g than under
+    * the 8g default, sustained across reps with both canary axes
+    * calm: a huge G1 young gen keeps short-lived allocation storms
+    * cache-cold. SPARK_DRIVER_MEM=96g belongs to the 100x scale runs;
+    * the bench must run at the build default). Windows at different
+    * heaps are not comparable, so both the committed canary levels
+    * and the per-query floors key on (cpus, heap): a lineage line
+    * contributes only when [[heapMatches]].
+    */
+  private def heapMb: Long = Runtime.getRuntime.maxMemory >> 20
+
+  /** A lineage line's heap matches when its `heap_mb` equals the
+    * current JVM's, or — for pre-r16 lines that carry no heap field —
+    * when the current run itself uses the build-default heap
+    * (`SPARK_DRIVER_MEM` unset): every historical window ran at the
+    * default, so legacy lines are default-heap lines.
+    */
+  private[graft] def heapMatches(line: String, currentHeapMb: Long,
+      currentIsDefault: Boolean): Boolean =
+    """"heap_mb":([0-9]+)""".r.findFirstMatchIn(line)
+      .map(_.group(1).toLong) match {
+      case Some(h) => h == currentHeapMb
+      case None => currentIsDefault
+    }
+
+  private def heapMatchesNow(line: String): Boolean =
+    heapMatches(line, heapMb, sys.env.get("SPARK_DRIVER_MEM").isEmpty)
+
   private def ioFixturePath = sys.env.getOrElse(
     "SPARK_GRAFT_CANARY_IO_DIR", "target/canary_io_fixture.parquet")
 
@@ -158,8 +189,11 @@ object Bench {
             // the pool: `"median":0.` would regex-parse as 0.0 and the
             // MIN would pin the level at zero, flagging every window
             // for the next N runs (r14 advice). A complete entry ends
-            // with '}' and carries a strictly positive median.
-            .filter(l => l.endsWith("}") && l.contains(s""""cpus":$cpus,"""))
+            // with '}' and carries a strictly positive median. The
+            // heap key (r16) keeps 8g and 96g windows apart — see
+            // [[heapMatches]].
+            .filter(l => l.endsWith("}") && l.contains(s""""cpus":$cpus,""") &&
+              heapMatchesNow(l))
             .flatMap { l =>
               ("\"" + field + "\":([0-9.]+)").r.findFirstMatchIn(l)
                 .map(_.group(1).toDouble)
@@ -234,9 +268,12 @@ object Bench {
       if (!java.nio.file.Files.exists(lineage)) Seq.empty
       else scala.jdk.CollectionConverters.ListHasAsScala(
         java.nio.file.Files.readAllLines(lineage)).asScala.toSeq
-        // same torn-line guard as resolveLevel: a crash mid-write must
-        // not contribute a truncated q_mins fragment to the min pool
-        .filter(l => l.endsWith("}") && l.contains(s""""cpus":$cpus,"""))
+        // same torn-line + heap-key guards as resolveLevel: a crash
+        // mid-write must not contribute a truncated q_mins fragment,
+        // and a different-heap window's minima are not floors here
+        // (the r16 measured 3-4x allocation-cluster heap sensitivity)
+        .filter(l => l.endsWith("}") && l.contains(s""""cpus":$cpus,""") &&
+          heapMatchesNow(l))
         .flatMap(l => qMinsRe.findFirstMatchIn(l).map(_.group(1)))
         .takeRight(CanaryLineageN)
         .map(body => pairRe.findAllMatchIn(body)
@@ -590,7 +627,7 @@ object Bench {
         case (k, (t, _, _), _) if t >= 0 => "\"" + k + "\":" + d3(t)
       }.mkString("{", ",", "}")
       val entry =
-        s"""{"cpus":$cpus,"median":${d3(canaryMedian)},"committed":${optJson(committedOpt, d3)},"ratio":${optJson(cpuRatio, d2)},"inflated":${cpuRatio.map(r => (r > CanaryInflatedRatio).toString).getOrElse("null")},"median_io":${d3(canaryIoMedian)},"committed_io":${optJson(committedIoOpt, d3)},"ratio_io":${optJson(ioRatio, d2)},"inflated_io":${ioRatio.map(r => (r > CanaryIoInflatedRatio).toString).getOrElse("null")},"provenance":"$provenance","provenance_io":"$provenanceIo","q_mins":$qMinsJson}"""
+        s"""{"cpus":$cpus,"heap_mb":$heapMb,"median":${d3(canaryMedian)},"committed":${optJson(committedOpt, d3)},"ratio":${optJson(cpuRatio, d2)},"inflated":${cpuRatio.map(r => (r > CanaryInflatedRatio).toString).getOrElse("null")},"median_io":${d3(canaryIoMedian)},"committed_io":${optJson(committedIoOpt, d3)},"ratio_io":${optJson(ioRatio, d2)},"inflated_io":${ioRatio.map(r => (r > CanaryIoInflatedRatio).toString).getOrElse("null")},"provenance":"$provenance","provenance_io":"$provenanceIo","q_mins":$qMinsJson}"""
       val existing =
         if (java.nio.file.Files.exists(lineagePath))
           scala.jdk.CollectionConverters.ListHasAsScala(

@@ -274,6 +274,31 @@ class BenchCanarySpec extends AnyFunSuite {
     assert(Bench.floorReport(window, Map.empty) == (None, None, Seq.empty))
   }
 
+  // -------------------------------------------------------------
+  // Heap keying (r16): the same tree measured the allocation-heavy
+  // query cluster 3-4x slower under -Xmx96g than the 8g default with
+  // both canary axes calm — the JVM heap is an environment axis like
+  // the core count, and cross-heap windows must never share levels
+  // or floors.
+
+  test("a different-heap window's lineage line is invisible; same heap matches") {
+    val line96 = """{"cpus":32,"heap_mb":98304,"median":0.50,"q_mins":{"qa":3.5}}"""
+    val line8 = """{"cpus":32,"heap_mb":7936,"median":0.60,"q_mins":{"qa":0.9}}"""
+    assert(Bench.heapMatches(line8, 7936, currentIsDefault = true))
+    assert(!Bench.heapMatches(line96, 7936, currentIsDefault = true),
+      "the 96g window must not seed an 8g run's levels or floors")
+    assert(Bench.heapMatches(line96, 98304, currentIsDefault = false))
+    assert(!Bench.heapMatches(line8, 98304, currentIsDefault = false))
+  }
+
+  test("legacy lines (no heap_mb) are default-heap lines: visible only to default-heap runs") {
+    val legacy = entry(32, 0.50, Some(false))
+    assert(Bench.heapMatches(legacy, 7936, currentIsDefault = true),
+      "all historical windows ran at the build default")
+    assert(!Bench.heapMatches(legacy, 98304, currentIsDefault = false),
+      "an inflated-heap run must not inherit default-heap history")
+  }
+
   test("trim keeps duplicates that fall inside the window") {
     // two identical windows (same medians serialize to the same line):
     // index-based selection must keep both when both are recent
