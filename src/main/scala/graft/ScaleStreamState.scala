@@ -446,41 +446,89 @@ object ScaleStreamState {
       onLoop(r)
     }
 
+    // Starter + law builders for B19/B26, shared by the normal runs
+    // and the RESTART rehearsals (same laws — a state row or timer
+    // lost across the stop/start fails exactly like a semantics bug).
+    def b19Start(sink: String, ckpt: String)(src: DataFrame) =
+      SessionizeTws.sessions(parsed(src), GapMs, "2 seconds")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    def b19Laws(loop: String, sink: String)(peak: Long, fin: Long): Seq[Check] = {
+      val streamed = spark.read.parquet(sink)
+        .filter(col("userId") =!= FlushUser.toString)
+        .select(col("userId").cast("long").as("u"), col("sessionStart"),
+          col("sessionEnd"), col("nEvents"))
+      val batch = SparkEntry.queries("q_sessionize")(spark, scaledDir)
+        .select(col("user_id").as("u"),
+          col("session_start_ms").as("sessionStart"),
+          col("session_end_ms").as("sessionEnd"),
+          col("n_events").as("nEvents"))
+      val conserved = streamed.agg(coalesce(sum("nEvents"), lit(0L))).head.getLong(0)
+      val horizonProj = peakUsersAtHorizon(events, horizonMs)
+      Seq(
+        equalityLaw(loop,
+          "streamed gap sessions equal the registered q_sessionize batch query",
+          streamed, batch),
+        check(loop,
+          "event conservation: session sizes sum to the arrivals",
+          conserved == arrivals, s"sum_n=$conserved arrivals=$arrivals"),
+        check(loop,
+          "peak state bounded by the q_state_sizing peak formula at the batch horizon",
+          peak <= horizonProj && peak > 0,
+          s"observed=$peak projected_at_horizon=$horizonProj " +
+            s"registered_30m=${proj("session_peak_users_30m")}"),
+        check(loop,
+          "timer eviction drained the real keys: only the flush session remains",
+          fin <= 2, s"final_state_rows=$fin"))
+    }
+    def b26Start(sink: String, ckpt: String)(src: DataFrame) =
+      PeriodicAggTws.metrics(parsed(src), BucketMs, BucketMs, "2 seconds")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    def b26Laws(loop: String, sink: String)(peak: Long, fin: Long): Seq[Check] = {
+      val rows = spark.read.parquet(sink)
+        .filter(col("userId") =!= FlushUser.toString).persist()
+      try {
+        val buckets = events
+          .groupBy(col("user_id").cast("string").as("userId"),
+            expr(s"ms div $BucketMs").as("b"))
+          .agg(count(lit(1)).as("cnt")).persist()
+        try {
+          val nonZero = rows.filter(col("totalCount") > 0)
+          val nzCount = nonZero.count()
+          Seq(
+            equalityLaw(loop,
+              "non-zero emissions equal per-(key, bucket) batch counts",
+              nonZero.select(col("userId"),
+                (col("windowStart") / BucketMs).cast("long").as("b"),
+                col("totalCount").as("cnt")),
+              buckets),
+            check(loop,
+              "non-zero rows == the registered tumbling_windows_total_10m projection",
+              nzCount == proj("tumbling_windows_total_10m"),
+              s"rows=$nzCount projected=${proj("tumbling_windows_total_10m")}"),
+            zeroRowLaw(loop, rows.filter(col("totalCount") === 0), buckets),
+            cadenceLaw(loop, rows),
+            check(loop,
+              "peak state bounded by the q_state_sizing event-peak formula at the batch horizon + one lastEmitted row per key",
+              peak <= peakEventsAtHorizon(events, horizonMs) +
+                proj("keyed_state_keys") && peak > 0,
+              s"observed=$peak " +
+                s"projected_at_horizon=${peakEventsAtHorizon(events, horizonMs)} " +
+                s"keyed=${proj("keyed_state_keys")} " +
+                s"registered_10m=${proj("dedup_peak_keys_10m")}"))
+        } finally buckets.unpersist()
+      } finally rows.unpersist()
+    }
+
     // ---- B19 SessionizeTws ----
     run("B19_sessionize_tws",
-      src => SessionizeTws.sessions(parsed(src), GapMs, "2 seconds")
-        .writeStream.format("parquet")
-        .option("path", s"$work/b19_sessions")
-        .option("checkpointLocation", s"$work/ckpt_b19")
-        .trigger(Trigger.AvailableNow()).start(),
-      (peak, fin) => {
-        val streamed = spark.read.parquet(s"$work/b19_sessions")
-          .filter(col("userId") =!= FlushUser.toString)
-          .select(col("userId").cast("long").as("u"), col("sessionStart"),
-            col("sessionEnd"), col("nEvents"))
-        val batch = SparkEntry.queries("q_sessionize")(spark, scaledDir)
-          .select(col("user_id").as("u"),
-            col("session_start_ms").as("sessionStart"),
-            col("session_end_ms").as("sessionEnd"),
-            col("n_events").as("nEvents"))
-        val conserved = streamed.agg(coalesce(sum("nEvents"), lit(0L))).head.getLong(0)
-        val horizonProj = peakUsersAtHorizon(events, horizonMs)
-        Seq(
-          equalityLaw("B19_sessionize_tws",
-            "streamed gap sessions equal the registered q_sessionize batch query",
-            streamed, batch),
-          check("B19_sessionize_tws",
-            "event conservation: session sizes sum to the arrivals",
-            conserved == arrivals, s"sum_n=$conserved arrivals=$arrivals"),
-          check("B19_sessionize_tws",
-            "peak state bounded by the q_state_sizing peak formula at the batch horizon",
-            peak <= horizonProj && peak > 0,
-            s"observed=$peak projected_at_horizon=$horizonProj " +
-              s"registered_30m=${proj("session_peak_users_30m")}"),
-          check("B19_sessionize_tws",
-            "timer eviction drained the real keys: only the flush session remains",
-            fin <= 2, s"final_state_rows=$fin"))
-      })
+      b19Start(s"$work/b19_sessions", s"$work/ckpt_b19"),
+      b19Laws("B19_sessionize_tws", s"$work/b19_sessions"))
 
     // ---- B23 AnomalyStream (fMGWS, no timers: flush rows filtered
     // at the input map, the production deployment's own shape) ----
@@ -536,48 +584,55 @@ object ScaleStreamState {
     // ---- B26 PeriodicAggTws (window == interval == the audit's
     // 10-min tumbling shape) ----
     run("B26_periodic_tws",
-      src => PeriodicAggTws.metrics(parsed(src), BucketMs, BucketMs,
-          "2 seconds")
-        .writeStream.format("parquet")
-        .option("path", s"$work/b26_metrics")
-        .option("checkpointLocation", s"$work/ckpt_b26")
-        .trigger(Trigger.AvailableNow()).start(),
-      (peak, _) => {
-        val rows = spark.read.parquet(s"$work/b26_metrics")
-          .filter(col("userId") =!= FlushUser.toString).persist()
-        try {
-          val buckets = events
-            .groupBy(col("user_id").cast("string").as("userId"),
-              expr(s"ms div $BucketMs").as("b"))
-            .agg(count(lit(1)).as("cnt")).persist()
-          try {
-            val nonZero = rows.filter(col("totalCount") > 0)
-            val nzCount = nonZero.count()
-            Seq(
-              equalityLaw("B26_periodic_tws",
-                "non-zero emissions equal per-(key, bucket) batch counts",
-                nonZero.select(col("userId"),
-                  (col("windowStart") / BucketMs).cast("long").as("b"),
-                  col("totalCount").as("cnt")),
-                buckets),
-              check("B26_periodic_tws",
-                "non-zero rows == the registered tumbling_windows_total_10m projection",
-                nzCount == proj("tumbling_windows_total_10m"),
-                s"rows=$nzCount projected=${proj("tumbling_windows_total_10m")}"),
-              zeroRowLaw("B26_periodic_tws",
-                rows.filter(col("totalCount") === 0), buckets),
-              cadenceLaw("B26_periodic_tws", rows),
-              check("B26_periodic_tws",
-                "peak state bounded by the q_state_sizing event-peak formula at the batch horizon + one lastEmitted row per key",
-                peak <= peakEventsAtHorizon(events, horizonMs) +
-                  proj("keyed_state_keys") && peak > 0,
-                s"observed=$peak " +
-                  s"projected_at_horizon=${peakEventsAtHorizon(events, horizonMs)} " +
-                  s"keyed=${proj("keyed_state_keys")} " +
-                  s"registered_10m=${proj("dedup_peak_keys_10m")}"))
-          } finally buckets.unpersist()
-        } finally rows.unpersist()
-      })
+      b26Start(s"$work/b26_metrics", s"$work/ckpt_b26"),
+      b26Laws("B26_periodic_tws", s"$work/b26_metrics"))
+
+    // ---- RESTART rehearsals (r16): stop the two richest-state tws
+    // loops mid-backlog and resume the SAME starter from the SAME
+    // checkpoint — state variables AND armed event-time timers must
+    // survive the full stop/start through RocksDB changelog recovery
+    // (spec-proven at unit scale; this proves it at the tier backlog
+    // under the identical equality laws: a session/bucket/lastEmitted
+    // row or a timer lost across the restart fails exactly like a
+    // semantics bug — a lost timer drops deadlines from the cadence,
+    // a lost bucket breaks the per-(key, bucket) equality, a lost
+    // lastEmitted double-emits and trips cadence uniqueness).
+    def runRestart(loop: String,
+        start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery,
+        laws: (Long, Long) => Seq[Check]): Unit = {
+      val stage = s"$work/stage_$loop"
+      val live = s"$work/backlog_$loop"
+      writeEventsBacklog(spark, scaledDir, stage, slices)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(live))
+      val files = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+      // phase 1 = the first half of the DATA slices (no flushes):
+      // the stream stops with open sessions/buckets and armed timers
+      val splitAt = math.max(1, slices / 2)
+      def publish(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
+        // move preserves mtime, so the slice ordering survives staging
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(live).resolve(f.getName))
+      }
+      publish(files.take(splitAt))
+      val (w1, p1, peak1, _) = drive(spark, loop, live, start)
+      publish(files.drop(splitAt))
+      val (w2, p2, peak2, fin2) = drive(spark, loop, live, start)
+      val r = LoopResult(loop, copies, arrivals, p1.size + p2.size, w1 + w2,
+        p1 ++ p2,
+        check(loop, "the restart really split the backlog: both phases ran batches",
+          p1.nonEmpty && p2.nonEmpty,
+          s"phase1_batches=${p1.size} phase2_batches=${p2.size}") +:
+          laws(math.max(peak1, peak2), fin2))
+      results += r
+      onLoop(r)
+    }
+    runRestart("B19_sessionize_tws_restart",
+      b19Start(s"$work/b19r_sessions", s"$work/ckpt_b19r"),
+      b19Laws("B19_sessionize_tws_restart", s"$work/b19r_sessions"))
+    runRestart("B26_periodic_tws_restart",
+      b26Start(s"$work/b26r_metrics", s"$work/ckpt_b26r"),
+      b26Laws("B26_periodic_tws_restart", s"$work/b26r_metrics"))
 
     // ---- B28 BudgetStream (doc backlog, replica-sliced: no event
     // time in this loop, arrival order is the id order) ----

@@ -17,7 +17,7 @@ class ScaleStreamStateSpec extends AnyFunSuite {
   private val out = "/tmp/graft_scale3_sf001"
   private val copies = 3
 
-  test("all five stateful loops hold their laws on the 3x tier under RocksDB") {
+  test("all stateful loops (incl. the restart rehearsals) hold their laws on the 3x tier under RocksDB") {
     ScaleCorpus.ensure(spark, src, out, copies)
     val work = java.nio.file.Files
       .createTempDirectory("graft_scalestream_state_spec").toString
@@ -25,7 +25,13 @@ class ScaleStreamStateSpec extends AnyFunSuite {
       val results = ScaleStreamState.runAll(spark, out, copies, slices = 3, work)
       assert(results.map(_.loop) == Seq("B19_sessionize_tws",
         "B23_anomaly_stream", "B24_pattern_tws", "B26_periodic_tws",
+        "B19_sessionize_tws_restart", "B26_periodic_tws_restart",
         "B28_budget_stream"))
+      // the restart rehearsals must really have run two phases
+      results.filter(_.loop.endsWith("_restart")).foreach { r =>
+        assert(r.checks.exists(_.invariant.contains("really split")),
+          s"${r.loop} lost its phase-split check")
+      }
       results.foreach { r =>
         assert(r.arrivals > 0 && r.batches >= 2,
           s"${r.loop}: expected a real multi-batch backlog, " +
