@@ -26,7 +26,7 @@ class ScaleStreamStateSpec extends AnyFunSuite {
       assert(results.map(_.loop) == Seq("B19_sessionize_tws",
         "B23_anomaly_stream", "B24_pattern_tws", "B26_periodic_tws",
         "B19_sessionize_tws_restart", "B26_periodic_tws_restart",
-        "B28_budget_stream"))
+        "B19_sessionize_paced", "B28_budget_stream"))
       // the restart rehearsals must really have run two phases
       results.filter(_.loop.endsWith("_restart")).foreach { r =>
         assert(r.checks.exists(_.invariant.contains("really split")),
