@@ -128,8 +128,12 @@ object Bench {
       case None => currentIsDefault
     }
 
-  private def heapMatchesNow(line: String): Boolean =
-    heapMatches(line, heapMb, sys.env.get("SPARK_DRIVER_MEM").isEmpty)
+  /** Whether this JVM runs at the build-default heap. `SPARK_DRIVER_MEM`
+    * is the only lever that moves the test/run fork's -Xmx (build.sbt),
+    * so "env var unset" == "default heap".
+    */
+  private def defaultHeapNow: Boolean =
+    sys.env.get("SPARK_DRIVER_MEM").isEmpty
 
   private def ioFixturePath = sys.env.getOrElse(
     "SPARK_GRAFT_CANARY_IO_DIR", "target/canary_io_fixture.parquet")
@@ -158,9 +162,12 @@ object Bench {
   private[graft] def resolveCommitted(cpus: String,
       lineage: java.nio.file.Path = lineagePath,
       pin: Option[Double] =
-        sys.env.get("SPARK_GRAFT_CANARY_COMMITTED").map(_.toDouble))
+        sys.env.get("SPARK_GRAFT_CANARY_COMMITTED").map(_.toDouble),
+      currentHeapMb: Long = heapMb,
+      currentIsDefault: Boolean = defaultHeapNow)
       : (Option[Double], String) =
-    resolveLevel(cpus, lineage, pin, "median", CanaryCommittedSec)
+    resolveLevel(cpus, lineage, pin, "median", CanaryCommittedSec,
+      currentHeapMb, currentIsDefault)
 
   /** The IO axis' committed level — same pin > lineage-min > bootstrap
     * lattice over the `median_io` lineage field. Pre-r15 lineage lines
@@ -171,12 +178,16 @@ object Bench {
   private[graft] def resolveCommittedIo(cpus: String,
       lineage: java.nio.file.Path = lineagePath,
       pin: Option[Double] =
-        sys.env.get("SPARK_GRAFT_CANARY_COMMITTED_IO").map(_.toDouble))
+        sys.env.get("SPARK_GRAFT_CANARY_COMMITTED_IO").map(_.toDouble),
+      currentHeapMb: Long = heapMb,
+      currentIsDefault: Boolean = defaultHeapNow)
       : (Option[Double], String) =
-    resolveLevel(cpus, lineage, pin, "median_io", CanaryIoCommittedSec)
+    resolveLevel(cpus, lineage, pin, "median_io", CanaryIoCommittedSec,
+      currentHeapMb, currentIsDefault)
 
   private def resolveLevel(cpus: String, lineage: java.nio.file.Path,
-      pin: Option[Double], field: String, bootstrap32: Double)
+      pin: Option[Double], field: String, bootstrap32: Double,
+      currentHeapMb: Long, currentIsDefault: Boolean)
       : (Option[Double], String) =
     pin match {
       case Some(p) => (Some(p), "pinned")
@@ -193,7 +204,7 @@ object Bench {
             // heap key (r16) keeps 8g and 96g windows apart — see
             // [[heapMatches]].
             .filter(l => l.endsWith("}") && l.contains(s""""cpus":$cpus,""") &&
-              heapMatchesNow(l))
+              heapMatches(l, currentHeapMb, currentIsDefault))
             .flatMap { l =>
               ("\"" + field + "\":([0-9.]+)").r.findFirstMatchIn(l)
                 .map(_.group(1).toDouble)
@@ -260,26 +271,43 @@ object Bench {
     * byte-identical rerun. Returns (floors, windowsContributing).
     */
   private[graft] def resolveQueryFloors(cpus: String,
-      lineage: java.nio.file.Path = lineagePath)
-      : (Map[String, Double], Int) = {
+      lineage: java.nio.file.Path = lineagePath,
+      currentHeapMb: Long = heapMb,
+      currentIsDefault: Boolean = defaultHeapNow)
+      : (Map[String, Double], Int, String) = {
     val qMinsRe = """"q_mins":\{([^{}]*)\}""".r
     val pairRe = """"([^"]+)":([0-9.]+)""".r
-    val maps =
+    val lines =
       if (!java.nio.file.Files.exists(lineage)) Seq.empty
       else scala.jdk.CollectionConverters.ListHasAsScala(
         java.nio.file.Files.readAllLines(lineage)).asScala.toSeq
-        // same torn-line + heap-key guards as resolveLevel: a crash
-        // mid-write must not contribute a truncated q_mins fragment,
-        // and a different-heap window's minima are not floors here
-        // (the r16 measured 3-4x allocation-cluster heap sensitivity)
-        .filter(l => l.endsWith("}") && l.contains(s""""cpus":$cpus,""") &&
-          heapMatchesNow(l))
+        // same torn-line guard as resolveLevel: a crash mid-write must
+        // not contribute a truncated q_mins fragment
+        .filter(l => l.endsWith("}") && l.contains(s""""cpus":$cpus,"""))
+    def floorsOf(pool: Seq[String]): (Map[String, Double], Int) = {
+      val maps = pool
         .flatMap(l => qMinsRe.findFirstMatchIn(l).map(_.group(1)))
         .takeRight(CanaryLineageN)
         .map(body => pairRe.findAllMatchIn(body)
           .map(m => m.group(1) -> m.group(2).toDouble)
           .filter(_._2 > 0.0).toMap)
-    (maps.flatten.groupMapReduce(_._1)(_._2)(math.min), maps.size)
+      (maps.flatten.groupMapReduce(_._1)(_._2)(math.min), maps.size)
+    }
+    // Same-heap windows are the authoritative lane (the r16 measured
+    // 3-4x allocation-cluster heap sensitivity makes cross-heap minima
+    // untrustworthy as hard floors). But a window at a heap with NO
+    // history must not be floor-BLIND (r16 What's-wrong #1: the
+    // driver's own bench window got floor windows=0 and no report):
+    // it falls back to the minima across ALL heaps at this core count,
+    // labelled "cross-heap" so consumers read the ratios as ADVISORY —
+    // a cross-heap window_vs_floor > 1 may be the heap, not the code.
+    val (same, sameN) = floorsOf(
+      lines.filter(heapMatches(_, currentHeapMb, currentIsDefault)))
+    if (sameN > 0) (same, sameN, "same-heap")
+    else {
+      val (cross, crossN) = floorsOf(lines)
+      if (crossN > 0) (cross, crossN, "cross-heap") else (Map.empty, 0, "none")
+    }
   }
 
   /** One window's floor report: per-query ratio-to-floor plus
@@ -608,7 +636,7 @@ object Bench {
     // Per-query floors resolve from HISTORY, before this window's own
     // entry lands — a faster-than-history window reads < 1.0 per
     // query, a slower one > 1.0 (see resolveQueryFloors).
-    val (floors, floorWindows) = resolveQueryFloors(cpus)
+    val (floors, floorWindows, floorProvenance) = resolveQueryFloors(cpus)
     val floorJson = {
       val windowTimes = results.map { case (k, (t, _, _), _) => (k, t) }
       val (floorTotalOpt, windowVsFloorOpt, ratios) =
@@ -616,7 +644,7 @@ object Bench {
       val rj = ratios.sortBy(_._1)
         .map { case (q, r) => "\"" + q + "\":" + d2(r) }
         .mkString("{", ",", "}")
-      s"""{"total":${floorTotalOpt.map(d3).getOrElse("null")},"window_vs_floor":${windowVsFloorOpt.map(d2).getOrElse("null")},"windows":$floorWindows,"queries":$rj}"""
+      s"""{"total":${floorTotalOpt.map(d3).getOrElse("null")},"window_vs_floor":${windowVsFloorOpt.map(d2).getOrElse("null")},"windows":$floorWindows,"provenance":"$floorProvenance","queries":$rj}"""
     }
     if (filter.isEmpty) {
       def optJson(o: Option[Double], f: Double => String): String =

@@ -20,6 +20,33 @@ class BenchCanarySpec extends AnyFunSuite {
     p
   }
 
+  /** Every resolution call below pins the heap key to the build
+    * default (r16 What's-wrong #1: the resolvers read the REAL JVM
+    * heap and `SPARK_DRIVER_MEM` at call time, so the whole suite went
+    * red under the driver's ~89 GiB fork heap — the synthetic lineage
+    * lines carry no `heap_mb` and became invisible). The heap is now
+    * dependency-injected; these wrappers make the suite's verdicts
+    * independent of the heap the fork actually runs at, and the
+    * "simulated non-default heap" tests at the bottom pin the OTHER
+    * value to prove the production behavior without exporting env.
+    */
+  private val DefaultHeapMb = 7936L
+
+  private def resolveCommitted(cpus: String, lineage: java.nio.file.Path,
+      pin: Option[Double]): (Option[Double], String) =
+    Bench.resolveCommitted(cpus, lineage, pin,
+      currentHeapMb = DefaultHeapMb, currentIsDefault = true)
+
+  private def resolveCommittedIo(cpus: String, lineage: java.nio.file.Path,
+      pin: Option[Double]): (Option[Double], String) =
+    Bench.resolveCommittedIo(cpus, lineage, pin,
+      currentHeapMb = DefaultHeapMb, currentIsDefault = true)
+
+  private def resolveQueryFloors(cpus: String, lineage: java.nio.file.Path)
+      : (Map[String, Double], Int, String) =
+    Bench.resolveQueryFloors(cpus, lineage,
+      currentHeapMb = DefaultHeapMb, currentIsDefault = true)
+
   private def entry(cpus: Int, median: Double,
       inflated: Option[Boolean]): String = inflated match {
     case Some(b) =>
@@ -30,7 +57,7 @@ class BenchCanarySpec extends AnyFunSuite {
 
   test("an explicit pin wins over everything and reads as pinned") {
     val lineage = tmpLineage(entry(32, 0.40, Some(false)))
-    assert(Bench.resolveCommitted("32", lineage, pin = Some(0.8)) ==
+    assert(resolveCommitted("32", lineage, pin = Some(0.8)) ==
       (Some(0.8), "pinned"))
   }
 
@@ -39,7 +66,7 @@ class BenchCanarySpec extends AnyFunSuite {
       entry(32, 0.50, Some(false)),
       entry(32, 0.60, Some(false)),
       entry(32, 0.55, Some(false)))
-    assert(Bench.resolveCommitted("32", lineage, pin = None) ==
+    assert(resolveCommitted("32", lineage, pin = None) ==
       (Some(0.50), "derived"))
   }
 
@@ -51,7 +78,7 @@ class BenchCanarySpec extends AnyFunSuite {
     val lineage = tmpLineage(
       entry(32, 0.600, Some(false)),
       entry(32, 0.710, Some(false)))
-    assert(Bench.resolveCommitted("32", lineage, pin = None) ==
+    assert(resolveCommitted("32", lineage, pin = None) ==
       (Some(0.600), "derived"),
       "the drifted window must not become the new calm level")
   }
@@ -62,7 +89,7 @@ class BenchCanarySpec extends AnyFunSuite {
     val lineage = tmpLineage(
       (Seq.fill(5)(0.30) ++ Seq.fill(5)(0.60))
         .map(m => entry(32, m, Some(false))): _*)
-    assert(Bench.resolveCommitted("32", lineage, pin = None) ==
+    assert(resolveCommitted("32", lineage, pin = None) ==
       (Some(0.60), "derived"))
   }
 
@@ -71,13 +98,13 @@ class BenchCanarySpec extends AnyFunSuite {
       entry(32, 0.50, Some(false)),
       entry(32, 2.50, Some(true)), // a flagged-hot window is harmless under min
       entry(32, 0.52, Some(false)))
-    assert(Bench.resolveCommitted("32", lineage, pin = None) ==
+    assert(resolveCommitted("32", lineage, pin = None) ==
       (Some(0.50), "derived"))
   }
 
   test("flag-off windows seed the level (non-32-core self-bootstrap)") {
     val lineage = tmpLineage(entry(4, 3.30, None), entry(4, 3.10, None))
-    assert(Bench.resolveCommitted("4", lineage, pin = None) ==
+    assert(resolveCommitted("4", lineage, pin = None) ==
       (Some(3.10), "derived"),
       "runs 1/2 seeded the lineage with the flag off; run 3 must derive")
   }
@@ -87,24 +114,24 @@ class BenchCanarySpec extends AnyFunSuite {
     // co-tenant load (median 6.0, flag off), run 2 is calm (3.1) —
     // the min takes the calm window, so the poison never sticks
     val lineage = tmpLineage(entry(4, 6.00, None), entry(4, 3.10, None))
-    assert(Bench.resolveCommitted("4", lineage, pin = None) ==
+    assert(resolveCommitted("4", lineage, pin = None) ==
       (Some(3.10), "derived"))
   }
 
   test("other core counts' entries are invisible") {
     val lineage = tmpLineage(entry(4, 3.10, None))
-    assert(Bench.resolveCommitted("32", lineage, pin = None) ==
+    assert(resolveCommitted("32", lineage, pin = None) ==
       (Some(0.57), "default"), "local[32] falls back to the bootstrap constant")
-    assert(Bench.resolveCommitted("8", lineage, pin = None) == (None, "off"),
+    assert(resolveCommitted("8", lineage, pin = None) == (None, "off"),
       "off the reference count with no lineage at it, the flag stays off")
   }
 
   test("a missing lineage file resolves like an empty one") {
     val p = java.nio.file.Paths.get("/tmp/graft_no_such_lineage.jsonl")
     java.nio.file.Files.deleteIfExists(p)
-    assert(Bench.resolveCommitted("32", p, pin = None) ==
+    assert(resolveCommitted("32", p, pin = None) ==
       (Some(0.57), "default"))
-    assert(Bench.resolveCommitted("16", p, pin = None) == (None, "off"))
+    assert(resolveCommitted("16", p, pin = None) == (None, "off"))
   }
 
   // -------------------------------------------------------------
@@ -118,7 +145,7 @@ class BenchCanarySpec extends AnyFunSuite {
     val lineage = tmpLineage(
       entry(32, 0.50, Some(false)),
       """{"cpus":32,"median":0.""")
-    assert(Bench.resolveCommitted("32", lineage, pin = None) ==
+    assert(resolveCommitted("32", lineage, pin = None) ==
       (Some(0.50), "derived"))
   }
 
@@ -126,13 +153,13 @@ class BenchCanarySpec extends AnyFunSuite {
     val lineage = tmpLineage(
       """{"cpus":32,"median":0,"committed":null,"ratio":null,"inflated":null,"provenance":"off"}""",
       entry(32, 0.52, Some(false)))
-    assert(Bench.resolveCommitted("32", lineage, pin = None) ==
+    assert(resolveCommitted("32", lineage, pin = None) ==
       (Some(0.52), "derived"))
   }
 
   test("a lineage of ONLY torn lines falls back to the bootstrap") {
     val lineage = tmpLineage("""{"cpus":32,"median":0.""")
-    assert(Bench.resolveCommitted("32", lineage, pin = None) ==
+    assert(resolveCommitted("32", lineage, pin = None) ==
       (Some(0.57), "default"))
   }
 
@@ -146,23 +173,23 @@ class BenchCanarySpec extends AnyFunSuite {
     val lineage = tmpLineage(
       entryIo(32, 0.40, 0.70),
       entryIo(32, 0.80, 0.65))
-    assert(Bench.resolveCommittedIo("32", lineage, pin = None) ==
+    assert(resolveCommittedIo("32", lineage, pin = None) ==
       (Some(0.65), "derived"))
-    assert(Bench.resolveCommitted("32", lineage, pin = None) ==
+    assert(resolveCommitted("32", lineage, pin = None) ==
       (Some(0.40), "derived"),
       "the cpu axis must not read the io medians")
   }
 
   test("pre-r15 lines (no median_io) leave the io axis on its bootstrap") {
     val lineage = tmpLineage(entry(32, 0.50, Some(false)))
-    assert(Bench.resolveCommittedIo("32", lineage, pin = None) ==
+    assert(resolveCommittedIo("32", lineage, pin = None) ==
       (Some(0.60), "default"))
-    assert(Bench.resolveCommittedIo("8", lineage, pin = None) == (None, "off"))
+    assert(resolveCommittedIo("8", lineage, pin = None) == (None, "off"))
   }
 
   test("an io pin wins and reads as pinned") {
     val lineage = tmpLineage(entryIo(32, 0.40, 0.40))
-    assert(Bench.resolveCommittedIo("32", lineage, pin = Some(0.9)) ==
+    assert(resolveCommittedIo("32", lineage, pin = Some(0.9)) ==
       (Some(0.9), "pinned"))
   }
 
@@ -222,8 +249,8 @@ class BenchCanarySpec extends AnyFunSuite {
     val lineage = tmpLineage(
       entryQ(32, Seq("qa" -> 1.50, "qb" -> 3.00)),
       entryQ(32, Seq("qa" -> 1.20, "qb" -> 3.40, "qc" -> 0.80)))
-    val (floors, windows) = Bench.resolveQueryFloors("32", lineage)
-    assert(windows == 2)
+    val (floors, windows, prov) = resolveQueryFloors("32", lineage)
+    assert(windows == 2 && prov == "same-heap")
     assert(floors == Map("qa" -> 1.20, "qb" -> 3.00, "qc" -> 0.80))
   }
 
@@ -233,15 +260,15 @@ class BenchCanarySpec extends AnyFunSuite {
       entry(32, 0.50, Some(false)), // pre-r16: no q_mins map
       """{"cpus":32,"median":0.50,"q_mins":{"qa":0.""", // torn mid-write
       entryQ(32, Seq("qa" -> 1.10)))
-    val (floors, windows) = Bench.resolveQueryFloors("32", lineage)
+    val (floors, windows, _) = resolveQueryFloors("32", lineage)
     assert(windows == 1 && floors == Map("qa" -> 1.10),
       "the 4-core entry, the floor-less entry and the torn line are all invisible")
-    assert(Bench.resolveQueryFloors("8", lineage)._1.isEmpty)
+    assert(resolveQueryFloors("8", lineage) == (Map.empty, 0, "none"))
   }
 
   test("only the last N q_mins-bearing windows enter; older minima age out") {
     val lines = (1 to 7).map(i => entryQ(32, Seq("qa" -> (10.0 - i))))
-    val (floors, _) = Bench.resolveQueryFloors("32", tmpLineage(lines: _*))
+    val (floors, _, _) = resolveQueryFloors("32", tmpLineage(lines: _*))
     // last 5 entries carry qa = 7,6,5,4,3 — the old 9/8 minima are out
     assert(floors == Map("qa" -> 3.0))
   }
@@ -297,6 +324,60 @@ class BenchCanarySpec extends AnyFunSuite {
       "all historical windows ran at the build default")
     assert(!Bench.heapMatches(legacy, 98304, currentIsDefault = false),
       "an inflated-heap run must not inherit default-heap history")
+  }
+
+  // -------------------------------------------------------------
+  // Simulated non-default heap (r16 What's-wrong #1, the driver's
+  // live environment: SPARK_DRIVER_MEM≈89 GiB, lineage full of
+  // default-heap history). The whole resolution is exercised under
+  // injected heap keys — no env export needed — proving the suite
+  // and the floor machinery behave at ANY fork heap.
+
+  test("under a non-default heap, committed levels ignore default-heap history and fall back") {
+    val lineage = tmpLineage(
+      entry(32, 0.40, Some(false)), // legacy default-heap line
+      entryIo(32, 0.42, 0.55))
+    assert(Bench.resolveCommitted("32", lineage, pin = None,
+      currentHeapMb = 91136L, currentIsDefault = false) ==
+      (Some(0.57), "default"),
+      "default-heap minima must not arm a 89g window's flag; the bootstrap applies")
+    assert(Bench.resolveCommitted("8", lineage, pin = None,
+      currentHeapMb = 91136L, currentIsDefault = false) == (None, "off"))
+  }
+
+  test("same-heap lineage at a non-default heap derives normally") {
+    val l96a = """{"cpus":32,"heap_mb":91136,"median":0.80,"committed":0.57,"ratio":1.4,"inflated":false,"provenance":"default"}"""
+    val l96b = """{"cpus":32,"heap_mb":91136,"median":0.72,"committed":0.57,"ratio":1.26,"inflated":false,"provenance":"default"}"""
+    val lineage = tmpLineage(entry(32, 0.40, Some(false)), l96a, l96b)
+    assert(Bench.resolveCommitted("32", lineage, pin = None,
+      currentHeapMb = 91136L, currentIsDefault = false) ==
+      (Some(0.72), "derived"),
+      "a 89g run derives from its own heap's windows, not the 8g minima")
+  }
+
+  test("a non-default-heap window is never floor-BLIND: cross-heap advisory floors") {
+    // the r16 incident replayed: all history at the default heap, the
+    // driver window at 89g — r16 resolved ZERO floor windows and the
+    // flagship floor report was empty. Now: same-heap first, else the
+    // cross-heap pool with an advisory provenance label.
+    val lineage = tmpLineage(
+      entryQ(32, Seq("qa" -> 1.50, "qb" -> 3.00)),
+      entryQ(32, Seq("qa" -> 1.20, "qb" -> 3.40)))
+    val (floors, windows, prov) = Bench.resolveQueryFloors("32", lineage,
+      currentHeapMb = 91136L, currentIsDefault = false)
+    assert(windows == 2 && prov == "cross-heap",
+      "the driver window must get a floor report, labelled advisory")
+    assert(floors == Map("qa" -> 1.20, "qb" -> 3.00))
+  }
+
+  test("same-heap floors win over the cross-heap pool when both exist") {
+    val l96 = """{"cpus":32,"heap_mb":91136,"median":0.80,"q_mins":{"qa":4.0}}"""
+    val lineage = tmpLineage(entryQ(32, Seq("qa" -> 1.20)), l96)
+    val (floors, windows, prov) = Bench.resolveQueryFloors("32", lineage,
+      currentHeapMb = 91136L, currentIsDefault = false)
+    assert(windows == 1 && prov == "same-heap" && floors == Map("qa" -> 4.0),
+      "with own-heap history the floors are authoritative, not advisory — " +
+        "and the 8g minima (3-4x faster on the allocation cluster) stay out")
   }
 
   test("trim keeps duplicates that fall inside the window") {
