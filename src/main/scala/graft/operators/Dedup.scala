@@ -43,11 +43,23 @@ object Dedup {
     * single n-gram builder every shingling consumer shares
     * (jaccard/minhash/simhash at n=3, decontamination at n=3/5).
     *
-    * Shape chosen after profiling: split once + posexplode + window
-    * `lead` builds each n-gram exactly once per position. The naive
+    * Shape (r17): a pure per-row projection — zip n shifted `slice`s
+    * of the token array and concat each struct, the measured-fast
+    * text_bigrams form, with per-doc distinctness via `array_distinct`
+    * BEFORE the explode. `split` evaluates once per slice argument
+    * (n times per row), never per element — the naive
     * `transform(sequence, i -> element_at(split(text), i))` form
     * re-evaluates `split` for every element access (CollapseProject
-    * inlines it) and was ~6x slower end-to-end.
+    * inlines it) and was ~6x slower end-to-end. The r1-r16 form
+    * (posexplode + window `lead`) built each n-gram once per position
+    * but paid a FULL-CORPUS exchange + sort (hash by doc_id for the
+    * window) plus a distinct aggregate before any consumer saw a row;
+    * this form emits the same distinct (doc_id, g0) set with ZERO
+    * exchanges — at 100 TB that removes one full shuffle+sort of the
+    * exploded token stream from every shingle consumer (jaccard,
+    * minhash x3, simhash x2, containment, fingerprint, overlap
+    * sketch, decontamination), measured -0.3..-0.6 s per query at
+    * sf0.1 (OPTIMIZATION_r17.md).
     *
     * `shortDocFallback`: docs under n words contribute their whole
     * text as one pseudo-gram (the dedup-family convention, mirrored by
@@ -58,23 +70,19 @@ object Dedup {
   private[operators] def ngramStrings(
       s: org.apache.spark.sql.SparkSession, d: String,
       n: Int, shortDocFallback: Boolean): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wspec = Window.partitionBy("doc_id").orderBy("pos")
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), size(split(col("text"), " ")).as("nw"))
+    val ws = split(col("text"), " ")
+    val len = size(ws) - (n - 1)
+    val zipped = arrays_zip((0 until n).map(i => slice(ws, lit(i + 1), len)): _*)
+    val grams = transform(zipped, p =>
+      concat_ws(" ", (0 until n).map(i => p(i.toString)): _*))
     val long = docs.filter(col("nw") >= n)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .select(col("doc_id"),
-        concat_ws(" ", col("w") +: (1 until n).map(k => lead("w", k).over(wspec)): _*).as("g0"),
-        lead("w", n - 1).over(wspec).as("guard"))
-      .filter(col("guard").isNotNull)
-      .select("doc_id", "g0")
-    val base =
-      if (shortDocFallback)
-        long.unionByName(
-          docs.filter(col("nw") < n).select(col("doc_id"), col("text").as("g0")))
-      else long
-    base.groupBy("doc_id", "g0").agg(count(lit(1)).as("_c")).drop("_c")
+      .select(col("doc_id"), explode(array_distinct(grams)).as("g0"))
+    if (shortDocFallback)
+      long.unionByName(
+        docs.filter(col("nw") < n).select(col("doc_id"), col("text").as("g0")))
+    else long
   }
 
   /** The dedup family's word-3-shingles (with short-doc fallback). */
@@ -105,11 +113,39 @@ object Dedup {
     */
   private def shingleKeys(s: org.apache.spark.sql.SparkSession, d: String) = {
     import org.apache.spark.sql.expressions.Window
+    cappedShingles(s, d)
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+  }
+
+  /** The df-capped (doc_id, g, df) stream WITHOUT the per-doc set-size
+    * window — r17: [[ngramJaccard]] and [[containment]] used to carry
+    * `n_sh` through their big self-join shuffle (via a full-stream
+    * exchange+sort by doc_id just to attach it, then 8-16 extra bytes
+    * per row through the join fan-out and the pair group-by keys);
+    * both now join the per-doc sizes onto the CANDIDATE PAIRS instead
+    * (guide §2.3/§8: move decisions' metadata onto the small frame,
+    * keep the heavy shuffle narrow). Only [[prefixJaccard]] still
+    * needs n_sh attached per shingle row (its prefix length and the
+    * in-join length filter read it), through [[shingleKeys]] above.
+    */
+  private def cappedShingles(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import org.apache.spark.sql.expressions.Window
     shingleStrings(s, d)
       .select(col("doc_id"), xxhash64(col("g0")).as("g"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
       .filter(col("df") <= MaxShingleDf)
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+  }
+
+  /** Materialized self-join base for the pair generators: the capped
+    * (doc_id, g) stream — localCheckpoint'd once because three plan
+    * branches read it (both join sides + the per-doc size aggregate;
+    * the [[prefixJaccard]] `keyed` precedent) — plus the per-doc
+    * post-cap set sizes as a SEPARATE narrow frame.
+    */
+  private def pairBase(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val sh = cappedShingles(s, d).select("doc_id", "g").localCheckpoint(true)
+    (sh, sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh")))
   }
 
   /** Shared DuckDB CTE block: capped shingle extraction with per-doc
@@ -135,12 +171,17 @@ object Dedup {
     (s, d) => {
       // Blocking self-equi-join on the shingle key: only docs sharing
       // a shingle ever meet; |A inter B| falls out of the pair count,
-      // so no array payloads cross the shuffle.
-      val sh = shingleKeys(s, d)
-      val a = sh.select(col("g"), col("doc_id").as("i"), col("n_sh").as("ni"))
-      val b = sh.select(col("g"), col("doc_id").as("j"), col("n_sh").as("nj"))
+      // so no array payloads cross the shuffle. The per-doc set sizes
+      // join onto the CANDIDATE PAIRS (data-bounded), not onto every
+      // shingle row — the join and pair group-by shuffle bare
+      // (g, doc_id) / (i, j) keys only (r17, guide §2.3).
+      val (sh, sizes) = pairBase(s, d)
+      val a = sh.select(col("g"), col("doc_id").as("i"))
+      val b = sh.select(col("g"), col("doc_id").as("j"))
       a.join(b, Seq("g")).filter(col("i") < col("j"))
-        .groupBy("i", "j", "ni", "nj").agg(count(lit(1)).as("n_common"))
+        .groupBy("i", "j").agg(count(lit(1)).as("n_common"))
+        .join(sizes.select(col("doc_id").as("i"), col("n_sh").as("ni")), "i")
+        .join(sizes.select(col("doc_id").as("j"), col("n_sh").as("nj")), "j")
         .withColumn("jaccard",
           col("n_common").cast(DoubleType) / (col("ni") + col("nj") - col("n_common")))
         .filter(col("jaccard") >= JaccardTau)
@@ -805,12 +846,16 @@ object Dedup {
   val containment = QueryDef(
     "dedup_containment",
     (s, d) => {
-      val sh = shingleKeys(s, d)
-      val a = sh.select(col("g"), col("doc_id").as("contained_id"), col("n_sh").as("ni"))
+      // same pair-level size attach as ngramJaccard (r17): only the
+      // contained side's size is needed, joined after the pair count
+      val (sh, sizes) = pairBase(s, d)
+      val a = sh.select(col("g"), col("doc_id").as("contained_id"))
       val b = sh.select(col("g"), col("doc_id").as("container_id"))
       a.join(b, Seq("g")).filter(col("contained_id") =!= col("container_id"))
-        .groupBy("contained_id", "container_id", "ni")
+        .groupBy("contained_id", "container_id")
         .agg(count(lit(1)).as("n_common"))
+        .join(sizes.select(col("doc_id").as("contained_id"),
+          col("n_sh").as("ni")), "contained_id")
         .withColumn("containment", col("n_common").cast(DoubleType) / col("ni"))
         .filter(col("containment") >= ContainTau)
         .select("contained_id", "container_id", "n_common", "containment")
@@ -849,16 +894,23 @@ object Dedup {
     "dedup_winnow",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // same pair-level size attach as ngramJaccard (r17): the df-cap
+      // window stays on the fingerprint stream; the per-doc winnowed
+      // set sizes join onto the candidate pairs instead of riding the
+      // self-join shuffle and the pair group-by keys
       val fps = TextAnalysis.winnow.fn(s, d)
         .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
         .filter(col("df") <= MaxShingleDf)
-        .withColumn("nf", count(lit(1)).over(Window.partitionBy("doc_id")))
-      val a = fps.select(col("fp"), col("doc_id").as("i"), col("nf").as("ni"))
-      val b = fps.select(col("fp"), col("doc_id").as("j"), col("nf").as("nj"))
+        .select("doc_id", "fp").localCheckpoint(true)
+      val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+      val a = fps.select(col("fp"), col("doc_id").as("i"))
+      val b = fps.select(col("fp"), col("doc_id").as("j"))
       a.join(b, "fp").filter(col("i") < col("j"))
-        .groupBy("i", "j", "ni", "nj")
+        .groupBy("i", "j")
         .agg(count(lit(1)).as("shared_fps"))
         .filter(col("shared_fps") >= WinnowMinShared)
+        .join(sizes.select(col("doc_id").as("i"), col("nf").as("ni")), "i")
+        .join(sizes.select(col("doc_id").as("j"), col("nf").as("nj")), "j")
         .select(col("i"), col("j"), col("shared_fps"),
           (floor(col("shared_fps").cast(DoubleType) /
             least(col("ni"), col("nj")) * 1e6) / 1e6).as("containment"))

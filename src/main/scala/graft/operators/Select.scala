@@ -328,7 +328,12 @@ object Select {
         count(lit(1)).as("cr"))
       .withColumn("lr9", ln9big(col("ct") + 1) - ln9big(col("cr") + 1))
     val totals = model.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
-    val lw = bi.join(model.select("f", "lr9"), "f")
+    // r17: the model is bounded at DsirB (= 1024) hashed-feature rows
+    // at ANY corpus size, so broadcasting it removes the full-corpus
+    // bigram-stream exchange the equi-join otherwise pays (the f-side
+    // shuffle of `bi` was the plan's largest exchange; the remaining
+    // doc_id aggregate partial-aggregates map-side). Guide §3.1.
+    val lw = bi.join(broadcast(model.select("f", "lr9")), "f")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("nf"), sum(col("lr9")).as("s9"))
     docs.select(col("doc_id"), col("source"))
