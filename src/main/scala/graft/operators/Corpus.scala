@@ -301,7 +301,9 @@ object Corpus {
     "q_overlap_sketch",
     (s, d) => {
       val h48 = conv(substring(md5(col("g0")), 1, 12), 16, 10).cast(LongType)
-      val hashes = Dedup.shingleStrings(s, d)
+      // multiset shingles: the (side, h) stream is dropDuplicates'd
+      // right below, so per-doc array_distinct is pure CPU here (r17)
+      val hashes = Dedup.shingleStringsMulti(s, d)
         .select((col("doc_id") % 2).as("side"), h48.as("h"))
         .dropDuplicates("side", "h")
       val topk = graft.plans.GraftOps.topKPerKey(

@@ -43,14 +43,11 @@ object Dedup {
     * single n-gram builder every shingling consumer shares
     * (jaccard/minhash/simhash at n=3, decontamination at n=3/5).
     *
-    * Shape (r17): a pure per-row projection — zip n shifted `slice`s
-    * of the token array and concat each struct, the measured-fast
-    * text_bigrams form, with per-doc distinctness via `array_distinct`
-    * BEFORE the explode. `split` evaluates once per slice argument
-    * (n times per row), never per element — the naive
-    * `transform(sequence, i -> element_at(split(text), i))` form
-    * re-evaluates `split` for every element access (CollapseProject
-    * inlines it) and was ~6x slower end-to-end. The r1-r16 form
+    * Shape (r17): a pure per-row projection — the token array is
+    * materialized once per row (`ws`, its own Project; see the inline
+    * comment), then `transform(sequence(1, len), i -> concat_ws(ws[i]
+    * ... ws[i+n-1]))` builds the grams and (when `distinct`)
+    * `array_distinct` dedups them BEFORE the explode. The r1-r16 form
     * (posexplode + window `lead`) built each n-gram once per position
     * but paid a FULL-CORPUS exchange + sort (hash by doc_id for the
     * window) plus a distinct aggregate before any consumer saw a row;
@@ -58,8 +55,12 @@ object Dedup {
     * exchanges — at 100 TB that removes one full shuffle+sort of the
     * exploded token stream from every shingle consumer (jaccard,
     * minhash x3, simhash x2, containment, fingerprint, overlap
-    * sketch, decontamination), measured -0.3..-0.6 s per query at
-    * sf0.1 (OPTIMIZATION_r17.md).
+    * sketch, decontamination). Measured same-JVM interleaved at sf0.1
+    * (OPTIMIZATION_r17.md): the projection wins or ties every consumer
+    * once `ws` is materialized (an inline split() re-evaluates its
+    * regex per slice reference inside the interpreted higher-order
+    * functions and lost ~1.2x) and the MIN-aggregate consumers skip
+    * the distinct pass entirely ([[shingleStringsMulti]]).
     *
     * `shortDocFallback`: docs under n words contribute their whole
     * text as one pseudo-gram (the dedup-family convention, mirrored by
@@ -69,25 +70,44 @@ object Dedup {
     */
   private[operators] def ngramStrings(
       s: org.apache.spark.sql.SparkSession, d: String,
-      n: Int, shortDocFallback: Boolean): org.apache.spark.sql.DataFrame = {
+      n: Int, shortDocFallback: Boolean,
+      distinct: Boolean = true): org.apache.spark.sql.DataFrame = {
+    // `ws` is materialized ONCE per row in its own projection: the
+    // gram builder below references it n+1 times, and an inline
+    // split() would re-run the regex per reference (the n slices are
+    // inside higher-order functions, which evaluate interpreted — no
+    // codegen subexpression elimination). A non-cheap alias used more
+    // than once survives CollapseProject (SPARK-36718).
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), size(split(col("text"), " ")).as("nw"))
-    val ws = split(col("text"), " ")
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+    val ws = col("ws")
     val len = size(ws) - (n - 1)
-    val zipped = arrays_zip((0 until n).map(i => slice(ws, lit(i + 1), len)): _*)
-    val grams = transform(zipped, p =>
-      concat_ws(" ", (0 until n).map(i => p(i.toString)): _*))
-    val long = docs.filter(col("nw") >= n)
-      .select(col("doc_id"), explode(array_distinct(grams)).as("g0"))
+    val grams = transform(sequence(lit(1), len), i =>
+      concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*))
+    val long = docs.filter(size(ws) >= n)
+      .select(col("doc_id"),
+        explode(if (distinct) array_distinct(grams) else grams).as("g0"))
     if (shortDocFallback)
       long.unionByName(
-        docs.filter(col("nw") < n).select(col("doc_id"), col("text").as("g0")))
+        docs.filter(size(ws) < n).select(col("doc_id"), col("text").as("g0")))
     else long
   }
 
   /** The dedup family's word-3-shingles (with short-doc fallback). */
   private[operators] def shingleStrings(s: org.apache.spark.sql.SparkSession, d: String) =
     ngramStrings(s, d, 3, shortDocFallback = true)
+
+  /** Word-3-shingles WITHOUT per-doc de-duplication — for consumers
+    * whose downstream computation is multiset-invariant (a per-doc MIN
+    * aggregate, or a later global dropDuplicates), where the
+    * `array_distinct` pass is pure per-row CPU: min over the multiset
+    * equals min over the distinct set. Used by [[minhashSigs]],
+    * text_fingerprint and q_overlap_sketch (r17, measured ~1.1-1.3x
+    * off those queries at sf0.1; outputs oracle-identical).
+    */
+  private[operators] def shingleStringsMulti(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    ngramStrings(s, d, 3, shortDocFallback = true, distinct = false)
 
   /** Document-frequency cap on join shingles: a shingle present in
     * more than this many documents is a boilerplate/stop-shingle — it
@@ -292,7 +312,9 @@ object Dedup {
     */
   private def minhashSigs(s: org.apache.spark.sql.SparkSession, d: String) = {
     val h32 = TextAnalysis.hash32(col("g0"))
-    shingleStrings(s, d)
+    // multiset shingles: every signature entry is a MIN aggregate, so
+    // per-doc distinctness is semantics-free CPU here (r17)
+    shingleStringsMulti(s, d)
       .select(col("doc_id"), h32.as("h"))
       .groupBy("doc_id")
       .agg(

@@ -231,7 +231,7 @@ object TextAnalysis {
       // and measured ~40x slower once the bench stopped letting
       // Catalyst prune the column. Same min: the distinct shingle
       // set has the same minimum as the full window sequence.
-      val minHash = Dedup.shingleStrings(s, d)
+      val minHash = Dedup.shingleStringsMulti(s, d)
         .groupBy("doc_id")
         .agg(min(hash60(col("g0"))).as("shingle_min_hash"))
       Tables.documents(s, d)
