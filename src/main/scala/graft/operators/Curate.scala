@@ -209,6 +209,31 @@ object Curate {
         TextAnalysis.hash60(concat(lit("budget:"), col("text"))).as("h"),
         TextAnalysis.hash60(concat(lit("pack:"), col("text"))).as("h_pack"))
 
+  /** TEMPORARY (r17 AbStage): [[shardBase]] accessor. */
+  private[graft] def shardBaseForTiming(s: org.apache.spark.sql.SparkSession,
+      d: String, curated: org.apache.spark.sql.DataFrame) =
+    shardBase(s, d, curated)
+
+  /** TEMPORARY (r17 AbStage): the post-base shard stages over a
+    * caller-materialized base frame.
+    */
+  private[graft] def shardStagesForTiming(
+      base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val budgets = Sampling.sourceBudgets(base, ShardT)
+    val selected = Sampling.shardedCumTokens(base, "source")
+      .join(broadcast(budgets), "source")
+      .filter(col("cum_tokens") - col("n_tokens") < col("budget"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("h_pack").as("h"))
+      .localCheckpoint(true)
+    Sampling.shardedCumTokens(selected, "source")
+      .withColumn("start_offset",
+        (col("cum_tokens") - col("n_tokens")) % ShardBinTokens)
+      .withColumn("bin_id",
+        expr(s"(cum_tokens - n_tokens) div $ShardBinTokens"))
+      .select("doc_id", "source", "n_tokens", "bin_id", "start_offset")
+  }
+
   /** [[shard]] body over an injectable curated frame — the same seam
     * style as [[curateFrom]]; the registered query passes the fresh
     * pipeline_curate output.
@@ -232,11 +257,20 @@ object Curate {
     // budgets derive from the CURATED corpus (the semantics is "cut a
     // training shard from what curation kept", not from raw mass)
     val budgets = Sampling.sourceBudgets(base, ShardT)
+    // Materialized once (r17): the second prefix sum below consumes
+    // `selected` through TWO plan branches (its shard-offset aggregate
+    // and its local window), and without the checkpoint the whole
+    // first cumsum + budget join subtree executes twice per action
+    // (measured: the post-base shard stages dropped ~2.8 s -> ~1.6 s
+    // at sf0.1). `selected` is budget-bounded by construction
+    // (sum(n_tokens) < ShardT + one doc per source), so the eager
+    // materialization is small at ANY tier.
     val selected = Sampling.shardedCumTokens(base, "source")
       .join(broadcast(budgets), "source")
       .filter(col("cum_tokens") - col("n_tokens") < col("budget"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("h_pack").as("h"))
+      .localCheckpoint(true)
     // pack the selected docs per source under the packer's own hash
     // order — a SECOND two-phase sharded prefix sum, same machinery
     Sampling.shardedCumTokens(selected, "source")

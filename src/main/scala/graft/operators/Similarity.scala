@@ -771,7 +771,18 @@ object Similarity {
     */
   private[graft] def blockedStagesFrom(
       s: SparkSession, d: String, aug: DataFrame): (DataFrame, DataFrame) =
-    bandedPruneFrom(blockedAssign(s, d, aug))
+    // The assignment frame is materialized ONCE before the banding
+    // stages (r17) — [[bandedPruneFrom]] consumes it through ~6 plan
+    // branches (both band-join sides, both verify sides, the dedup
+    // left-join, and both dominance sides), and without the checkpoint
+    // each branch re-ran the corpus scan + augment + multi-probe Lloyd
+    // assignment. Same discipline as [[hierStages]] (whose Scaladoc
+    // already frames the materialized frame as the deployment's code
+    // table). Measured same-JVM interleaved at sf0.1:
+    // dedup_embedding_blocked 3.14 -> 2.32 s, pipeline_curate_emb
+    // 3.16 -> 2.64 s, dedup_embedding_keep 2.49 -> 2.35 s; outputs
+    // hash-identical (OPTIMIZATION_r17.md).
+    bandedPruneFrom(blockedAssign(s, d, aug).localCheckpoint(true))
 
   /** STAGE 1 of the blocked composition alone — the corpus-scaled
     * Lloyd training + multi-probe cell assignment, factored out (r13)
