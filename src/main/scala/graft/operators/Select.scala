@@ -323,10 +323,16 @@ object Select {
       .select(col("doc_id"), col("tgt"),
         (TextAnalysis.hash60(
           concat(col("p")("0"), lit(" "), col("p")("1"))) % DsirB).as("f"))
+    // Materialized once (r17): `model` is bounded at DsirB (= 1024)
+    // rows at ANY corpus size, and it feeds TWO consumers (the lr9
+    // broadcast and the totals aggregate) — without the checkpoint the
+    // totals path re-ran the full corpus bigram explode + aggregate a
+    // third time per action.
     val model = bi.groupBy("f")
       .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
         count(lit(1)).as("cr"))
       .withColumn("lr9", ln9big(col("ct") + 1) - ln9big(col("cr") + 1))
+      .localCheckpoint(true)
     val totals = model.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
     // r17: the model is bounded at DsirB (= 1024) hashed-feature rows
     // at ANY corpus size, so broadcasting it removes the full-corpus
@@ -473,6 +479,11 @@ object Select {
     */
   def nbArtifactsFor(docs: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    // NOT checkpointed (r17 measurement): the vocabulary-sized count
+    // table feeds two consumers (model + totals), but a same-JVM
+    // interleaved A/B of an eager materialization here measured a wash
+    // (classify_nb 1.44 inline vs 1.51 ckpt; the totals branch's
+    // re-aggregation reuses the exchange) — left on the simpler form.
     val counts = docs.select(col("pos"), explode(col("ws")).as("tok"))
       .groupBy("tok")
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
