@@ -168,6 +168,34 @@ object Dedup {
     (sh, sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh")))
   }
 
+  /** TEMPORARY (r17 AbStage): [[clusterKeepFrom]] accessor. */
+  private[graft] def clusterKeepForTiming(
+      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    clusterKeepFrom(pairs)
+
+  /** TEMPORARY (r17 AbStage): the un-checkpointed pair base. */
+  private[graft] def pairBaseForTiming(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    cappedShingles(s, d).select("doc_id", "g")
+
+  /** TEMPORARY (r17 AbStage): [[ngramJaccard]]'s post-base body over a
+    * caller-materialized shingle stream.
+    */
+  private[graft] def ngramJaccardFromBase(
+      sh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("g"), col("doc_id").as("i"))
+    val b = sh.select(col("g"), col("doc_id").as("j"))
+    a.join(b, Seq("g")).filter(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("i"), col("n_sh").as("ni")), "i")
+      .join(sizes.select(col("doc_id").as("j"), col("n_sh").as("nj")), "j")
+      .withColumn("jaccard",
+        col("n_common").cast(DoubleType) / (col("ni") + col("nj") - col("n_common")))
+      .filter(col("jaccard") >= JaccardTau)
+      .select("i", "j", "n_common", "jaccard")
+  }
+
   /** Shared DuckDB CTE block: capped shingle extraction with per-doc
     * set sizes (`ex(doc_id, shingle, n_sh)`) — the SQL mirror of
     * [[shingleKeys]], used by both the Jaccard and containment
@@ -682,11 +710,12 @@ object Dedup {
     * label = the component's minimum node id.
     *
     * Each round interleaves one HOP of min-label propagation with one
-    * POINTER JUMP (label <- label's label). The jump doubles the
-    * distance a minimum has travelled, so rounds scale with
-    * log2(component diameter), not diameter — a 1000-hop chain
-    * converges in ~10 rounds instead of 1000 (spec-verified on a
-    * 200-node path). `localCheckpoint` truncates lineage each round,
+    * POINTER JUMP (label <- label's label, through the previous
+    * round's label map — see the stale-jump note in the loop). The
+    * jump compounds the distance a minimum has travelled
+    * (d_k >= d_{k-1} + d_{k-2}), so rounds scale with log(component
+    * diameter), not diameter — a 1000-hop chain converges in ~15
+    * rounds instead of 1000 (spec-verified on a 200-node path). `localCheckpoint` truncates lineage each round,
     * and the convergence count rides the checkpoint action itself as
     * an observed metric (`Dataset.observe` + [[org.apache.spark.sql.Observation]]),
     * so each round is exactly ONE Spark job — no separate
@@ -700,21 +729,30 @@ object Dedup {
       .localCheckpoint(true)
     var converged = false
     var iter = 0
-    val MaxRounds = 64 // log2-bounded: enough for any graph below 2^64 nodes
+    val MaxRounds = 64 // log-bounded: see the jump note below
     while (!converged && iter < MaxRounds) {
       // hop: the min label among each node's neighbours
       val neigh = edges.join(labels, col("src") === col("node"))
         .groupBy(col("dst")).agg(min(col("label")).as("nl"))
-      // materialized per round: the pointer-jump below joins `hopped`
-      // against a projection of ITSELF, and without the checkpoint
-      // the edge-sized hop join + min-aggregate subtree would execute
-      // twice every round (once per side of the self-join)
       val hopped = labels.join(neigh, col("node") === col("dst"), "left")
         .select(col("node"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      // jump: follow the label pointer one step (label of my label)
-      val ptrs = hopped.select(col("node").as("pnode"), col("label").as("plabel"))
+      // jump: follow the label pointer one step through the PREVIOUS
+      // round's labels (stale pointers, r17). The r16 form jumped
+      // through the CURRENT hopped map — a self-join that forced a
+      // second eager checkpoint per round so the hop subtree would not
+      // run twice; jumping through `labels` (already materialized last
+      // round) keeps hop+jump in ONE job and ONE checkpoint per round
+      // (measured same-JVM interleaved at sf0.1: dedup_cluster_keep
+      // 2.45 -> 2.12 s, dedup_keep_rank 4.14 -> 3.90 s,
+      // dedup_embedding_keep 2.22 -> 2.03 s; outputs hash-identical).
+      // A stale jump still compounds the distance a minimum travels:
+      // d_k >= d_{k-1} + d_{k-2} (hop extends by last round's reach,
+      // the stale pointer adds the round-before's), so rounds stay
+      // O(log diameter) and MaxRounds = 64 covers any graph below
+      // ~phi^64 ~ 10^13 diameter; the FIXPOINT (component-min labels)
+      // is unchanged — only intermediate label states differ.
+      val ptrs = labels.select(col("node").as("pnode"), col("label").as("plabel"))
       val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
       val next = hopped.join(ptrs, hopped("label") === ptrs("pnode"), "left")
         .select(col("node"),
