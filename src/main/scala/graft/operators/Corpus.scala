@@ -301,12 +301,17 @@ object Corpus {
     "q_overlap_sketch",
     (s, d) => {
       val h48 = conv(substring(md5(col("g0")), 1, 12), 16, 10).cast(LongType)
-      // multiset shingles: the (side, h) stream is dropDuplicates'd
-      // right below, so per-doc array_distinct is pure CPU here (r17)
+      // multiset shingles + the DISTINCT bounded heap (r17): KMV needs
+      // the k smallest DISTINCT hashes per side, and the old
+      // dropDuplicates paid a FULL-stream (side, h) exchange before
+      // the heap ever saw a row — at corpus scale the query's largest
+      // shuffle, for rows the sketch then discards. topKPerKeyDistinct
+      // dedups inside the per-partition heap (each partition's k
+      // distinct minima are a superset of its contribution to the
+      // global k), so the exchange now carries <= k rows per partition.
       val hashes = Dedup.shingleStringsMulti(s, d)
         .select((col("doc_id") % 2).as("side"), h48.as("h"))
-        .dropDuplicates("side", "h")
-      val topk = graft.plans.GraftOps.topKPerKey(
+      val topk = graft.plans.GraftOps.topKPerKeyDistinct(
         hashes.withColumn("neg", -col("h")), Seq(col("side")), col("neg"), col("h"), KmvK)
         .select("side", "h")
       val th = topk.groupBy("side")

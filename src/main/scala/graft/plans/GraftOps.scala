@@ -31,7 +31,20 @@ object GraftOps {
     * session.
     */
   def topKPerKey(df: DataFrame, keys: Seq[Column], order: Column,
-      tie: Column, k: Int): DataFrame = {
+      tie: Column, k: Int): DataFrame =
+    topKPerKeyImpl(df, keys, order, tie, k, distinctOrd = false)
+
+  /** [[topKPerKey]] keeping at most ONE row per (order, tie) rank per
+    * key — the k-minimum-values sketch shape (r17): duplicates fold
+    * away inside the bounded heap map-side, so a KMV consumer pays no
+    * full-stream dropDuplicates exchange before the heap.
+    */
+  def topKPerKeyDistinct(df: DataFrame, keys: Seq[Column], order: Column,
+      tie: Column, k: Int): DataFrame =
+    topKPerKeyImpl(df, keys, order, tie, k, distinctOrd = true)
+
+  private def topKPerKeyImpl(df: DataFrame, keys: Seq[Column], order: Column,
+      tie: Column, k: Int, distinctOrd: Boolean): DataFrame = {
     require(k > 0, "k must be positive")
     val spark = df.sparkSession
     Bridge.addStrategy(spark, TopKStrategy)
@@ -54,7 +67,8 @@ object GraftOps {
       Bridge.eagerExpression(tie.cast("long")),
       k,
       Bridge.logicalPlan(df),
-      ordLong = ordIsLong))
+      ordLong = ordIsLong,
+      distinctOrd = distinctOrd))
   }
 
   /** Partition-skew diagnostic: per-partition row counts of `df` AS

@@ -36,7 +36,12 @@ object TopKNullRank {
   * space — two hashes closer than 1 ulp would otherwise fall through
   * to the tie-break, diverging from the window sort at corpus scale),
   * `nullRank` maps the window's NULLS FIRST/LAST, and `tieNullsFirst`
-  * does the same for the tie column.
+  * does the same for the tie column. `distinctOrd` (r17) keeps at most
+  * ONE row per (order, tie) rank per key — the k-minimum-values sketch
+  * shape: the k best DISTINCT rank values fold map-side in the partial
+  * pass, so a KMV consumer needs NO full-stream dropDuplicates
+  * exchange before the heap (each partition's k distinct minima are a
+  * superset of that partition's contribution to the global k).
   *
   * Why a custom operator: Spark expresses per-group top-k as
   * `row_number().over(Window...)` + filter, which materializes and
@@ -56,7 +61,8 @@ final case class TopKPerKey(
     ordAsc: Boolean = false,
     ordLong: Boolean = false,
     nullRank: TopKNullRank = TopKNullRank.Drop,
-    tieNullsFirst: Boolean = false) extends UnaryNode {
+    tieNullsFirst: Boolean = false,
+    distinctOrd: Boolean = false) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
     copy(child = newChild)
@@ -77,7 +83,8 @@ final case class TopKPerKeyExec(
     ordAsc: Boolean = false,
     ordLong: Boolean = false,
     nullRank: TopKNullRank = TopKNullRank.Drop,
-    tieNullsFirst: Boolean = false) extends UnaryExecNode {
+    tieNullsFirst: Boolean = false,
+    distinctOrd: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -139,6 +146,7 @@ final case class TopKPerKeyExec(
     val dropNulls = nullRank == TopKNullRank.Drop
     val isLong = ordLong
     val nullTie = tieForNull
+    val dedup = distinctOrd
     val outRowsMetric = longMetric("numOutputRows")
     val groupsMetric = longMetric("numGroups")
     child.execute().mapPartitions { iter =>
@@ -146,6 +154,15 @@ final case class TopKPerKeyExec(
       val ordBound = BindReferences.bindReference(orderExpr, childOutput)
       val tieBound = BindReferences.bindReference(tieExpr, childOutput)
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[Entry]]
+      // distinctOrd: per-key identity set of (nullOrd, ord, tie) so
+      // rows ranking EQUAL occupy one heap slot; kept in lockstep with
+      // the heap (insert adds, eviction removes). Identity packs the
+      // rank triple — doubles by raw bits, exact under the same
+      // Double.compare the heap uses (NaN == NaN by bits here, which
+      // matches NaN ranking as one value in the sort order).
+      val seen =
+        if (dedup) mutable.HashMap.empty[UnsafeRow, mutable.HashSet[(Boolean, Long, Long)]]
+        else null
       iter.foreach { row =>
         val ordAny = ordBound.eval(row)
         if (ordAny != null || !dropNulls) {
@@ -163,11 +180,38 @@ final case class TopKPerKeyExec(
               heaps.put(key.copy(), h)
               h
           }
-          if (heap.size < kLocal) {
-            heap.enqueue(new Entry(isNull, ordD, ordL, tieV, row.copy()))
-          } else if (cmpWorse(isNull, ordD, ordL, tieV, heap.head) < 0) {
-            heap.dequeue()
-            heap.enqueue(new Entry(isNull, ordD, ordL, tieV, row.copy()))
+          val ident: (Boolean, Long, Long) =
+            if (dedup)
+              (isNull,
+                if (isLong) ordL else java.lang.Double.doubleToRawLongBits(ordD),
+                tieV)
+            else null
+          val idSet =
+            if (dedup) {
+              seen.get(key) match {
+                case Some(s) => s
+                case None =>
+                  val s = mutable.HashSet.empty[(Boolean, Long, Long)]
+                  seen.put(key.copy(), s)
+                  s
+              }
+            } else null
+          if (!dedup || !idSet.contains(ident)) {
+            if (heap.size < kLocal) {
+              heap.enqueue(new Entry(isNull, ordD, ordL, tieV, row.copy()))
+              if (dedup) { idSet += ident; () }
+            } else if (cmpWorse(isNull, ordD, ordL, tieV, heap.head) < 0) {
+              val evicted = heap.dequeue()
+              if (dedup) {
+                idSet -= ((evicted.nullOrd,
+                  if (isLong) evicted.ordL
+                  else java.lang.Double.doubleToRawLongBits(evicted.ordD),
+                  evicted.tieV))
+                idSet += ident
+                ()
+              }
+              heap.enqueue(new Entry(isNull, ordD, ordL, tieV, row.copy()))
+            }
           }
         }
       }
@@ -195,8 +239,8 @@ object TopKStrategy extends SparkStrategy {
       val planned = planLater(t.child)
       TopKPerKeyExec(t.keys, t.order, t.tie, t.k, partial = false,
         TopKPerKeyExec(t.keys, t.order, t.tie, t.k, partial = true, planned,
-          t.ordAsc, t.ordLong, t.nullRank, t.tieNullsFirst),
-        t.ordAsc, t.ordLong, t.nullRank, t.tieNullsFirst) :: Nil
+          t.ordAsc, t.ordLong, t.nullRank, t.tieNullsFirst, t.distinctOrd),
+        t.ordAsc, t.ordLong, t.nullRank, t.tieNullsFirst, t.distinctOrd) :: Nil
     case _ => Nil
   }
 }
