@@ -414,29 +414,39 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("dedup_embedding_blocked: broadcast centroid join, banded equi-joins, O(1) plan text") {
-    val p = plan("dedup_embedding_blocked")
-    // stage-1/2 seam: the k-row centroid frame joins BROADCAST (never
-    // shuffles the corpus on cell), and every pair-generating join is
-    // an equi-join on (cell, band) keys — the O(n) candidate-work
-    // guarantee must be visible in the plan
-    assert(p.contains("BroadcastHashJoin"),
-      s"the centroid frame must broadcast:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"blocked dedup must never plan an all-pairs join:\n$p")
+    // The registered query eagerly checkpoints the assignment frame
+    // (r17), which truncates the visible plan at the checkpoint — so
+    // the ASSIGNMENT-stage state-placement assertions run on the
+    // un-checkpointed assignment seam (the same discipline
+    // HierDedupSpec uses for the two-level twin via hierAssignFrom).
+    def assignPlan(sf: String): String =
+      operators.Similarity.blockedAssign(spark, sf,
+        operators.Similarity.augmentedHi(spark, sf))
+        .queryExecution.executedPlan.toString
+    val a = assignPlan(d)
+    // stage-1 seam: the k-row centroid frame joins BROADCAST (never
+    // shuffles the corpus on cell)
+    assert(a.contains("BroadcastHashJoin"),
+      s"the centroid frame must broadcast:\n$a")
     // cell assignment rides the reference-object expressions — no
     // k-scaled literal may reach the plan text (the r10 fix)
-    assert(p.contains("graft_idx_lookup") && p.contains("graft_pq_codes"),
-      s"cell assignment must go through the reference-object expressions:\n$p")
+    assert(a.contains("graft_idx_lookup") && a.contains("graft_pq_codes"),
+      s"cell assignment must go through the reference-object expressions:\n$a")
     // the plan text is large in ABSOLUTE terms (the constant NJit x Dim
     // jitter literals replicate with every reuse of the augmented
     // subplan) but must be CORPUS-INDEPENDENT: k = ceil(2n/cap) is 10x
     // bigger at sf0.01 than at d (= sf0.001), so a leaked per-cell
     // literal (the pre-r10 typedlit) would show as ~10x growth here
-    val p2 = SparkEntry.queries("dedup_embedding_blocked")(
-      spark, "/root/testdata/sf0.01").queryExecution.executedPlan.toString
-    assert(math.abs(p.length - p2.length) < p.length / 5,
-      s"plan text scales with the corpus (${p.length} B at $d vs " +
-        s"${p2.length} B at sf0.01) — a per-cell literal leaked in")
+    val a2 = assignPlan("/root/testdata/sf0.01")
+    assert(math.abs(a.length - a2.length) < a.length / 5,
+      s"plan text scales with the corpus (${a.length} B at $d vs " +
+        s"${a2.length} B at sf0.01) — a per-cell literal leaked in")
+    // the REGISTERED query's visible (post-checkpoint) plan holds the
+    // pair-generating stages: every join must stay an equi-join on
+    // (cell, band) keys — the O(n) candidate-work guarantee
+    val p = plan("dedup_embedding_blocked")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocked dedup must never plan an all-pairs join:\n$p")
   }
 
   test("dedup_winnow blocks on fingerprint keys, never all-pairs") {
