@@ -209,31 +209,6 @@ object Curate {
         TextAnalysis.hash60(concat(lit("budget:"), col("text"))).as("h"),
         TextAnalysis.hash60(concat(lit("pack:"), col("text"))).as("h_pack"))
 
-  /** TEMPORARY (r17 AbStage): [[shardBase]] accessor. */
-  private[graft] def shardBaseForTiming(s: org.apache.spark.sql.SparkSession,
-      d: String, curated: org.apache.spark.sql.DataFrame) =
-    shardBase(s, d, curated)
-
-  /** TEMPORARY (r17 AbStage): the post-base shard stages over a
-    * caller-materialized base frame.
-    */
-  private[graft] def shardStagesForTiming(
-      base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val budgets = Sampling.sourceBudgets(base, ShardT)
-    val selected = Sampling.shardedCumTokens(base, "source")
-      .join(broadcast(budgets), "source")
-      .filter(col("cum_tokens") - col("n_tokens") < col("budget"))
-      .select(col("doc_id"), col("source"), col("n_tokens"),
-        col("h_pack").as("h"))
-      .localCheckpoint(true)
-    Sampling.shardedCumTokens(selected, "source")
-      .withColumn("start_offset",
-        (col("cum_tokens") - col("n_tokens")) % ShardBinTokens)
-      .withColumn("bin_id",
-        expr(s"(cum_tokens - n_tokens) div $ShardBinTokens"))
-      .select("doc_id", "source", "n_tokens", "bin_id", "start_offset")
-  }
-
   /** [[shard]] body over an injectable curated frame — the same seam
     * style as [[curateFrom]]; the registered query passes the fresh
     * pipeline_curate output.

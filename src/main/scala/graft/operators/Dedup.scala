@@ -168,33 +168,6 @@ object Dedup {
     (sh, sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh")))
   }
 
-  /** TEMPORARY (r17 AbStage): [[clusterKeepFrom]] accessor. */
-  private[graft] def clusterKeepForTiming(
-      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    clusterKeepFrom(pairs)
-
-  /** TEMPORARY (r17 AbStage): the un-checkpointed pair base. */
-  private[graft] def pairBaseForTiming(
-      s: org.apache.spark.sql.SparkSession, d: String) =
-    cappedShingles(s, d).select("doc_id", "g")
-
-  /** TEMPORARY (r17 AbStage): [[ngramJaccard]]'s post-base body over a
-    * caller-materialized shingle stream.
-    */
-  private[graft] def ngramJaccardFromBase(
-      sh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("g"), col("doc_id").as("i"))
-    val b = sh.select(col("g"), col("doc_id").as("j"))
-    a.join(b, Seq("g")).filter(col("i") < col("j"))
-      .groupBy("i", "j").agg(count(lit(1)).as("n_common"))
-      .join(sizes.select(col("doc_id").as("i"), col("n_sh").as("ni")), "i")
-      .join(sizes.select(col("doc_id").as("j"), col("n_sh").as("nj")), "j")
-      .withColumn("jaccard",
-        col("n_common").cast(DoubleType) / (col("ni") + col("nj") - col("n_common")))
-      .filter(col("jaccard") >= JaccardTau)
-      .select("i", "j", "n_common", "jaccard")
-  }
 
   /** Shared DuckDB CTE block: capped shingle extraction with per-doc
     * set sizes (`ex(doc_id, shingle, n_sh)`) — the SQL mirror of
